@@ -1,0 +1,167 @@
+"""The flagship pipeline: pages -> extracted docs -> meta/data Parquet.
+
+Ray-Data-native re-expression of the reference's main entry point
+(/root/reference/warc_indexer/index.py:161-185):
+
+    ReadWarcs | WindowInto | ProcessRecords | 2x ElasticsearchBulkSink
+
+becomes
+
+    read_parquet(pages) -> map_batches(ExtractPages, actor pool)
+        -> write_parquet(extracted/, full columns)
+    meta/data views = column-pruned reads of extracted/
+
+The two-sink split (beam.Partition at process.py:91-92) is NOT two filtered
+consumers of the same lazy dataset (that would run extraction twice): the
+extraction output is written ONCE with all columns, and the meta/data tables
+are cheap columnar projections of that Parquet — the idiomatic columnar
+answer, and what makes re-runs resumable (checkpoint manifests cover the
+extracted partitions).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+
+def _keep_unskipped(t: pa.Table) -> pa.Table:
+    return t.filter(pc.is_null(t["skip_reason"]))
+
+
+def _read_extracted(extracted_dir: str, columns):
+    """read_parquet tolerating an empty output dir (zero-row pipelines write
+    no part files; downstream must see an empty typed dataset, not ENOENT)."""
+    from engine.stages.extract import _OUT_SCHEMA
+
+    has_files = os.path.isdir(extracted_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(extracted_dir)
+    )
+    if not has_files:
+        empty = pa.table(
+            {f.name: pa.array([], type=f.type) for f in _OUT_SCHEMA}
+        ).select(columns)
+        return ray.data.from_arrow(empty)
+    return ray.data.read_parquet(extracted_dir, columns=columns)
+
+from engine import schema
+from engine.sources.pages import read_pages
+from engine.stages.extract import ExtractPages
+
+META_COLS = [f.name for f in schema.META] + ["skip_reason"]
+DATA_COLS = [f.name for f in schema.DATA]
+
+
+def load_lookup_dict(path: str) -> Dict[str, tuple]:
+    """Load the rank lookup table into a broadcast-able dict.
+
+    Small-side join: read once on the driver, ``ray.put`` the dict, let every
+    extract actor fetch it once in ``__init__`` (replaces the reference's
+    per-record Redis hgetall, process.py:178-180).
+    """
+    t = pq.read_table(path)
+    return {
+        d: (s, p)
+        for d, s, p in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("spam_rank").to_pylist(),
+            t.column("page_rank").to_pylist(),
+        )
+    }
+
+
+def extract_dataset(
+    pages: ray.data.Dataset,
+    *,
+    doc_id_prefix: str = "cc",
+    lookup_path: Optional[str] = None,
+    concurrency: Any = (2, 8),
+    batch_size: int = 128,
+    always_index_meta: bool = False,
+    trust_content_type: bool = False,
+) -> ray.data.Dataset:
+    """pages Dataset -> extracted Dataset (one row per input page).
+
+    Actor pool so the (cheap here, model-heavy in real deployments) setup
+    and the broadcast lookup fetch happen once per actor, not per batch.
+    ``batch_size`` is small because HTML rows are wide (SURVEY.md §7.3).
+
+    SIZING: ``concurrency`` x num_cpus must leave headroom for the read and
+    write stages — a fixed pool equal to the cluster CPU count deadlocks the
+    streaming executor (ReadParquet backpressured forever waiting for a CPU
+    the pool never releases).  Rule of thumb: <= ~0.75 x cluster CPUs, or an
+    autoscaling ``(min, max)`` tuple.
+    """
+    lookup_ref = None
+    if lookup_path:
+        lookup_ref = ray.put(load_lookup_dict(lookup_path))
+    return pages.map_batches(
+        ExtractPages,
+        fn_constructor_kwargs=dict(
+            doc_id_prefix=doc_id_prefix,
+            always_index_meta=always_index_meta,
+            trust_content_type=trust_content_type,
+            lookup_ref=lookup_ref,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def run_index_pipeline(
+    pages_path: str,
+    out_dir: str,
+    *,
+    doc_id_prefix: str = "cc",
+    lookup_path: Optional[str] = None,
+    concurrency: Any = (2, 8),
+    batch_size: int = 128,
+    always_index_meta: bool = False,
+) -> Tuple[str, str]:
+    """End-to-end: pages Parquet -> extracted/ Parquet; returns view paths.
+
+    Output is a directory of part files (resumable unit; never one giant
+    file).  ``meta_view`` / ``data_view`` below project the two logical
+    tables out of it.
+    """
+    pages = read_pages(pages_path)
+    extracted = extract_dataset(
+        pages,
+        doc_id_prefix=doc_id_prefix,
+        lookup_path=lookup_path,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        always_index_meta=always_index_meta,
+    )
+    ex_dir = os.path.join(out_dir, "extracted")
+    extracted.write_parquet(ex_dir)
+    return ex_dir, ex_dir
+
+
+def meta_view(extracted_dir: str, always_index_meta: bool = False) -> ray.data.Dataset:
+    """Meta table (reference meta_index): column-pruned read of extracted/.
+
+    With ``always_index_meta`` (reference --always-index-meta flag,
+    index.py:112) every parseable record appears; default keeps only rows
+    whose payload was indexed (process.py:190-193 semantics).
+    """
+    ds = _read_extracted(extracted_dir, META_COLS)
+    if not always_index_meta:
+        ds = ds.map_batches(_keep_unskipped, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns([c for c in META_COLS if c != "skip_reason"])
+
+
+def data_view(extracted_dir: str) -> ray.data.Dataset:
+    """Data table (reference data_index): kept docs only."""
+    ds = _read_extracted(extracted_dir, DATA_COLS + ["skip_reason"])
+    return ds.map_batches(
+        _keep_unskipped, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(DATA_COLS)

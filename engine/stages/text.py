@@ -1,0 +1,132 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's own operators (extraction/enrichment), these are the
+per-document text statistics a 100 TB corpus pipeline needs: token counting,
+quality scoring, language id, and document fingerprinting.  All are
+vectorized ``map_batches`` bodies over Arrow batches; definitions are chosen
+to be expressible in ANSI SQL so the DuckDB oracle can verify them
+bit-for-bit (see __ray_entry__.oracle_sql).
+
+Definitions (keep in sync with the oracle SQL):
+- n_chars  = length(text) in codepoints
+- n_tokens = number of ``\\S+`` runs
+- avg_token_len = round(sum(len(token)) / n_tokens, 6)  (0.0 if no tokens)
+- alpha_ratio   = round(count([A-Za-z]) / n_chars, 6)   (0.0 if empty)
+- digit_ratio   = round(count([0-9]) / n_chars, 6)
+- fingerprint: 64-bit FNV-1a of the whitespace-normalized text (stable,
+  SQL-free; oracle checks rows-only), plus a rolling-window minimum
+  ("winnowing"-style, Schleimer et al. SIGMOD'03) over token hashes.
+"""
+
+from __future__ import annotations
+
+import re
+from hashlib import md5
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from engine.lang import detect_batch
+
+_TOKEN = re.compile(r"\S+")
+_ALPHA = re.compile(r"[A-Za-z]")
+_DIGIT = re.compile(r"[0-9]")
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_chars / n_tokens / avg_token_len columns (vectorized regex)."""
+    texts = batch.column(text_col).to_pylist()
+    n_chars = np.empty(len(texts), dtype=np.int64)
+    n_tokens = np.empty(len(texts), dtype=np.int64)
+    tok_chars = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = _TOKEN.findall(t)
+        n_chars[i] = len(t)
+        n_tokens[i] = len(toks)
+        tok_chars[i] = sum(len(x) for x in toks)
+    avg = np.where(n_tokens > 0, np.round(tok_chars / np.maximum(n_tokens, 1), 6), 0.0)
+    return (
+        batch.append_column("n_chars", pa.array(n_chars))
+        .append_column("n_tokens", pa.array(n_tokens))
+        .append_column("avg_token_len", pa.array(avg, type=pa.float64()))
+    )
+
+
+def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append alpha_ratio / digit_ratio quality columns."""
+    texts = batch.column(text_col).to_pylist()
+    alpha = np.empty(len(texts), dtype=np.float64)
+    digit = np.empty(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        n = len(t)
+        if n == 0:
+            alpha[i] = digit[i] = 0.0
+        else:
+            alpha[i] = round(len(_ALPHA.findall(t)) / n, 6)
+            digit[i] = round(len(_DIGIT.findall(t)) / n, 6)
+    return batch.append_column("alpha_ratio", pa.array(alpha)).append_column(
+        "digit_ratio", pa.array(digit)
+    )
+
+
+def lang_id(batch: pa.Table, text_col: str = "text", out_col: str = "lang_pred") -> pa.Table:
+    """Append detected-language column (engine.lang trigram/stopword scorer)."""
+    preds = detect_batch(batch.column(text_col).to_pylist())
+    return batch.append_column(out_col, pa.array(preds, type=pa.string()))
+
+
+def content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "content_md5") -> pa.Table:
+    """Append md5 hex of the raw text (exact-dedup key; SQL: md5(text))."""
+    hashes = [
+        md5((t or "").encode("utf-8")).hexdigest()
+        for t in batch.column(text_col).to_pylist()
+    ]
+    return batch.append_column(out_col, pa.array(hashes, type=pa.string()))
+
+
+def _fnv1a_tokens(tokens) -> np.ndarray:
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, tok in enumerate(tokens):
+        h = _FNV_OFFSET
+        for b in tok.encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.Table:
+    """Append doc_fp (FNV-1a of normalized text) and win_fp (winnowing min).
+
+    win_fp = minimum token-hash over sliding windows, a cheap robust
+    fingerprint for near-identical detection; deterministic, order-free of
+    any dict iteration.
+    """
+    texts = batch.column(text_col).to_pylist()
+    doc_fp = np.empty(len(texts), dtype=np.uint64)
+    win_fp = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        norm = " ".join(_TOKEN.findall(t or ""))
+        h = _FNV_OFFSET
+        for b in norm.encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+        doc_fp[i] = h
+        toks = _TOKEN.findall(t or "")
+        if toks:
+            th = _fnv1a_tokens(toks)
+            if len(th) >= window:
+                mins = np.lib.stride_tricks.sliding_window_view(th, window).min(axis=1)
+                win_fp[i] = np.bitwise_xor.reduce(np.unique(mins))
+            else:
+                win_fp[i] = th.min()
+        else:
+            win_fp[i] = 0
+    return batch.append_column("doc_fp", pa.array(doc_fp, type=pa.uint64())).append_column(
+        "win_fp", pa.array(win_fp, type=pa.uint64())
+    )

@@ -1,0 +1,138 @@
+"""End-to-end pipeline conformance (SURVEY.md §5 layers 3-4).
+
+- Byte-identical invariant: pipeline-extracted text per url == fixture
+  ``text`` column (which was produced by the single-threaded oracle).
+- Determinism under parallelism: outputs identical after sort by uuid.
+- Meta/data view semantics and broadcast lookup join.
+"""
+
+import os
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from engine.pipelines.index_pipeline import (
+    data_view,
+    extract_dataset,
+    meta_view,
+    run_index_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def extracted_dir(ray_session, fixture_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("e2e"))
+    ex_dir, _ = run_index_pipeline(
+        os.path.join(fixture_dir, "pages.parquet"),
+        out,
+        lookup_path=os.path.join(fixture_dir, "lookups.parquet"),
+        concurrency=2,
+        batch_size=64,
+    )
+    return ex_dir
+
+
+def test_byte_identical_text_invariant(extracted_dir, fixture_dir):
+    fixture = pq.read_table(
+        os.path.join(fixture_dir, "pages.parquet"), columns=["url", "text", "lang"]
+    )
+    got = pq.read_table(extracted_dir, columns=["warc_target_uri", "body", "lang", "skip_reason"])
+
+    exp_text = {}
+    exp_lang = {}
+    for u, t, l in zip(
+        fixture.column("url").to_pylist(),
+        fixture.column("text").to_pylist(),
+        fixture.column("lang").to_pylist(),
+    ):
+        exp_text.setdefault(u, t)
+        exp_lang.setdefault(u, l)
+
+    n_checked = 0
+    for u, body, lang, skip in zip(
+        got.column("warc_target_uri").to_pylist(),
+        got.column("body").to_pylist(),
+        got.column("lang").to_pylist(),
+        got.column("skip_reason").to_pylist(),
+    ):
+        if skip is None:
+            assert body == exp_text[u], f"text mismatch for {u}"
+            assert lang == exp_lang[u], f"lang mismatch for {u}"
+            n_checked += 1
+        else:
+            assert exp_text[u] is None, f"{u} skipped ({skip}) but fixture has text"
+    assert n_checked > 500
+
+
+def test_skip_reasons_present(extracted_dir):
+    t = pq.read_table(extracted_dir, columns=["warc_target_uri", "skip_reason"])
+    reasons = {
+        r
+        for r, u in zip(
+            t.column("skip_reason").to_pylist(), t.column("warc_target_uri").to_pylist()
+        )
+        if r is not None and "/edge/" in u
+    }
+    assert {"too_short", "too_big", "not_text", "no_body",
+            "replacement_chars", "main_too_short"} <= reasons
+
+
+def test_determinism_under_parallelism(ray_session, fixture_dir):
+    pages = os.path.join(fixture_dir, "pages.parquet")
+
+    def run(concurrency, batch_size, blocks):
+        ds = ray.data.read_parquet(pages, override_num_blocks=blocks)
+        out = extract_dataset(ds, concurrency=concurrency, batch_size=batch_size)
+        t = out.to_arrow_refs()
+        import ray as _ray
+        import pyarrow as pa
+
+        tbl = pa.concat_tables([_ray.get(r) for r in t])
+        return tbl.sort_by([("uuid", "ascending"), ("source_offset", "ascending")])
+
+    # NB: pool size must leave CPU headroom for the read stage — a fixed
+    # actor pool equal to the cluster CPU count deadlocks the pipeline
+    # (ReadParquet backpressured forever).  Engine guidance: concurrency
+    # <= ~0.75 * cluster CPUs (see extract_dataset docstring).
+    a = run(1, 512, 1)
+    b = run(3, 32, 8)
+    assert a.num_rows == b.num_rows
+    assert a.equals(b), "parallelism changed extraction output"
+
+
+def test_meta_data_views(extracted_dir, fixture_dir):
+    meta = meta_view(extracted_dir).to_pandas()
+    data = data_view(extracted_dir).to_pandas()
+    # default semantics: meta rows only for kept docs (process.py:190-193)
+    assert len(meta) == len(data)
+    meta_all = meta_view(extracted_dir, always_index_meta=True).to_pandas()
+    n_pages = pq.read_metadata(os.path.join(fixture_dir, "pages.parquet")).num_rows
+    assert len(meta_all) == n_pages
+    assert "body" not in meta.columns
+    assert {"uuid", "idx_id", "warc_date"} <= set(meta.columns)
+    assert {"title", "body", "full_body", "lang"} <= set(data.columns)
+    # uuids unique per (uuid, source_offset); duplicate url row shares uuid
+    assert data["uuid"].notna().all()
+
+
+def test_lookup_join(extracted_dir, fixture_dir):
+    lk = pq.read_table(os.path.join(fixture_dir, "lookups.parquet"))
+    data = data_view(extracted_dir).to_pandas()
+    joined = data[data["spam_rank"].notna() | data["page_rank"].notna()]
+    assert len(joined) > 0, "no lookup ranks joined"
+    lk_map = {
+        d: (s, p)
+        for d, s, p in zip(
+            lk.column("doc_id").to_pylist(),
+            lk.column("spam_rank").to_pylist(),
+            lk.column("page_rank").to_pylist(),
+        )
+    }
+    for _, row in joined.head(50).iterrows():
+        s, p = lk_map[row["uuid"]]
+        if s is not None:
+            assert row["spam_rank"] == s
+        if p is not None:
+            assert abs(row["page_rank"] - p) < 1e-9
