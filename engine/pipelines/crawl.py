@@ -1,0 +1,452 @@
+"""Distributed Ray-Data crawl: frontier, politeness scheduler, URL-seen set.
+
+The north_star pipeline (BASELINE.json): a from-scratch crawl frontier +
+fetch scheduler over a Parquet pages table, expressed Ray-Data-first.
+
+Per wave (semantics defined once in crawl_common; conformance oracle in
+crawl_oracle):
+
+1. **Politeness selection** — ``frontier.groupby('host').map_groups``
+   selects each host's top-k candidates by (priority desc, url) under its
+   crawl-delay budget and remaining page budget; the rest carry over.
+   Selection output is budget-bounded (sum of per-host wave caps), so it is
+   collected to the driver for global ordering; the carryover frontier stays
+   distributed.  SKEW: a mega-host's group is only ever sorted/truncated —
+   cost O(group); for 10^8-URL hosts, pre-truncate with a per-host
+   ``sort_by + head`` inside map_groups (already the code path) and salt the
+   groupby key into ``(host, url_hash % k)`` sub-groups merged by a second
+   small selection if a single host's frontier segment exceeds a block.
+2. **Fetch** — broadcast the selected URL set (``ray.put``), semi-join the
+   pages table inside ``map_batches`` (column-pruned read: url + html
+   only).  At 10^10 scale the pages table would be bucketed by
+   ``url_hash % B`` at ingest so each wave reads only matching buckets;
+   the broadcast-set filter is the in-sandbox stand-in with the same
+   semantics.
+3. **Discovery** — ``map_batches`` parses links, emits (url, depth+1);
+   exact within-wave dedup = ``groupby('url').aggregate(Min('depth'))``
+   (hash shuffle on url — the one unavoidable wide op; pre-deduped per
+   batch first).
+4. **Seen-check / enqueue** — an actor-pool ``map_batches`` stage routes
+   url-hashes to the sharded cuckoo actors (batched RPC per shard), filters
+   already-seen URLs, stages the rest, and applies robots rules; the driver
+   commits all shards at wave end (wave-commit protocol, engine.state.cuckoo)
+   so membership answers are parallelism-independent.
+5. **Checkpoint** — frontier segment, crawl-order rows, enqueued log and
+   every cuckoo shard are written per wave; ``state.json`` is renamed into
+   place last, so a killed run resumes from the last *complete* wave without
+   re-fetching (north_rule resume requirement; see resume()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Min
+
+from engine.canonicalize import canonicalize_url, host_of
+from engine.ids import url_hash64
+from engine.pipelines.crawl_common import (
+    CrawlConfig,
+    discover_links,
+    host_rules,
+    load_politeness,
+    per_wave_cap,
+    priority_for_depth,
+    robots_blocked,
+    sort_key,
+)
+from engine.state.cuckoo import CuckooShard
+
+_FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int64()),
+        ("priority", pa.float64()),
+    ]
+)
+
+
+def _frontier_table(urls, hosts, depths) -> pa.Table:
+    pr = [priority_for_depth(d) for d in depths]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "depth": pa.array(depths, pa.int64()),
+            "priority": pa.array(pr, pa.float64()),
+        },
+        schema=_FRONTIER_SCHEMA,
+    )
+
+
+def _select_group(
+    df: pd.DataFrame, rules_ref, counts_ref, cfg: CrawlConfig
+) -> pd.DataFrame:
+    """Per-host politeness selection (runs inside map_groups tasks)."""
+    rules = ray.get(rules_ref)
+    counts = ray.get(counts_ref)
+    host = df["host"].iloc[0]
+    r = host_rules(rules, host, cfg)
+    k = min(per_wave_cap(r, cfg), max(0, r.max_pages - counts.get(host, 0)))
+    df = df.sort_values(
+        ["priority", "url"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    df["selected"] = np.arange(len(df)) < k
+    return df
+
+
+def _fetch_filter(batch: pa.Table, selected_ref) -> pa.Table:
+    """Broadcast semi-join: keep pages whose canonical url was selected.
+
+    Stateless task fn (not an actor pool): the only setup is a ray.get of
+    the broadcast dict, which is plasma-local after the first task on a
+    node — actor-pool startup latency would dominate at per-wave cadence.
+    """
+    selected: Dict[str, int] = ray.get(selected_ref)  # url -> depth
+    urls = batch.column("url").to_pylist()
+    keep = np.zeros(len(urls), dtype=bool)
+    canon = []
+    depths = []
+    for i, u in enumerate(urls):
+        c = canonicalize_url(u)
+        if c is not None and c in selected:
+            keep[i] = True
+            canon.append(c)
+            depths.append(selected[c])
+    out = batch.filter(pa.array(keep))
+    out = out.drop_columns(["url"])
+    out = out.append_column("url", pa.array(canon, pa.string()))
+    out = out.append_column("depth", pa.array(depths, pa.int64()))
+    return out
+
+
+def _discover_batch(batch: pa.Table) -> pa.Table:
+    """Fetched pages -> flat (url, depth) link rows, per-page deduped."""
+    out_urls: List[str] = []
+    out_depths: List[int] = []
+    for u, html, d in zip(
+        batch.column("url").to_pylist(),
+        batch.column("html").to_pylist(),
+        batch.column("depth").to_pylist(),
+    ):
+        if html is None:
+            continue
+        for link in discover_links(u, html):
+            out_urls.append(link)
+            out_depths.append(d + 1)
+    return pa.table(
+        {"url": pa.array(out_urls, pa.string()), "depth": pa.array(out_depths, pa.int64())}
+    )
+
+
+def _enqueue_stage(batch: pa.Table, shard_handles, rules_ref, cfg: CrawlConfig) -> pa.Table:
+    """Seen-check + stage + robots filter against the cuckoo shard actors.
+
+    Input batches arrive exactly once per URL (post-dedup groupby), so each
+    new URL is staged exactly once.  ``contains`` answers come from the
+    shards' committed state (stable within a wave).  Output rows carry
+    ``blocked`` (robots) — blocked URLs are recorded seen but not enqueued.
+    Stateless task fn: one batched RPC per (batch, shard), no per-URL calls.
+    """
+    rules = ray.get(rules_ref)
+    # Validity filter FIRST (empty host / too deep are never hashed or
+    # staged) — ordering must match the oracle's try_enqueue exactly.
+    urls, hosts, depths = [], [], []
+    for u, d in zip(batch.column("url").to_pylist(), batch.column("depth").to_pylist()):
+        h = host_of(u)
+        if h and d <= cfg.max_depth:
+            urls.append(u)
+            hosts.append(h)
+            depths.append(int(d))
+    if not urls:
+        return _EMPTY_ENQ_FULL
+    hashes = url_hash64(urls)
+    sid = (hashes % np.uint64(len(shard_handles))).astype(np.int64)
+    seen = np.zeros(len(urls), dtype=bool)
+    futs = {}
+    for s in range(len(shard_handles)):
+        idx = np.nonzero(sid == s)[0]
+        if len(idx):
+            futs[s] = (idx, shard_handles[s].contains_many.remote(hashes[idx]))
+    for s, (idx, f) in futs.items():
+        seen[idx] = ray.get(f)
+    stage_futs = []
+    for s in range(len(shard_handles)):
+        idx = np.nonzero((sid == s) & ~seen)[0]
+        if len(idx):
+            stage_futs.append(shard_handles[s].stage.remote(hashes[idx]))
+    ray.get(stage_futs)
+
+    keep = ~seen
+    keep_urls = [u for u, k in zip(urls, keep) if k]
+    keep_hosts = [h for h, k in zip(hosts, keep) if k]
+    keep_depths = [d for d, k in zip(depths, keep) if k]
+    keep_hashes = hashes[keep]
+    blocked = [robots_blocked(u, h, rules, cfg) for u, h in zip(keep_urls, keep_hosts)]
+    t = _frontier_table(keep_urls, keep_hosts, keep_depths)
+    return t.append_column("blocked", pa.array(blocked, pa.bool_())).append_column(
+        "url_hash", pa.array(keep_hashes, pa.uint64())
+    )
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+class CrawlRun:
+    """Driver-side crawl orchestration with per-wave checkpointing."""
+
+    def __init__(
+        self,
+        pages_path: str,
+        seeds_path: str,
+        politeness_path: Optional[str],
+        workdir: str,
+        cfg: CrawlConfig = CrawlConfig(),
+        enqueue_concurrency=2,
+    ):
+        self.pages_path = pages_path
+        self.seeds_path = seeds_path
+        self.workdir = workdir
+        self.cfg = cfg
+        self.enqueue_concurrency = enqueue_concurrency
+        os.makedirs(workdir, exist_ok=True)
+        self.rules = load_politeness(politeness_path, cfg)
+        self.rules_ref = ray.put(self.rules)
+        self.shards = [
+            ray.remote(CuckooShard).remote(i, cfg.shard_capacity)
+            for i in range(cfg.num_shards)
+        ]
+        self.fetched_count: Dict[str, int] = {}
+        self.seq = 0
+        self.start_wave = 0
+
+    # -- checkpoint helpers -------------------------------------------------
+    def _wave_dir(self, wave: int) -> str:
+        return os.path.join(self.workdir, "seed" if wave < 0 else f"wave_{wave:04d}")
+
+    def _checkpoint(self, wave: int, frontier: pa.Table, order: pa.Table, enq: pa.Table):
+        d = self._wave_dir(wave)
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(os.path.join(tmp, "shards"), exist_ok=True)
+        pq.write_table(frontier, os.path.join(tmp, "frontier.parquet"))
+        pq.write_table(order, os.path.join(tmp, "order.parquet"))
+        pq.write_table(enq, os.path.join(tmp, "enqueued.parquet"))
+        blobs = ray.get([s.checkpoint.remote() for s in self.shards])
+        for i, b in enumerate(blobs):
+            with open(os.path.join(tmp, "shards", f"shard_{i:03d}.bin"), "wb") as f:
+                f.write(b)
+        shutil.rmtree(d, ignore_errors=True)
+        os.replace(tmp, d)
+        _atomic_write_json(
+            os.path.join(self.workdir, "state.json"),
+            {"wave": wave, "seq": self.seq, "fetched_count": self.fetched_count},
+        )
+
+    def resume(self) -> bool:
+        """Restore from the last complete wave; True if state was found."""
+        state_path = os.path.join(self.workdir, "state.json")
+        if not os.path.exists(state_path):
+            return False
+        state = json.load(open(state_path))
+        wave = state["wave"]
+        self.seq = state["seq"]
+        self.fetched_count = dict(state["fetched_count"])
+        self.start_wave = wave + 1
+        d = self._wave_dir(wave)
+        for i, s in enumerate(self.shards):
+            with open(os.path.join(d, "shards", f"shard_{i:03d}.bin"), "rb") as f:
+                ray.get(s.restore.remote(f.read()))
+        return True
+
+    # -- seed load ----------------------------------------------------------
+    def _load_seeds(self) -> None:
+        seeds = pq.read_table(self.seeds_path, columns=["url"])
+        canon: List[str] = []
+        seen = set()
+        for u in seeds.column("url").to_pylist():
+            c = canonicalize_url(u)
+            if c is not None and c not in seen:
+                seen.add(c)
+                canon.append(c)
+        cand = pa.table(
+            {"url": pa.array(canon, pa.string()), "depth": pa.array([0] * len(canon), pa.int64())}
+        )
+        enq = self._enqueue(ray.data.from_arrow(cand))
+        frontier = enq.filter(pc.equal(enq.column("blocked"), False)).select(
+            ["url", "host", "depth", "priority"]
+        )
+        ray.get([s.commit.remote() for s in self.shards])
+        self._checkpoint(-1, frontier, pa.table({
+            "wave": pa.array([], pa.int64()), "seq": pa.array([], pa.int64()),
+            "url": pa.array([], pa.string()), "host": pa.array([], pa.string())}),
+            enq.select(["url_hash", "url"]))
+
+    def _enqueue(self, cand_ds: ray.data.Dataset) -> pa.Table:
+        """Dedup (min depth per url) -> seen-check/stage -> arrow result."""
+        deduped = cand_ds.groupby("url").aggregate(Min("depth", alias_name="depth"))
+        out = deduped.map_batches(
+            _enqueue_stage,
+            fn_kwargs=dict(
+                shard_handles=self.shards, rules_ref=self.rules_ref, cfg=self.cfg
+            ),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+        tables = ray.get(out.to_arrow_refs())
+        if not tables:
+            return _EMPTY_ENQ_FULL
+        t = pa.concat_tables(tables, promote_options="default")
+        return t.combine_chunks() if t.num_rows else _EMPTY_ENQ_FULL
+
+    # -- main loop ----------------------------------------------------------
+    def run(self) -> Tuple[pa.Table, pa.Table]:
+        if not self.resume():
+            self._load_seeds()
+            self.start_wave = 0
+
+        counts_ref = ray.put(dict(self.fetched_count))
+        for wave in range(self.start_wave, self.cfg.max_waves):
+            prev_dir = self._wave_dir(wave - 1)
+            frontier_path = os.path.join(prev_dir, "frontier.parquet")
+            frontier_t = pq.read_table(frontier_path)
+            if frontier_t.num_rows == 0:
+                break
+            frontier = ray.data.from_arrow(frontier_t)
+
+            # 1. politeness selection (per-host shuffle)
+            marked = frontier.groupby("host").map_groups(
+                _select_group,
+                fn_args=(self.rules_ref, counts_ref, self.cfg),
+                batch_format="pandas",
+            )
+            marked_t = pa.concat_tables(
+                ray.get(marked.to_arrow_refs()), promote_options="default"
+            )
+            sel_mask = marked_t.column("selected")
+            selected_t = marked_t.filter(sel_mask)
+            carry_t = marked_t.filter(pc.invert(sel_mask)).select(
+                ["url", "host", "depth", "priority"]
+            )
+            if selected_t.num_rows == 0:
+                self._checkpoint(wave, carry_t, _EMPTY_ORDER, _EMPTY_ENQ)
+                break
+
+            # 2. global wave order (selected is budget-bounded -> driver)
+            sel = sorted(
+                zip(
+                    selected_t.column("url").to_pylist(),
+                    selected_t.column("host").to_pylist(),
+                    selected_t.column("depth").to_pylist(),
+                    selected_t.column("priority").to_pylist(),
+                ),
+                key=lambda r: sort_key(r[3], r[0]),
+            )
+            order_rows = []
+            for u, h, d, p in sel:
+                order_rows.append((wave, self.seq, u, h))
+                self.seq += 1
+                self.fetched_count[h] = self.fetched_count.get(h, 0) + 1
+            order_t = pa.table(
+                {
+                    "wave": pa.array([r[0] for r in order_rows], pa.int64()),
+                    "seq": pa.array([r[1] for r in order_rows], pa.int64()),
+                    "url": pa.array([r[2] for r in order_rows], pa.string()),
+                    "host": pa.array([r[3] for r in order_rows], pa.string()),
+                }
+            )
+            counts_ref = ray.put(dict(self.fetched_count))
+
+            # 3. fetch (broadcast semi-join) + 4. discover + 5. enqueue
+            selected_ref = ray.put({u: d for u, h, d, p in sel})
+            fetched = ray.data.read_parquet(
+                self.pages_path, columns=["url", "html"]
+            ).map_batches(
+                _fetch_filter,
+                fn_kwargs=dict(selected_ref=selected_ref),
+                batch_format="pyarrow",
+                batch_size=1024,
+            )
+            links = fetched.map_batches(_discover_batch, batch_format="pyarrow")
+            enq = self._enqueue(links)
+            ray.get([s.commit.remote() for s in self.shards])
+
+            additions = (
+                enq.filter(pc.equal(enq.column("blocked"), False)).select(
+                    ["url", "host", "depth", "priority"]
+                )
+                if enq.num_rows
+                else _EMPTY_FRONTIER
+            )
+            new_frontier = pa.concat_tables([carry_t, additions])
+            self._checkpoint(
+                wave, new_frontier, order_t,
+                enq.select(["url_hash", "url"]) if enq.num_rows else _EMPTY_ENQ,
+            )
+
+        return self.collect_outputs()
+
+    def collect_outputs(self) -> Tuple[pa.Table, pa.Table]:
+        """Concatenate per-wave order/enqueued logs into the final artifacts."""
+        orders, enqs = [], []
+        for name in sorted(os.listdir(self.workdir)):
+            d = os.path.join(self.workdir, name)
+            if name == "seed" or name.startswith("wave_"):
+                op = os.path.join(d, "order.parquet")
+                ep = os.path.join(d, "enqueued.parquet")
+                if os.path.exists(op):
+                    orders.append(pq.read_table(op))
+                if os.path.exists(ep):
+                    enqs.append(pq.read_table(ep))
+        order = pa.concat_tables(orders).sort_by([("seq", "ascending")])
+        enq = pa.concat_tables(enqs).sort_by(
+            [("url_hash", "ascending"), ("url", "ascending")]
+        )
+        pq.write_table(order, os.path.join(self.workdir, "crawl_order.parquet"))
+        pq.write_table(enq, os.path.join(self.workdir, "url_seen.parquet"))
+        return order, enq
+
+
+_EMPTY_ORDER = pa.table(
+    {"wave": pa.array([], pa.int64()), "seq": pa.array([], pa.int64()),
+     "url": pa.array([], pa.string()), "host": pa.array([], pa.string())}
+)
+_EMPTY_ENQ = pa.table(
+    {"url_hash": pa.array([], pa.uint64()), "url": pa.array([], pa.string())}
+)
+_EMPTY_FRONTIER = pa.table(
+    {"url": pa.array([], pa.string()), "host": pa.array([], pa.string()),
+     "depth": pa.array([], pa.int64()), "priority": pa.array([], pa.float64())}
+)
+_EMPTY_ENQ_FULL = _EMPTY_FRONTIER.append_column(
+    "blocked", pa.array([], pa.bool_())
+).append_column("url_hash", pa.array([], pa.uint64()))
+
+
+def run_crawl(
+    pages_path: str,
+    seeds_path: str,
+    politeness_path: Optional[str],
+    workdir: str,
+    cfg: CrawlConfig = CrawlConfig(),
+    enqueue_concurrency=2,
+) -> Tuple[pa.Table, pa.Table]:
+    """Run (or resume) a crawl; returns (crawl_order, url_seen) tables."""
+    return CrawlRun(
+        pages_path, seeds_path, politeness_path, workdir, cfg, enqueue_concurrency
+    ).run()

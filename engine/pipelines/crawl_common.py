@@ -1,0 +1,137 @@
+"""Shared crawl semantics: config, politeness rules, link discovery.
+
+Both the distributed crawl (engine.pipelines.crawl) and the single-threaded
+scheduler oracle (engine.pipelines.crawl_oracle) import from here, so the
+per-row semantics (canonicalization, robots filtering, priority, budgets)
+are defined exactly once.  Conformance (north_rule: identical crawl ordering
++ URL-seen set) then reduces to the two control flows agreeing.
+
+Crawl model (new functionality; the reference indexer has no frontier —
+SURVEY.md §2.4 ST5/ST6, §2.6 A5/A6):
+
+- A *wave* is the batch unit replacing the reference's 30 s Flink windows
+  (index.py:171): each wave, every host may fetch up to
+  ``floor(wave_seconds / crawl_delay)`` URLs (>=1), subject to its total
+  ``max_pages`` budget.
+- Within a host, candidates are ordered by (priority desc, url asc);
+  priority = 1 / (1 + depth), so the order is BFS-ish with lexicographic
+  tie-break — a total order, required for N-vs-4N determinism
+  (SURVEY.md §7.3).
+- Global crawl order within a wave sorts selected URLs by
+  (priority desc, url asc); ``seq`` numbers continue across waves.
+- robots.txt stand-in: the politeness table's ``disallow`` column holds
+  comma-separated path prefixes; blocked URLs are marked seen but never
+  enqueued (checked at discovery AND at seed load).
+- URL-seen set: a URL is inserted when first *enqueued* (not fetched);
+  membership answers use the cuckoo wave-commit protocol
+  (engine.state.cuckoo) so parallel and serial runs agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+from urllib.parse import urljoin
+
+import pyarrow.parquet as pq
+
+from engine.canonicalize import canonicalize_url, host_of, surt
+from engine.html_extract import HTMLTree, get_links
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    wave_seconds: float = 30.0
+    default_crawl_delay: float = 5.0
+    default_max_pages: int = 1000
+    max_waves: int = 20
+    num_shards: int = 16
+    shard_capacity: int = 1 << 16
+    max_depth: int = 64
+
+
+@dataclass
+class HostRules:
+    crawl_delay: float
+    max_pages: int
+    disallow: Tuple[str, ...] = ()
+
+
+def load_politeness(path: Optional[str], cfg: CrawlConfig) -> Dict[str, HostRules]:
+    rules: Dict[str, HostRules] = {}
+    if path is None:
+        return rules
+    t = pq.read_table(path)
+    for h, d, m, dis in zip(
+        t.column("host").to_pylist(),
+        t.column("crawl_delay").to_pylist(),
+        t.column("max_pages").to_pylist(),
+        t.column("disallow").to_pylist() if "disallow" in t.column_names else [None] * t.num_rows,
+    ):
+        prefixes = tuple(p.strip() for p in dis.split(",") if p.strip()) if dis else ()
+        rules[h] = HostRules(
+            crawl_delay=float(d) if d is not None else cfg.default_crawl_delay,
+            max_pages=int(m) if m is not None else cfg.default_max_pages,
+            disallow=prefixes,
+        )
+    return rules
+
+
+def host_rules(rules: Dict[str, HostRules], host: str, cfg: CrawlConfig) -> HostRules:
+    r = rules.get(host)
+    if r is None:
+        return HostRules(cfg.default_crawl_delay, cfg.default_max_pages)
+    return r
+
+
+def per_wave_cap(r: HostRules, cfg: CrawlConfig) -> int:
+    return max(1, int(cfg.wave_seconds // max(r.crawl_delay, 1e-9)))
+
+
+def robots_blocked(url: str, host: str, rules: Dict[str, HostRules], cfg: CrawlConfig) -> bool:
+    r = host_rules(rules, host, cfg)
+    if not r.disallow:
+        return False
+    try:
+        from urllib.parse import urlsplit
+
+        path = urlsplit(url).path or "/"
+    except ValueError:
+        return True
+    return any(path.startswith(p) for p in r.disallow)
+
+
+def priority_for_depth(depth: int) -> float:
+    return 1.0 / (1.0 + depth)
+
+
+def discover_links(page_url: str, html_bytes: bytes) -> List[str]:
+    """Raw hrefs -> absolute canonical http(s) URLs, order-preserving dedup.
+
+    Uses the same HTML parse + canonicalization as the rest of the engine;
+    resolution of relative links is against the canonical page URL.
+    """
+    try:
+        from engine.html_extract import bytes_to_str, declared_charset, detect_encoding
+
+        enc = declared_charset(html_bytes) or detect_encoding(html_bytes)
+        tree = HTMLTree.parse(bytes_to_str(html_bytes, enc))
+    except Exception:
+        return []
+    out: List[str] = []
+    seen = set()
+    for href in get_links(tree):
+        try:
+            absu = urljoin(page_url, href)
+        except ValueError:
+            continue
+        c = canonicalize_url(absu)
+        if c is not None and c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out
+
+
+def sort_key(priority: float, url: str):
+    """The total order for both per-host selection and global crawl order."""
+    return (-priority, url)

@@ -1,0 +1,207 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths (per the build brief):
+
+- ``brute_force_topk`` — the exactness baseline: broadcast the query matrix
+  (``ray.put`` once), each ``map_batches`` task computes a *partial* top-k
+  per query against its batch (numpy matmul — vectorized), then one tiny
+  ``groupby(query_id).map_groups`` merges partials.  Shuffle volume is
+  O(n_queries * k * n_blocks), independent of corpus size — the
+  pre-aggregate-then-merge pattern.
+- ``ivf_topk`` — the scale path: k-means-style coarse quantizer (fixed
+  seeded centroids refined by a few Lloyd iterations, all in Ray Data),
+  vectors assigned to their nearest centroid list; queries probe only
+  ``n_probe`` lists.  Recall < 1.0 by design; the baseline is the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _PartialTopK:
+    """Per-batch partial top-k cosine scores against broadcast queries."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref)  # (query_id list, matrix)
+        self.q_ids, qm = q
+        self.qn = _normalize(np.asarray(qm, dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        vecs = _normalize(np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float64))
+        sims = self.qn @ vecs.T  # (n_queries, batch)
+        k = min(self.k, sims.shape[1])
+        out_q, out_id, out_sim = [], [], []
+        # partial top-k per query within this batch
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        for qi in range(sims.shape[0]):
+            for j in idx[qi]:
+                out_q.append(self.q_ids[qi])
+                out_id.append(ids[j])
+                out_sim.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "vec_id": pa.array(out_id),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def _merge_topk_factory(k: int):
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")
+        out = df.head(k).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        out["sim"] = out["sim"].round(6)
+        return out
+
+    return merge
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    query_ids: List,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_size: int = 4096,
+    concurrency=2,
+) -> ray.data.Dataset:
+    """Exact cosine top-k: (query_id, vec_id, sim, rank), rank 1..k.
+
+    Ties broken by vec_id ascending (total order -> deterministic under any
+    parallelism).
+    """
+    qref = ray.put((list(query_ids), np.asarray(query_matrix, dtype=np.float64)))
+    partial = ds.map_batches(
+        _PartialTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas"
+    )
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query_ids: List,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+    seed: int = 20240817,
+) -> ray.data.Dataset:
+    """IVF ANN: coarse-quantize the corpus into ``n_lists`` inverted lists,
+    probe the ``n_probe`` nearest lists per query.
+
+    Centroid training runs as Ray Data aggregations (per-batch partial sums
+    -> tiny driver reduce) — the corpus is never materialized.  Recall is
+    approximate; compare against brute_force_topk for quality checks.
+    """
+    rs = np.random.RandomState(seed)
+
+    # init centroids from a deterministic sample (first batch is fine for
+    # synthetic data; at scale use ds.random_sample with fixed seed)
+    sample = ds.limit(max(n_lists * 8, 256)).to_pandas()
+    sm = _normalize(np.array(sample[vec_col].tolist(), dtype=np.float64))
+    cent = sm[rs.choice(len(sm), size=n_lists, replace=False)]
+
+    for _ in range(lloyd_iters):
+        cref = ray.put(cent)
+
+        def assign_sum(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            v = _normalize(np.array(t.column(vec_col).to_pylist(), dtype=np.float64))
+            a = np.argmax(v @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, a, v)
+            np.add.at(counts, a, 1)
+            return pa.table(
+                {
+                    "list_id": pa.array(np.arange(len(c)), pa.int32()),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(assign_sum, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for _, row in parts.iterrows():
+            sums[row["list_id"]] += np.asarray(row["vsum"])
+            counts[row["list_id"]] += row["n"]
+        nz = counts > 0
+        cent[nz] = _normalize(sums[nz] / counts[nz, None])
+
+    cref = ray.put(cent)
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    probe_lists = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    wanted: dict = {}
+    for qi, lists in enumerate(probe_lists):
+        for l in lists:
+            wanted.setdefault(int(l), []).append(qi)
+    wref = ray.put(wanted)
+    qref = ray.put((list(query_ids), qn))
+
+    def probe(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        want = ray.get(wref)
+        q_ids, qm = ray.get(qref)
+        v = _normalize(np.array(t.column(vec_col).to_pylist(), dtype=np.float64))
+        ids = t.column(id_col).to_pylist()
+        assign = np.argmax(v @ c.T, axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for li, qis in want.items():
+            mask = assign == li
+            if not mask.any():
+                continue
+            sub = v[mask]
+            sub_ids = [ids[i] for i in np.nonzero(mask)[0]]
+            sims = qm[qis] @ sub.T
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            for r, qi in enumerate(qis):
+                for j in top[r]:
+                    out_q.append(q_ids[qi])
+                    out_id.append(sub_ids[j])
+                    out_sim.append(float(sims[r, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "vec_id": pa.array(out_id),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(probe, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_factory(k), batch_format="pandas"
+    )

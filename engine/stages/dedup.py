@@ -1,0 +1,304 @@
+"""Deduplication operators for training-data pipelines (first-class per the
+build brief): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+All are Ray-Data-native: vectorized ``map_batches`` for per-doc signatures,
+``groupby`` shuffles only on the *small* derived keys (hash / band / bucket),
+never on raw text.  Shuffle cost analysis in each docstring.
+
+Determinism: all hash seeds fixed; no Python ``hash``; candidate pairs are
+emitted with doc_a < doc_b and outputs sorted by the caller.
+"""
+
+from __future__ import annotations
+
+import re
+from hashlib import blake2b, md5
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+_TOKEN = re.compile(r"\S+")
+
+# Fixed MinHash parameters (Broder'97 resemblance estimation).
+_N_PERM = 64
+_LSH_BANDS = 16
+_ROWS_PER_BAND = _N_PERM // _LSH_BANDS
+_MERSENNE = (1 << 61) - 1
+_rs = np.random.RandomState(0xC0FFEE)
+_PERM_A = _rs.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+_PERM_B = _rs.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingle hashes (uint64, deduped)."""
+    toks = _TOKEN.findall(text or "")
+    if len(toks) < k:
+        base = toks if toks else [""]
+        grams = [" ".join(base)]
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = np.fromiter(
+        (
+            int.from_bytes(blake2b(g.encode(), digest_size=8).digest(), "big")
+            for g in grams
+        ),
+        dtype=np.uint64,
+        count=len(grams),
+    )
+    return np.unique(hs)
+
+
+def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+    """64-perm MinHash signature via universal hashing ((a*x+b) mod p)."""
+    sh = _shingles(text, k) % _MERSENNE
+    # (n_perm, n_shingles) is fine: shingle counts are bounded by doc length.
+    vals = (_PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]) % _MERSENNE
+    return vals.min(axis=1).astype(np.uint64)
+
+
+def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
+    """Exact dedup: md5 content hash -> hash-partitioned group -> first id.
+
+    Shuffle moves only (hash, id) pairs, never text (SURVEY.md §2.6 A6
+    batch-dedup pattern).  Output: (h, doc_id=min id, n_dups=count).
+    """
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [md5((x or "").encode()).hexdigest() for x in t.column(text_col).to_pylist()]
+        return pa.table({
+            "h": pa.array(hs, pa.string()),
+            id_col: t.column(id_col),
+        })
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return hashed.groupby("h").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
+    )
+
+
+class MinHashStage:
+    """Per-doc MinHash -> flat (band, band_hash, doc_id) rows for LSH."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: List = []
+        bands: List[int] = []
+        bhash: List[int] = []
+        for i, txt in zip(
+            batch.column(self.id_col).to_pylist(), batch.column(self.text_col).to_pylist()
+        ):
+            sig = minhash_signature(txt, self.k)
+            for b in range(_LSH_BANDS):
+                chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
+                h = int.from_bytes(
+                    blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+                )
+                ids.append(i)
+                bands.append(b)
+                bhash.append(h)
+        return pa.table(
+            {
+                "band": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(bhash, pa.uint64()),
+                "doc_id": pa.array(ids),
+            }
+        )
+
+
+def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket (doc_a < doc_b)."""
+    ids = sorted(df["doc_id"].tolist())
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    dt = df["doc_id"].dtype
+    return pd.DataFrame(
+        {"doc_a": pd.Series(a, dtype=dt), "doc_b": pd.Series(b, dtype=dt)}
+    )
+
+
+def minhash_lsh_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    texts_ref=None,
+) -> ray.data.Dataset:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+
+    shingle->minhash per batch -> explode to band rows -> groupby
+    (band, band_hash) -> pairwise candidates -> dedup pairs -> verify true
+    shingle Jaccard >= threshold.  Verification fetches texts from a
+    broadcast dict (``texts_ref``) — fine while the candidate set times
+    shingle size fits a worker; at corpus scale swap for a hash-join of the
+    pair list against the text table on doc id.
+    Output: (doc_a, doc_b, jaccard) with jaccard as rounded float64.
+    """
+    bands = ds.map_batches(
+        MinHashStage(text_col=text_col, id_col=id_col, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+    def verify(t: pa.Table) -> pa.Table:
+        texts: Dict = ray.get(texts_ref) if texts_ref is not None else {}
+        ja, keep_a, keep_b = [], [], []
+        for da, db in zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist()):
+            sa, sb = _shingles(texts.get(da, ""), k), _shingles(texts.get(db, ""), k)
+            inter = len(np.intersect1d(sa, sb))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                keep_a.append(da)
+                keep_b.append(db)
+                ja.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a),
+                "doc_b": pa.array(keep_b),
+                "jaccard": pa.array(ja, pa.float64()),
+            }
+        )
+
+    return uniq.map_batches(verify, batch_format="pyarrow")
+
+
+class SimHashStage:
+    """64-bit SimHash (Charikar'02) per doc over token hashes.
+
+    Output column ``simhash`` as fixed-width hex string (portable across
+    engines that lack uint64).
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for txt in batch.column(self.text_col).to_pylist():
+            toks = _TOKEN.findall(txt or "")
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                h = int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(), "big")
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            sim = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    sim |= 1 << bit
+            out.append(f"{sim:016x}")
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "simhash": pa.array(out, pa.string()),
+            }
+        )
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+    texts_ref=None,
+) -> ray.data.Dataset:
+    """All-pairs n-gram Jaccard above threshold, LSH-pruned.
+
+    Same machinery as minhash_lsh_pairs with a lower threshold: LSH recall
+    for J>=0.2 at 16 bands x 4 rows is partial BY DESIGN (documented cap:
+    candidate generation is approximate; exact all-pairs is O(n^2) and only
+    used by tests at tiny scale).
+    """
+    return minhash_lsh_pairs(
+        ds, text_col=text_col, id_col=id_col, k=k, threshold=threshold, texts_ref=texts_ref
+    )
+
+
+def embedding_nn_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets.
+
+    Per batch: normalize vectors, bucket by sign pattern of ``n_planes``
+    fixed random hyperplanes; groupby bucket; within-bucket exact cosine on
+    the (small) bucket; emit pairs >= threshold.  A pair only surfaces when
+    both vectors share a bucket (approximate recall, documented).
+    Output: (id_a, id_b, cos) with cos rounded to 6 decimals.
+    """
+    def bucketize(t: pa.Table) -> pa.Table:
+        vecs = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        planes = rs_planes(vecs.shape[1])
+        signs = (vecs @ planes.T) > 0
+        bucket = np.zeros(len(vecs), dtype=np.int64)
+        for p in range(n_planes):
+            bucket |= signs[:, p].astype(np.int64) << p
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                id_col: t.column(id_col),
+                vec_col: t.column(vec_col),
+            }
+        )
+
+    def rs_planes(dim: int) -> np.ndarray:
+        return np.random.RandomState(98765).standard_normal((n_planes, dim))
+
+    def bucket_cosine(df: pd.DataFrame) -> pd.DataFrame:
+        idt = df[id_col].dtype
+        if len(df) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=idt),
+                    "id_b": pd.Series([], dtype=idt),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        df = df.sort_values(id_col).reset_index(drop=True)
+        vecs = np.array(df[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vn = vecs / norms
+        sims = vn @ vn.T
+        ids = df[id_col].tolist()
+        a, b, c = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    c.append(round(float(sims[i, j]), 6))
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(a, dtype=idt),
+                "id_b": pd.Series(b, dtype=idt),
+                "cos": pd.Series(c, dtype="float64"),
+            }
+        )
+
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    return buckets.groupby("bucket").map_groups(bucket_cosine, batch_format="pandas")

@@ -1,0 +1,156 @@
+"""Crawl conformance (SURVEY.md §5 layers 5-6, north_rule):
+
+- distributed crawl order + URL-seen set == single-threaded scheduler oracle
+- resume from checkpoint continues identically, without re-fetching
+- cuckoo filter determinism under the wave-commit protocol
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from engine.pipelines.crawl_common import CrawlConfig
+from engine.pipelines.crawl_oracle import crawl_oracle
+from engine.state.cuckoo import CuckooFilter, ShardedSeenSet
+
+CFG = CrawlConfig(max_waves=3)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(fixture_dir):
+    return crawl_oracle(
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+        CFG,
+    )
+
+
+def test_oracle_sane(oracle_result, fixture_dir):
+    order, seen = oracle_result
+    assert order.num_rows > 50
+    assert seen.num_rows >= order.num_rows
+    seqs = order.column("seq").to_pylist()
+    assert seqs == list(range(len(seqs)))  # dense, strictly increasing
+    # politeness: per (wave, host) counts within budget
+    import collections
+
+    pol = pq.read_table(os.path.join(fixture_dir, "politeness.parquet"))
+    delays = dict(zip(pol.column("host").to_pylist(), pol.column("crawl_delay").to_pylist()))
+    per = collections.Counter(
+        zip(order.column("wave").to_pylist(), order.column("host").to_pylist())
+    )
+    for (w, h), n in per.items():
+        cap = max(1, int(CFG.wave_seconds // delays.get(h, CFG.default_crawl_delay)))
+        assert n <= cap, f"host {h} over budget in wave {w}: {n} > {cap}"
+    # robots: no /private URLs fetched from disallowed hosts
+    dis = {
+        h for h, d in zip(pol.column("host").to_pylist(), pol.column("disallow").to_pylist()) if d
+    }
+    for u, h in zip(order.column("url").to_pylist(), order.column("host").to_pylist()):
+        if h in dis:
+            assert "/private" not in u
+
+
+def test_distributed_matches_oracle(ray_session, fixture_dir, oracle_result, tmp_path):
+    from engine.pipelines.crawl import run_crawl
+
+    wd = str(tmp_path / "crawl_wd")
+    d_order, d_seen = run_crawl(
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+        wd,
+        CFG,
+    )
+    o_order, o_seen = oracle_result
+    assert d_order.equals(o_order), "crawl order differs from oracle"
+    assert d_seen.equals(o_seen), "URL-seen set differs from oracle"
+
+
+def test_resume_no_refetch(ray_session, fixture_dir, tmp_path):
+    """Kill after wave 1, restart: final outputs identical, waves 0-1 not
+    re-executed (their checkpoint files are byte-identical)."""
+    from engine.pipelines.crawl import run_crawl
+
+    wd = str(tmp_path / "resume_wd")
+    cfg_short = CrawlConfig(max_waves=2)
+    run_crawl(
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+        wd,
+        cfg_short,
+    )
+    frozen = {}
+    for w in ("seed", "wave_0000", "wave_0001"):
+        p = os.path.join(wd, w, "order.parquet")
+        if os.path.exists(p):
+            frozen[w] = open(p, "rb").read()
+
+    d_order, d_seen = run_crawl(
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+        wd,
+        CFG,  # max_waves=3: resumes at wave 2
+    )
+    for w, blob in frozen.items():
+        assert open(os.path.join(wd, w, "order.parquet"), "rb").read() == blob, (
+            f"{w} was re-executed on resume"
+        )
+    o_order, o_seen = crawl_oracle(
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+        CFG,
+    )
+    assert d_order.equals(o_order)
+    assert d_seen.equals(o_seen)
+
+
+# ---- cuckoo unit tests ----------------------------------------------------
+
+def test_cuckoo_basic():
+    f = CuckooFilter(capacity=4096)
+    hashes = np.random.RandomState(7).randint(0, 2**63, size=2000, dtype=np.int64).astype(np.uint64)
+    f.stage(hashes)
+    assert f.commit() == len(set(hashes.tolist()))
+    assert f.contains_many(hashes).all()
+    other = np.random.RandomState(8).randint(0, 2**63, size=2000, dtype=np.int64).astype(np.uint64)
+    fresh = np.setdiff1d(other, hashes)
+    fp_rate = f.contains_many(fresh).mean()
+    assert fp_rate < 0.01, f"false-positive rate too high: {fp_rate}"
+
+
+def test_cuckoo_state_order_independent():
+    """Same committed set via different wave partitions -> same answers."""
+    rs = np.random.RandomState(11)
+    hashes = rs.randint(0, 2**63, size=3000, dtype=np.int64).astype(np.uint64)
+    probe = rs.randint(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+
+    a = ShardedSeenSet(4, 4096)
+    a.stage(hashes)
+    a.commit()
+
+    b = ShardedSeenSet(4, 4096)
+    b.stage(hashes[::2])
+    b.stage(hashes[1::2])
+    b.commit()
+
+    assert (a.contains_many(probe) == b.contains_many(probe)).all()
+    assert a.contains_many(hashes).all() and b.contains_many(hashes).all()
+
+
+def test_cuckoo_checkpoint_roundtrip():
+    f = CuckooFilter(capacity=2048)
+    h = np.arange(1, 1500, dtype=np.uint64) * np.uint64(2654435761)
+    f.stage(h)
+    f.commit()
+    g = CuckooFilter.from_bytes(f.to_bytes())
+    probe = np.arange(1, 5000, dtype=np.uint64) * np.uint64(40503)
+    assert (f.contains_many(probe) == g.contains_many(probe)).all()
+    assert g.count == f.count
