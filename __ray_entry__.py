@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data operator suite (dedup, ANN, text
+analysis, multimodal plumbing, crawl frontier).  ``oracle_sql()`` provides
+DuckDB-equivalent SQL for every SQL-expressible query with IDENTICAL column
+names; non-SQL-expressible ops (uuid5 ids, HTML extraction, MinHash/SimHash,
+ANN, crawl) are rows-only by design.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import; nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -19,26 +18,111 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _ctx():
+    # list<string> columns must not be tensor-cast when the driver converts
+    # results to pandas.
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_tensor_extension_casting = False
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize pages from sf0.001 documents, run the
+    extraction pipeline, return the kept-document rows."""
+    _ctx()
+    from engine.pipelines.queries import q_extract_pages
+
+    return q_extract_pages("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    _ctx()
+    from engine.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-verified
+        "exact_dedup": q.q_exact_dedup,
+        "token_stats": q.q_token_stats,
+        "doc_filter": q.q_doc_filter,
+        "lang_agg": q.q_lang_agg,
+        "lookup_join": q.q_lookup_join,
+        "events_window": q.q_events_window,
+        "topk_orders": q.q_topk_orders,
+        "pricing_summary": q.q_pricing_summary,
+        "surt_hosts": q.q_surt_hosts,
+        # rows-only (non-SQL-expressible)
+        "webis_ids": q.q_webis_ids,
+        "lang_id": q.q_lang_id,
+        "quality": q.q_quality,
+        "fingerprint": q.q_fingerprint,
+        "minhash_dedup": q.q_minhash_dedup,
+        "ngram_dedup": q.q_ngram_dedup,
+        "simhash": q.q_simhash,
+        "embedding_dedup": q.q_embedding_dedup,
+        "ann_topk": q.q_ann_topk,
+        "ann_ivf": q.q_ann_ivf,
+        "extract_pages": q.q_extract_pages,
+        "media_features": q.q_media_features,
+        "crawl_order": q.q_crawl_order,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": """
+            SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   CAST(coalesce(list_sum(list_transform(
+                       regexp_extract_all(text, '\S+'), x -> length(x))), 0) AS BIGINT)
+                       AS tok_chars
+            FROM documents
+        """,
+        "doc_filter": r"""
+            SELECT doc_id, lang, n_chars,
+                   length(regexp_extract_all(text, '\S+')) AS n_tokens
+            FROM documents
+            WHERE n_chars >= 200
+              AND length(regexp_extract_all(text, '\S+')) >= 40
+        """,
+        "lang_agg": """
+            SELECT lang, sum(n_chars) AS sum_chars, count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "lookup_join": """
+            SELECT c_custkey, c_name, n_name, r_name
+            FROM customer
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            LEFT JOIN region ON n_regionkey = r_regionkey
+        """,
+        "events_window": """
+            SELECT epoch_us(ts) // 3600000000 AS bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   max(value) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "surt_hosts": """
+            SELECT doc_id,
+                   'https://' || source || '.example.com/docs/' ||
+                       CAST(doc_id AS VARCHAR) || '.html' AS url,
+                   source || '.example.com' AS host,
+                   array_to_string(list_reverse(string_split(
+                       source || '.example.com', '.')), ',')
+                       || ')/docs/' || CAST(doc_id AS VARCHAR) || '.html' AS surt
+            FROM documents
+        """,
+    }

@@ -313,7 +313,7 @@ def q_embedding_dedup(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return dd.embedding_nn_pairs(ds, threshold=0.9).sort(["id_a", "id_b"])
+    return dd.embedding_nn_pairs(ds, threshold=0.35).sort(["id_a", "id_b"])
 
 
 def _query_vectors(sf_dir: str, n: int = 5):

@@ -239,34 +239,49 @@ def embedding_nn_pairs(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.95,
-    n_planes: int = 12,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 8,
 ) -> ray.data.Dataset:
-    """Embedding-cosine near-dup via random-hyperplane LSH buckets.
+    """Embedding-cosine near-dup via multi-table random-hyperplane LSH.
 
-    Per batch: normalize vectors, bucket by sign pattern of ``n_planes``
-    fixed random hyperplanes; groupby bucket; within-bucket exact cosine on
-    the (small) bucket; emit pairs >= threshold.  A pair only surfaces when
-    both vectors share a bucket (approximate recall, documented).
-    Output: (id_a, id_b, cos) with cos rounded to 6 decimals.
+    Standard (L tables x b hyperplanes) construction: per batch, normalize
+    vectors and emit one (table_id, bucket) row per table; groupby the
+    (table_id, bucket) key; within-bucket exact cosine; pairs >= threshold,
+    deduped across tables with a groupby Max.  Recall for cosine c is
+    1-(1-(1-acos(c)/pi)^b)^L — approximate BY DESIGN; exact comparisons use
+    brute_force_topk.  Output: (id_a, id_b, cos), cos rounded to 6 decimals.
     """
+
     def bucketize(t: pa.Table) -> pa.Table:
         vecs = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
-        planes = rs_planes(vecs.shape[1])
-        signs = (vecs @ planes.T) > 0
-        bucket = np.zeros(len(vecs), dtype=np.int64)
-        for p in range(n_planes):
-            bucket |= signs[:, p].astype(np.int64) << p
+        n = np.linalg.norm(vecs, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        vn = vecs / n
+        planes = np.random.RandomState(98765).standard_normal(
+            (n_tables * n_planes, vecs.shape[1])
+        )
+        signs = (vn @ planes.T) > 0  # (rows, L*b)
+        tids, buckets, ids, vcol = [], [], [], []
+        raw_ids = t.column(id_col).to_pylist()
+        raw_vecs = t.column(vec_col).to_pylist()
+        for l in range(n_tables):
+            chunk = signs[:, l * n_planes : (l + 1) * n_planes]
+            b = np.zeros(len(vn), dtype=np.int64)
+            for pbit in range(n_planes):
+                b |= chunk[:, pbit].astype(np.int64) << pbit
+            tids.extend([l] * len(vn))
+            buckets.extend(b.tolist())
+            ids.extend(raw_ids)
+            vcol.extend(raw_vecs)
         return pa.table(
             {
-                "bucket": pa.array(bucket, pa.int64()),
-                id_col: t.column(id_col),
-                vec_col: t.column(vec_col),
+                "table_id": pa.array(tids, pa.int32()),
+                "bucket": pa.array(buckets, pa.int64()),
+                id_col: pa.array(ids),
+                vec_col: pa.array(vcol),
             }
         )
-
-    def rs_planes(dim: int) -> np.ndarray:
-        return np.random.RandomState(98765).standard_normal((n_planes, dim))
 
     def bucket_cosine(df: pd.DataFrame) -> pd.DataFrame:
         idt = df[id_col].dtype
@@ -301,4 +316,9 @@ def embedding_nn_pairs(
         )
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    return buckets.groupby("bucket").map_groups(bucket_cosine, batch_format="pandas")
+    pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
+        bucket_cosine, batch_format="pandas"
+    )
+    from ray.data.aggregate import Max as _Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(_Max("cos", alias_name="cos"))
