@@ -1,0 +1,197 @@
+"""Benchmark harness: headline crawl+extract pipeline over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "urls_per_sec": ...}
+
+--scaling: runs bench.py twice in fresh processes (RAY_GRAFT_CPUS=8 then
+32) on the same input and reports both throughputs + scaling efficiency
+(the sandbox stand-in for N vs 4N nodes; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+TARGET_PAGES = int(os.environ.get("BENCH_TARGET_PAGES", "200000"))
+
+
+def _pages_cache(sf_dir: str) -> str:
+    """Synthesize the pages table once per sf_dir (cached in /tmp).
+
+    The documents table is small at every sf, so it is deterministically
+    replicated up to ~TARGET_PAGES pages — the benchmark measures the
+    pipeline at a meaningful scale, not Ray fixed overheads.
+    """
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    replicate = max(1, TARGET_PAGES // max(n_docs, 1))
+    key = f"{sf_dir.strip('/').replace('/', '_')}_r{replicate}"
+    out = f"/tmp/bench_pages/{key}"
+    marker = os.path.join(out, "_OK")
+    if os.path.exists(marker):
+        return out
+    import pyarrow as pa
+    import ray.data
+
+    from engine.pipelines.testdata_pages import pages_dataset
+    from engine.sources.bucketed import bucketize_pages
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    flat = os.path.join(out, "pages")
+    pages_dataset(sf_dir, replicate=replicate).write_parquet(flat)
+    # scale-path layouts for the crawl fetch join (bucketed link graph)
+    from engine.sources.bucketed import bucketize_links
+
+    bucketize_pages(flat, os.path.join(out, "pages_bucketed"), n_buckets=64)
+    bucketize_links(flat, os.path.join(out, "links_bucketed"), n_buckets=64)
+    # seeds: every ~250th page (spread across hosts and replicas)
+    urls = ray.data.read_parquet(flat, columns=["url"]).to_pandas()["url"]
+    seeds = sorted(urls[:: max(1, len(urls) // 2000)].tolist())
+    pq.write_table(
+        pa.table({"url": pa.array(seeds, pa.string())}),
+        os.path.join(out, "seeds.parquet"),
+    )
+    open(marker, "w").write("ok")
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_tensor_extension_casting = False
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    from engine.pipelines import queries as q
+    from engine.pipelines.crawl import run_crawl
+    from engine.pipelines.crawl_common import CrawlConfig
+    from engine.pipelines.index_pipeline import extract_dataset
+
+    cache = _pages_cache(SF_DIR)
+    pages_path = os.path.join(cache, "pages")
+
+    # warm OS page cache so both scaling runs measure compute, not first read
+    ray.data.read_parquet(pages_path).count()
+
+    timings: dict = {}
+    pool = max(2, int(NUM_CPUS * 0.75))
+
+    # --- headline 1: extraction throughput ---------------------------------
+    t0 = time.monotonic()
+    ds = ray.data.read_parquet(pages_path)
+    ex = extract_dataset(ds, concurrency=pool, batch_size=128)
+    out_dir = f"/tmp/bench_out/extract_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ex.write_parquet(out_dir)
+    extract_sec = time.monotonic() - t0
+    timings["extract"] = round(extract_sec, 3)
+    n_urls = ray.data.read_parquet(out_dir, columns=["uuid"]).count()
+
+    # --- headline 2: frontier crawl (3 waves) ------------------------------
+    wd = f"/tmp/bench_out/crawl_{NUM_CPUS}"
+    shutil.rmtree(wd, ignore_errors=True)
+    t0 = time.monotonic()
+    order, seen = run_crawl(
+        os.path.join(cache, "links_bucketed"),
+        os.path.join(cache, "seeds.parquet"),
+        None,
+        wd,
+        CrawlConfig(max_waves=3, default_crawl_delay=0.05, default_max_pages=10**9),
+    )
+    crawl_sec = time.monotonic() - t0
+    timings["crawl"] = round(crawl_sec, 3)
+    crawl_urls = order.num_rows
+
+    # --- representative operator suite -------------------------------------
+    def timed(name, fn):
+        t = time.monotonic()
+        res = fn(SF_DIR)
+        import pyarrow as pa
+
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+            _ = res.count()
+        timings[name] = round(time.monotonic() - t, 3)
+
+    timed("exact_dedup", q.q_exact_dedup)
+    timed("token_stats", q.q_token_stats)
+    timed("minhash_dedup", q.q_minhash_dedup)
+    timed("ann_topk", q.q_ann_topk)
+    timed("pricing_summary", q.q_pricing_summary)
+    timed("events_window", q.q_events_window)
+    timed("surt_hosts", q.q_surt_hosts)
+
+    headline = extract_sec + crawl_sec
+    result = {
+        "metric": "headline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_urls": n_urls,
+        "crawl_urls": crawl_urls,
+        "urls_per_sec": round(n_urls / extract_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "urls_per_sec_8": lo["urls_per_sec"],
+        "urls_per_sec_32": hi["urls_per_sec"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

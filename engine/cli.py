@@ -1,0 +1,168 @@
+"""Command-line surface mirroring the reference's ``chatnoir-index`` CLI
+(/root/reference/warc_indexer/index.py:45-282) on argparse (click is not a
+guaranteed dependency here; the subcommand surface is preserved):
+
+  index            pages Parquet -> extracted meta/data tables (resumable)
+  prepare-lookups  rank text files -> lookup Parquet (replaces Redis)
+  index-setup      validate config, emit output schemas + scaffolding
+  crawl            frontier crawl over a pages/links table
+  clean            remove a checkpoint/output directory
+
+Run under a Ray job:  ray job submit -- python -m engine.cli index ...
+Owns its own Ray session (guarded init; the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_tensor_extension_casting = False
+    return ray
+
+
+def cmd_index(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from engine.pipelines.index_pipeline import run_index_pipeline_resumable
+
+    t0 = time.monotonic()
+    out = run_index_pipeline_resumable(
+        args.pages,
+        args.out,
+        doc_id_prefix=args.id_prefix,
+        lookup_path=args.lookups,
+        always_index_meta=args.always_index_meta,
+        files_per_partition=args.files_per_partition,
+        concurrency=(1, max(2, (args.num_cpus or os.cpu_count() or 4) * 3 // 4)),
+    )
+    print(f"Time taken: {time.monotonic() - t0:.2f}s -> {out}")
+    ray.shutdown()
+    return 0
+
+
+def cmd_prepare_lookups(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from engine.stages.lookups import prepare_lookups
+
+    t0 = time.monotonic()
+    out = prepare_lookups(
+        args.out, args.id_prefix,
+        spam_ranks_path=args.spam_ranks, page_ranks_path=args.page_ranks,
+    )
+    print(f"Time taken: {time.monotonic() - t0:.2f}s -> {out}")
+    ray.shutdown()
+    return 0
+
+
+def cmd_index_setup(args) -> int:
+    """Driver-only like the reference index-setup (index.py:54-80): create
+    output scaffolding and write the table schemas as JSON."""
+    from engine import schema
+
+    os.makedirs(args.out, exist_ok=True)
+    schemas = {
+        "meta": {f.name: str(f.type) for f in schema.META},
+        "data": {f.name: str(f.type) for f in schema.DATA},
+        "frontier": {f.name: str(f.type) for f in schema.FRONTIER},
+        "manifest": {f.name: str(f.type) for f in schema.MANIFEST},
+    }
+    path = os.path.join(args.out, "_schema.json")
+    with open(path, "w") as f:
+        json.dump(schemas, f, indent=2)
+    print(f"wrote {path}")
+    return 0
+
+
+def cmd_crawl(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from engine.pipelines.crawl import run_crawl
+    from engine.pipelines.crawl_common import CrawlConfig
+
+    cfg = CrawlConfig(
+        max_waves=args.max_waves,
+        wave_seconds=args.wave_seconds,
+        num_shards=args.num_shards,
+    )
+    t0 = time.monotonic()
+    order, seen = run_crawl(args.pages, args.seeds, args.politeness, args.workdir, cfg)
+    print(
+        f"Time taken: {time.monotonic() - t0:.2f}s — fetched {order.num_rows} URLs, "
+        f"seen {seen.num_rows}; outputs in {args.workdir}"
+    )
+    ray.shutdown()
+    return 0
+
+
+def cmd_clean(args) -> int:
+    """The reference's clear-redis analog (index.py:245-282): drop state."""
+    if os.path.isdir(args.path):
+        shutil.rmtree(args.path)
+        print(f"removed {args.path}")
+    else:
+        print(f"nothing to remove at {args.path}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="raycrawl", description=__doc__)
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    i = sub.add_parser("index", help="extract pages into meta/data tables")
+    i.add_argument("pages")
+    i.add_argument("out")
+    i.add_argument("--id-prefix", default="cc")
+    i.add_argument("--lookups", default=None)
+    i.add_argument("--always-index-meta", action="store_true")
+    i.add_argument("--files-per-partition", type=int, default=4)
+    i.set_defaults(fn=cmd_index)
+
+    l = sub.add_parser("prepare-lookups", help="rank files -> lookup parquet")
+    l.add_argument("out")
+    l.add_argument("--id-prefix", default="cc")
+    l.add_argument("--spam-ranks", default=None)
+    l.add_argument("--page-ranks", default=None)
+    l.set_defaults(fn=cmd_prepare_lookups)
+
+    s = sub.add_parser("index-setup", help="emit schemas + scaffolding")
+    s.add_argument("out")
+    s.set_defaults(fn=cmd_index_setup)
+
+    c = sub.add_parser("crawl", help="run the frontier crawl")
+    c.add_argument("pages")
+    c.add_argument("seeds")
+    c.add_argument("workdir")
+    c.add_argument("--politeness", default=None)
+    c.add_argument("--max-waves", type=int, default=20)
+    c.add_argument("--wave-seconds", type=float, default=30.0)
+    c.add_argument("--num-shards", type=int, default=16)
+    c.set_defaults(fn=cmd_crawl)
+
+    d = sub.add_parser("clean", help="remove a checkpoint/output dir")
+    d.add_argument("path")
+    d.set_defaults(fn=cmd_clean)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

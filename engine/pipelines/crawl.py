@@ -42,7 +42,16 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from typing import Dict, List, Optional, Tuple
+
+_TIMING = os.environ.get("RAYCRAWL_TIMING", "") == "1"
+
+
+def _tlog(label: str, t0: float) -> float:
+    if _TIMING:
+        print(f"[crawl-timing] {label}: {time.monotonic() - t0:.2f}s", flush=True)
+    return time.monotonic()
 
 import numpy as np
 import pandas as pd
@@ -129,6 +138,30 @@ def _fetch_filter(batch: pa.Table, selected_ref) -> pa.Table:
     out = out.append_column("url", pa.array(canon, pa.string()))
     out = out.append_column("depth", pa.array(depths, pa.int64()))
     return out
+
+
+def _links_filter(batch: pa.Table, selected_ref) -> pa.Table:
+    """Links-table fetch: rows for selected urls -> flat (url, depth) links.
+
+    Pre-canonicalized link lists (bucketize_links), so this is a pure
+    dict-membership filter + explode.  Duplicate source-url rows emit their
+    links repeatedly, exactly like the html path — downstream url-dedup
+    absorbs them (conformance holds when duplicate urls carry identical
+    content, same assumption the oracle makes).
+    """
+    selected: Dict[str, int] = ray.get(selected_ref)
+    out_urls: List[str] = []
+    out_depths: List[int] = []
+    for u, links in zip(batch.column("url").to_pylist(), batch.column("links").to_pylist()):
+        d = selected.get(u)
+        if d is None:
+            continue
+        for link in links:
+            out_urls.append(link)
+            out_depths.append(d + 1)
+    return pa.table(
+        {"url": pa.array(out_urls, pa.string()), "depth": pa.array(out_depths, pa.int64())}
+    )
 
 
 def _discover_batch(batch: pa.Table) -> pa.Table:
@@ -329,6 +362,7 @@ class CrawlRun:
                 break
             frontier = ray.data.from_arrow(frontier_t)
 
+            t0 = time.monotonic()
             # 1. politeness selection (per-host shuffle)
             marked = frontier.groupby("host").map_groups(
                 _select_group,
@@ -338,6 +372,7 @@ class CrawlRun:
             marked_t = pa.concat_tables(
                 ray.get(marked.to_arrow_refs()), promote_options="default"
             )
+            t0 = _tlog(f"wave {wave} select ({marked_t.num_rows} frontier)", t0)
             sel_mask = marked_t.column("selected")
             selected_t = marked_t.filter(sel_mask)
             carry_t = marked_t.filter(pc.invert(sel_mask)).select(
@@ -373,18 +408,52 @@ class CrawlRun:
             counts_ref = ray.put(dict(self.fetched_count))
 
             # 3. fetch (broadcast semi-join) + 4. discover + 5. enqueue
+            # With a hash-bucketed pages layout (engine.sources.bucketed),
+            # only the buckets containing selected URLs are read — I/O
+            # proportional to the wave budget, not the corpus (the 10^10
+            # scale path).  A flat layout falls back to a full column-pruned
+            # scan with the same semantics.
             selected_ref = ray.put({u: d for u, h, d, p in sel})
-            fetched = ray.data.read_parquet(
-                self.pages_path, columns=["url", "html"]
-            ).map_batches(
-                _fetch_filter,
-                fn_kwargs=dict(selected_ref=selected_ref),
-                batch_format="pyarrow",
-                batch_size=1024,
-            )
-            links = fetched.map_batches(_discover_batch, batch_format="pyarrow")
+            from engine.sources.bucketed import is_bucketed, layout_kind, read_buckets_for
+
+            sel_urls = [u for u, _h, _d, _p in sel]
+            # block count sized to the wave's selection, not the bucket count
+            n_blocks = max(4, min(64, len(sel_urls) // 2000 + 4))
+            if is_bucketed(self.pages_path) and layout_kind(self.pages_path) == "links":
+                # Scale path: pre-derived link graph (engine.sources.bucketed
+                # .bucketize_links) — no HTML bytes read, no per-wave parse.
+                links_ds = read_buckets_for(
+                    self.pages_path,
+                    sel_urls,
+                    columns=["url", "links"],
+                    override_num_blocks=n_blocks,
+                )
+                links = links_ds.map_batches(
+                    _links_filter,
+                    fn_kwargs=dict(selected_ref=selected_ref),
+                    batch_format="pyarrow",
+                    batch_size=4096,
+                )
+            else:
+                if is_bucketed(self.pages_path):
+                    pages_ds = read_buckets_for(
+                        self.pages_path, sel_urls, columns=["url", "html"]
+                    )
+                else:
+                    pages_ds = ray.data.read_parquet(
+                        self.pages_path, columns=["url", "html"]
+                    )
+                fetched = pages_ds.map_batches(
+                    _fetch_filter,
+                    fn_kwargs=dict(selected_ref=selected_ref),
+                    batch_format="pyarrow",
+                    batch_size=1024,
+                )
+                links = fetched.map_batches(_discover_batch, batch_format="pyarrow")
             enq = self._enqueue(links)
+            t0 = _tlog(f"wave {wave} fetch+discover+enqueue ({len(sel)} sel, {enq.num_rows} new)", t0)
             ray.get([s.commit.remote() for s in self.shards])
+            t0 = _tlog(f"wave {wave} commit", t0)
 
             additions = (
                 enq.filter(pc.equal(enq.column("blocked"), False)).select(
@@ -398,6 +467,7 @@ class CrawlRun:
                 wave, new_frontier, order_t,
                 enq.select(["url_hash", "url"]) if enq.num_rows else _EMPTY_ENQ,
             )
+            _tlog(f"wave {wave} checkpoint", t0)
 
         return self.collect_outputs()
 

@@ -146,6 +146,93 @@ def run_index_pipeline(
     return ex_dir, ex_dir
 
 
+def run_index_pipeline_resumable(
+    pages_path: str,
+    out_dir: str,
+    *,
+    doc_id_prefix: str = "cc",
+    lookup_path: Optional[str] = None,
+    concurrency: Any = (2, 8),
+    batch_size: int = 128,
+    always_index_meta: bool = False,
+    files_per_partition: int = 4,
+) -> str:
+    """Checkpointed variant: input files grouped into partitions, each
+    written atomically + recorded in the manifest; a killed run restarts and
+    processes ONLY pending partitions (SURVEY.md §4; engine.state.checkpoint).
+
+    Partitions are sized (files_per_partition) so each execution saturates
+    the cluster; the driver loop over partitions is the resume boundary, not
+    a parallelism limit.
+    """
+    import glob as _glob
+    import time as _time
+
+    from engine.state import checkpoint as ckpt
+
+    if os.path.isdir(pages_path):
+        files = sorted(_glob.glob(os.path.join(pages_path, "*.parquet")))
+    else:
+        files = [pages_path]
+    parts = ckpt.partition_inputs(files, files_per_partition)
+    pending = ckpt.pending_partitions(out_dir, parts)
+    os.makedirs(out_dir, exist_ok=True)
+
+    lookup_ref = None
+    if lookup_path:
+        lookup_ref = ray.put(load_lookup_dict(lookup_path))
+
+    for pid, fp, pfiles in pending:
+        t0 = _time.monotonic()
+        pages = ray.data.read_parquet(pfiles)
+        extracted = pages.map_batches(
+            ExtractPages,
+            fn_constructor_kwargs=dict(
+                doc_id_prefix=doc_id_prefix,
+                always_index_meta=always_index_meta,
+                lookup_ref=lookup_ref,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        part_dir = os.path.join(out_dir, f"part-{pid}")
+        tmp_dir = part_dir + ".tmp"
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp_dir, ignore_errors=True)
+        extracted.write_parquet(tmp_dir)
+        # stats for the manifest (cheap: reads only the skip_reason column)
+        skip_tbl = (
+            ray.data.read_parquet(tmp_dir, columns=["skip_reason"])
+            .to_pandas()["skip_reason"]
+            .value_counts(dropna=False)
+        )
+        skip_counts = {
+            ("kept" if (k is None or k != k) else str(k)): int(v)
+            for k, v in skip_tbl.items()
+        }
+        rows_in = sum(pq.read_metadata(f).num_rows for f in pfiles)
+        rows_out = int(sum(skip_counts.values()))
+        _shutil.rmtree(part_dir, ignore_errors=True)
+        os.replace(tmp_dir, part_dir)
+        ckpt.record_partition(
+            out_dir, pid, fp, rows_in, rows_out, skip_counts,
+            int((_time.monotonic() - t0) * 1000),
+        )
+    return out_dir
+
+
+def extracted_parts_view(out_dir: str) -> ray.data.Dataset:
+    """Read all completed partition outputs of the resumable pipeline."""
+    import glob as _glob
+
+    dirs = sorted(_glob.glob(os.path.join(out_dir, "part-*")))
+    files = [f for d in dirs for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
+    return ray.data.read_parquet(files)
+
+
 def meta_view(extracted_dir: str, always_index_meta: bool = False) -> ray.data.Dataset:
     """Meta table (reference meta_index): column-pruned read of extracted/.
 

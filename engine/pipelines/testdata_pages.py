@@ -22,36 +22,44 @@ import ray.data
 BASE_TS = dt.datetime(2024, 1, 1)
 
 
-def _page_url(source: str, doc_id: int) -> str:
-    return f"https://{source}.example.com/docs/{doc_id}.html"
+def _page_url(source: str, doc_id: int, replica: int = 0) -> str:
+    if replica == 0:
+        return f"https://{source}.example.com/docs/{doc_id}.html"
+    return f"https://{source}.example.com/docs/{doc_id}r{replica}.html"
 
 
-def synth_pages_batch(batch: pa.Table, link_map: Dict[int, List[int]], id_to_source: Dict[int, str]) -> pa.Table:
+def synth_pages_batch(
+    batch: pa.Table,
+    link_map: Dict[int, List[int]],
+    id_to_source: Dict[int, str],
+    replicate: int = 1,
+) -> pa.Table:
     urls, tss, htmls = [], [], []
     for doc_id, text, source in zip(
         batch.column("doc_id").to_pylist(),
         batch.column("text").to_pylist(),
         batch.column("source").to_pylist(),
     ):
-        url = _page_url(source, doc_id)
-        links = "".join(
-            f'<a href="{_page_url(id_to_source[t], t)}">d{t}</a> '
-            for t in link_map.get(doc_id, [])
-        )
         body = (text or "").replace("<", "&lt;")
-        html = (
-            "<!DOCTYPE html><html><head>"
-            f"<title>Document {doc_id}</title>"
-            f'<meta name="description" content="synthetic doc {doc_id} from {source}">'
-            f'<meta name="keywords" content="{source}, doc{doc_id}, synthetic">'
-            "</head><body>"
-            f"<nav>{links}</nav>"
-            f"<article><h1>Document {doc_id}</h1><p>{body}</p></article>"
-            "</body></html>"
-        )
-        urls.append(url)
-        tss.append(BASE_TS + dt.timedelta(seconds=int(doc_id) % 86400))
-        htmls.append(html.encode("utf-8"))
+        for r in range(replicate):
+            url = _page_url(source, doc_id, r)
+            links = "".join(
+                f'<a href="{_page_url(id_to_source[t], t, r)}">d{t}</a> '
+                for t in link_map.get(doc_id, [])
+            )
+            html = (
+                "<!DOCTYPE html><html><head>"
+                f"<title>Document {doc_id}.{r}</title>"
+                f'<meta name="description" content="synthetic doc {doc_id} from {source}">'
+                f'<meta name="keywords" content="{source}, doc{doc_id}, synthetic">'
+                "</head><body>"
+                f"<nav>{links}</nav>"
+                f"<article><h1>Document {doc_id}.{r}</h1><p>{body}</p></article>"
+                "</body></html>"
+            )
+            urls.append(url)
+            tss.append(BASE_TS + dt.timedelta(seconds=int(doc_id) % 86400 + r))
+            htmls.append(html.encode("utf-8"))
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -94,15 +102,20 @@ def build_link_maps(sf_dir: str):
     return link_map, id_to_source
 
 
-def pages_dataset(sf_dir: str) -> ray.data.Dataset:
-    """documents.parquet -> pages Dataset (url, warc_ts, html, text, lang)."""
+def pages_dataset(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
+    """documents.parquet -> pages Dataset (url, warc_ts, html, text, lang).
+
+    ``replicate`` > 1 amplifies the corpus deterministically (each doc gets
+    R distinct URLs / intra-replica link graphs) — used by bench.py so the
+    measured pipeline runs at a meaningful page count regardless of sf.
+    """
     link_map, id_to_source = build_link_maps(sf_dir)
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     return docs.map_batches(
         synth_pages_batch,
-        fn_kwargs=dict(link_map=link_map, id_to_source=id_to_source),
+        fn_kwargs=dict(link_map=link_map, id_to_source=id_to_source, replicate=replicate),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

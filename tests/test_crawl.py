@@ -71,6 +71,26 @@ def test_distributed_matches_oracle(ray_session, fixture_dir, oracle_result, tmp
     assert d_seen.equals(o_seen), "URL-seen set differs from oracle"
 
 
+def test_links_layout_matches_oracle(ray_session, fixture_dir, oracle_result, tmp_path):
+    """Crawling the pre-derived bucketed link graph (scale path) must give
+    the same order + seen set as parsing HTML per wave."""
+    from engine.pipelines.crawl import run_crawl
+    from engine.sources.bucketed import bucketize_links
+
+    links_dir = str(tmp_path / "links_bucketed")
+    bucketize_links(os.path.join(fixture_dir, "pages.parquet"), links_dir, n_buckets=16)
+    d_order, d_seen = run_crawl(
+        links_dir,
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+        str(tmp_path / "links_wd"),
+        CFG,
+    )
+    o_order, o_seen = oracle_result
+    assert d_order.equals(o_order)
+    assert d_seen.equals(o_seen)
+
+
 def test_resume_no_refetch(ray_session, fixture_dir, tmp_path):
     """Kill after wave 1, restart: final outputs identical, waves 0-1 not
     re-executed (their checkpoint files are byte-identical)."""

@@ -1,0 +1,117 @@
+"""Unit tests for stage modules: text analysis, rank-file lookups,
+multimodal plumbing, dedup signatures."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from engine.stages import text as tx
+from engine.stages.dedup import SimHashStage, minhash_signature, _shingles
+from engine.stages.multimodal import DecodeMedia, synth_media_table
+
+
+def _batch(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_token_stats():
+    t = tx.token_stats(_batch(["a bb  ccc", "", None, "  x "]))
+    assert t.column("n_tokens").to_pylist() == [3, 0, 0, 1]
+    assert t.column("n_chars").to_pylist() == [9, 0, 0, 4]
+    assert t.column("avg_token_len").to_pylist()[0] == 2.0
+
+
+def test_quality_scores():
+    t = tx.quality_scores(_batch(["abc123", "!!!!", ""]))
+    assert t.column("alpha_ratio").to_pylist() == [0.5, 0.0, 0.0]
+    assert t.column("digit_ratio").to_pylist() == [0.5, 0.0, 0.0]
+
+
+def test_content_hash_matches_md5():
+    from hashlib import md5
+
+    t = tx.content_hash(_batch(["hello world"]))
+    assert t.column("content_md5").to_pylist()[0] == md5(b"hello world").hexdigest()
+
+
+def test_fingerprint_deterministic_and_sensitive():
+    a = tx.fingerprint(_batch(["the quick brown fox jumps over the lazy dog"]))
+    b = tx.fingerprint(_batch(["the quick brown fox jumps over the lazy dog"]))
+    c = tx.fingerprint(_batch(["the quick brown fox jumps over the lazy cat"]))
+    assert a.column("doc_fp").to_pylist() == b.column("doc_fp").to_pylist()
+    assert a.column("doc_fp").to_pylist() != c.column("doc_fp").to_pylist()
+    # whitespace-normalization invariance
+    d = tx.fingerprint(_batch(["the  quick\nbrown fox jumps  over the lazy dog"]))
+    assert a.column("doc_fp").to_pylist() == d.column("doc_fp").to_pylist()
+
+
+def test_minhash_similarity_tracks_jaccard():
+    base = "w" + " w".join(str(i) for i in range(100))
+    near = base.replace("w5 ", "w5x ")  # small edit
+    far = " ".join(f"z{i}" for i in range(100))
+    s_base, s_near, s_far = (minhash_signature(x) for x in (base, near, far))
+    est_near = (s_base == s_near).mean()
+    est_far = (s_base == s_far).mean()
+    assert est_near > 0.7
+    assert est_far < 0.2
+
+
+def test_shingles_dedup_and_short_docs():
+    assert len(_shingles("a b", k=3)) == 1
+    sh = _shingles("a b c a b c a b c", k=3)
+    assert len(sh) <= 7
+
+
+def test_simhash_hamming_properties():
+    st = SimHashStage()
+    t = st(_batch(["the quick brown fox " * 10,
+                   "the quick brown fox " * 10 + "extra token",
+                   "completely different words here entirely"]))
+    h = [int(x, 16) for x in t.column("simhash").to_pylist()]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+
+
+def test_media_decode_fake_plumbing():
+    media = synth_media_table(n=12)
+    dec = DecodeMedia(fake=True)
+    out = dec(media)
+    assert out.num_rows == 12
+    d = out.to_pydict()
+    for mt, w, dur in zip(d["media_type"], d["width"], d["duration_ms"]):
+        if mt == "audio":
+            assert w is None and dur is not None
+        elif mt == "image":
+            assert w is not None and dur is None
+    assert all(len(f) == 16 for f in d["feature"])
+    # deterministic per payload
+    out2 = DecodeMedia(fake=True)(media)
+    assert out.equals(out2)
+
+
+def test_media_decode_real_raises():
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(fake=False)(synth_media_table(n=2))
+
+
+def test_rank_file_parsing(ray_session, tmp_path):
+    from engine.stages.lookups import parse_rank_file, prepare_lookups
+
+    spam = tmp_path / "spam.txt"
+    spam.write_text("5 doc-a\n12 doc-b\nmalformed\n9 doc-a\n")
+    page = tmp_path / "page.txt"
+    page.write_text("doc-a 0.85\ndoc-c 0.1\nnope\n")
+    ds = parse_rank_file(str(spam), value_first=True, val_type="int")
+    rows = ds.to_pandas().sort_values(["id", "value"]).to_records(index=False).tolist()
+    assert rows == [("doc-a", 5), ("doc-a", 9), ("doc-b", 12)]
+
+    out = prepare_lookups(str(tmp_path / "lk.parquet"), "cc",
+                          spam_ranks_path=str(spam), page_ranks_path=str(page))
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    assert t.num_rows >= 3
+    assert set(t.column_names) == {"doc_id", "spam_rank", "page_rank"}
