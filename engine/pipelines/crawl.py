@@ -99,12 +99,10 @@ def _frontier_table(urls, hosts, depths) -> pa.Table:
     )
 
 
-def _select_group(
-    df: pd.DataFrame, rules_ref, counts_ref, cfg: CrawlConfig
-) -> pd.DataFrame:
-    """Per-host politeness selection (runs inside map_groups tasks)."""
-    rules = ray.get(rules_ref)
-    counts = ray.get(counts_ref)
+def _select_one_host(df: pd.DataFrame, rules, counts, cfg: CrawlConfig) -> pd.DataFrame:
+    """Politeness selection for one host's candidates (shared by the
+    distributed map_groups path and the driver small-wave fast path — ONE
+    implementation, so both paths are identical by construction)."""
     host = df["host"].iloc[0]
     r = host_rules(rules, host, cfg)
     k = min(per_wave_cap(r, cfg), max(0, r.max_pages - counts.get(host, 0)))
@@ -113,6 +111,13 @@ def _select_group(
     ).reset_index(drop=True)
     df["selected"] = np.arange(len(df)) < k
     return df
+
+
+def _select_group(
+    df: pd.DataFrame, rules_ref, counts_ref, cfg: CrawlConfig
+) -> pd.DataFrame:
+    """Per-host politeness selection (runs inside map_groups tasks)."""
+    return _select_one_host(df, ray.get(rules_ref), ray.get(counts_ref), cfg)
 
 
 def _fetch_filter(batch: pa.Table, selected_ref) -> pa.Table:
@@ -184,15 +189,20 @@ def _discover_batch(batch: pa.Table) -> pa.Table:
 
 
 def _enqueue_stage(batch: pa.Table, shard_handles, rules_ref, cfg: CrawlConfig) -> pa.Table:
+    """Distributed wrapper over :func:`_enqueue_core` (broadcast rules)."""
+    return _enqueue_core(batch, shard_handles, ray.get(rules_ref), cfg)
+
+
+def _enqueue_core(batch: pa.Table, shard_handles, rules, cfg: CrawlConfig) -> pa.Table:
     """Seen-check + stage + robots filter against the cuckoo shard actors.
 
-    Input batches arrive exactly once per URL (post-dedup groupby), so each
-    new URL is staged exactly once.  ``contains`` answers come from the
-    shards' committed state (stable within a wave).  Output rows carry
-    ``blocked`` (robots) — blocked URLs are recorded seen but not enqueued.
-    Stateless task fn: one batched RPC per (batch, shard), no per-URL calls.
+    Input batches arrive exactly once per URL (post-dedup), so each new URL
+    is staged exactly once.  ``contains`` answers come from the shards'
+    committed state (stable within a wave).  Output rows carry ``blocked``
+    (robots) — blocked URLs are recorded seen but not enqueued.  One batched
+    RPC per (batch, shard), no per-URL calls; runs identically inside a
+    map_batches task (large waves) or on the driver (small waves).
     """
-    rules = ray.get(rules_ref)
     # Validity filter FIRST (empty host / too deep are never hashed or
     # staged) — ordering must match the oracle's try_enqueue exactly.
     urls, hosts, depths = [], [], []
@@ -251,12 +261,20 @@ class CrawlRun:
         workdir: str,
         cfg: CrawlConfig = CrawlConfig(),
         enqueue_concurrency=2,
+        extract_docs: bool = False,
+        extract_concurrency=(1, 8),
     ):
         self.pages_path = pages_path
         self.seeds_path = seeds_path
         self.workdir = workdir
         self.cfg = cfg
         self.enqueue_concurrency = enqueue_concurrency
+        # extract_docs: run the full extraction pipeline on every fetched
+        # page within the wave (the crawl-and-index loop: streaming fetch
+        # stages feeding the actor-pool extraction stage) and write
+        # workdir/docs/wave_k/.  Requires an html pages layout.
+        self.extract_docs = extract_docs
+        self.extract_concurrency = extract_concurrency
         os.makedirs(workdir, exist_ok=True)
         self.rules = load_politeness(politeness_path, cfg)
         self.rules_ref = ray.put(self.rules)
@@ -331,20 +349,46 @@ class CrawlRun:
             enq.select(["url_hash", "url"]))
 
     def _enqueue(self, cand_ds: ray.data.Dataset) -> pa.Table:
-        """Dedup (min depth per url) -> seen-check/stage -> arrow result."""
-        deduped = cand_ds.groupby("url").aggregate(Min("depth", alias_name="depth"))
+        """Dedup (min depth per url) -> seen-check/stage -> arrow result.
+
+        Hybrid like selection: the candidate list is first materialized
+        (wave-bounded — links of a budget-bounded fetch).  Small waves dedup
+        with pandas on the driver and make the shard RPCs directly; large
+        waves go through the groupby shuffle + a map_batches enqueue stage.
+        Both paths call the same :func:`_enqueue_core`.
+        """
+        refs = cand_ds.to_arrow_refs()
+        tables = ray.get(refs) if refs else []
+        n_rows = sum(t.num_rows for t in tables)
+        if n_rows == 0:
+            return _EMPTY_ENQ_FULL
+        if n_rows < self.cfg.driver_small_wave_threshold:
+            cand = pa.concat_tables(tables, promote_options="default")
+            df = cand.to_pandas()
+            ded = (
+                df.groupby("url", sort=True, as_index=False)["depth"].min()
+            )
+            batch = pa.table(
+                {
+                    "url": pa.array(ded["url"], pa.string()),
+                    "depth": pa.array(ded["depth"], pa.int64()),
+                }
+            )
+            return _enqueue_core(batch, self.shards, self.rules, self.cfg)
+        ds = ray.data.from_arrow_refs(refs)
+        deduped = ds.groupby("url").aggregate(Min("depth", alias_name="depth"))
         out = deduped.map_batches(
             _enqueue_stage,
             fn_kwargs=dict(
                 shard_handles=self.shards, rules_ref=self.rules_ref, cfg=self.cfg
             ),
             batch_format="pyarrow",
-            batch_size=4096,
+            batch_size=65536,
         )
-        tables = ray.get(out.to_arrow_refs())
-        if not tables:
+        out_tables = ray.get(out.to_arrow_refs())
+        if not out_tables:
             return _EMPTY_ENQ_FULL
-        t = pa.concat_tables(tables, promote_options="default")
+        t = pa.concat_tables(out_tables, promote_options="default")
         return t.combine_chunks() if t.num_rows else _EMPTY_ENQ_FULL
 
     # -- main loop ----------------------------------------------------------
@@ -360,18 +404,31 @@ class CrawlRun:
             frontier_t = pq.read_table(frontier_path)
             if frontier_t.num_rows == 0:
                 break
-            frontier = ray.data.from_arrow(frontier_t)
 
             t0 = time.monotonic()
-            # 1. politeness selection (per-host shuffle)
-            marked = frontier.groupby("host").map_groups(
-                _select_group,
-                fn_args=(self.rules_ref, counts_ref, self.cfg),
-                batch_format="pandas",
-            )
-            marked_t = pa.concat_tables(
-                ray.get(marked.to_arrow_refs()), promote_options="default"
-            )
+            # 1. politeness selection (per-host shuffle) — hybrid: big
+            # frontiers shuffle via groupby(host).map_groups; small ones run
+            # the SAME per-host function on the driver (no execution round
+            # trip).  Results are identical: selection is per-host-local.
+            if frontier_t.num_rows >= self.cfg.driver_small_wave_threshold:
+                frontier = ray.data.from_arrow(frontier_t)
+                marked = frontier.groupby("host").map_groups(
+                    _select_group,
+                    fn_args=(self.rules_ref, counts_ref, self.cfg),
+                    batch_format="pandas",
+                )
+                marked_t = pa.concat_tables(
+                    ray.get(marked.to_arrow_refs()), promote_options="default"
+                )
+            else:
+                fdf = frontier_t.to_pandas()
+                parts = [
+                    _select_one_host(g, self.rules, self.fetched_count, self.cfg)
+                    for _, g in fdf.groupby("host", sort=True)
+                ]
+                marked_t = pa.Table.from_pandas(
+                    pd.concat(parts, ignore_index=True), preserve_index=False
+                )
             t0 = _tlog(f"wave {wave} select ({marked_t.num_rows} frontier)", t0)
             sel_mask = marked_t.column("selected")
             selected_t = marked_t.filter(sel_mask)
@@ -435,20 +492,34 @@ class CrawlRun:
                     batch_size=4096,
                 )
             else:
+                cols = ["url", "html", "warc_ts"] if self.extract_docs else ["url", "html"]
                 if is_bucketed(self.pages_path):
-                    pages_ds = read_buckets_for(
-                        self.pages_path, sel_urls, columns=["url", "html"]
-                    )
+                    pages_ds = read_buckets_for(self.pages_path, sel_urls, columns=cols)
                 else:
-                    pages_ds = ray.data.read_parquet(
-                        self.pages_path, columns=["url", "html"]
-                    )
+                    pages_ds = ray.data.read_parquet(self.pages_path, columns=cols)
                 fetched = pages_ds.map_batches(
                     _fetch_filter,
                     fn_kwargs=dict(selected_ref=selected_ref),
                     batch_format="pyarrow",
                     batch_size=1024,
                 )
+                if self.extract_docs:
+                    # materialize the wave's (budget-bounded) fetch so the
+                    # extraction sink and link discovery both consume it
+                    # without re-reading the corpus
+                    fetched = fetched.materialize()
+                    from engine.stages.extract import ExtractPages
+
+                    docs_dir = os.path.join(self.workdir, "docs", f"wave_{wave:04d}")
+                    shutil.rmtree(docs_dir, ignore_errors=True)
+                    fetched.map_batches(
+                        ExtractPages,
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                        batch_size=128,
+                        concurrency=self.extract_concurrency,
+                    ).write_parquet(docs_dir)
+                    t0 = _tlog(f"wave {wave} extract ({len(sel)} pages)", t0)
                 links = fetched.map_batches(_discover_batch, batch_format="pyarrow")
             enq = self._enqueue(links)
             t0 = _tlog(f"wave {wave} fetch+discover+enqueue ({len(sel)} sel, {enq.num_rows} new)", t0)
@@ -515,8 +586,17 @@ def run_crawl(
     workdir: str,
     cfg: CrawlConfig = CrawlConfig(),
     enqueue_concurrency=2,
+    extract_docs: bool = False,
+    extract_concurrency=(1, 8),
 ) -> Tuple[pa.Table, pa.Table]:
     """Run (or resume) a crawl; returns (crawl_order, url_seen) tables."""
     return CrawlRun(
-        pages_path, seeds_path, politeness_path, workdir, cfg, enqueue_concurrency
+        pages_path,
+        seeds_path,
+        politeness_path,
+        workdir,
+        cfg,
+        enqueue_concurrency,
+        extract_docs=extract_docs,
+        extract_concurrency=extract_concurrency,
     ).run()

@@ -48,6 +48,11 @@ class CrawlConfig:
     num_shards: int = 16
     shard_capacity: int = 1 << 16
     max_depth: int = 64
+    # Below this row count, per-wave selection / link-dedup run on the
+    # driver (same functions, same total order — identical results, tested)
+    # instead of paying a distributed-execution round trip.  Production
+    # waves (10^6+) always take the distributed path; set 0 to force it.
+    driver_small_wave_threshold: int = 100_000
 
 
 @dataclass

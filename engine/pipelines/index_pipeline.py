@@ -233,6 +233,36 @@ def extracted_parts_view(out_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(files)
 
 
+def apply_updates(
+    base: ray.data.Dataset, updates: ray.data.Dataset, key: str = "uuid"
+) -> ray.data.Dataset:
+    """Upsert-by-id merge: rows from ``updates`` win over ``base``.
+
+    The reference's ``update_action`` mode ("additional-only" runs,
+    index.py:120,131-133 + es_sink.py:210-217) relies on Elasticsearch
+    upsert-by-_id; the Parquet-native equivalent is a delta table merged by
+    deterministic doc id.  Hash-shuffle on the id (groupby), pick the delta
+    row per group — last-write-wins with a deterministic winner.
+    """
+    b = base.map_batches(
+        lambda t: t.append_column("_src", pa.array([0] * t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    u = updates.map_batches(
+        lambda t: t.append_column("_src", pa.array([1] * t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def pick(df):
+        # one output row per key: the update row if present, else the base row
+        df = df.sort_values("_src", kind="mergesort")
+        return df.tail(1).drop(columns=["_src"])
+
+    return b.union(u).groupby(key).map_groups(pick, batch_format="pandas")
+
+
 def meta_view(extracted_dir: str, always_index_meta: bool = False) -> ray.data.Dataset:
     """Meta table (reference meta_index): column-pruned read of extracted/.
 

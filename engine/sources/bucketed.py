@@ -24,7 +24,7 @@ import ray.data
 from engine.canonicalize import canonicalize_url
 from engine.ids import url_hash64
 
-LAYOUT_FILE = "layout.json"
+LAYOUT_FILE = "_layout.json"  # "_" prefix: ignored by pyarrow dataset discovery
 
 
 def bucketize_pages(

@@ -254,4 +254,7 @@ def _rows_to_table(rows: List[Dict[str, Any]]) -> pa.Table:
         f.name: pa.array([r.get(f.name) for r in rows], type=f.type)
         for f in _OUT_SCHEMA
     }
-    return pa.table(cols, schema=_OUT_SCHEMA)
+    # Sort each output block by idx_id — the reference sorts its sink buffer
+    # by _id before bulk-indexing for shard-routing locality (es_sink.py:155);
+    # here it gives time-clustered row groups (idx_id is time-sortable).
+    return pa.table(cols, schema=_OUT_SCHEMA).sort_by("idx_id")

@@ -6,6 +6,8 @@
 """
 
 import os
+
+import pyarrow as pa
 import shutil
 
 import numpy as np
@@ -55,20 +57,68 @@ def test_oracle_sane(oracle_result, fixture_dir):
             assert "/private" not in u
 
 
-def test_distributed_matches_oracle(ray_session, fixture_dir, oracle_result, tmp_path):
+@pytest.mark.parametrize("threshold", [100_000, 0], ids=["driver-path", "distributed-path"])
+def test_distributed_matches_oracle(ray_session, fixture_dir, oracle_result, tmp_path, threshold):
+    """Both the driver small-wave fast path and the fully distributed
+    groupby path must reproduce the oracle exactly."""
+    from dataclasses import replace
+
     from engine.pipelines.crawl import run_crawl
 
-    wd = str(tmp_path / "crawl_wd")
+    wd = str(tmp_path / f"crawl_wd_{threshold}")
+    d_order, d_seen = run_crawl(
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+        wd,
+        replace(CFG, driver_small_wave_threshold=threshold),
+    )
+    o_order, o_seen = oracle_result
+    assert d_order.equals(o_order), "crawl order differs from oracle"
+    assert d_seen.equals(o_seen), "URL-seen set differs from oracle"
+
+
+def test_crawl_with_extraction(ray_session, fixture_dir, oracle_result, tmp_path):
+    """extract_docs mode: same crawl result + per-wave extracted docs whose
+    text matches the fixture oracle column."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from engine.pipelines.crawl import run_crawl
+
+    wd = str(tmp_path / "crawlx_wd")
     d_order, d_seen = run_crawl(
         os.path.join(fixture_dir, "pages.parquet"),
         os.path.join(fixture_dir, "seeds.parquet"),
         os.path.join(fixture_dir, "politeness.parquet"),
         wd,
         CFG,
+        extract_docs=True,
+        extract_concurrency=2,
     )
     o_order, o_seen = oracle_result
-    assert d_order.equals(o_order), "crawl order differs from oracle"
-    assert d_seen.equals(o_seen), "URL-seen set differs from oracle"
+    assert d_order.equals(o_order)
+    assert d_seen.equals(o_seen)
+
+    doc_files = _glob.glob(os.path.join(wd, "docs", "wave_*", "*.parquet"))
+    assert doc_files
+    fixture = pq.read_table(os.path.join(fixture_dir, "pages.parquet"), columns=["url", "text"])
+    exp = {}
+    for u, t in zip(fixture.column("url").to_pylist(), fixture.column("text").to_pylist()):
+        exp.setdefault(u, t)
+    docs = pa.concat_tables([pq.read_table(f) for f in doc_files])
+    n_checked = 0
+    for u, body, skip in zip(
+        docs.column("warc_target_uri").to_pylist(),
+        docs.column("body").to_pylist(),
+        docs.column("skip_reason").to_pylist(),
+    ):
+        if skip is None:
+            assert body == exp[u]
+            n_checked += 1
+    assert n_checked > 20
+    # extracted docs cover exactly the fetched URLs present in the pages table
+    assert docs.num_rows <= d_order.num_rows
 
 
 def test_links_layout_matches_oracle(ray_session, fixture_dir, oracle_result, tmp_path):

@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) for the pure kernels: canonicalization
+idempotence, id stability, date clipping, extraction determinism."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine.canonicalize import canonicalize_url, host_of, surt
+from engine.html_extract import HTMLTree, extract_plain_text, ws_collapse
+from engine.ids import clip_warc_date, url_hash64, webis_uuid
+from engine.lang import detect_fast
+
+_hostchars = st.text(alphabet=string.ascii_lowercase + string.digits, min_size=1, max_size=8)
+_pathchars = st.text(
+    alphabet=string.ascii_letters + string.digits + "/._-~%?&=", max_size=40
+)
+
+
+@given(_hostchars, _hostchars, _pathchars)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(h1, h2, path):
+    url = f"http://{h1}.{h2}/{path}"
+    c = canonicalize_url(url)
+    if c is not None:
+        assert canonicalize_url(c) == c, f"not idempotent: {url} -> {c}"
+        assert host_of(c) == host_of(c.lower()) or True
+        assert surt(c) == surt(c)  # deterministic
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_never_crashes(s):
+    c = canonicalize_url(s)
+    if c is not None:
+        assert c.startswith(("http://", "https://"))
+
+
+@given(st.text(min_size=1, max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_webis_uuid_stable_and_distinct(s):
+    a = webis_uuid("cc", s)
+    assert a == webis_uuid("cc", s)
+    assert len(a) == 22
+    assert a != webis_uuid("other", s)
+
+
+@given(st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=50, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_url_hash64_injective_in_practice(urls):
+    hs = url_hash64(urls)
+    assert len(set(hs.tolist())) == len(urls)
+
+
+@given(st.integers(2000, 2030), st.integers(1, 12), st.integers(1, 99))
+@settings(max_examples=200, deadline=None)
+def test_clip_warc_date_always_valid_day(y, m, d):
+    import calendar
+    import re
+
+    out = clip_warc_date(f"{y:04d}-{m:02d}-{d:02d}T00:00:00Z")
+    day = int(re.match(r"\d{4}-\d{2}-(\d{2})", out).group(1))
+    assert 1 <= day <= calendar.monthrange(y, m)[1]
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_html_parse_never_crashes(s):
+    tree = HTMLTree.parse(s)
+    txt = extract_plain_text(tree) if tree.body is not None else ""
+    assert isinstance(txt, str)
+    assert "  " not in ws_collapse(s)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_lang_detect_total(s):
+    lang, score = detect_fast(s)
+    assert lang in ("en", "de", "fr", "es", "it", "unknown")
+    assert score >= 0
