@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.q_lang_id,
         "quality": q.q_quality,
         "fingerprint": q.q_fingerprint,
+        "bpe_tokens": q.q_bpe_tokens,
         "minhash_dedup": q.q_minhash_dedup,
         "ngram_dedup": q.q_ngram_dedup,
         "simhash": q.q_simhash,
@@ -90,7 +91,8 @@ def oracle_sql() -> dict[str, str]:
               AND length(regexp_extract_all(text, '\S+')) >= 40
         """,
         "lang_agg": """
-            SELECT lang, sum(n_chars) AS sum_chars, count(*) AS n_docs
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   count(*) AS n_docs
             FROM documents GROUP BY lang
         """,
         "lookup_join": """

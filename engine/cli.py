@@ -44,6 +44,31 @@ def cmd_index(args) -> int:
     from engine.pipelines.index_pipeline import run_index_pipeline_resumable
 
     t0 = time.monotonic()
+    if args.dry_run:
+        # reference --dry-run (es_sink.py:137-138,149-151): run the full
+        # pipeline, write nothing, report what WOULD be indexed.
+        import pyarrow.compute as pc
+        import ray.data
+
+        from engine.pipelines.index_pipeline import extract_dataset
+
+        ex = extract_dataset(ray.data.read_parquet(args.pages), lookup_path=args.lookups)
+        counts = (
+            ex.map_batches(
+                lambda t: t.select(["skip_reason"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .to_pandas()["skip_reason"]
+            .value_counts(dropna=False)
+        )
+        total = int(counts.sum())
+        skipped = int(counts[counts.index.notna()].sum())
+        print(f"DRY RUN — would index {total - skipped} of {total} docs")
+        print(counts.to_string())
+        print(f"Time taken: {time.monotonic() - t0:.2f}s")
+        ray.shutdown()
+        return 0
     out = run_index_pipeline_resumable(
         args.pages,
         args.out,
@@ -132,6 +157,7 @@ def main(argv=None) -> int:
     i.add_argument("--id-prefix", default="cc")
     i.add_argument("--lookups", default=None)
     i.add_argument("--always-index-meta", action="store_true")
+    i.add_argument("--dry-run", action="store_true")
     i.add_argument("--files-per-partition", type=int, default=4)
     i.set_defaults(fn=cmd_index)
 

@@ -117,6 +117,23 @@ def uuid_prefix_partitioner(key: str, num_partitions: int) -> int:
     return uuid.UUID(key).int * num_partitions // pow(16, 32)
 
 
+def uuid_prefix_partition_batch(b64_ids: Iterable[str], num_partitions: int) -> np.ndarray:
+    """Range-partition truncated-b64 uuids (webis/index ids) into buckets.
+
+    Column form of :func:`uuid_prefix_partitioner` for our b64 id spelling:
+    decode back to the 128-bit integer, then ``int * n // 2**128``.  Used to
+    partition output tables by doc-id range (reference index.py:50-51).
+    """
+    from base64 import b64decode
+
+    vals = []
+    inv = {45: 47, 95: 43}  # '-'->'/', '_'->'+'
+    for s in b64_ids:
+        raw = b64decode(s.translate(inv) + "==")
+        vals.append(int.from_bytes(raw, "big") * num_partitions >> 128)
+    return np.array(vals, dtype=np.int64)
+
+
 def url_hash64(urls: Iterable[str]) -> np.ndarray:
     """64-bit stable content hash of each URL (blake2b-8, big-endian).
 

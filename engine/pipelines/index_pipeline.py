@@ -233,6 +233,25 @@ def extracted_parts_view(out_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(files)
 
 
+def write_partitioned_by_uuid(
+    ds: ray.data.Dataset, out_dir: str, num_partitions: int = 16
+) -> str:
+    """Write a doc table partitioned by uuid range (reference
+    uuid_prefix_partitioner, index.py:50-51): ``partition=K/`` directories,
+    so consumers can address a doc-id range without scanning everything and
+    re-runs can replace one range atomically."""
+    from engine.ids import uuid_prefix_partition_batch
+
+    def add_part(t: pa.Table) -> pa.Table:
+        p = uuid_prefix_partition_batch(t.column("uuid").to_pylist(), num_partitions)
+        return t.append_column("partition", pa.array(p, pa.int32()))
+
+    ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["partition"]
+    )
+    return out_dir
+
+
 def apply_updates(
     base: ray.data.Dataset, updates: ray.data.Dataset, key: str = "uuid"
 ) -> ray.data.Dataset:

@@ -267,6 +267,16 @@ def q_quality(sf_dir: str):
     )
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish (GPT-2 pre-tokenizer regex) token counting per document."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: tx.bpe_token_count(t, "text").select(["doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_fingerprint(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 

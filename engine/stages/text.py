@@ -33,6 +33,11 @@ from engine.lang import detect_batch
 _TOKEN = re.compile(r"\S+")
 _ALPHA = re.compile(r"[A-Za-z]")
 _DIGIT = re.compile(r"[0-9]")
+# GPT-2-style pre-tokenizer regex (Radford et al. 2019, public): contraction
+# pieces, letter runs, digit runs, punctuation runs, trailing spaces.
+_BPE = re.compile(
+    r"""'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ÿ0-9]+|\s+(?!\S)|\s+"""
+)
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
@@ -56,6 +61,16 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
         .append_column("n_tokens", pa.array(n_tokens))
         .append_column("avg_token_len", pa.array(avg, type=pa.float64()))
     )
+
+
+def bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_bpe_tokens: GPT-2-style pre-tokenizer piece count (the
+    "BPE-ish regex" token counter; a cheap proxy for LLM token budgets)."""
+    texts = batch.column(text_col).to_pylist()
+    n = np.fromiter(
+        (len(_BPE.findall(t or "")) for t in texts), dtype=np.int64, count=len(texts)
+    )
+    return batch.append_column("n_bpe_tokens", pa.array(n))
 
 
 def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
