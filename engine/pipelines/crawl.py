@@ -589,8 +589,13 @@ def run_crawl(
     extract_docs: bool = False,
     extract_concurrency=(1, 8),
 ) -> Tuple[pa.Table, pa.Table]:
-    """Run (or resume) a crawl; returns (crawl_order, url_seen) tables."""
-    return CrawlRun(
+    """Run (or resume) a crawl; returns (crawl_order, url_seen) tables.
+
+    Kills the cuckoo shard actors on exit (their state is checkpointed per
+    wave, so nothing is lost; lingering actors would pin memory across many
+    crawl invocations in one Ray session).
+    """
+    run = CrawlRun(
         pages_path,
         seeds_path,
         politeness_path,
@@ -599,4 +604,9 @@ def run_crawl(
         enqueue_concurrency,
         extract_docs=extract_docs,
         extract_concurrency=extract_concurrency,
-    ).run()
+    )
+    try:
+        return run.run()
+    finally:
+        for s in run.shards:
+            ray.kill(s)
