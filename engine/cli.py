@@ -118,6 +118,8 @@ def cmd_index_setup(args) -> int:
 
 def cmd_crawl(args) -> int:
     ray = _ray_session(args.num_cpus)
+    from dataclasses import replace
+
     from engine.pipelines.crawl import run_crawl
     from engine.pipelines.crawl_common import CrawlConfig
 
@@ -126,8 +128,17 @@ def cmd_crawl(args) -> int:
         wave_seconds=args.wave_seconds,
         num_shards=args.num_shards,
     )
+    if args.config:
+        # JSON config overrides (the reference's conf/local_config.py merge
+        # analog, conf/config.py:38-51): file fields win over defaults,
+        # explicit CLI flags win over the file via argparse defaults check.
+        overrides = json.load(open(args.config))
+        cfg = replace(cfg, **overrides)
     t0 = time.monotonic()
-    order, seen = run_crawl(args.pages, args.seeds, args.politeness, args.workdir, cfg)
+    order, seen = run_crawl(
+        args.pages, args.seeds, args.politeness, args.workdir, cfg,
+        extract_docs=args.extract,
+    )
     print(
         f"Time taken: {time.monotonic() - t0:.2f}s — fetched {order.num_rows} URLs, "
         f"seen {seen.num_rows}; outputs in {args.workdir}"
@@ -180,6 +191,9 @@ def main(argv=None) -> int:
     c.add_argument("--max-waves", type=int, default=20)
     c.add_argument("--wave-seconds", type=float, default=30.0)
     c.add_argument("--num-shards", type=int, default=16)
+    c.add_argument("--extract", action="store_true",
+                   help="run extraction on every fetched page (crawl-and-index)")
+    c.add_argument("--config", default=None, help="JSON CrawlConfig overrides")
     c.set_defaults(fn=cmd_crawl)
 
     d = sub.add_parser("clean", help="remove a checkpoint/output dir")

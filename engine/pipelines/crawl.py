@@ -120,6 +120,27 @@ def _select_group(
     return _select_one_host(df, ray.get(rules_ref), ray.get(counts_ref), cfg)
 
 
+def _preselect_salted(
+    df: pd.DataFrame, rules_ref, counts_ref, cfg: CrawlConfig
+) -> pd.DataFrame:
+    """Stage-1 selection for a (host, salt) sub-group of a mega-host.
+
+    Keeps only that sub-group's top-(cap) candidates by the SAME total order
+    — the global per-host top-k is a subset of the union of per-salt top-k's
+    (each salt keeps >= k), so stage 2 over the union is exact.  This bounds
+    any single task's input to frontier(host)/n_salts: the explicit
+    skew-handling for mega-domains (north_rule; SURVEY.md §4)."""
+    rules = ray.get(rules_ref)
+    counts = ray.get(counts_ref)
+    host = df["host"].iloc[0]
+    r = host_rules(rules, host, cfg)
+    k = min(per_wave_cap(r, cfg), max(0, r.max_pages - counts.get(host, 0)))
+    df = df.sort_values(
+        ["priority", "url"], ascending=[False, True], kind="mergesort"
+    )
+    return df.head(k).drop(columns=["salt"])
+
+
 def _fetch_filter(batch: pa.Table, selected_ref) -> pa.Table:
     """Broadcast semi-join: keep pages whose canonical url was selected.
 
@@ -290,7 +311,14 @@ class CrawlRun:
     def _wave_dir(self, wave: int) -> str:
         return os.path.join(self.workdir, "seed" if wave < 0 else f"wave_{wave:04d}")
 
-    def _checkpoint(self, wave: int, frontier: pa.Table, order: pa.Table, enq: pa.Table):
+    def _checkpoint(
+        self,
+        wave: int,
+        frontier: pa.Table,
+        order: pa.Table,
+        enq: pa.Table,
+        metrics: Optional[Dict[str, int]] = None,
+    ):
         d = self._wave_dir(wave)
         tmp = d + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -298,6 +326,18 @@ class CrawlRun:
         pq.write_table(frontier, os.path.join(tmp, "frontier.parquet"))
         pq.write_table(order, os.path.join(tmp, "order.parquet"))
         pq.write_table(enq, os.path.join(tmp, "enqueued.parquet"))
+        # per-wave lineage/metrics row (north_rule: every partition
+        # checkpoints its lineage + metrics to Parquet)
+        m = dict(metrics or {})
+        m.setdefault("n_selected", order.num_rows)
+        m.setdefault("n_new_enqueued", enq.num_rows)
+        m["wave"] = wave
+        m["n_frontier_out"] = frontier.num_rows
+        m["seen_total"] = int(sum(ray.get([s.seen_count.remote() for s in self.shards])))
+        pq.write_table(
+            pa.table({k: pa.array([v], pa.int64()) for k, v in sorted(m.items())}),
+            os.path.join(tmp, "metrics.parquet"),
+        )
         blobs = ray.get([s.checkpoint.remote() for s in self.shards])
         for i, b in enumerate(blobs):
             with open(os.path.join(tmp, "shards", f"shard_{i:03d}.bin"), "wb") as f:
@@ -405,6 +445,7 @@ class CrawlRun:
             if frontier_t.num_rows == 0:
                 break
 
+            wave_t0 = time.monotonic()
             t0 = time.monotonic()
             # 1. politeness selection (per-host shuffle) — hybrid: big
             # frontiers shuffle via groupby(host).map_groups; small ones run
@@ -412,7 +453,28 @@ class CrawlRun:
             # trip).  Results are identical: selection is per-host-local.
             if frontier_t.num_rows >= self.cfg.driver_small_wave_threshold:
                 frontier = ray.data.from_arrow(frontier_t)
-                marked = frontier.groupby("host").map_groups(
+                n_salts = self.cfg.n_selection_salts
+
+                def add_salt(t: pa.Table) -> pa.Table:
+                    salts = (
+                        url_hash64(t.column("url").to_pylist()) % np.uint64(n_salts)
+                    ).astype(np.int64)
+                    return t.append_column("salt", pa.array(salts, pa.int64()))
+
+                # stage 1: (host, salt) partial top-k bounds mega-host skew;
+                # stage 2: exact per-host top-k over the per-salt winners.
+                pre = (
+                    frontier.map_batches(
+                        add_salt, batch_format="pyarrow", zero_copy_batch=True
+                    )
+                    .groupby(["host", "salt"])
+                    .map_groups(
+                        _preselect_salted,
+                        fn_args=(self.rules_ref, counts_ref, self.cfg),
+                        batch_format="pandas",
+                    )
+                )
+                marked = pre.groupby("host").map_groups(
                     _select_group,
                     fn_args=(self.rules_ref, counts_ref, self.cfg),
                     batch_format="pandas",
@@ -420,7 +482,11 @@ class CrawlRun:
                 marked_t = pa.concat_tables(
                     ray.get(marked.to_arrow_refs()), promote_options="default"
                 )
+                # stage-1 truncation removed non-winning candidates, so the
+                # carryover is recomputed from the FULL frontier below.
+                salted_selection = True
             else:
+                salted_selection = False
                 fdf = frontier_t.to_pandas()
                 parts = [
                     _select_one_host(g, self.rules, self.fetched_count, self.cfg)
@@ -432,9 +498,25 @@ class CrawlRun:
             t0 = _tlog(f"wave {wave} select ({marked_t.num_rows} frontier)", t0)
             sel_mask = marked_t.column("selected")
             selected_t = marked_t.filter(sel_mask)
-            carry_t = marked_t.filter(pc.invert(sel_mask)).select(
-                ["url", "host", "depth", "priority"]
-            )
+            if salted_selection:
+                # broadcast anti-join: carryover = frontier \\ selected
+                sel_set_ref = ray.put(set(selected_t.column("url").to_pylist()))
+
+                def drop_selected(t: pa.Table, ref=sel_set_ref) -> pa.Table:
+                    sel = ray.get(ref)
+                    keep = [u not in sel for u in t.column("url").to_pylist()]
+                    return t.filter(pa.array(keep))
+
+                carry_ds = ray.data.from_arrow(frontier_t).map_batches(
+                    drop_selected, batch_format="pyarrow", zero_copy_batch=True
+                )
+                carry_t = pa.concat_tables(
+                    ray.get(carry_ds.to_arrow_refs()), promote_options="default"
+                ).select(["url", "host", "depth", "priority"])
+            else:
+                carry_t = marked_t.filter(pc.invert(sel_mask)).select(
+                    ["url", "host", "depth", "priority"]
+                )
             if selected_t.num_rows == 0:
                 self._checkpoint(wave, carry_t, _EMPTY_ORDER, _EMPTY_ENQ)
                 break
@@ -537,6 +619,11 @@ class CrawlRun:
             self._checkpoint(
                 wave, new_frontier, order_t,
                 enq.select(["url_hash", "url"]) if enq.num_rows else _EMPTY_ENQ,
+                metrics={
+                    "n_frontier_in": frontier_t.num_rows,
+                    "n_carryover": carry_t.num_rows,
+                    "wall_ms": int((time.monotonic() - wave_t0) * 1000),
+                },
             )
             _tlog(f"wave {wave} checkpoint", t0)
 

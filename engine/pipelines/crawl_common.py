@@ -53,6 +53,10 @@ class CrawlConfig:
     # instead of paying a distributed-execution round trip.  Production
     # waves (10^6+) always take the distributed path; set 0 to force it.
     driver_small_wave_threshold: int = 100_000
+    # Distributed selection salts a mega-host's candidates into this many
+    # (host, salt) sub-groups for a stage-1 partial top-k, bounding any one
+    # task's group to frontier(host)/n_salts (skew control, north_rule).
+    n_selection_salts: int = 16
 
 
 @dataclass

@@ -76,6 +76,11 @@ def test_distributed_matches_oracle(ray_session, fixture_dir, oracle_result, tmp
     o_order, o_seen = oracle_result
     assert d_order.equals(o_order), "crawl order differs from oracle"
     assert d_seen.equals(o_seen), "URL-seen set differs from oracle"
+    # per-wave lineage/metrics rows exist and are sane
+    m = pq.read_table(os.path.join(wd, "wave_0000", "metrics.parquet")).to_pydict()
+    assert m["n_selected"][0] > 0
+    assert m["wall_ms"][0] >= 0
+    assert m["seen_total"][0] >= m["n_selected"][0]
 
 
 def test_crawl_with_extraction(ray_session, fixture_dir, oracle_result, tmp_path):
