@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": q.q_topk_orders,
         "pricing_summary": q.q_pricing_summary,
         "surt_hosts": q.q_surt_hosts,
+        "distinct_users": q.q_distinct_users,
+        "sessions": q.q_sessions,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "lang_id": q.q_lang_id,
@@ -65,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages": q.q_extract_pages,
         "media_features": q.q_media_features,
         "crawl_order": q.q_crawl_order,
+        "dedup_clusters": q.q_dedup_clusters,
     }
 
 
@@ -116,6 +119,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty, count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "sessions": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, ts,
+                       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+                FROM marked
+            )
+            SELECT user_id, sess_no,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sess_no
         """,
         "surt_hosts": """
             SELECT doc_id,

@@ -394,3 +394,72 @@ def q_crawl_order(sf_dir: str):
             pages_path, seeds_path, None, f"{td}/wd", CrawlConfig(max_waves=2)
         )
         return order
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact count-distinct via two-stage groupby (distinct pairs partial
+    -> per-key count): the shuffle moves (event_type, user_id) pairs once,
+    never raw rows twice.  SQL-verified."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["event_type", "user_id"])
+            .aggregate([("user_id", "count")])
+            .rename_columns(["event_type", "user_id", "n"])
+        )
+
+    distinct = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def per_type(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by("event_type")
+            .aggregate([("user_id", "count"), ("n", "sum")])
+            .rename_columns(["event_type", "n_users", "n_events"])
+        )
+
+    return (
+        distinct.map_batches(per_type, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"), Sum("n_events", alias_name="n_events"))
+    )
+
+
+def q_sessions(sf_dir: str):
+    """Session windows (30-min inactivity gap) over the events stream:
+    groupby(user).map_groups with pandas windowing over the sorted group
+    (the guide's streaming-shaped pattern).  SQL-verified via window fns."""
+    import pandas as _pd
+
+    GAP_US = 1_800_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessionize(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        us = df["ts"].astype("int64")
+        new_sess = (us.diff().fillna(GAP_US + 1) > GAP_US).astype("int64")
+        df["sess_no"] = new_sess.cumsum()
+        df["us"] = us
+        g = df.groupby("sess_no", as_index=False).agg(
+            user_id=("user_id", "first"),
+            session_start_us=("us", "min"),
+            n_events=("us", "count"),
+        )
+        return g[["user_id", "sess_no", "session_start_us", "n_events"]].astype(
+            {"sess_no": "int64", "session_start_us": "int64", "n_events": "int64"}
+        )
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup clusters: MinHash-LSH pairs -> connected components via
+    iterative min-label propagation (rows-only; verified against a
+    union-find oracle in tests)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(ds, threshold=0.2, texts_ref=_texts_ref(sf_dir))
+    return dd.connected_components(pairs).sort("doc_id")

@@ -322,3 +322,63 @@ def embedding_nn_pairs(
     from ray.data.aggregate import Max as _Max
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(_Max("cos", alias_name="cos"))
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> ray.data.Dataset:
+    """Cluster near-duplicate pairs into components by iterative min-label
+    propagation (the distributed-friendly alternative to driver union-find):
+
+        label(v) <- min(label(v), min over neighbors(label(u)))
+
+    repeated until no label changes (each round is one groupby shuffle over
+    (node, candidate_label) rows).  Converges in O(component diameter)
+    rounds; near-dup components are shallow in practice.  Output:
+    (doc_id, cluster_id) where cluster_id is the component's minimum id.
+    """
+    import pandas as _pd
+
+    edges = pairs.select_columns([a_col, b_col]).to_pandas()
+    # symmetric edge list + self-loops as the propagation substrate
+    fwd = edges.rename(columns={a_col: "src", b_col: "dst"})
+    rev = edges.rename(columns={b_col: "src", a_col: "dst"})
+    sym = _pd.concat([fwd, rev], ignore_index=True)
+    nodes = _pd.unique(_pd.concat([sym["src"], sym["dst"]], ignore_index=True))
+    labels = _pd.DataFrame({"node": nodes, "label": nodes})
+
+    edge_ds = ray.data.from_pandas(sym)
+    label_ds = ray.data.from_pandas(labels)
+    from ray.data.aggregate import Min as _Min
+
+    for _ in range(max_iters):
+        lab_ref = ray.put(dict(zip(labels["node"], labels["label"])))
+
+        def prop(t: pa.Table, ref=lab_ref) -> pa.Table:
+            lab = ray.get(ref)
+            src = t.column("src").to_pylist()
+            dst = t.column("dst").to_pylist()
+            return pa.table({
+                "node": pa.array(dst),
+                "cand": pa.array([lab[s] for s in src]),
+            })
+
+        cands = edge_ds.map_batches(prop, batch_format="pyarrow", zero_copy_batch=True)
+        new = (
+            cands.groupby("node").aggregate(_Min("cand", alias_name="cand")).to_pandas()
+        )
+        merged = labels.merge(new, on="node", how="left")
+        merged["new_label"] = merged[["label", "cand"]].min(axis=1)
+        changed = (merged["new_label"] != merged["label"]).sum()
+        labels = merged[["node", "new_label"]].rename(columns={"new_label": "label"})
+        if changed == 0:
+            break
+
+    out = labels.rename(columns={"node": "doc_id", "label": "cluster_id"}).sort_values(
+        "doc_id"
+    )
+    return ray.data.from_pandas(out.reset_index(drop=True))

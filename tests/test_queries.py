@@ -57,6 +57,7 @@ def contract(ray_session):
 SQL_NAMES = [
     "exact_dedup", "token_stats", "doc_filter", "lang_agg", "lookup_join",
     "events_window", "topk_orders", "pricing_summary", "surt_hosts",
+    "distinct_users", "sessions",
 ]
 
 
@@ -95,7 +96,58 @@ ROWS_ONLY = [
     ("extract_pages", 1),
     ("media_features", 1),
     ("crawl_order", 1),
+    ("bpe_tokens", 1),
+    ("dedup_clusters", 0),
 ]
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Label propagation == union-find on a random pair set."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.dedup import connected_components
+
+    rs = np.random.RandomState(3)
+    edges = [(int(a), int(b)) for a, b in rs.randint(0, 60, size=(80, 2)) if a != b]
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([min(a, b) for a, b in edges], pa.int64()),
+                "doc_b": pa.array([max(a, b) for a, b in edges], pa.int64()),
+            }
+        )
+    )
+    got = connected_components(pairs).to_pandas()
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical label = min node of the component
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    expect = {}
+    for root, members in comp.items():
+        m = min(members)
+        for n in members:
+            expect[n] = m
+    for _, row in got.iterrows():
+        assert expect[row["doc_id"]] == row["cluster_id"]
 
 
 @pytest.mark.parametrize("name,min_rows", ROWS_ONLY)
