@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.q_media_features,
         "crawl_order": q.q_crawl_order,
         "dedup_clusters": q.q_dedup_clusters,
+        "approx_users": q.q_approx_users,
     }
 
 

@@ -463,3 +463,13 @@ def q_dedup_clusters(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     pairs = dd.minhash_lsh_pairs(ds, threshold=0.2, texts_ref=_texts_ref(sf_dir))
     return dd.connected_components(pairs).sort("doc_id")
+
+
+def q_approx_users(sf_dir: str):
+    """Approximate distinct users per event_type via mergeable HLL sketches
+    (rows-only: estimates are algorithm-specific; accuracy is asserted
+    against the exact count in tests)."""
+    from engine.stages.sketch import approx_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return approx_distinct(ds, "event_type", "user_id").sort("event_type")

@@ -98,6 +98,7 @@ ROWS_ONLY = [
     ("crawl_order", 1),
     ("bpe_tokens", 1),
     ("dedup_clusters", 0),
+    ("approx_users", 1),
 ]
 
 

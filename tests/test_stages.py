@@ -115,3 +115,27 @@ def test_rank_file_parsing(ray_session, tmp_path):
     t = pq.read_table(out)
     assert t.num_rows >= 3
     assert set(t.column_names) == {"doc_id", "spam_rank", "page_rank"}
+
+
+def test_hll_accuracy_and_merge(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.sketch import HLL, approx_distinct
+
+    # merge law: sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    a, b = HLL(), HLL()
+    a.add_many(range(0, 5000))
+    b.add_many(range(2500, 8000))
+    u = HLL()
+    u.add_many(range(0, 8000))
+    assert (a.merge(b).registers == u.registers).all()
+    assert abs(u.estimate() - 8000) / 8000 < 0.05
+
+    # end-to-end per-key approx vs exact
+    keys = ["x"] * 4000 + ["y"] * 1000
+    vals = [f"u{i}" for i in range(4000)] + [f"v{i % 137}" for i in range(1000)]
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys), "v": pa.array(vals)}))
+    got = approx_distinct(ds, "k", "v").to_pandas().set_index("k")["approx_distinct"]
+    assert abs(got["x"] - 4000) / 4000 < 0.08
+    assert abs(got["y"] - 137) / 137 < 0.08
