@@ -99,8 +99,11 @@ class MinHashStage:
             sig = minhash_signature(txt, self.k)
             for b in range(_LSH_BANDS):
                 chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-                h = int.from_bytes(
-                    blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+                # 63-bit key: int64 keeps Ray's groupby/sort on the native
+                # Arrow path (uint64 keys fall back to pickled objects)
+                h = (
+                    int.from_bytes(blake2b(chunk.tobytes(), digest_size=8).digest(), "big")
+                    & 0x7FFFFFFFFFFFFFFF
                 )
                 ids.append(i)
                 bands.append(b)
@@ -108,7 +111,7 @@ class MinHashStage:
         return pa.table(
             {
                 "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(bhash, pa.uint64()),
+                "band_hash": pa.array(bhash, pa.int64()),
                 "doc_id": pa.array(ids),
             }
         )
@@ -152,7 +155,37 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
+    # Almost every LSH bucket is a singleton; running a Python map_groups
+    # call per bucket dominates wall time.  First find colliding buckets
+    # with a vectorized hash aggregate (C-speed), then run the pairwise
+    # stage only on rows whose bucket actually collides (broadcast
+    # semi-join on the hot-bucket set — small because collisions are rare;
+    # at corpus scale where even the colliding set is huge, replace the
+    # broadcast with a hash-join of bands against hot keys).
+    bands = bands.materialize()  # consumed twice; (docs x bands) small rows
+    hot = bands.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
+    hot_t = pa.concat_tables(ray.get(hot.to_arrow_refs()), promote_options="default")
+    hot_keys = {
+        (b, h)
+        for b, h, n in zip(
+            hot_t.column("band").to_pylist(),
+            hot_t.column("band_hash").to_pylist(),
+            hot_t.column("n").to_pylist(),
+        )
+        if n >= 2
+    }
+    hot_ref = ray.put(hot_keys)
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        mask = [
+            (b, h) in keys
+            for b, h in zip(t.column("band").to_pylist(), t.column("band_hash").to_pylist())
+        ]
+        return t.filter(pa.array(mask))
+
+    colliding = bands.map_batches(keep_hot, batch_format="pyarrow", zero_copy_batch=True)
+    cand = colliding.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
     )
     uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
