@@ -142,6 +142,12 @@ def run_index_pipeline(
         always_index_meta=always_index_meta,
     )
     ex_dir = os.path.join(out_dir, "extracted")
+    # replace, never append: write_parquet into an existing directory adds
+    # part files, silently duplicating rows on re-runs (idempotent-overwrite
+    # is the semantic; the resumable variant handles partial re-runs)
+    import shutil as _shutil
+
+    _shutil.rmtree(ex_dir, ignore_errors=True)
     extracted.write_parquet(ex_dir)
     return ex_dir, ex_dir
 

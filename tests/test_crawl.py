@@ -187,6 +187,46 @@ def test_resume_no_refetch(ray_session, fixture_dir, tmp_path):
     assert d_seen.equals(o_seen)
 
 
+def test_max_pages_budget_exhaustion(ray_session, fixture_dir, tmp_path):
+    """A host's total max_pages budget caps its fetches across ALL waves."""
+    import pyarrow as _pa
+
+    from engine.pipelines.crawl import run_crawl
+    from engine.pipelines.crawl_oracle import crawl_oracle
+
+    # politeness: tiny total budget for every host
+    pol = pq.read_table(os.path.join(fixture_dir, "politeness.parquet"))
+    tiny = _pa.table(
+        {
+            "host": pol.column("host"),
+            "crawl_delay": _pa.array([1.0] * pol.num_rows, _pa.float64()),
+            "max_pages": _pa.array([3] * pol.num_rows, _pa.int64()),
+            "disallow": pol.column("disallow"),
+        }
+    )
+    pol_path = str(tmp_path / "tiny_politeness.parquet")
+    pq.write_table(tiny, pol_path)
+    cfg = CrawlConfig(max_waves=6)
+    o_order, _ = crawl_oracle(
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        pol_path,
+        cfg,
+    )
+    d_order, _ = run_crawl(
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        pol_path,
+        str(tmp_path / "budget_wd"),
+        cfg,
+    )
+    assert d_order.equals(o_order)
+    import collections
+
+    per_host = collections.Counter(d_order.column("host").to_pylist())
+    assert per_host and all(n <= 3 for n in per_host.values()), per_host
+
+
 # ---- cuckoo unit tests ----------------------------------------------------
 
 def test_cuckoo_basic():
