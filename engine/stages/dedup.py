@@ -373,6 +373,12 @@ def connected_components(
     (node, candidate_label) rows).  Converges in O(component diameter)
     rounds; near-dup components are shallow in practice.  Output:
     (doc_id, cluster_id) where cluster_id is the component's minimum id.
+
+    The label map is broadcast per round (``ray.put`` dict), which assumes
+    the PAIR GRAPH is small relative to the corpus — true for near-dup
+    detection (collisions are rare by construction).  For pair sets too big
+    to broadcast, replace the broadcast with a hash-join of edges against
+    the label table per round; the iteration structure is unchanged.
     """
     import pandas as _pd
 
