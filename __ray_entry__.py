@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surt_hosts": q.q_surt_hosts,
         "distinct_users": q.q_distinct_users,
         "sessions": q.q_sessions,
+        "hash_join": q.q_hash_join,
+        "asof_join": q.q_asof_join,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "lang_id": q.q_lang_id,
@@ -146,6 +148,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
                    count(*) AS n_events
             FROM sess GROUP BY user_id, sess_no
+        """,
+        "hash_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "asof_join": """
+            SELECT e.event_id, e.user_id,
+                   CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+                   o.o_orderkey
+            FROM events e
+            ASOF JOIN (SELECT o_custkey, o_orderdate,
+                              max(o_orderkey) AS o_orderkey
+                       FROM orders GROUP BY o_custkey, o_orderdate) o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "surt_hosts": """
             SELECT doc_id,

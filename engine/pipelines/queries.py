@@ -473,3 +473,66 @@ def q_approx_users(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     return approx_distinct(ds, "event_type", "user_id").sort("event_type")
+
+
+def q_hash_join(sf_dir: str):
+    """Large x large hash join (native Dataset.join, hash-partitioned on
+    the key): orders x customer.  SQL-verified."""
+    from engine.stages.join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    return joined.select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_name"])
+
+
+def q_asof_join(sf_dir: str):
+    """Backward as-of join: each event matched to the user's most recent
+    order at event time (bucket by key + merge_asof per group).
+    SQL-verified against DuckDB ASOF JOIN."""
+    from engine.stages.join import asof_join
+
+    def to_us(t: pa.Table, col: str) -> pa.Table:
+        i = t.column(col).cast(pa.timestamp("us")).cast(pa.int64())
+        return t.drop_columns([col]).append_column(col + "_us", i)
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(lambda t: to_us(t, "ts"), batch_format="pyarrow", zero_copy_batch=True)
+    # right side deduped to one row per (key, ts) with a deterministic
+    # winner — as-of tie-break among equal timestamps is engine-defined
+    # otherwise and would not be portable across engines.
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    orders = orders.map_batches(
+        lambda t: to_us(t, "o_orderdate"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    dedup = orders.groupby(["o_custkey", "o_orderdate_us"]).aggregate(
+        Max("o_orderkey", alias_name="o_orderkey")
+    )
+    joined = asof_join(
+        events,
+        dedup,
+        by="user_id",
+        left_ts="ts_us",
+        right_ts="o_orderdate_us",
+        right_by="o_custkey",
+        right_value_cols=["o_orderkey"],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts_us"),
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

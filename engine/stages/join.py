@@ -1,0 +1,166 @@
+"""Join operators: partitioned hash join and as-of join.
+
+The reference has only broadcast lookup joins (SURVEY.md §2.5); a complete
+training-data engine also needs large×large joins:
+
+- ``hash_join`` — Ray Data's native ``Dataset.join`` (hash-partitioned on
+  the key) when both sides are big.
+- ``bucketed_hash_join`` — the explicit portable pattern from the Ray
+  guide: add ``bucket = key_hash % B`` to both sides, group each bucket,
+  join matching buckets pairwise inside map_groups.  Same semantics; kept
+  as the documented fallback (and to make the partitioning explicit for
+  skew analysis: salt hot keys into sub-buckets by also hashing a second
+  column when one key dominates).
+- ``asof_join`` — per-key backward as-of (greatest right ts <= left ts):
+  bucket by key, ``pd.merge_asof`` per sorted group.  Matches DuckDB's
+  ``ASOF JOIN`` semantics (inner; ties on the right broken BEFORE the join
+  by deduplicating to one row per (key, ts) — as-of tie-break is otherwise
+  engine-defined and non-portable).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: Optional[str] = None,
+    join_type: str = "inner",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Native hash-partitioned join (both sides shuffled on the key)."""
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on or on,),
+    )
+
+
+def bucketed_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: Optional[str] = None,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Explicit partitioned inner hash join (portable pattern).
+
+    Both sides get ``bucket = hash(key) % B``; a single groupby('bucket',
+    side-tagged union) brings matching buckets together and a pandas merge
+    joins them.  One all-to-all exchange total.
+    """
+    right_on = right_on or on
+
+    # deterministic bucket from the key's string form (never Python hash())
+    from hashlib import blake2b
+
+    def add_bucket(t: pa.Table, key: str, side: int) -> pa.Table:
+        bs = [
+            int.from_bytes(blake2b(str(k).encode(), digest_size=4).digest(), "big")
+            % num_buckets
+            for k in t.column(key).to_pylist()
+        ]
+        t = t.append_column("bucket", pa.array(bs, pa.int32()))
+        return t.append_column("_side", pa.array([side] * t.num_rows, pa.int8()))
+
+    l = left.map_batches(
+        lambda t: add_bucket(t, on, 0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    r = right.map_batches(
+        lambda t: add_bucket(t, right_on, 1), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    lcols = [f.name for f in left.schema().base_schema]
+    rcols = [f.name for f in right.schema().base_schema]
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ldf = df[df["_side"] == 0][lcols + ["bucket"]].drop(columns=["bucket"])
+        rdf = df[df["_side"] == 1][rcols + ["bucket"]].drop(columns=["bucket"])
+        out = ldf.merge(rdf, left_on=on, right_on=right_on, how="inner")
+        return out
+
+    return l.union(r).groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_by: Optional[str] = None,
+    right_value_cols: Optional[List[str]] = None,
+) -> ray.data.Dataset:
+    """Backward as-of join: for each left row, the right row of the same key
+    with the greatest ``right_ts`` <= ``left_ts``; left rows with no match
+    are dropped (DuckDB ASOF JOIN inner semantics).
+
+    Partitioning assumption (documented per the build brief): rows are
+    hash-grouped by ``by``; each key's group must fit a task.  For skewed
+    keys, range-partition ``left_ts`` within the hot key and replicate the
+    right side per range.
+    """
+    right_by = right_by or by
+    rv = right_value_cols or [
+        f.name for f in right.schema().base_schema if f.name not in (right_by, right_ts)
+    ]
+
+    lcols = left.schema().names
+    # Union requires aligned schemas: each side carries the other side's
+    # columns as typed nulls (types taken from the source schemas).
+    lschema = {f.name: f.type for f in left.schema().base_schema}
+    rschema = {f.name: f.type for f in right.schema().base_schema}
+    r_out_types = {right_ts: rschema[right_ts], **{c: rschema[c] for c in rv}}
+
+    canon = list(lcols) + [c for c in ([right_ts] + rv) if c not in lcols] + ["_side"]
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        for c, typ in r_out_types.items():
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(n, typ))
+        return t.append_column("_side", pa.array([0] * n, pa.int8())).select(canon)
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        t = t.select([right_by, right_ts] + rv).rename_columns([by, right_ts] + rv)
+        n = t.num_rows
+        for c in lcols:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(n, lschema[c]))
+        return t.append_column("_side", pa.array([1] * n, pa.int8())).select(canon)
+
+    l = left.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True)
+    r = right.map_batches(pad_right, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        ldf = df[df["_side"] == 0][lcols].sort_values(left_ts, kind="mergesort")
+        rdf = df[df["_side"] == 1][[by, right_ts] + rv].sort_values(
+            right_ts, kind="mergesort"
+        )
+        if ldf.empty or rdf.empty:
+            empty = ldf.head(0).copy()
+            for c in rv:
+                empty[c] = pd.Series([], dtype=rdf[c].dtype)
+            return empty[lcols + rv]
+        out = pd.merge_asof(
+            ldf,
+            rdf.drop(columns=[by]),
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+        )
+        out = out[out[right_ts].notna()]
+        return out[lcols + rv]
+
+    return l.union(r).groupby(by).map_groups(merge_group, batch_format="pandas")
