@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q.q_sessions,
         "hash_join": q.q_hash_join,
         "asof_join": q.q_asof_join,
+        "range_join": q.q_range_join,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "lang_id": q.q_lang_id,
@@ -162,6 +163,17 @@ def oracle_sql() -> dict[str, str]:
                               max(o_orderkey) AS o_orderkey
                        FROM orders GROUP BY o_custkey, o_orderdate) o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "range_join": """
+            SELECT e.event_id, e.user_id, a.anchor_id, a.start_us
+            FROM events e
+            JOIN (SELECT user_id, event_id AS anchor_id,
+                         epoch_us(ts) AS start_us,
+                         epoch_us(ts) + 3600000000 AS end_us
+                  FROM events) a
+              ON e.user_id = a.user_id
+             AND epoch_us(e.ts) >= a.start_us
+             AND epoch_us(e.ts) <  a.end_us
         """,
         "surt_hosts": """
             SELECT doc_id,

@@ -536,3 +536,55 @@ def q_asof_join(sf_dir: str):
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_range_join(sf_dir: str):
+    """Interval self-join on the events stream: for each event, every event
+    of the same user inside [ts, ts + 1h) of an anchor event — the
+    inequality-join pattern (orders/events don't overlap in time in this
+    dataset, so the windows anchor on events themselves).  SQL-verified."""
+    from engine.stages.join import range_join
+
+    HOUR_US = 3600 * 1_000_000
+
+    def ev_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    def windows(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "start_us": ts,
+                "end_us": pc.add(ts, HOUR_US),
+                "anchor_id": t.column("event_id"),
+            }
+        )
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(ev_us, batch_format="pyarrow", zero_copy_batch=True)
+    anchors = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = range_join(
+        events,
+        anchors,
+        by="user_id",
+        left_ts="ts_us",
+        right_start="start_us",
+        right_end="end_us",
+        right_value_cols=["anchor_id"],
+    )
+    return joined.map_batches(
+        lambda t: t.select(["event_id", "user_id", "anchor_id", "start_us"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

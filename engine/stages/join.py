@@ -164,3 +164,74 @@ def asof_join(
         return out[lcols + rv]
 
     return l.union(r).groupby(by).map_groups(merge_group, batch_format="pandas")
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    right_by: Optional[str] = None,
+    right_value_cols: Optional[List[str]] = None,
+) -> ray.data.Dataset:
+    """Interval/range join: left rows matched to every right interval of the
+    same key with ``right_start <= left_ts < right_end``.
+
+    Same partitioning as asof_join (hash-group by key; per-group numpy
+    interval scan).  Emits one output row per (left row, matching interval)
+    pair — inner semantics, like a SQL inequality join.
+    """
+    right_by = right_by or by
+    rv = right_value_cols or [
+        n for n in right.schema().names if n not in (right_by, right_start, right_end)
+    ]
+    lcols = left.schema().names
+    lschema = {f.name: f.type for f in left.schema().base_schema}
+    rschema = {f.name: f.type for f in right.schema().base_schema}
+    canon = list(lcols) + [right_start, right_end] + rv + ["_side"]
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        for c in [right_start, right_end] + rv:
+            t = t.append_column(c, pa.nulls(n, rschema[c]))
+        return t.append_column("_side", pa.array([0] * n, pa.int8())).select(canon)
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        t = t.select([right_by, right_start, right_end] + rv).rename_columns(
+            [by, right_start, right_end] + rv
+        )
+        n = t.num_rows
+        for c in lcols:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(n, lschema[c]))
+        return t.append_column("_side", pa.array([1] * n, pa.int8())).select(canon)
+
+    l = left.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True)
+    r = right.map_batches(pad_right, batch_format="pyarrow", zero_copy_batch=True)
+
+    def join_group(df: pd.DataFrame) -> pd.DataFrame:
+        ldf = df[df["_side"] == 0][lcols]
+        rdf = df[df["_side"] == 1][[right_start, right_end] + rv]
+        out_cols = lcols + [right_start, right_end] + rv
+        if ldf.empty or rdf.empty:
+            empty = ldf.head(0).copy()
+            for c in [right_start, right_end] + rv:
+                empty[c] = pd.Series([], dtype=rdf[c].dtype if not rdf.empty else "object")
+            return empty[out_cols]
+        lv = ldf[left_ts].to_numpy()
+        starts = rdf[right_start].to_numpy()
+        ends = rdf[right_end].to_numpy()
+        li, ri = [], []
+        for j in range(len(rdf)):
+            hits = np.nonzero((lv >= starts[j]) & (lv < ends[j]))[0]
+            li.extend(hits.tolist())
+            ri.extend([j] * len(hits))
+        out = ldf.iloc[li].reset_index(drop=True)
+        radd = rdf.iloc[ri].reset_index(drop=True)
+        for c in [right_start, right_end] + rv:
+            out[c] = radd[c]
+        return out[out_cols]
+
+    return l.union(r).groupby(by).map_groups(join_group, batch_format="pandas")
