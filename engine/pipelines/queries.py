@@ -526,11 +526,13 @@ def q_asof_join(sf_dir: str):
     )
 
     def finalize(t: pa.Table) -> pa.Table:
+        # pandas group merges promote int columns with transient nulls to
+        # float64 — cast everything back so the schema matches the oracle
         return pa.table(
             {
-                "event_id": t.column("event_id"),
-                "user_id": t.column("user_id"),
-                "ts_us": t.column("ts_us"),
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "ts_us": t.column("ts_us").cast(pa.int64()),
                 "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
             }
         )
@@ -583,8 +585,12 @@ def q_range_join(sf_dir: str):
         right_end="end_us",
         right_value_cols=["anchor_id"],
     )
-    return joined.map_batches(
-        lambda t: t.select(["event_id", "user_id", "anchor_id", "start_us"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                c: t.column(c).cast(pa.int64())
+                for c in ("event_id", "user_id", "anchor_id", "start_us")
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
