@@ -78,3 +78,14 @@ def test_lang_detect_total(s):
     lang, score = detect_fast(s)
     assert lang in ("en", "de", "fr", "es", "it", "unknown")
     assert score >= 0
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_extract_page_total_on_bytes(b):
+    """extract_page never raises on arbitrary bytes; always yields a verdict."""
+    from engine.stages.extract import extract_page
+
+    r = extract_page("https://x.test/fuzz", b)
+    assert isinstance(r, dict)
+    assert (r["skip_reason"] is None) == (r["body"] is not None)
