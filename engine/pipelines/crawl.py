@@ -43,7 +43,7 @@ import json
 import os
 import shutil
 import time
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 _TIMING = os.environ.get("RAYCRAWL_TIMING", "") == "1"
 
@@ -311,28 +311,46 @@ class CrawlRun:
     def _wave_dir(self, wave: int) -> str:
         return os.path.join(self.workdir, "seed" if wave < 0 else f"wave_{wave:04d}")
 
+    @staticmethod
+    def _write_part(obj, tmp_dir: str, name: str) -> int:
+        """Write a checkpoint artifact; pa.Table -> single file, Dataset ->
+        distributed parquet directory (the 10^10-scale path: frontier and
+        enqueue logs never pass through the driver when large).  Returns the
+        row count (from parquet footers — no data read)."""
+        if isinstance(obj, pa.Table):
+            pq.write_table(obj, os.path.join(tmp_dir, f"{name}.parquet"))
+            return obj.num_rows
+        out = os.path.join(tmp_dir, name)
+        obj.write_parquet(out)
+        import glob as _glob
+
+        return sum(
+            pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(out, "*.parquet"))
+        )
+
     def _checkpoint(
         self,
         wave: int,
-        frontier: pa.Table,
+        frontier,
         order: pa.Table,
-        enq: pa.Table,
+        enq,
         metrics: Optional[Dict[str, int]] = None,
     ):
         d = self._wave_dir(wave)
         tmp = d + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(os.path.join(tmp, "shards"), exist_ok=True)
-        pq.write_table(frontier, os.path.join(tmp, "frontier.parquet"))
+        n_frontier = self._write_part(frontier, tmp, "frontier")
         pq.write_table(order, os.path.join(tmp, "order.parquet"))
-        pq.write_table(enq, os.path.join(tmp, "enqueued.parquet"))
+        n_enq = self._write_part(enq, tmp, "enqueued")
         # per-wave lineage/metrics row (north_rule: every partition
         # checkpoints its lineage + metrics to Parquet)
         m = dict(metrics or {})
         m.setdefault("n_selected", order.num_rows)
-        m.setdefault("n_new_enqueued", enq.num_rows)
+        m.setdefault("n_new_enqueued", n_enq)
         m["wave"] = wave
-        m["n_frontier_out"] = frontier.num_rows
+        m["n_frontier_out"] = n_frontier
         m["seen_total"] = int(sum(ray.get([s.seen_count.remote() for s in self.shards])))
         pq.write_table(
             pa.table({k: pa.array([v], pa.int64()) for k, v in sorted(m.items())}),
@@ -378,7 +396,7 @@ class CrawlRun:
         cand = pa.table(
             {"url": pa.array(canon, pa.string()), "depth": pa.array([0] * len(canon), pa.int64())}
         )
-        enq = self._enqueue(ray.data.from_arrow(cand))
+        enq = self._as_table(self._enqueue(ray.data.from_arrow(cand)))
         frontier = enq.filter(pc.equal(enq.column("blocked"), False)).select(
             ["url", "host", "depth", "priority"]
         )
@@ -425,11 +443,21 @@ class CrawlRun:
             batch_format="pyarrow",
             batch_size=65536,
         )
-        out_tables = ray.get(out.to_arrow_refs())
-        if not out_tables:
+        # materialize: the enqueue stage STAGES hashes into the shard actors
+        # as a side effect, so this execution must run exactly once; the
+        # result stays in the object store (never concatenated on the
+        # driver — the 10^10-scale path).
+        return out.materialize()
+
+    @staticmethod
+    def _as_table(enq) -> pa.Table:
+        if isinstance(enq, pa.Table):
+            return enq
+        tables = ray.get(enq.to_arrow_refs())
+        if not tables:
             return _EMPTY_ENQ_FULL
-        t = pa.concat_tables(out_tables, promote_options="default")
-        return t.combine_chunks() if t.num_rows else _EMPTY_ENQ_FULL
+        t = pa.concat_tables(tables, promote_options="default")
+        return t if t.num_rows else _EMPTY_ENQ_FULL
 
     # -- main loop ----------------------------------------------------------
     def run(self) -> Tuple[pa.Table, pa.Table]:
@@ -439,10 +467,19 @@ class CrawlRun:
 
         counts_ref = ray.put(dict(self.fetched_count))
         for wave in range(self.start_wave, self.cfg.max_waves):
+            import glob as _glob
+
             prev_dir = self._wave_dir(wave - 1)
-            frontier_path = os.path.join(prev_dir, "frontier.parquet")
-            frontier_t = pq.read_table(frontier_path)
-            if frontier_t.num_rows == 0:
+            f_file = os.path.join(prev_dir, "frontier.parquet")
+            if os.path.exists(f_file):
+                f_src: Any = f_file
+                n_frontier = pq.read_metadata(f_file).num_rows
+            else:
+                f_dir = os.path.join(prev_dir, "frontier")
+                parts = sorted(_glob.glob(os.path.join(f_dir, "*.parquet")))
+                f_src = parts
+                n_frontier = sum(pq.read_metadata(f).num_rows for f in parts)
+            if n_frontier == 0:
                 break
 
             wave_t0 = time.monotonic()
@@ -451,8 +488,8 @@ class CrawlRun:
             # frontiers shuffle via groupby(host).map_groups; small ones run
             # the SAME per-host function on the driver (no execution round
             # trip).  Results are identical: selection is per-host-local.
-            if frontier_t.num_rows >= self.cfg.driver_small_wave_threshold:
-                frontier = ray.data.from_arrow(frontier_t)
+            if n_frontier >= self.cfg.driver_small_wave_threshold:
+                frontier = ray.data.read_parquet(f_src)
                 n_salts = self.cfg.n_selection_salts
 
                 def add_salt(t: pa.Table) -> pa.Table:
@@ -487,6 +524,11 @@ class CrawlRun:
                 salted_selection = True
             else:
                 salted_selection = False
+                frontier_t = (
+                    pq.read_table(f_file)
+                    if isinstance(f_src, str)
+                    else pa.concat_tables([pq.read_table(f) for f in f_src])
+                )
                 fdf = frontier_t.to_pandas()
                 parts = [
                     _select_one_host(g, self.rules, self.fetched_count, self.cfg)
@@ -499,26 +541,29 @@ class CrawlRun:
             sel_mask = marked_t.column("selected")
             selected_t = marked_t.filter(sel_mask)
             if salted_selection:
-                # broadcast anti-join: carryover = frontier \\ selected
+                # broadcast anti-join: carryover = frontier \\ selected.
+                # Stays a Dataset — the carryover frontier never touches
+                # the driver on the large-wave path.
                 sel_set_ref = ray.put(set(selected_t.column("url").to_pylist()))
 
                 def drop_selected(t: pa.Table, ref=sel_set_ref) -> pa.Table:
                     sel = ray.get(ref)
                     keep = [u not in sel for u in t.column("url").to_pylist()]
-                    return t.filter(pa.array(keep))
+                    return t.filter(pa.array(keep)).select(
+                        ["url", "host", "depth", "priority"]
+                    )
 
-                carry_ds = ray.data.from_arrow(frontier_t).map_batches(
+                carry = ray.data.read_parquet(f_src).map_batches(
                     drop_selected, batch_format="pyarrow", zero_copy_batch=True
                 )
-                carry_t = pa.concat_tables(
-                    ray.get(carry_ds.to_arrow_refs()), promote_options="default"
-                ).select(["url", "host", "depth", "priority"])
+                n_carry = None  # counted from parquet footers at checkpoint
             else:
-                carry_t = marked_t.filter(pc.invert(sel_mask)).select(
+                carry = marked_t.filter(pc.invert(sel_mask)).select(
                     ["url", "host", "depth", "priority"]
                 )
+                n_carry = carry.num_rows
             if selected_t.num_rows == 0:
-                self._checkpoint(wave, carry_t, _EMPTY_ORDER, _EMPTY_ENQ)
+                self._checkpoint(wave, carry, _EMPTY_ORDER, _EMPTY_ENQ)
                 break
 
             # 2. global wave order (selected is budget-bounded -> driver)
@@ -604,33 +649,70 @@ class CrawlRun:
                     t0 = _tlog(f"wave {wave} extract ({len(sel)} pages)", t0)
                 links = fetched.map_batches(_discover_batch, batch_format="pyarrow")
             enq = self._enqueue(links)
-            t0 = _tlog(f"wave {wave} fetch+discover+enqueue ({len(sel)} sel, {enq.num_rows} new)", t0)
+            enq_is_table = isinstance(enq, pa.Table)
+            n_new = enq.num_rows if enq_is_table else enq.count()
+            t0 = _tlog(f"wave {wave} fetch+discover+enqueue ({len(sel)} sel, {n_new} new)", t0)
             ray.get([s.commit.remote() for s in self.shards])
             t0 = _tlog(f"wave {wave} commit", t0)
 
-            additions = (
-                enq.filter(pc.equal(enq.column("blocked"), False)).select(
-                    ["url", "host", "depth", "priority"]
+            # additions / enqueue-log / new frontier: tables on the small
+            # path, Datasets on the large path (never driver-materialized).
+            if enq_is_table:
+                additions = (
+                    enq.filter(pc.equal(enq.column("blocked"), False)).select(
+                        ["url", "host", "depth", "priority"]
+                    )
+                    if n_new
+                    else _EMPTY_FRONTIER
                 )
-                if enq.num_rows
-                else _EMPTY_FRONTIER
-            )
-            new_frontier = pa.concat_tables([carry_t, additions])
-            self._checkpoint(
-                wave, new_frontier, order_t,
-                enq.select(["url_hash", "url"]) if enq.num_rows else _EMPTY_ENQ,
-                metrics={
-                    "n_frontier_in": frontier_t.num_rows,
-                    "n_carryover": carry_t.num_rows,
-                    "wall_ms": int((time.monotonic() - wave_t0) * 1000),
-                },
-            )
+                enq_log = enq.select(["url_hash", "url"]) if n_new else _EMPTY_ENQ
+            else:
+                def _unblocked(t: pa.Table) -> pa.Table:
+                    return t.filter(pc.equal(t.column("blocked"), False)).select(
+                        ["url", "host", "depth", "priority"]
+                    )
+
+                additions = enq.map_batches(
+                    _unblocked, batch_format="pyarrow", zero_copy_batch=True
+                )
+                enq_log = enq.map_batches(
+                    lambda t: t.select(["url_hash", "url"]),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+
+            carry_is_table = isinstance(carry, pa.Table)
+            if carry_is_table and enq_is_table:
+                new_frontier = pa.concat_tables([carry, additions])
+            else:
+                carry_ds = carry if not carry_is_table else ray.data.from_arrow(carry)
+                adds_ds = (
+                    additions
+                    if not isinstance(additions, pa.Table)
+                    else ray.data.from_arrow(additions)
+                )
+                new_frontier = carry_ds.union(adds_ds)
+
+            metrics = {
+                "n_frontier_in": n_frontier,
+                "wall_ms": int((time.monotonic() - wave_t0) * 1000),
+            }
+            if n_carry is not None:
+                metrics["n_carryover"] = n_carry
+            self._checkpoint(wave, new_frontier, order_t, enq_log, metrics=metrics)
             _tlog(f"wave {wave} checkpoint", t0)
 
         return self.collect_outputs()
 
     def collect_outputs(self) -> Tuple[pa.Table, pa.Table]:
-        """Concatenate per-wave order/enqueued logs into the final artifacts."""
+        """Concatenate per-wave order/enqueued logs into the final artifacts.
+
+        NB: materializes the url_seen log — fine for the test/bench scales
+        that call it; a 10^10-URL run consumes the per-wave parquet logs
+        directly instead of calling this.
+        """
+        import glob as _glob
+
         orders, enqs = [], []
         for name in sorted(os.listdir(self.workdir)):
             d = os.path.join(self.workdir, name)
@@ -641,6 +723,9 @@ class CrawlRun:
                     orders.append(pq.read_table(op))
                 if os.path.exists(ep):
                     enqs.append(pq.read_table(ep))
+                else:
+                    for f in sorted(_glob.glob(os.path.join(d, "enqueued", "*.parquet"))):
+                        enqs.append(pq.read_table(f))
         order = pa.concat_tables(orders).sort_by([("seq", "ascending")])
         enq = pa.concat_tables(enqs).sort_by(
             [("url_hash", "ascending"), ("url", "ascending")]
