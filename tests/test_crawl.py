@@ -187,6 +187,37 @@ def test_resume_no_refetch(ray_session, fixture_dir, tmp_path):
     assert d_seen.equals(o_seen)
 
 
+def test_resume_distributed_frontier(ray_session, fixture_dir, oracle_result, tmp_path):
+    """Resume works when checkpointed frontiers are distributed parquet
+    DIRECTORIES (forced large-wave path), and still matches the oracle."""
+    from dataclasses import replace
+
+    from engine.pipelines.crawl import run_crawl
+
+    wd = str(tmp_path / "dist_resume_wd")
+    cfg_dist = replace(CFG, driver_small_wave_threshold=0)
+    run_crawl(
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+        wd,
+        replace(cfg_dist, max_waves=2),
+    )
+    assert os.path.isdir(os.path.join(wd, "wave_0001", "frontier")), (
+        "expected directory-form frontier checkpoint on the distributed path"
+    )
+    d_order, d_seen = run_crawl(
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+        wd,
+        cfg_dist,  # resumes at wave 2
+    )
+    o_order, o_seen = oracle_result
+    assert d_order.equals(o_order)
+    assert d_seen.equals(o_seen)
+
+
 def test_max_pages_budget_exhaustion(ray_session, fixture_dir, tmp_path):
     """A host's total max_pages budget caps its fetches across ALL waves."""
     import pyarrow as _pa
