@@ -6,22 +6,21 @@ fetch scheduler over a Parquet pages table, expressed Ray-Data-first.
 Per wave (semantics defined once in crawl_common; conformance oracle in
 crawl_oracle):
 
-1. **Politeness selection** — ``frontier.groupby('host').map_groups``
-   selects each host's top-k candidates by (priority desc, url) under its
-   crawl-delay budget and remaining page budget; the rest carry over.
-   Selection output is budget-bounded (sum of per-host wave caps), so it is
-   collected to the driver for global ordering; the carryover frontier stays
-   distributed.  SKEW: a mega-host's group is only ever sorted/truncated —
-   cost O(group); for 10^8-URL hosts, pre-truncate with a per-host
-   ``sort_by + head`` inside map_groups (already the code path) and salt the
-   groupby key into ``(host, url_hash % k)`` sub-groups merged by a second
-   small selection if a single host's frontier segment exceeds a block.
-2. **Fetch** — broadcast the selected URL set (``ray.put``), semi-join the
-   pages table inside ``map_batches`` (column-pruned read: url + html
-   only).  At 10^10 scale the pages table would be bucketed by
-   ``url_hash % B`` at ingest so each wave reads only matching buckets;
-   the broadcast-set filter is the in-sandbox stand-in with the same
-   semantics.
+1. **Politeness selection** — hybrid: frontiers above
+   ``driver_small_wave_threshold`` run a two-stage distributed selection
+   (stage 1: ``groupby((host, url_hash % n_salts))`` partial top-k bounds
+   mega-host skew; stage 2: exact per-host top-k over the per-salt
+   winners); smaller frontiers run the SAME per-host function on the
+   driver.  Selection output is budget-bounded (sum of per-host wave caps),
+   so it is collected to the driver for global ordering; the carryover
+   frontier stays a distributed Dataset on the large path (anti-join
+   against the selected set), checkpointed as a parquet directory.
+2. **Fetch** — broadcast the selected URL set (``ray.put``), semi-join
+   inside ``map_batches`` against one of three layouts: flat pages
+   (column-pruned scan), hash-bucketed pages, or a pre-derived bucketed
+   link graph (engine.sources.bucketed — only buckets containing selected
+   URLs are read; no HTML re-parse per wave).  ``extract_docs`` mode runs
+   the full ExtractPages actor pool on each wave's fetch (crawl-and-index).
 3. **Discovery** — ``map_batches`` parses links, emits (url, depth+1);
    exact within-wave dedup = ``groupby('url').aggregate(Min('depth'))``
    (hash shuffle on url — the one unavoidable wide op; pre-deduped per
