@@ -123,17 +123,27 @@ def cmd_crawl(args) -> int:
     from engine.pipelines.crawl import run_crawl
     from engine.pipelines.crawl_common import CrawlConfig
 
-    cfg = CrawlConfig(
-        max_waves=args.max_waves,
-        wave_seconds=args.wave_seconds,
-        num_shards=args.num_shards,
-    )
+    # Precedence (the reference's conf/local_config.py merge analog,
+    # conf/config.py:38-51): defaults < JSON config file < explicit CLI
+    # flags.  CLI flags default to None so "explicitly passed" is knowable.
+    cfg = CrawlConfig()
     if args.config:
-        # JSON config overrides (the reference's conf/local_config.py merge
-        # analog, conf/config.py:38-51): file fields win over defaults,
-        # explicit CLI flags win over the file via argparse defaults check.
         overrides = json.load(open(args.config))
+        valid = set(CrawlConfig.__dataclass_fields__)
+        unknown = set(overrides) - valid
+        if unknown:
+            raise SystemExit(f"unknown CrawlConfig keys in --config: {sorted(unknown)}")
         cfg = replace(cfg, **overrides)
+    cli_over = {
+        k: v
+        for k, v in (
+            ("max_waves", args.max_waves),
+            ("wave_seconds", args.wave_seconds),
+            ("num_shards", args.num_shards),
+        )
+        if v is not None
+    }
+    cfg = replace(cfg, **cli_over)
     t0 = time.monotonic()
     order, seen = run_crawl(
         args.pages, args.seeds, args.politeness, args.workdir, cfg,
@@ -188,9 +198,9 @@ def main(argv=None) -> int:
     c.add_argument("seeds")
     c.add_argument("workdir")
     c.add_argument("--politeness", default=None)
-    c.add_argument("--max-waves", type=int, default=20)
-    c.add_argument("--wave-seconds", type=float, default=30.0)
-    c.add_argument("--num-shards", type=int, default=16)
+    c.add_argument("--max-waves", type=int, default=None)
+    c.add_argument("--wave-seconds", type=float, default=None)
+    c.add_argument("--num-shards", type=int, default=None)
     c.add_argument("--extract", action="store_true",
                    help="run extraction on every fetched page (crawl-and-index)")
     c.add_argument("--config", default=None, help="JSON CrawlConfig overrides")

@@ -280,7 +280,6 @@ class CrawlRun:
         politeness_path: Optional[str],
         workdir: str,
         cfg: CrawlConfig = CrawlConfig(),
-        enqueue_concurrency=2,
         extract_docs: bool = False,
         extract_concurrency=(1, 8),
     ):
@@ -288,13 +287,21 @@ class CrawlRun:
         self.seeds_path = seeds_path
         self.workdir = workdir
         self.cfg = cfg
-        self.enqueue_concurrency = enqueue_concurrency
         # extract_docs: run the full extraction pipeline on every fetched
         # page within the wave (the crawl-and-index loop: streaming fetch
         # stages feeding the actor-pool extraction stage) and write
         # workdir/docs/wave_k/.  Requires an html pages layout.
         self.extract_docs = extract_docs
         self.extract_concurrency = extract_concurrency
+        if extract_docs:
+            from engine.sources.bucketed import is_bucketed, layout_kind
+
+            if is_bucketed(pages_path) and layout_kind(pages_path) == "links":
+                raise ValueError(
+                    "extract_docs=True needs HTML page bytes, but pages_path "
+                    "is a links-only layout (bucketize_links output); point "
+                    "it at the pages table or a bucketize_pages layout."
+                )
         os.makedirs(workdir, exist_ok=True)
         self.rules = load_politeness(politeness_path, cfg)
         self.rules_ref = ray.put(self.rules)
@@ -414,12 +421,15 @@ class CrawlRun:
         waves go through the groupby shuffle + a map_batches enqueue stage.
         Both paths call the same :func:`_enqueue_core`.
         """
-        refs = cand_ds.to_arrow_refs()
-        tables = ray.get(refs) if refs else []
-        n_rows = sum(t.num_rows for t in tables)
+        # materialize in the OBJECT STORE first: row count comes from block
+        # metadata, and only the small path ever pulls blocks to the driver
+        # (the large path must not — that is the whole point of it).
+        mat = cand_ds.materialize()
+        n_rows = mat.count()
         if n_rows == 0:
             return _EMPTY_ENQ_FULL
         if n_rows < self.cfg.driver_small_wave_threshold:
+            tables = ray.get(mat.to_arrow_refs())
             cand = pa.concat_tables(tables, promote_options="default")
             df = cand.to_pandas()
             ded = (
@@ -432,8 +442,7 @@ class CrawlRun:
                 }
             )
             return _enqueue_core(batch, self.shards, self.rules, self.cfg)
-        ds = ray.data.from_arrow_refs(refs)
-        deduped = ds.groupby("url").aggregate(Min("depth", alias_name="depth"))
+        deduped = mat.groupby("url").aggregate(Min("depth", alias_name="depth"))
         out = deduped.map_batches(
             _enqueue_stage,
             fn_kwargs=dict(
@@ -756,7 +765,6 @@ def run_crawl(
     politeness_path: Optional[str],
     workdir: str,
     cfg: CrawlConfig = CrawlConfig(),
-    enqueue_concurrency=2,
     extract_docs: bool = False,
     extract_concurrency=(1, 8),
 ) -> Tuple[pa.Table, pa.Table]:
@@ -772,7 +780,6 @@ def run_crawl(
         politeness_path,
         workdir,
         cfg,
-        enqueue_concurrency,
         extract_docs=extract_docs,
         extract_concurrency=extract_concurrency,
     )

@@ -252,9 +252,14 @@ def write_partitioned_by_uuid(
         p = uuid_prefix_partition_batch(t.column("uuid").to_pylist(), num_partitions)
         return t.append_column("partition", pa.array(p, pa.int32()))
 
-    ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
-        out_dir, partition_cols=["partition"]
-    )
+    import shutil as _shutil
+
+    _shutil.rmtree(out_dir, ignore_errors=True)  # partitioned writes append
+    # sort before the partitioned write so each partition gets ~1 file, not
+    # one sliver per (task x partition)
+    ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "partition"
+    ).write_parquet(out_dir, partition_cols=["partition"])
     return out_dir
 
 

@@ -64,16 +64,16 @@ DATA = pa.schema(
     ]
 )
 
-# Frontier table (new, per BASELINE.json north_rule).
+# Frontier table (new, per BASELINE.json north_rule).  Matches what the
+# crawl actually checkpoints (engine/pipelines/crawl.py _FRONTIER_SCHEMA);
+# url_hash/surt are derivable from url via engine.canonicalize and are not
+# persisted per frontier row.
 FRONTIER = pa.schema(
     [
         ("url", pa.string()),          # canonical URL
-        ("url_hash", pa.uint64()),
-        ("surt", pa.string()),
         ("host", pa.string()),
-        ("depth", pa.int32()),
+        ("depth", pa.int64()),
         ("priority", pa.float64()),
-        ("discovered_ts", pa.int64()),  # wave the URL was discovered in
     ]
 )
 

@@ -25,10 +25,13 @@ from ray.data.aggregate import Count, Min
 _TOKEN = re.compile(r"\S+")
 
 # Fixed MinHash parameters (Broder'97 resemblance estimation).
+# Universal hashing over the Mersenne prime 2^31-1: with a,b,x < 2^31 the
+# product a*x < 2^62 fits a uint64 EXACTLY — a 2^61-1 modulus would silently
+# wrap the product mod 2^64 first and void the universality guarantee.
 _N_PERM = 64
 _LSH_BANDS = 16
 _ROWS_PER_BAND = _N_PERM // _LSH_BANDS
-_MERSENNE = (1 << 61) - 1
+_MERSENNE = (1 << 31) - 1
 _rs = np.random.RandomState(0xC0FFEE)
 _PERM_A = _rs.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
 _PERM_B = _rs.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
@@ -54,10 +57,11 @@ def _shingles(text: str, k: int = 3) -> np.ndarray:
 
 
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
-    """64-perm MinHash signature via universal hashing ((a*x+b) mod p)."""
-    sh = _shingles(text, k) % _MERSENNE
+    """64-perm MinHash signature via exact universal hashing ((a*x+b) mod
+    2^31-1; all intermediates fit uint64 — see module constants)."""
+    sh = _shingles(text, k) % np.uint64(_MERSENNE)
     # (n_perm, n_shingles) is fine: shingle counts are bounded by doc length.
-    vals = (_PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]) % _MERSENNE
+    vals = (_PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]) % np.uint64(_MERSENNE)
     return vals.min(axis=1).astype(np.uint64)
 
 

@@ -145,8 +145,14 @@ def asof_join(
 
     def merge_group(df: pd.DataFrame) -> pd.DataFrame:
         ldf = df[df["_side"] == 0][lcols].sort_values(left_ts, kind="mergesort")
-        rdf = df[df["_side"] == 1][[by, right_ts] + rv].sort_values(
-            right_ts, kind="mergesort"
+        # Deterministic tie-break INSIDE the operator: duplicate (key, ts)
+        # right rows would otherwise surface whichever row arrived last in
+        # the shuffle.  Sort by (ts, *values) and keep the last per ts —
+        # the max value-tuple wins, independent of arrival order.
+        rdf = (
+            df[df["_side"] == 1][[by, right_ts] + rv]
+            .sort_values([right_ts] + rv, kind="mergesort")
+            .drop_duplicates(subset=[right_ts], keep="last")
         )
         if ldf.empty or rdf.empty:
             empty = ldf.head(0).copy()

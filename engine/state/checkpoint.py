@@ -41,11 +41,14 @@ def partition_inputs(files: Sequence[str], files_per_partition: int = 4) -> List
 
 
 def fingerprint_files(files: Sequence[str]) -> str:
+    """Path + size + mtime_ns: size alone would treat a same-size rewrite
+    as already-processed on resume (silently stale output)."""
     h = blake2b(digest_size=16)
     for f in sorted(files):
         st = os.stat(f)
         h.update(f.encode())
         h.update(str(st.st_size).encode())
+        h.update(str(st.st_mtime_ns).encode())
     return h.hexdigest()
 
 

@@ -47,9 +47,12 @@ class CuckooFilter:
     def __init__(self, capacity: int = 1 << 16):
         # Power-of-two bucket count sized for ~50% occupancy headroom.
         nb = 1
+        bits = 0
         while nb * _BUCKET_SLOTS < capacity * 2:
             nb <<= 1
+            bits += 1
         self.num_buckets = nb
+        self._bucket_bits = bits
         self.buckets = np.zeros((nb, _BUCKET_SLOTS), dtype=np.uint16)
         self.overflow: Set[Tuple[int, int]] = set()
         self._staged: List[int] = []
@@ -61,7 +64,13 @@ class CuckooFilter:
         return fp if fp != 0 else 1  # 0 marks an empty slot
 
     def _index1(self, h: int) -> int:
-        return h & (self.num_buckets - 1)
+        # Mix before masking: callers route hashes to shards with
+        # ``h % num_shards``, so raw low bits are CONSTANT within a shard —
+        # masking them directly would leave only 1/num_shards of buckets
+        # reachable as i1 (measured 33x overflow blowup).  Fibonacci-mix the
+        # full word and take HIGH bits instead.
+        mixed = ((h ^ (h >> 17)) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        return mixed >> (64 - self._bucket_bits)
 
     def _index2(self, i1: int, fp: int) -> int:
         # Partial-key cuckoo hashing: i2 = i1 xor hash(fp).
@@ -131,6 +140,7 @@ class CuckooFilter:
         d = pickle.loads(data)
         f = cls.__new__(cls)
         f.num_buckets = d["num_buckets"]
+        f._bucket_bits = int(d["num_buckets"]).bit_length() - 1
         f.buckets = d["buckets"]
         f.overflow = set(tuple(t) for t in d["overflow"])
         f._staged = []

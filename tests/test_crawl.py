@@ -300,3 +300,17 @@ def test_cuckoo_checkpoint_roundtrip():
     probe = np.arange(1, 5000, dtype=np.uint64) * np.uint64(40503)
     assert (f.contains_many(probe) == g.contains_many(probe)).all()
     assert g.count == f.count
+
+
+def test_cuckoo_shard_aligned_hashes_low_overflow():
+    """Regression: shard routing (h % S) must not alias bucket indexing —
+    shard-aligned hashes previously hit only 1/S of buckets as i1 (33x
+    overflow blowup)."""
+    rs = np.random.RandomState(5)
+    base = rs.randint(0, 2**59, size=60000, dtype=np.int64).astype(np.uint64)
+    aligned = (base * np.uint64(16)) + np.uint64(3)  # all ≡ 3 (mod 16)
+    f = CuckooFilter(1 << 16)
+    f.stage(aligned)
+    f.commit()
+    assert f.contains_many(aligned).all()
+    assert len(f.overflow) < 600, f"overflow blowup: {len(f.overflow)}"
