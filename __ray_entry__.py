@@ -81,21 +81,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)
         """,
+        # tokenizer class matches engine.stages.text._TOKEN exactly
+        # (explicit ASCII whitespace — Python \S and RE2 \S disagree on
+        # Unicode spaces)
         "token_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars,
-                   length(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   length(regexp_extract_all(text, '[^\t\n\v\f\r ]+')) AS n_tokens,
                    CAST(coalesce(list_sum(list_transform(
-                       regexp_extract_all(text, '\S+'), x -> length(x))), 0) AS BIGINT)
-                       AS tok_chars
+                       regexp_extract_all(text, '[^\t\n\v\f\r ]+'),
+                       x -> length(x))), 0) AS BIGINT) AS tok_chars
             FROM documents
         """,
         "doc_filter": r"""
             SELECT doc_id, lang, n_chars,
-                   length(regexp_extract_all(text, '\S+')) AS n_tokens
+                   length(regexp_extract_all(text, '[^\t\n\v\f\r ]+')) AS n_tokens
             FROM documents
             WHERE n_chars >= 200
-              AND length(regexp_extract_all(text, '\S+')) >= 40
+              AND length(regexp_extract_all(text, '[^\t\n\v\f\r ]+')) >= 40
         """,
         "lang_agg": """
             SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,

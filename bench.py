@@ -38,12 +38,20 @@ def _pages_cache(sf_dir: str) -> str:
     """
     import pyarrow.parquet as pq
 
+    import fcntl
+
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     replicate = max(1, TARGET_PAGES // max(n_docs, 1))
     key = f"{sf_dir.strip('/').replace('/', '_')}_r{replicate}"
     out = f"/tmp/bench_pages/{key}"
     marker = os.path.join(out, "_OK")
+    # exclusive lock: concurrent bench processes must not race the cache
+    # build (check-then-write on a shared /tmp path)
+    os.makedirs("/tmp/bench_pages", exist_ok=True)
+    lock = open(f"/tmp/bench_pages/.{key}.lock", "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
     if os.path.exists(marker):
+        fcntl.flock(lock, fcntl.LOCK_UN)
         return out
     import pyarrow as pa
     import ray.data
@@ -68,6 +76,7 @@ def _pages_cache(sf_dir: str) -> str:
         os.path.join(out, "seeds.parquet"),
     )
     open(marker, "w").write("ok")
+    fcntl.flock(lock, fcntl.LOCK_UN)
     return out
 
 
@@ -97,15 +106,27 @@ def run_bench() -> dict:
     cache = _pages_cache(SF_DIR)
     pages_path = os.path.join(cache, "pages")
 
-    # warm OS page cache + pre-start Ray worker processes (one tiny untimed
-    # execution) so both scaling runs measure steady-state throughput
-    ray.data.read_parquet(pages_path).count()
+    # warm OS page cache + pre-start Ray worker processes so both scaling
+    # runs measure steady-state throughput.  NB: a bare count() is answered
+    # from parquet metadata WITHOUT reading data blocks — force real block
+    # reads through a map_batches over every layout the bench touches.
+    import pyarrow as _pa
+
+    def _touch(t: _pa.Table) -> _pa.Table:
+        return _pa.table({"n": _pa.array([t.num_rows], _pa.int64())})
+
+    for p in (pages_path, os.path.join(cache, "links_bucketed"),
+              os.path.join(cache, "pages_bucketed")):
+        ray.data.read_parquet(p).map_batches(
+            _touch, batch_format="pyarrow", zero_copy_batch=True
+        ).count()
     extract_dataset(
-        ray.data.read_parquet(pages_path).limit(256), concurrency=2, batch_size=128
+        ray.data.read_parquet(pages_path).limit(256), concurrency=(1, 2), batch_size=128
     ).count()
 
     timings: dict = {}
-    pool = max(2, int(NUM_CPUS * 0.75))
+    # clamp: a fixed pool >= session CPUs deadlocks the streaming executor
+    pool = min(max(2, int(NUM_CPUS * 0.75)), max(1, NUM_CPUS - 1))
 
     # --- headline 1: extraction throughput ---------------------------------
     # best-of-2: the first trial pays actor-pool ramp-up; the second is the
@@ -161,8 +182,6 @@ def run_bench() -> dict:
     def timed(name, fn):
         t = time.monotonic()
         res = fn(SF_DIR)
-        import pyarrow as pa
-
         if hasattr(res, "materialize"):
             res = res.materialize()
             _ = res.count()

@@ -81,7 +81,7 @@ def extract_dataset(
     *,
     doc_id_prefix: str = "cc",
     lookup_path: Optional[str] = None,
-    concurrency: Any = (2, 8),
+    concurrency: Any = (1, 8),
     batch_size: int = 128,
     always_index_meta: bool = False,
     trust_content_type: bool = False,
@@ -122,7 +122,7 @@ def run_index_pipeline(
     *,
     doc_id_prefix: str = "cc",
     lookup_path: Optional[str] = None,
-    concurrency: Any = (2, 8),
+    concurrency: Any = (1, 8),
     batch_size: int = 128,
     always_index_meta: bool = False,
 ) -> Tuple[str, str]:
@@ -158,7 +158,7 @@ def run_index_pipeline_resumable(
     *,
     doc_id_prefix: str = "cc",
     lookup_path: Optional[str] = None,
-    concurrency: Any = (2, 8),
+    concurrency: Any = (1, 8),
     batch_size: int = 128,
     always_index_meta: bool = False,
     files_per_partition: int = 4,

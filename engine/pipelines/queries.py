@@ -148,7 +148,9 @@ def q_lookup_join(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
     )
-    return ds.map_batches(Join, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    return ds.map_batches(
+        Join, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 2)
+    )
 
 
 def q_events_window(sf_dir: str):

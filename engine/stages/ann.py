@@ -84,7 +84,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_size: int = 4096,
-    concurrency=2,
+    concurrency=(1, 2),
 ) -> ray.data.Dataset:
     """Exact cosine top-k: (query_id, vec_id, sim, rank), rank 1..k.
 

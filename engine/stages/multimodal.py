@@ -96,7 +96,7 @@ class DecodeMedia:
 
 
 def decode_media_dataset(
-    ds: ray.data.Dataset, *, fake: bool = True, batch_size: int = 32, concurrency=2
+    ds: ray.data.Dataset, *, fake: bool = True, batch_size: int = 32, concurrency=(1, 2)
 ) -> ray.data.Dataset:
     """Media table -> feature table via an actor pool with small batches."""
     return ds.map_batches(

@@ -30,7 +30,10 @@ import pyarrow.compute as pc
 
 from engine.lang import detect_batch
 
-_TOKEN = re.compile(r"\S+")
+# Explicit ASCII whitespace class, NOT r"\S+": Python re's \S excludes
+# Unicode spaces (NBSP etc.) while DuckDB/RE2's \S does not — the oracle SQL
+# and this tokenizer must agree character-for-character.
+_TOKEN = re.compile(r"[^\t\n\v\f\r ]+")
 _ALPHA = re.compile(r"[A-Za-z]")
 _DIGIT = re.compile(r"[0-9]")
 # GPT-2-style pre-tokenizer regex (Radford et al. 2019, public): contraction

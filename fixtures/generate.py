@@ -181,22 +181,61 @@ def _edge_case_pages(rng: random.Random, host: str) -> List[Tuple[str, bytes]]:
     return pages
 
 
+def _oracle_fingerprint() -> str:
+    """Hash of the oracle source files: expected text/lang columns go stale
+    whenever extraction/lang semantics change, so the cache key must change
+    with them (no manual version bump to forget)."""
+    import hashlib
+
+    import engine.html_extract as _hx
+    import engine.lang as _lg
+    import engine.stages.extract as _ex
+
+    h = hashlib.blake2b(digest_size=8)
+    for mod in (_hx, _lg, _ex):
+        h.update(open(mod.__file__, "rb").read())
+    return h.hexdigest()
+
+
 def generate(
     out_dir: str,
     n_pages: int = 1000,
     seed: int = 42,
     n_hosts: int = 30,
 ) -> str:
-    """Generate the corpus into ``out_dir``; cached on (n_pages, seed, n_hosts)."""
-    marker = os.path.join(out_dir, "_FIXTURE_OK.json")
-    params = {"n_pages": n_pages, "seed": seed, "n_hosts": n_hosts, "v": 3}
-    if os.path.exists(marker):
-        try:
-            if json.load(open(marker)) == params:
-                return out_dir
-        except Exception:
-            pass
+    """Generate the corpus into ``out_dir``; cached on (params, oracle hash).
+
+    Concurrency-safe: an exclusive flock guards check+regenerate, and the
+    validity marker is removed BEFORE any file is rewritten (an interrupted
+    regeneration must not leave a stale marker over mixed-generation data).
+    """
+    import fcntl
+
     os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_FIXTURE_OK.json")
+    params = {
+        "n_pages": n_pages,
+        "seed": seed,
+        "n_hosts": n_hosts,
+        "oracle": _oracle_fingerprint(),
+    }
+    lock = open(os.path.join(out_dir, ".lock"), "w")
+    fcntl.flock(lock, fcntl.LOCK_EX)
+    try:
+        if os.path.exists(marker):
+            try:
+                if json.load(open(marker)) == params:
+                    return out_dir
+            except Exception:
+                pass
+            os.remove(marker)
+        return _generate_locked(out_dir, marker, params, n_pages, seed, n_hosts)
+    finally:
+        fcntl.flock(lock, fcntl.LOCK_UN)
+        lock.close()
+
+
+def _generate_locked(out_dir, marker, params, n_pages, seed, n_hosts) -> str:
     rng = random.Random(seed)
     hosts = _hosts(n_hosts)
 

@@ -14,7 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def ray_session():
     import ray
 
-    if not ray.is_initialized():
+    we_initialized = not ray.is_initialized()
+    if we_initialized:
         ray.init(
             address="local",
             num_cpus=4,
@@ -28,11 +29,14 @@ def ray_session():
     # columns in pandas, not tensor extensions.
     DataContext.get_current().enable_tensor_extension_casting = False
     yield
-    ray.shutdown()
+    # only tear down a session this fixture created — an outer harness's
+    # Ray session is not ours to kill
+    if we_initialized:
+        ray.shutdown()
 
 
 @pytest.fixture(scope="session")
-def fixture_dir(tmp_path_factory) -> str:
+def fixture_dir() -> str:
     """Smoke-scale fixture corpus (cached across test runs in /tmp)."""
     from fixtures.generate import generate
 
