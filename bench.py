@@ -211,6 +211,36 @@ def run_bench() -> dict:
     return result
 
 
+def _cpu_burn(n_iter: int) -> float:
+    import hashlib
+    import time as _t
+
+    t0 = _t.monotonic()
+    h = b"x" * 64
+    for _ in range(n_iter):
+        h = hashlib.blake2b(h, digest_size=32).digest()
+    return n_iter / (_t.monotonic() - t0)
+
+
+def hardware_ceiling() -> float:
+    """Per-process pure-CPU throughput ratio at 32 vs 8 processes (no Ray).
+
+    On this virtualized single node, running 4x more processes lowers
+    per-core throughput (all-core frequency scaling / memory bandwidth /
+    host contention) — a ceiling that applies to ANY 8-vs-32 scaling
+    measurement and that a real N-vs-4N-node cluster does not have.  The
+    engine-attributable efficiency is measured_eff / this ceiling.
+    """
+    import multiprocessing as mp
+
+    rates = {}
+    for nproc in (8, 32):
+        with mp.Pool(nproc) as p:
+            rs = p.map(_cpu_burn, [300_000] * nproc)
+        rates[nproc] = sum(rs) / len(rs)
+    return rates[32] / rates[8]
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -224,6 +254,7 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = one(8), one(32)
+    hw = hardware_ceiling()
     # primary scaling criterion: extraction THROUGHPUT (urls/sec) ratio —
     # the compute-bound phase.  Per-wave crawl coordination (~1s/wave) is a
     # constant independent of cluster size and is reported separately; see
@@ -235,6 +266,10 @@ def run_scaling() -> dict:
         "value": round(eff_extract, 3),
         "unit": "ratio",
         "headline_efficiency": round(eff_headline, 3),
+        # pure-CPU per-process ratio at 32 vs 8 procs (no Ray): the
+        # hardware's own ceiling for this measurement on a shared node
+        "hardware_ceiling": round(hw, 3),
+        "engine_efficiency_normalized": round(min(1.0, eff_extract / hw), 3),
         # per-core rates separate engine scaling from host-level effects
         # (virtualized CPU burst at low parallelism): equal per-core rates
         # == linear engine scaling regardless of the wall-clock ratio.
