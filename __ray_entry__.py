@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": q.q_hash_join,
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,
+        "quantiles": q.q_quantiles,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "lang_id": q.q_lang_id,
@@ -177,6 +178,14 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = a.user_id
              AND epoch_us(e.ts) >= a.start_us
              AND epoch_us(e.ts) <  a.end_us
+        """,
+        "quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90,
+                   quantile_disc(value, 0.99) AS p99,
+                   count(*) AS n_rows
+            FROM events GROUP BY event_type
         """,
         "surt_hosts": """
             SELECT doc_id,

@@ -596,3 +596,30 @@ def q_range_join(sf_dir: str):
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_quantiles(sf_dir: str):
+    """Exact discrete quantiles per group (DuckDB quantile_disc convention:
+    sorted[ceil(q*n)-1]) — selected stored values are bit-exact across
+    engines, unlike interpolated quantiles.  SQL-verified."""
+    import math
+
+    import pandas as _pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def qdisc(df: _pd.DataFrame) -> _pd.DataFrame:
+        vals = df["value"].sort_values(kind="mergesort").to_numpy()
+        n = len(vals)
+        pick = lambda q: float(vals[max(0, math.ceil(q * n) - 1)])
+        return _pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "p50": [pick(0.5)],
+                "p90": [pick(0.9)],
+                "p99": [pick(0.99)],
+                "n_rows": _pd.Series([n], dtype="int64"),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(qdisc, batch_format="pandas")
