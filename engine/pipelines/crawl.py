@@ -98,16 +98,24 @@ def _frontier_table(urls, hosts, depths) -> pa.Table:
     )
 
 
-def _select_one_host(df: pd.DataFrame, rules, counts, cfg: CrawlConfig) -> pd.DataFrame:
-    """Politeness selection for one host's candidates (shared by the
-    distributed map_groups path and the driver small-wave fast path — ONE
-    implementation, so both paths are identical by construction)."""
+def _host_budget(df: pd.DataFrame, rules, counts, cfg: CrawlConfig) -> int:
+    """This wave's fetch budget for the host of ``df`` (ONE implementation:
+    the driver path, distributed stage 2, and salted stage 1 all use it —
+    the budget formula and sort key must never diverge between paths)."""
     host = df["host"].iloc[0]
     r = host_rules(rules, host, cfg)
-    k = min(per_wave_cap(r, cfg), max(0, r.max_pages - counts.get(host, 0)))
-    df = df.sort_values(
-        ["priority", "url"], ascending=[False, True], kind="mergesort"
-    ).reset_index(drop=True)
+    return min(per_wave_cap(r, cfg), max(0, r.max_pages - counts.get(host, 0)))
+
+
+def _sort_candidates(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["priority", "url"], ascending=[False, True], kind="mergesort")
+
+
+def _select_one_host(df: pd.DataFrame, rules, counts, cfg: CrawlConfig) -> pd.DataFrame:
+    """Politeness selection for one host's candidates (shared by the
+    distributed map_groups path and the driver small-wave fast path)."""
+    k = _host_budget(df, rules, counts, cfg)
+    df = _sort_candidates(df).reset_index(drop=True)
     df["selected"] = np.arange(len(df)) < k
     return df
 
@@ -129,15 +137,8 @@ def _preselect_salted(
     (each salt keeps >= k), so stage 2 over the union is exact.  This bounds
     any single task's input to frontier(host)/n_salts: the explicit
     skew-handling for mega-domains (north_rule; SURVEY.md §4)."""
-    rules = ray.get(rules_ref)
-    counts = ray.get(counts_ref)
-    host = df["host"].iloc[0]
-    r = host_rules(rules, host, cfg)
-    k = min(per_wave_cap(r, cfg), max(0, r.max_pages - counts.get(host, 0)))
-    df = df.sort_values(
-        ["priority", "url"], ascending=[False, True], kind="mergesort"
-    )
-    return df.head(k).drop(columns=["salt"])
+    k = _host_budget(df, ray.get(rules_ref), ray.get(counts_ref), cfg)
+    return _sort_candidates(df).head(k).drop(columns=["salt"])
 
 
 def _fetch_filter(batch: pa.Table, selected_ref) -> pa.Table:
@@ -169,10 +170,10 @@ def _links_filter(batch: pa.Table, selected_ref) -> pa.Table:
     """Links-table fetch: rows for selected urls -> flat (url, depth) links.
 
     Pre-canonicalized link lists (bucketize_links), so this is a pure
-    dict-membership filter + explode.  Duplicate source-url rows emit their
-    links repeatedly, exactly like the html path — downstream url-dedup
-    absorbs them (conformance holds when duplicate urls carry identical
-    content, same assumption the oracle makes).
+    dict-membership filter + explode.  Duplicate source-url rows each emit
+    their links, exactly like the html path — UNION semantics, which the
+    oracle implements identically (crawl_oracle keeps every copy's links;
+    downstream url-dedup makes the union order-free and deterministic).
     """
     selected: Dict[str, int] = ray.get(selected_ref)
     out_urls: List[str] = []
@@ -335,14 +336,16 @@ class CrawlRun:
             for f in _glob.glob(os.path.join(out, "*.parquet"))
         )
 
-    def _checkpoint(
-        self,
-        wave: int,
-        frontier,
-        order: pa.Table,
-        enq,
-        metrics: Optional[Dict[str, int]] = None,
-    ):
+    def _checkpoint_data(self, wave: int, frontier, order: pa.Table, enq) -> Tuple[str, int, int]:
+        """Phase 1: persist the wave's data artifacts into the tmp dir.
+
+        MUST run BEFORE the cuckoo commit: the enqueue dataset's blocks carry
+        a staging side effect, and if a lost block were reconstructed by Ray
+        lineage AFTER commit, the re-run would see every URL as already seen
+        and silently return empty.  Writing the artifacts to durable storage
+        first means reconstruction can only happen pre-commit, where the
+        enqueue stage is idempotent (re-staging dedups at commit).
+        """
         d = self._wave_dir(wave)
         tmp = d + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -350,10 +353,24 @@ class CrawlRun:
         n_frontier = self._write_part(frontier, tmp, "frontier")
         pq.write_table(order, os.path.join(tmp, "order.parquet"))
         n_enq = self._write_part(enq, tmp, "enqueued")
+        return tmp, n_frontier, n_enq
+
+    def _checkpoint_finalize(
+        self,
+        wave: int,
+        tmp: str,
+        order_rows: int,
+        n_frontier: int,
+        n_enq: int,
+        metrics: Optional[Dict[str, int]] = None,
+    ):
+        """Phase 2 (after shard commit): metrics + shard snapshots, atomic
+        rename, then state.json last (the completion marker)."""
+        d = self._wave_dir(wave)
         # per-wave lineage/metrics row (north_rule: every partition
         # checkpoints its lineage + metrics to Parquet)
         m = dict(metrics or {})
-        m.setdefault("n_selected", order.num_rows)
+        m.setdefault("n_selected", order_rows)
         m.setdefault("n_new_enqueued", n_enq)
         m["wave"] = wave
         m["n_frontier_out"] = n_frontier
@@ -372,6 +389,25 @@ class CrawlRun:
             os.path.join(self.workdir, "state.json"),
             {"wave": wave, "seq": self.seq, "fetched_count": self.fetched_count},
         )
+        self._prune_old(wave)
+
+    def _checkpoint(self, wave, frontier, order, enq, metrics=None):
+        """Single-phase form for paths with no staged side effect pending."""
+        tmp, n_frontier, n_enq = self._checkpoint_data(wave, frontier, order, enq)
+        self._checkpoint_finalize(wave, tmp, order.num_rows, n_frontier, n_enq, metrics)
+
+    def _prune_old(self, wave: int) -> None:
+        """Drop frontier snapshots + shard blobs of waves older than the one
+        resume actually uses (disk stays O(frontier), not O(frontier x
+        waves)); the order/enqueued/metrics logs are kept — they ARE the
+        crawl's output."""
+        for old in range(-1, wave - 1):
+            d = self._wave_dir(old)
+            shutil.rmtree(os.path.join(d, "shards"), ignore_errors=True)
+            shutil.rmtree(os.path.join(d, "frontier"), ignore_errors=True)
+            f = os.path.join(d, "frontier.parquet")
+            if os.path.exists(f):
+                os.remove(f)
 
     def resume(self) -> bool:
         """Restore from the last complete wave; True if state was found."""
@@ -407,10 +443,7 @@ class CrawlRun:
             ["url", "host", "depth", "priority"]
         )
         ray.get([s.commit.remote() for s in self.shards])
-        self._checkpoint(-1, frontier, pa.table({
-            "wave": pa.array([], pa.int64()), "seq": pa.array([], pa.int64()),
-            "url": pa.array([], pa.string()), "host": pa.array([], pa.string())}),
-            enq.select(["url_hash", "url"]))
+        self._checkpoint(-1, frontier, _EMPTY_ORDER, enq.select(["url_hash", "url"]))
 
     def _enqueue(self, cand_ds: ray.data.Dataset) -> pa.Table:
         """Dedup (min depth per url) -> seen-check/stage -> arrow result.
@@ -660,8 +693,6 @@ class CrawlRun:
             enq_is_table = isinstance(enq, pa.Table)
             n_new = enq.num_rows if enq_is_table else enq.count()
             t0 = _tlog(f"wave {wave} fetch+discover+enqueue ({len(sel)} sel, {n_new} new)", t0)
-            ray.get([s.commit.remote() for s in self.shards])
-            t0 = _tlog(f"wave {wave} commit", t0)
 
             # additions / enqueue-log / new frontier: tables on the small
             # path, Datasets on the large path (never driver-materialized).
@@ -701,13 +732,23 @@ class CrawlRun:
                 )
                 new_frontier = carry_ds.union(adds_ds)
 
+            # phase 1 (durable artifacts) BEFORE the shard commit — see
+            # _checkpoint_data docstring for the lineage-reconstruction
+            # hazard this ordering closes.
+            tmp, n_f_out, n_enq = self._checkpoint_data(
+                wave, new_frontier, order_t, enq_log
+            )
+            ray.get([s.commit.remote() for s in self.shards])
+            t0 = _tlog(f"wave {wave} artifacts+commit", t0)
             metrics = {
                 "n_frontier_in": n_frontier,
                 "wall_ms": int((time.monotonic() - wave_t0) * 1000),
             }
             if n_carry is not None:
                 metrics["n_carryover"] = n_carry
-            self._checkpoint(wave, new_frontier, order_t, enq_log, metrics=metrics)
+            self._checkpoint_finalize(
+                wave, tmp, order_t.num_rows, n_f_out, n_enq, metrics=metrics
+            )
             _tlog(f"wave {wave} checkpoint", t0)
 
         return self.collect_outputs()
@@ -724,7 +765,8 @@ class CrawlRun:
         orders, enqs = [], []
         for name in sorted(os.listdir(self.workdir)):
             d = os.path.join(self.workdir, name)
-            if name == "seed" or name.startswith("wave_"):
+            # exclude half-written .tmp checkpoint dirs left by a crash
+            if (name == "seed" or name.startswith("wave_")) and not name.endswith(".tmp"):
                 op = os.path.join(d, "order.parquet")
                 ep = os.path.join(d, "enqueued.parquet")
                 if os.path.exists(op):

@@ -49,12 +49,17 @@ def crawl_oracle(
 
     crawl_order: (wave, seq, url, host); url_seen: (url_hash, url).
     """
+    # UNION semantics for duplicate-canonical rows: every row whose raw URL
+    # canonicalizes to a fetched URL contributes its links (matching the
+    # distributed _fetch_filter, which has no notion of "first" row — block
+    # order is not a thing it can see).  Discovered sets stay deterministic:
+    # the union of per-copy link lists is order-free after dedup.
     pages_t = pq.read_table(pages_path, columns=["url", "html"])
-    web: Dict[str, bytes] = {}
+    web: Dict[str, List[bytes]] = {}
     for u, h in zip(pages_t.column("url").to_pylist(), pages_t.column("html").to_pylist()):
         c = canonicalize_url(u)
-        if c is not None and c not in web:
-            web[c] = h
+        if c is not None:
+            web.setdefault(c, []).append(h)
 
     rules = load_politeness(politeness_path, cfg)
     seen = ShardedSeenSet(cfg.num_shards, cfg.shard_capacity)
@@ -135,13 +140,14 @@ def crawl_oracle(
         discovered: List[Tuple[str, int]] = []
         disc_seen = set()
         for c in selected:
-            html = web.get(c.url)
-            if html is None:
+            htmls = web.get(c.url)
+            if htmls is None:
                 continue  # 404: budget consumed, no links
-            for link in discover_links(c.url, html):
-                if link not in disc_seen:
-                    disc_seen.add(link)
-                    discovered.append((link, c.depth + 1))
+            for html in htmls:
+                for link in discover_links(c.url, html):
+                    if link not in disc_seen:
+                        disc_seen.add(link)
+                        discovered.append((link, c.depth + 1))
 
         # keep first (min depth, url) per url: discovered list is in fetch
         # order; canonical rule = sort by (depth, url) then first-wins.

@@ -218,6 +218,46 @@ def test_resume_distributed_frontier(ray_session, fixture_dir, oracle_result, tm
     assert d_seen.equals(o_seen)
 
 
+def test_duplicate_canonical_urls_union_semantics(ray_session, tmp_path):
+    """Rows whose raw URLs canonicalize to the same URL but carry DIFFERENT
+    links: engine and oracle must both take the union of their links."""
+    from engine.pipelines.crawl import run_crawl
+
+    filler = "word " * 60
+    def page(links):
+        body = "".join(f'<a href="{u}">x</a>' for u in links)
+        return f"<html><body>{body}<p>{filler}</p></body></html>".encode()
+
+    rows = [
+        ("http://dup.test/x", page(["http://dup.test/a"])),
+        ("http://DUP.test//x", page(["http://dup.test/b"])),  # same canonical
+        ("http://dup.test/a", page([])),
+        ("http://dup.test/b", page([])),
+    ]
+    pages = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([None] * len(rows), pa.timestamp("us")),
+            "html": pa.array([r[1] for r in rows], pa.binary()),
+            "text": pa.array([None] * len(rows), pa.string()),
+            "lang": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    pages_path = str(tmp_path / "dup_pages.parquet")
+    pq.write_table(pages, pages_path)
+    seeds_path = str(tmp_path / "dup_seeds.parquet")
+    pq.write_table(pa.table({"url": pa.array(["http://dup.test/x"], pa.string())}), seeds_path)
+
+    cfg = CrawlConfig(max_waves=3, default_max_pages=100)
+    o_order, o_seen = crawl_oracle(pages_path, seeds_path, None, cfg)
+    d_order, d_seen = run_crawl(pages_path, seeds_path, None, str(tmp_path / "dup_wd"), cfg)
+    assert d_order.equals(o_order)
+    assert d_seen.equals(o_seen)
+    # both copies' links were discovered
+    fetched = set(o_order.column("url").to_pylist())
+    assert {"http://dup.test/a", "http://dup.test/b"} <= fetched
+
+
 def test_max_pages_budget_exhaustion(ray_session, fixture_dir, tmp_path):
     """A host's total max_pages budget caps its fetches across ALL waves."""
     import pyarrow as _pa
