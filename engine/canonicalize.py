@@ -41,6 +41,11 @@ _DEFAULT_PORT = {"http": ":80", "https": ":443"}
 def _norm_pct(s: str) -> str:
     def sub(m: re.Match) -> str:
         ch = chr(int(m.group(1), 16))
+        if ch == ".":
+            # RFC 3986: %2E is a LITERAL dot — decoding it before
+            # dot-segment resolution would conflate '/a/%2E%2E/b' with
+            # '/a/../b' (distinct resources) and break idempotence
+            return "%2E"
         return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
 
     return _PCT.sub(sub, s)
@@ -95,7 +100,11 @@ def host_of(url: str) -> str:
 
 
 def surt(url: str) -> str:
-    """SURT form of a canonical URL: 'org,example)/path?query'."""
+    """SURT form of a canonical URL: 'org,example)/path?query'.
+
+    Non-default ports are retained ('org,example:8080)/...') — dropping
+    them would merge distinct origins into one SURT key.
+    """
     try:
         parts = urlsplit(url)
     except ValueError:
@@ -104,6 +113,12 @@ def surt(url: str) -> str:
     if host.startswith("www."):
         host = host[4:]
     rev = ",".join(reversed(host.split(".")))
+    try:
+        port = parts.port
+    except ValueError:
+        port = None
+    if port is not None:
+        rev += f":{port}"
     tail = parts.path or "/"
     if parts.query:
         tail += "?" + parts.query
@@ -135,19 +150,3 @@ def canonicalize_batch(urls: Iterable[str]) -> Dict[str, np.ndarray]:
         "surt": np.array(surts, dtype=object),
         "url_hash": url_hash64(canon),
     }
-
-
-def canonicalize_table(batch: pa.Table, url_col: str = "url") -> pa.Table:
-    """map_batches stage body: replace url with canonical form and append
-    host / surt / url_hash columns; drops rows with unusable URLs."""
-    cols = canonicalize_batch(batch.column(url_col).to_pylist())
-    keep = np.array([bool(u) for u in cols["url"]])
-    out = batch
-    out = out.drop_columns([url_col]) if url_col in out.column_names else out
-    out = out.append_column("url", pa.array(cols["url"], type=pa.string()))
-    out = out.append_column("host", pa.array(cols["host"], type=pa.string()))
-    out = out.append_column("surt", pa.array(cols["surt"], type=pa.string()))
-    out = out.append_column("url_hash", pa.array(cols["url_hash"], type=pa.uint64()))
-    if not keep.all():
-        out = out.filter(pa.array(keep))
-    return out

@@ -293,10 +293,11 @@ class _TreeBuilder(HTMLParser):
         self._append(node, head_ok=tag in HEAD_ONLY)
 
     def handle_endtag(self, tag):
-        if tag == "head":
-            self._in_head_elem = False
-            return
-        if tag in ("html", "body"):
+        if tag in ("head", "html", "body"):
+            # structural close implicitly closes any still-open elements —
+            # otherwise an unclosed head element (e.g. <title> without
+            # </title>) would swallow the entire body as its text
+            self._stack.clear()
             self._in_head_elem = False
             return
         for i in range(len(self._stack) - 1, -1, -1):
@@ -359,7 +360,10 @@ def extract_plain_text(
 
     def flush():
         if cur:
-            line = ws_collapse(" ".join(cur))
+            # concatenate WITHOUT injected separators: inline elements must
+            # not split words ('auto<b>mat</b>ion' -> 'automation'); word
+            # boundaries come from the source text's own whitespace
+            line = ws_collapse("".join(cur))
             if line:
                 lines.append(line)
             cur.clear()
@@ -376,12 +380,12 @@ def extract_plain_text(
             if alt_texts and tag in ("img", "area"):
                 alt = child.attrs.get("alt", "").strip()
                 if alt:
-                    cur.append(alt)
+                    cur.append(" " + alt + " ")  # alt text is its own token
                 continue
             if tag in BLOCK_ELEMENTS:
                 flush()
                 if tag == "li" and list_bullets:
-                    cur.append("•")
+                    cur.append("• ")
                 walk(child, in_li or tag == "li")
                 flush()
             else:
@@ -409,9 +413,9 @@ def get_document_title(tree: HTMLTree) -> str:
     for tag in ("h1", "h2"):
         h = tree.body.find_first((tag,))
         if h is not None:
-            txt = h.text_content()
-            if txt:
-                return ws_collapse(txt)
+            txt = ws_collapse(h.text_content())
+            if txt:  # whitespace-only headings must NOT mask later fallbacks
+                return txt
     cls = tree.body.find_class("title")
     if cls is not None:
         return ws_collapse(cls.text_content())

@@ -48,10 +48,13 @@ class _PartialTopK:
         sims = self.qn @ vecs.T  # (n_queries, batch)
         k = min(self.k, sims.shape[1])
         out_q, out_id, out_sim = [], [], []
-        # partial top-k per query within this batch
-        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        # partial top-k per query within this batch, selected by the SAME
+        # total order the merge stage uses (sim desc, vec_id asc): a bare
+        # argpartition would keep positional ties, making the survivor set
+        # depend on batch partitioning
         for qi in range(sims.shape[0]):
-            for j in idx[qi]:
+            idx = _topk_by_order(sims[qi], ids, k)
+            for j in idx:
                 out_q.append(self.q_ids[qi])
                 out_id.append(ids[j])
                 out_sim.append(float(sims[qi, j]))
@@ -62,6 +65,19 @@ class _PartialTopK:
                 "sim": pa.array(out_sim, pa.float64()),
             }
         )
+
+
+def _topk_by_order(sims: np.ndarray, ids, k: int) -> np.ndarray:
+    """Indices of the top-k by (sim desc, id asc) — the total order used at
+    merge time, so partial winners are independent of batch partitioning."""
+    try:
+        id_arr = np.asarray(ids)
+        order = np.lexsort((id_arr, -sims))
+    except (TypeError, ValueError):  # non-sortable id dtype: Python fallback
+        order = np.array(
+            sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j])), dtype=np.int64
+        )
+    return order[:k]
 
 
 def _merge_topk_factory(k: int):
@@ -187,9 +203,8 @@ def ivf_topk(
             sub_ids = [ids[i] for i in np.nonzero(mask)[0]]
             sims = qm[qis] @ sub.T
             kk = min(k, sims.shape[1])
-            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             for r, qi in enumerate(qis):
-                for j in top[r]:
+                for j in _topk_by_order(sims[r], sub_ids, kk):
                     out_q.append(q_ids[qi])
                     out_id.append(sub_ids[j])
                     out_sim.append(float(sims[r, j]))

@@ -194,11 +194,22 @@ def minhash_lsh_pairs(
     )
     uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
+    if texts_ref is None:
+        raise ValueError(
+            "minhash_lsh_pairs needs texts_ref (ray.put of {doc_id: text}) "
+            "for exact-Jaccard verification; without it every LSH collision "
+            "would silently 'verify' at jaccard=1.0 (empty vs empty)."
+        )
+
     def verify(t: pa.Table) -> pa.Table:
-        texts: Dict = ray.get(texts_ref) if texts_ref is not None else {}
+        texts: Dict = ray.get(texts_ref)
         ja, keep_a, keep_b = [], [], []
         for da, db in zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist()):
-            sa, sb = _shingles(texts.get(da, ""), k), _shingles(texts.get(db, ""), k)
+            if da not in texts or db not in texts:
+                raise KeyError(
+                    f"texts_ref is missing doc id {da if da not in texts else db!r}"
+                )
+            sa, sb = _shingles(texts[da], k), _shingles(texts[db], k)
             inter = len(np.intersect1d(sa, sb))
             union = len(sa) + len(sb) - inter
             j = inter / union if union else 0.0

@@ -98,6 +98,9 @@ def extract_page(
 
         lang, _score = langmod.detect_fast(content_full)
 
+        # NB: main content is gated and stored RAW — the reference never
+        # strips replacement chars from it (only from content_full,
+        # process.py:264-268 vs :272-275).
         main_content = hx.extract_plain_text(
             tree,
             main_content=True,
@@ -105,10 +108,6 @@ def extract_page(
             preserve_formatting=True,
             list_bullets=False,
         )
-        if repl > 0:
-            main_content = hx.MULTI_SPACE_REGEX.sub(
-                " ", main_content.replace("�", "")
-            ).strip()
         if len(main_content) < hx.MIN_MAIN_CONTENT:
             return skip("main_too_short")
 

@@ -29,6 +29,26 @@ import ray
 import ray.data
 
 
+def _arrow_types(ds: ray.data.Dataset) -> "dict[str, pa.DataType]":
+    """name -> Arrow type for any Dataset, including pandas-backed ones
+    (whose ``schema().base_schema`` is a PandasBlockSchema namedtuple, not a
+    pyarrow.Schema — iterating it as fields crashes)."""
+    sch = ds.schema()
+    base = sch.base_schema
+    if isinstance(base, pa.Schema):
+        return {f.name: f.type for f in base}
+    out = {}
+    for name, typ in zip(sch.names, sch.types):
+        if isinstance(typ, pa.DataType):
+            out[name] = typ
+        else:
+            try:
+                out[name] = pa.from_numpy_dtype(typ)
+            except pa.ArrowNotImplementedError:
+                out[name] = pa.string()  # pandas object columns are strings here
+    return out
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -81,14 +101,22 @@ def bucketed_hash_join(
         lambda t: add_bucket(t, right_on, 1), batch_format="pyarrow", zero_copy_batch=True
     )
 
-    lcols = [f.name for f in left.schema().base_schema]
-    rcols = [f.name for f in right.schema().base_schema]
+    ltypes, rtypes = _arrow_types(left), _arrow_types(right)
+    lcols, rcols = list(ltypes), list(rtypes)
+    # the side-tagged union carries the other side's columns as nulls, which
+    # promotes pandas int columns to float64 — cast back after the (inner,
+    # hence null-free) merge
+    int_cols = {
+        c: "int64"
+        for c, t in {**ltypes, **rtypes}.items()
+        if pa.types.is_integer(t)
+    }
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         ldf = df[df["_side"] == 0][lcols + ["bucket"]].drop(columns=["bucket"])
         rdf = df[df["_side"] == 1][rcols + ["bucket"]].drop(columns=["bucket"])
         out = ldf.merge(rdf, left_on=on, right_on=right_on, how="inner")
-        return out
+        return out.astype({c: t for c, t in int_cols.items() if c in out.columns})
 
     return l.union(r).groupby("bucket").map_groups(join_bucket, batch_format="pandas")
 
@@ -112,15 +140,15 @@ def asof_join(
     right side per range.
     """
     right_by = right_by or by
+    rschema = _arrow_types(right)
     rv = right_value_cols or [
-        f.name for f in right.schema().base_schema if f.name not in (right_by, right_ts)
+        n for n in rschema if n not in (right_by, right_ts)
     ]
 
-    lcols = left.schema().names
     # Union requires aligned schemas: each side carries the other side's
     # columns as typed nulls (types taken from the source schemas).
-    lschema = {f.name: f.type for f in left.schema().base_schema}
-    rschema = {f.name: f.type for f in right.schema().base_schema}
+    lschema = _arrow_types(left)
+    lcols = list(lschema)
     r_out_types = {right_ts: rschema[right_ts], **{c: rschema[c] for c in rv}}
 
     canon = list(lcols) + [c for c in ([right_ts] + rv) if c not in lcols] + ["_side"]
@@ -193,9 +221,9 @@ def range_join(
     rv = right_value_cols or [
         n for n in right.schema().names if n not in (right_by, right_start, right_end)
     ]
-    lcols = left.schema().names
-    lschema = {f.name: f.type for f in left.schema().base_schema}
-    rschema = {f.name: f.type for f in right.schema().base_schema}
+    lschema = _arrow_types(left)
+    rschema = _arrow_types(right)
+    lcols = list(lschema)
     canon = list(lcols) + [right_start, right_end] + rv + ["_side"]
 
     def pad_left(t: pa.Table) -> pa.Table:

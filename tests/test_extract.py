@@ -172,3 +172,35 @@ def test_oracle_determinism():
     a = extract_page("https://e.com/x", html)
     b = extract_page("https://e.com/x", html)
     assert a == b
+
+
+def test_inline_tags_do_not_split_words():
+    """'auto<b>mat</b>ion' must extract as 'automation' (no injected space)."""
+    html = page(f"<p>auto<b>mat</b>ion {FILLER}</p>")
+    r = extract_page("u", html)
+    assert "automation" in r["full_body"]
+    assert "auto mat ion" not in r["full_body"]
+
+
+def test_unclosed_head_element_does_not_swallow_body():
+    html = (f"<html><head><title>Foo</head><body><p>{FILLER}</p></body></html>").encode()
+    r = extract_page("u", html)
+    assert r["skip_reason"] is None
+    assert "the and of" in r["full_body"]
+    assert r["title"] == "Foo"
+
+
+def test_whitespace_only_heading_falls_through():
+    html = page(f"<h1>  </h1><h2>Actual</h2><p>{FILLER}</p>", head="")
+    assert extract_page("u", html)["title"] == "Actual"
+
+
+def test_body_keeps_replacement_chars_like_reference():
+    """Reference gates/stores main content RAW (process.py:272-275): U+FFFD
+    is stripped from full text only."""
+    raw = ("<html><body><main><p>" + FILLER + " x�x</p></main></body></html>").encode(
+        "utf-8").replace("�".encode(), b"\x81")
+    r = extract_page("u", raw)
+    assert r["skip_reason"] is None
+    assert "�" in r["body"]
+    assert "�" not in r["full_body"]

@@ -32,3 +32,28 @@ def test_apply_updates_idempotent(ray_session):
         .reset_index(drop=True)
     )
     assert once.equals(twice)
+
+
+def test_bucketed_hash_join_matches_pandas(ray_session):
+    """Explicit bucketed join == pandas merge, incl. pandas-backed datasets."""
+    import pandas as pd
+    import ray.data
+
+    from engine.stages.join import bucketed_hash_join
+
+    ldf = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]})
+    rdf = pd.DataFrame({"k2": [2, 2, 3, 4], "rv": [10, 20, 30, 40]})
+    got = (
+        bucketed_hash_join(
+            ray.data.from_pandas(ldf), ray.data.from_pandas(rdf), on="k", right_on="k2"
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = (
+        ldf.merge(rdf, left_on="k", right_on="k2", how="inner")
+        .sort_values(["k", "lv", "rv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], exp[sorted(exp.columns)])
