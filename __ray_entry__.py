@@ -28,11 +28,12 @@ def _ctx():
 
 def entry() -> Any:
     """Flagship pipeline: synthesize pages from sf0.001 documents, run the
-    extraction pipeline, return the kept-document rows."""
+    extraction pipeline, return the kept-document rows (full surface:
+    uuid5 ids, language id, metadata)."""
     _ctx()
-    from engine.pipelines.queries import q_extract_pages
+    from engine.pipelines.queries import q_extract_enriched
 
-    return q_extract_pages("/root/testdata/sf0.001")
+    return q_extract_enriched("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -56,19 +57,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,
         "quantiles": q.q_quantiles,
+        "quality": q.q_quality,
+        "extract_pages": q.q_extract_pages,
+        "ann_topk": q.q_ann_topk,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "lang_id": q.q_lang_id,
-        "quality": q.q_quality,
         "fingerprint": q.q_fingerprint,
         "bpe_tokens": q.q_bpe_tokens,
         "minhash_dedup": q.q_minhash_dedup,
         "ngram_dedup": q.q_ngram_dedup,
         "simhash": q.q_simhash,
         "embedding_dedup": q.q_embedding_dedup,
-        "ann_topk": q.q_ann_topk,
         "ann_ivf": q.q_ann_ivf,
-        "extract_pages": q.q_extract_pages,
+        "extract_enriched": q.q_extract_enriched,
         "media_features": q.q_media_features,
         "crawl_order": q.q_crawl_order,
         "dedup_clusters": q.q_dedup_clusters,
@@ -179,6 +181,27 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) >= a.start_us
              AND epoch_us(e.ts) <  a.end_us
         """,
+        # ann_topk: rank-only check (sim deliberately excluded — see
+        # q_ann_topk docstring).  DOUBLE[] cast avoids DuckDB's float32
+        # path on list<float> columns.
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+        """,
         "quantiles": """
             SELECT event_type,
                    quantile_disc(value, 0.5) AS p50,
@@ -186,6 +209,87 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.99) AS p99,
                    count(*) AS n_rows
             FROM events GROUP BY event_type
+        """,
+        # quality: counts are exact; ppm = floor(1e6*count/n_chars) is
+        # bit-reproducible IEEE (unlike round(x,6), whose half-way handling
+        # differs between Python and DuckDB — measured on this testdata).
+        "quality": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                   length(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                   CASE WHEN length(text) = 0 THEN 0 ELSE
+                       CAST(floor(1000000.0 * length(regexp_extract_all(text, '[A-Za-z]'))
+                            / length(text)) AS BIGINT) END AS alpha_ppm,
+                   CASE WHEN length(text) = 0 THEN 0 ELSE
+                       CAST(floor(1000000.0 * length(regexp_extract_all(text, '[0-9]'))
+                            / length(text)) AS BIGINT) END AS digit_ppm
+            FROM documents
+        """,
+        # extract_pages: the pages table is a pure function of documents
+        # (engine/pipelines/testdata_pages.py); this SQL re-derives the
+        # synthesized HTML (incl. the link graph) and the extraction
+        # semantics for the synthetic shape: body is EXACTLY
+        # 'Document {id}.0\\n' + text (byte-identical extracted text, the
+        # input_hint per-row invariant, verified via the driver value hash),
+        # body_length = len(decoded html), kept iff len(body) >= 200
+        # (MIN_MAIN_CONTENT; the other skip gates never fire on well-formed
+        # synthetic pages).
+        "extract_pages": """
+            WITH m AS (
+              SELECT doc_id, source, text,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id AS gid, source AS gsrc,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS gpos
+              FROM documents
+            ),
+            gn AS (SELECT count(*) AS c FROM documents),
+            tgt AS (
+              SELECT m.doc_id, d.ordn, m2.doc_id AS t, m2.source AS tsrc
+              FROM m
+              JOIN (VALUES (1),(2),(3)) AS d(ordn) ON true
+              JOIN m m2 ON m2.source = m.source AND m2.pos = (m.pos + d.ordn) % m.n
+              WHERE m2.doc_id <> m.doc_id
+              UNION ALL
+              SELECT m.doc_id, 4 AS ordn, g.gid, g.gsrc
+              FROM m CROSS JOIN gn JOIN g ON g.gpos = (m.doc_id * 7 + 3) % gn.c
+              WHERE g.gid <> m.doc_id
+            ),
+            tgtd AS (
+              SELECT doc_id, ordn, t, tsrc,
+                     row_number() OVER (PARTITION BY doc_id, t ORDER BY ordn) AS rk
+              FROM tgt
+            ),
+            links AS (
+              SELECT doc_id,
+                     string_agg('<a href="https://' || tsrc || '.example.com/docs/' || t
+                         || '.html">d' || t || '</a> ', '' ORDER BY ordn) AS l
+              FROM tgtd WHERE rk = 1 GROUP BY doc_id
+            ),
+            page AS (
+              SELECT m.doc_id, m.source, m.text,
+                     '<!DOCTYPE html><html><head><title>Document ' || m.doc_id || '.0</title>'
+                     || '<meta name="description" content="synthetic doc ' || m.doc_id
+                     || ' from ' || m.source || '">'
+                     || '<meta name="keywords" content="' || m.source || ', doc' || m.doc_id
+                     || ', synthetic">'
+                     || '</head><body><nav>' || coalesce(l.l, '') || '</nav>'
+                     || '<article><h1>Document ' || m.doc_id || '.0</h1><p>'
+                     || replace(m.text, '<', '&lt;') || '</p></article>'
+                     || '</body></html>' AS html
+              FROM m LEFT JOIN links l ON l.doc_id = m.doc_id
+            )
+            SELECT 'https://' || source || '.example.com/docs/' || doc_id || '.html'
+                       AS warc_target_uri,
+                   'Document ' || doc_id || '.0' AS title,
+                   'Document ' || doc_id || '.0' || chr(10) || text AS body,
+                   length(html) AS body_length
+            FROM page
+            WHERE length('Document ' || doc_id || '.0' || chr(10) || text) >= 200
         """,
         "surt_hosts": """
             SELECT doc_id,

@@ -52,23 +52,7 @@ def q_token_stats(sf_dir: str):
 
     def stats(t: pa.Table) -> pa.Table:
         out = tx.token_stats(t, "text")
-        toks = out.column("n_tokens").to_numpy()
-        chars = out.column("n_chars").to_numpy()
-        # tok_chars = total non-ws chars = avg*count, recompute exactly:
-        texts = t.column("text").to_pylist()
-        tok_chars = np.fromiter(
-            (sum(len(x) for x in tx._TOKEN.findall(s or "")) for s in texts),
-            dtype=np.int64,
-            count=len(texts),
-        )
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "n_chars": pa.array(chars, pa.int64()),
-                "n_tokens": pa.array(toks, pa.int64()),
-                "tok_chars": pa.array(tok_chars, pa.int64()),
-            }
-        )
+        return out.select(["doc_id", "n_chars", "n_tokens", "tok_chars"])
 
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -261,16 +245,25 @@ def q_lang_id(sf_dir: str):
 
 
 def q_quality(sf_dir: str):
+    """Quality scoring, SQL-verified: exact counts + floor-ppm integers
+    (float round(x,6) ratios are deliberately excluded — Python and DuckDB
+    round() disagree on ~0.1% of rows; see text.quality_scores)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
-        lambda t: tx.quality_scores(t, "text").select(["doc_id", "alpha_ratio", "digit_ratio"]),
+        lambda t: tx.quality_scores(t, "text").select(
+            ["doc_id", "n_chars", "n_alpha", "n_digit", "alpha_ppm", "digit_ppm"]
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
 
 def q_bpe_tokens(sf_dir: str):
-    """BPE-ish (GPT-2 pre-tokenizer regex) token counting per document."""
+    """BPE-ish (GPT-2 pre-tokenizer regex) token counting per document.
+
+    Rows-only BY NECESSITY: the GPT-2 pre-tokenizer regex contains the
+    negative lookahead ``\\s+(?!\\S)`` which RE2 (DuckDB's regex engine)
+    cannot express — no faithful SQL oracle exists."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
         lambda t: tx.bpe_token_count(t, "text").select(["doc_id", "n_bpe_tokens"]),
@@ -329,20 +322,36 @@ def q_embedding_dedup(sf_dir: str):
 
 
 def _query_vectors(sf_dir: str, n: int = 5):
+    """First n vectors by vec_id ascending (deterministic; matches the
+    oracle's ``WHERE vec_id < n`` given sequential ids)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_pylist()[:n]
-    vecs = np.array(t.column("embedding").to_pylist()[:n], dtype=np.float64)
+    t = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .slice(0, n)
+    )
+    ids = t.column("vec_id").to_pylist()
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
     return ids, vecs
 
 
 def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k, SQL-verified on (query_id, vec_id, rank):
+    DuckDB list_cosine_similarity over DOUBLE[] agrees with the numpy path
+    on ordering (min adjacent top-k gap on this data ~1e-5, ten orders
+    above cross-engine fp divergence).  The sim score itself is excluded —
+    different summation orders make its last bits engine-specific."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     qids, qm = _query_vectors(sf_dir)
-    return brute_force_topk(ds, qids, qm, k=10).sort(["query_id", "rank"])
+    topk = brute_force_topk(ds, qids, qm, k=10).sort(["query_id", "rank"])
+    return topk.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def q_ann_ivf(sf_dir: str):
@@ -354,7 +363,32 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_extract_pages(sf_dir: str):
-    """Flagship extraction over the synthesized pages table."""
+    """Flagship extraction over the synthesized pages table, SQL-verified.
+
+    Output restricted to the columns a DuckDB oracle can derive from
+    ``documents`` via the same deterministic synthesis rules
+    (testdata_pages.py is a pure function of documents): url identity,
+    title, the FULL extracted text (``body`` — this drives the
+    byte-identical-extracted-text invariant through the driver's value
+    hash), and body_length.  uuid/lang (uuid5 + trigram model, not SQL)
+    live in q_extract_enriched.
+    """
+    from engine.pipelines.index_pipeline import extract_dataset
+
+    pages = pages_dataset(sf_dir)
+    ex = extract_dataset(pages, concurrency=(1, 4), batch_size=256)
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t.column("skip_reason")))
+        return t.select(["warc_target_uri", "title", "body", "body_length"])
+
+    return ex.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_extract_enriched(sf_dir: str):
+    """Full extraction surface (uuid5 ids + language id + metadata) —
+    rows-only: uuid5/b64 and the trigram language model have no SQL
+    equivalent."""
     from engine.pipelines.index_pipeline import extract_dataset
 
     pages = pages_dataset(sf_dir)

@@ -57,7 +57,8 @@ def contract(ray_session):
 SQL_NAMES = [
     "exact_dedup", "token_stats", "doc_filter", "lang_agg", "lookup_join",
     "events_window", "topk_orders", "pricing_summary", "surt_hosts",
-    "distinct_users", "sessions", "hash_join", "asof_join", "range_join", "quantiles",
+    "distinct_users", "sessions", "hash_join", "asof_join", "range_join",
+    "quantiles", "quality", "extract_pages", "ann_topk",
 ]
 
 
@@ -85,15 +86,13 @@ def test_sql_parity(contract, name):
 ROWS_ONLY = [
     ("webis_ids", 1),
     ("lang_id", 1),
-    ("quality", 1),
     ("fingerprint", 1),
     ("simhash", 1),
     ("minhash_dedup", 0),
     ("ngram_dedup", 0),
     ("embedding_dedup", 0),
-    ("ann_topk", 1),
     ("ann_ivf", 1),
-    ("extract_pages", 1),
+    ("extract_enriched", 1),
     ("media_features", 1),
     ("crawl_order", 1),
     ("bpe_tokens", 1),
