@@ -288,22 +288,18 @@ def q_fingerprint(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _texts_ref(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ray.put(dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())))
-
-
 def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup pairs — fully distributed verification (the
+    candidate list is hash-joined against the documents table; no
+    whole-corpus broadcast)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    pairs = dd.minhash_lsh_pairs(ds, threshold=0.5, texts_ref=_texts_ref(sf_dir))
+    pairs = dd.minhash_lsh_pairs(ds, threshold=0.5)
     return pairs.sort(["doc_a", "doc_b"])
 
 
 def q_ngram_dedup(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
-    pairs = dd.ngram_jaccard_pairs(ds, threshold=0.2, texts_ref=_texts_ref(sf_dir))
+    pairs = dd.ngram_jaccard_pairs(ds, threshold=0.2)
     return pairs.sort(["doc_a", "doc_b"])
 
 
@@ -494,10 +490,10 @@ def q_sessions(sf_dir: str):
 
 def q_dedup_clusters(sf_dir: str):
     """Near-dup clusters: MinHash-LSH pairs -> connected components via
-    iterative min-label propagation (rows-only; verified against a
-    union-find oracle in tests)."""
+    distributed min-label propagation (edges and labels stay Datasets;
+    rows-only; verified against a union-find oracle in tests)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    pairs = dd.minhash_lsh_pairs(ds, threshold=0.2, texts_ref=_texts_ref(sf_dir))
+    pairs = dd.minhash_lsh_pairs(ds, threshold=0.2)
     return dd.connected_components(pairs).sort("doc_id")
 
 

@@ -24,6 +24,25 @@ from ray.data.aggregate import Count, Min
 
 _TOKEN = re.compile(r"\S+")
 
+
+def _join_partitions(requested: int | None = None) -> int:
+    """Join/shuffle partition count sized to the session.
+
+    The native join spawns hash-shuffle aggregator actors per operator;
+    chaining several joins with num_partitions >= session CPUs deadlocks
+    the streaming executor on small sessions (same failure mode as the
+    fixed-actor-pool rule in CLAUDE.md — measured: 3 chained 16-partition
+    joins hang at 8 CPUs, run fine at cpus//2).  On a real cluster pass
+    ``requested`` explicitly; partition count should scale with aggregate
+    cores, not per-node.
+    """
+    if requested is not None:
+        return requested
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    return max(2, min(64, cpus // 2))
+
 # Fixed MinHash parameters (Broder'97 resemblance estimation).
 # Universal hashing over the Mersenne prime 2^31-1: with a,b,x < 2^31 the
 # product a*x < 2^62 fits a uint64 EXACTLY — a 2^61-1 modulus would silently
@@ -114,7 +133,9 @@ class MinHashStage:
                 bhash.append(h)
         return pa.table(
             {
-                "band": pa.array(bands, pa.int32()),
+                # int64 (not int32): groupby aggregates promote keys to
+                # int64 and the native join requires exact type equality
+                "band": pa.array(bands, pa.int64()),
                 "band_hash": pa.array(bhash, pa.int64()),
                 "doc_id": pa.array(ids),
             }
@@ -142,74 +163,109 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
-    texts_ref=None,
+    texts: ray.data.Dataset | None = None,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
-    shingle->minhash per batch -> explode to band rows -> groupby
-    (band, band_hash) -> pairwise candidates -> dedup pairs -> verify true
-    shingle Jaccard >= threshold.  Verification fetches texts from a
-    broadcast dict (``texts_ref``) — fine while the candidate set times
-    shingle size fits a worker; at corpus scale swap for a hash-join of the
-    pair list against the text table on doc id.
-    Output: (doc_a, doc_b, jaccard) with jaccard as rounded float64.
+    Fully distributed (no corpus-proportional driver or broadcast state):
+
+    1. shingle->minhash per batch -> explode to (band, band_hash, doc_id).
+    2. hot buckets: groupby + Count, then ``n >= 2`` filtered in a
+       map_batches stage — the aggregate never touches the driver.
+    3. colliding band rows: native hash-join of bands against the hot-key
+       set on (band, band_hash).
+    4. pairwise candidates inside each colliding bucket, deduped with a
+       groupby Count.
+    5. exact-Jaccard verification: the candidate-pair list is hash-joined
+       against the text table TWICE (doc_a -> text_a, doc_b -> text_b);
+       the jaccard check runs per batch over the joined rows.  Shuffle
+       volume is O(candidate pairs x text size), never O(corpus) held in
+       one place.
+
+    ``texts`` defaults to ``ds`` itself (only ``id_col``/``text_col`` are
+    read).  Output: (doc_a, doc_b, jaccard), jaccard rounded float64.
     """
+    num_partitions = _join_partitions(num_partitions)
     bands = ds.map_batches(
         MinHashStage(text_col=text_col, id_col=id_col, k=k),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # consumed twice (hot aggregate + join); band rows are small derived
+    # keys (docs x bands), never raw text
+    bands = bands.materialize()
+
     # Almost every LSH bucket is a singleton; running a Python map_groups
-    # call per bucket dominates wall time.  First find colliding buckets
-    # with a vectorized hash aggregate (C-speed), then run the pairwise
-    # stage only on rows whose bucket actually collides (broadcast
-    # semi-join on the hot-bucket set — small because collisions are rare;
-    # at corpus scale where even the colliding set is huge, replace the
-    # broadcast with a hash-join of bands against hot keys).
-    bands = bands.materialize()  # consumed twice; (docs x bands) small rows
+    # call per bucket dominates wall time.  Find colliding buckets with a
+    # vectorized hash aggregate first, filter n >= 2 DISTRIBUTED, and
+    # semi-join the band rows against the hot keys with a native hash join.
     hot = bands.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
-    hot_t = pa.concat_tables(ray.get(hot.to_arrow_refs()), promote_options="default")
-    hot_keys = {
-        (b, h)
-        for b, h, n in zip(
-            hot_t.column("band").to_pylist(),
-            hot_t.column("band_hash").to_pylist(),
-            hot_t.column("n").to_pylist(),
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("n"), 2)).select(
+            ["band", "band_hash"]
         )
-        if n >= 2
-    }
-    hot_ref = ray.put(hot_keys)
 
-    def keep_hot(t: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        mask = [
-            (b, h) in keys
-            for b, h in zip(t.column("band").to_pylist(), t.column("band_hash").to_pylist())
-        ]
-        return t.filter(pa.array(mask))
-
-    colliding = bands.map_batches(keep_hot, batch_format="pyarrow", zero_copy_batch=True)
+    hot_keys = hot.map_batches(only_hot, batch_format="pyarrow", zero_copy_batch=True)
+    colliding = bands.join(
+        hot_keys,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("band", "band_hash"),
+    )
     cand = colliding.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
     )
     uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
-    if texts_ref is None:
-        raise ValueError(
-            "minhash_lsh_pairs needs texts_ref (ray.put of {doc_id: text}) "
-            "for exact-Jaccard verification; without it every LSH collision "
-            "would silently 'verify' at jaccard=1.0 (empty vs empty)."
-        )
+    if texts is None:
+        texts = ds
+    texts = texts.map_batches(
+        lambda t: t.select([id_col, text_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _rename(t: pa.Table, old: str, new: str, drop) -> pa.Table:
+        t = t.drop_columns([c for c in drop if c in t.column_names])
+        names = [new if c == old else c for c in t.column_names]
+        return t.rename_columns(names)
+
+    with_a = uniq.join(
+        texts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_a",),
+        right_on=(id_col,),
+    ).map_batches(
+        lambda t: _rename(t, text_col, "text_a", [id_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    with_b = with_a.join(
+        texts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_b",),
+        right_on=(id_col,),
+    ).map_batches(
+        lambda t: _rename(t, text_col, "text_b", [id_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     def verify(t: pa.Table) -> pa.Table:
-        texts: Dict = ray.get(texts_ref)
         ja, keep_a, keep_b = [], [], []
-        for da, db in zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist()):
-            if da not in texts or db not in texts:
-                raise KeyError(
-                    f"texts_ref is missing doc id {da if da not in texts else db!r}"
-                )
-            sa, sb = _shingles(texts[da], k), _shingles(texts[db], k)
+        for da, db, ta, tb in zip(
+            t.column("doc_a").to_pylist(),
+            t.column("doc_b").to_pylist(),
+            t.column("text_a").to_pylist(),
+            t.column("text_b").to_pylist(),
+        ):
+            sa, sb = _shingles(ta, k), _shingles(tb, k)
             inter = len(np.intersect1d(sa, sb))
             union = len(sa) + len(sb) - inter
             j = inter / union if union else 0.0
@@ -219,13 +275,13 @@ def minhash_lsh_pairs(
                 ja.append(round(j, 6))
         return pa.table(
             {
-                "doc_a": pa.array(keep_a),
-                "doc_b": pa.array(keep_b),
+                "doc_a": pa.array(keep_a, t.column("doc_a").type),
+                "doc_b": pa.array(keep_b, t.column("doc_b").type),
                 "jaccard": pa.array(ja, pa.float64()),
             }
         )
 
-    return uniq.map_batches(verify, batch_format="pyarrow")
+    return with_b.map_batches(verify, batch_format="pyarrow")
 
 
 class SimHashStage:
@@ -268,7 +324,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.2,
-    texts_ref=None,
+    texts: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """All-pairs n-gram Jaccard above threshold, LSH-pruned.
 
@@ -278,7 +334,7 @@ def ngram_jaccard_pairs(
     used by tests at tiny scale).
     """
     return minhash_lsh_pairs(
-        ds, text_col=text_col, id_col=id_col, k=k, threshold=threshold, texts_ref=texts_ref
+        ds, text_col=text_col, id_col=id_col, k=k, threshold=threshold, texts=texts
     )
 
 
@@ -378,61 +434,118 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 20,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Cluster near-duplicate pairs into components by iterative min-label
     propagation (the distributed-friendly alternative to driver union-find):
 
         label(v) <- min(label(v), min over neighbors(label(u)))
 
-    repeated until no label changes (each round is one groupby shuffle over
-    (node, candidate_label) rows).  Converges in O(component diameter)
-    rounds; near-dup components are shallow in practice.  Output:
-    (doc_id, cluster_id) where cluster_id is the component's minimum id.
+    Fully distributed: edges and labels stay Datasets end-to-end — per
+    round, one hash-join (edges x labels on src) and one groupby(node).Min;
+    the pair set is never driver-materialized or broadcast.  Converges in
+    O(component diameter) rounds; near-dup components are shallow in
+    practice.
 
-    The label map is broadcast per round (``ray.put`` dict), which assumes
-    the PAIR GRAPH is small relative to the corpus — true for near-dup
-    detection (collisions are rare by construction).  For pair sets too big
-    to broadcast, replace the broadcast with a hash-join of edges against
-    the label table per round; the iteration structure is unchanged.
+    Convergence is detected without a per-round join: labels only ever
+    decrease under Min-propagation, so the label multiset changes iff its
+    deterministic fingerprint (sum of per-row blake2b(node|label) mod 2^63)
+    changes — one cheap aggregate per round, dtype-agnostic.
+
+    Output: (doc_id, cluster_id) where cluster_id is the component's
+    minimum id, sorted by the caller.
     """
-    import pandas as _pd
-
-    edges = pairs.select_columns([a_col, b_col]).to_pandas()
-    # symmetric edge list + self-loops as the propagation substrate
-    fwd = edges.rename(columns={a_col: "src", b_col: "dst"})
-    rev = edges.rename(columns={b_col: "src", a_col: "dst"})
-    sym = _pd.concat([fwd, rev], ignore_index=True)
-    nodes = _pd.unique(_pd.concat([sym["src"], sym["dst"]], ignore_index=True))
-    labels = _pd.DataFrame({"node": nodes, "label": nodes})
-
-    edge_ds = ray.data.from_pandas(sym)
-    label_ds = ray.data.from_pandas(labels)
     from ray.data.aggregate import Min as _Min
 
-    for _ in range(max_iters):
-        lab_ref = ray.put(dict(zip(labels["node"], labels["label"])))
+    num_partitions = _join_partitions(num_partitions)
 
-        def prop(t: pa.Table, ref=lab_ref) -> pa.Table:
-            lab = ray.get(ref)
-            src = t.column("src").to_pylist()
-            dst = t.column("dst").to_pylist()
-            return pa.table({
-                "node": pa.array(dst),
-                "cand": pa.array([lab[s] for s in src]),
-            })
-
-        cands = edge_ds.map_batches(prop, batch_format="pyarrow", zero_copy_batch=True)
-        new = (
-            cands.groupby("node").aggregate(_Min("cand", alias_name="cand")).to_pandas()
+    def to_sym(t: pa.Table) -> pa.Table:
+        a, b = t.column(a_col).combine_chunks(), t.column(b_col).combine_chunks()
+        return pa.table(
+            {
+                "src": pa.chunked_array([a, b]),
+                "dst": pa.chunked_array([b, a]),
+            }
         )
-        merged = labels.merge(new, on="node", how="left")
-        merged["new_label"] = merged[["label", "cand"]].min(axis=1)
-        changed = (merged["new_label"] != merged["label"]).sum()
-        labels = merged[["node", "new_label"]].rename(columns={"new_label": "label"})
-        if changed == 0:
-            break
 
-    out = labels.rename(columns={"node": "doc_id", "label": "cluster_id"}).sort_values(
-        "doc_id"
+    edges = pairs.map_batches(
+        to_sym, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # initial labels: label(v) = v, one row per distinct node
+    labels = (
+        edges.groupby("src")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table({"node": t.column("src"), "label": t.column("src")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
     )
-    return ray.data.from_pandas(out.reset_index(drop=True))
+
+    def _fingerprint(lab: ray.data.Dataset) -> int:
+        # Sum of per-row hashes is partition-independent (unlike any
+        # per-block masking), but can exceed int64 — per-block partials are
+        # carried as decimal strings and combined with Python bigints on
+        # the driver (one tiny row per block, never the label rows).
+        def fp(t: pa.Table) -> pa.Table:
+            s = 0
+            for n_, l_ in zip(t.column("node").to_pylist(), t.column("label").to_pylist()):
+                h = blake2b(f"{n_}|{l_}".encode(), digest_size=8).digest()
+                s += int.from_bytes(h, "big")
+            return pa.table({"fp": pa.array([str(s)], pa.string())})
+
+        parts = lab.map_batches(fp, batch_format="pyarrow").take_all()
+        return sum(int(r["fp"]) for r in parts)
+
+    prev_fp = _fingerprint(labels)
+    for _ in range(max_iters):
+        # candidate labels: each edge proposes src's label to dst, plus the
+        # node's own current label (self-loop) so labels never regress
+        prop = (
+            edges.join(
+                labels,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",),
+                right_on=("node",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("dst"), "cand": t.column("label")}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+        own = labels.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "cand": t.column("label")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        labels = (
+            prop.union(own)
+            .groupby("node")
+            .aggregate(_Min("cand", alias_name="cand"))
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("node"), "label": t.column("cand")}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()  # cut lineage: round k must not re-run round k-1
+        )
+        fp = _fingerprint(labels)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("node"), "cluster_id": t.column("label")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
