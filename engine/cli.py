@@ -108,6 +108,9 @@ def cmd_index_setup(args) -> int:
         "data": {f.name: str(f.type) for f in schema.DATA},
         "frontier": {f.name: str(f.type) for f in schema.FRONTIER},
         "manifest": {f.name: str(f.type) for f in schema.MANIFEST},
+        # the reference's index-contract surface (conf/data_index.py:2-9,
+        # 68-377): analyzer language set + _source-exclusion analog
+        "index_contract": schema.index_contract(),
     }
     path = os.path.join(args.out, "_schema.json")
     with open(path, "w") as f:

@@ -676,16 +676,19 @@ class CrawlRun:
                     # extraction sink and link discovery both consume it
                     # without re-reading the corpus
                     fetched = fetched.materialize()
-                    from engine.stages.extract import ExtractPages
+                    # task FUNCTION, not an actor pool: a fresh pool per
+                    # wave pays actor spin-up every wave (measured 0.41
+                    # scaling efficiency in round 1); task workers persist
+                    # across waves and cache the extractor per process
+                    from engine.stages.extract import extract_pages_task
 
                     docs_dir = os.path.join(self.workdir, "docs", f"wave_{wave:04d}")
                     shutil.rmtree(docs_dir, ignore_errors=True)
                     fetched.map_batches(
-                        ExtractPages,
+                        extract_pages_task,
                         batch_format="pyarrow",
                         zero_copy_batch=True,
                         batch_size=128,
-                        concurrency=self.extract_concurrency,
                     ).write_parquet(docs_dir)
                     t0 = _tlog(f"wave {wave} extract ({len(sel)} pages)", t0)
                 links = fetched.map_batches(_discover_batch, batch_format="pyarrow")

@@ -209,16 +209,22 @@ def run_index_pipeline_resumable(
 
         _shutil.rmtree(tmp_dir, ignore_errors=True)
         extracted.write_parquet(tmp_dir)
-        # stats for the manifest (cheap: reads only the skip_reason column)
-        skip_tbl = (
-            ray.data.read_parquet(tmp_dir, columns=["skip_reason"])
-            .to_pandas()["skip_reason"]
-            .value_counts(dropna=False)
-        )
-        skip_counts = {
-            ("kept" if (k is None or k != k) else str(k)): int(v)
-            for k, v in skip_tbl.items()
-        }
+        # stats for the manifest (cheap: reads only the skip_reason column).
+        # A zero-row partition writes NO part files — read_parquet on the
+        # empty dir would raise; record an empty partition instead.
+        part_files = sorted(_glob.glob(os.path.join(tmp_dir, "*.parquet")))
+        if part_files:
+            skip_tbl = (
+                ray.data.read_parquet(part_files, columns=["skip_reason"])
+                .to_pandas()["skip_reason"]
+                .value_counts(dropna=False)
+            )
+            skip_counts = {
+                ("kept" if (k is None or k != k) else str(k)): int(v)
+                for k, v in skip_tbl.items()
+            }
+        else:
+            skip_counts = {}
         rows_in = sum(pq.read_metadata(f).num_rows for f in pfiles)
         rows_out = int(sum(skip_counts.values()))
         _shutil.rmtree(part_dir, ignore_errors=True)
@@ -286,8 +292,20 @@ def apply_updates(
     )
 
     def pick(df):
-        # one output row per key: the update row if present, else the base row
-        df = df.sort_values("_src", kind="mergesort")
+        # one output row per key: the update row if present, else the base
+        # row.  Tie-break WITHIN the updates delta deterministically — a
+        # bare _src sort would surface whichever duplicate arrived last in
+        # the shuffle.  idx_id (present in meta/data tables) is a total
+        # order; for tables without it, scalar object columns give a
+        # stable lexicographic order (list columns are unsortable and are
+        # excluded).
+        tiebreak = [
+            c
+            for c in (["idx_id"] if "idx_id" in df.columns else
+                      [c for c in df.columns
+                       if c != "_src" and df[c].dtype != object])
+        ]
+        df = df.sort_values(["_src"] + tiebreak, kind="mergesort")
         return df.tail(1).drop(columns=["_src"])
 
     return b.union(u).groupby(key).map_groups(pick, batch_format="pandas")

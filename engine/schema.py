@@ -108,6 +108,48 @@ LOOKUPS = pa.schema(
     ]
 )
 
+# ---------------------------------------------------------------------------
+# Index contract (reference conf/data_index.py).
+#
+# The reference's data index declares 26 per-language analyzers plus dynamic
+# ``*_lang_xx`` field templates (conf/data_index.py:68-377) and excludes
+# ``warc_target_query_string`` / ``full_body_*`` / ``headings_*`` from
+# ``_source`` (conf/data_index.py:2-9) — stored for search, not returned on
+# read.  The Arrow analog (SURVEY.md §1.3) collapses the dynamic per-language
+# fields into fixed columns + a ``lang`` column; the two contract facts that
+# would otherwise be lost are recorded here and emitted into the
+# ``index-setup`` artifact (_schema.json):
+#
+# - REFERENCE_ANALYZER_LANGS: the language set the reference's index mapping
+#   provisions analyzers for (what a consumer may see in ``lang`` when fed
+#   by a full-fidelity language model).
+# - SUPPORTED_LANGS: what THIS engine's built-in fast detector can emit
+#   today (engine/lang.py LANGS; detect_fast always returns one of these).
+# - SOURCE_EXCLUDED_COLUMNS: the ``_source``-exclusion analog — columns a
+#   default reader should leave out of ``read_parquet(columns=...)`` unless
+#   explicitly requested (they are the large search-only payloads).
+REFERENCE_ANALYZER_LANGS = (
+    "ar", "bg", "ca", "cs", "da", "de", "el", "en", "es", "fa", "fi", "fr",
+    "hu", "it", "ja", "ko", "lt", "nl", "no", "pl", "pt", "ro", "ru", "sv",
+    "th", "tr", "zh", "unknown",
+)
+SOURCE_EXCLUDED_COLUMNS = ("warc_target_query_string", "full_body", "headings")
+
+
+def index_contract() -> dict:
+    """The machine-readable index contract for the index-setup artifact."""
+    from engine.lang import LANGS as _SUPPORTED
+
+    return {
+        "reference_analyzer_langs": list(REFERENCE_ANALYZER_LANGS),
+        "supported_langs": list(_SUPPORTED),
+        "source_excluded_columns": list(SOURCE_EXCLUDED_COLUMNS),
+        "data_default_read_columns": [
+            f.name for f in DATA if f.name not in SOURCE_EXCLUDED_COLUMNS
+        ],
+    }
+
+
 SKIP_REASONS = [
     "not_http_response",   # process.py:152-156 (non-application/http record)
     "wrong_content_type",  # process.py:166-168

@@ -131,11 +131,24 @@ def read_buckets_for(
         for f in sorted(_glob.glob(os.path.join(path, f"bucket={k}", "*.parquet")))
     ]
     if not paths:
-        import pyarrow as _pa
+        # Empty selection: derive the empty table's types from a real
+        # parquet footer of the layout (html is binary, warc_ts timestamp,
+        # links list<string> — an all-string default would hand downstream
+        # stages a mismatched schema).
+        import pyarrow.parquet as _pq
 
-        empty = _pa.table(
-            {c: _pa.array([], _pa.string()) for c in (columns or ["url"])}
+        any_files = sorted(
+            _glob.glob(os.path.join(path, "bucket=*", "*.parquet"))
         )
+        cols = columns or ["url"]
+        if any_files:
+            schema = _pq.read_schema(any_files[0])
+            fields = {f.name: f.type for f in schema}
+            empty = pa.table(
+                {c: pa.array([], fields.get(c, pa.string())) for c in cols}
+            )
+        else:
+            empty = pa.table({c: pa.array([], pa.string()) for c in cols})
         return ray.data.from_arrow(empty)
     kwargs = {}
     if override_num_blocks is not None:

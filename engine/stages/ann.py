@@ -146,7 +146,12 @@ def ivf_topk(
     # init centroids from a deterministic sample (first batch is fine for
     # synthetic data; at scale use ds.random_sample with fixed seed)
     sample = ds.limit(max(n_lists * 8, 256)).to_pandas()
+    if len(sample) == 0:
+        raise ValueError("ivf_topk: empty corpus")
     sm = _normalize(np.array(sample[vec_col].tolist(), dtype=np.float64))
+    # corpora (or limit() samples) smaller than n_lists: clamp so the
+    # no-replacement centroid draw cannot raise
+    n_lists = min(n_lists, len(sm))
     cent = sm[rs.choice(len(sm), size=n_lists, replace=False)]
 
     for _ in range(lloyd_iters):

