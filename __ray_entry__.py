@@ -60,9 +60,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q.q_quality,
         "extract_pages": q.q_extract_pages,
         "ann_topk": q.q_ann_topk,
+        "lang_id": q.q_lang_id,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
-        "lang_id": q.q_lang_id,
         "fingerprint": q.q_fingerprint,
         "bpe_tokens": q.q_bpe_tokens,
         "minhash_dedup": q.q_minhash_dedup,
@@ -78,8 +78,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_sql() -> str:
+    """Generate the lang_id oracle from engine.lang's stopword lists (single
+    source of truth).  The detector is pure stopword counting with integer
+    thresholds: the 0.05 evidence ratio becomes the exact integer test
+    ``20*sc < nw``, so the whole thing is faithfully SQL-expressible
+    (verified 0 mismatches on all three testdata scale factors)."""
+    from engine.lang import LANGS, _STOPWORDS
+
+    score_cols = ",\n    ".join(
+        "len(list_filter(words, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+        + f"], x))) AS s_{lang}"
+        for lang in LANGS
+    )
+    cases = []
+    for i, lang in enumerate(LANGS):
+        others = [f"s_{lang} >= s_{o}" for o in LANGS[i + 1 :]]
+        cases.append(
+            f"WHEN {' AND '.join(others)} THEN '{lang}'" if others else f"ELSE '{lang}'"
+        )
+    case_chain = "\n         ".join(cases)
+    greatest = ", ".join(f"s_{l}" for l in LANGS)
+    return f"""
+        WITH w AS (
+          SELECT doc_id, text, regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS words
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text, len(words) AS nw,
+            {score_cols}
+          FROM w
+        ), b AS (
+          SELECT doc_id, text, nw, greatest({greatest}) AS sc,
+            CASE {case_chain} END AS best
+          FROM s
+        )
+        SELECT doc_id,
+          CASE WHEN text IS NULL OR length(text) < 20 OR nw = 0 OR sc = 0
+                    OR 20*sc < nw
+               THEN 'unknown' ELSE best END AS lang_pred
+        FROM b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_id": _lang_id_sql(),
         "exact_dedup": """
             SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)

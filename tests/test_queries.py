@@ -58,7 +58,7 @@ SQL_NAMES = [
     "exact_dedup", "token_stats", "doc_filter", "lang_agg", "lookup_join",
     "events_window", "topk_orders", "pricing_summary", "surt_hosts",
     "distinct_users", "sessions", "hash_join", "asof_join", "range_join",
-    "quantiles", "quality", "extract_pages", "ann_topk",
+    "quantiles", "quality", "extract_pages", "ann_topk", "lang_id",
 ]
 
 
@@ -85,7 +85,6 @@ def test_sql_parity(contract, name):
 
 ROWS_ONLY = [
     ("webis_ids", 1),
-    ("lang_id", 1),
     ("fingerprint", 1),
     ("simhash", 1),
     ("minhash_dedup", 0),
