@@ -164,17 +164,19 @@ def run_bench() -> dict:
     crawl_urls = order.num_rows
 
     # --- headline 3: integrated crawl-and-index (fetch -> extract) ---------
+    # crawl over the pruned links layout (discovery never reads html);
+    # the deferred extraction pass reads html from the pages layout once
     wdx = f"/tmp/bench_out/crawlx_{NUM_CPUS}"
     shutil.rmtree(wdx, ignore_errors=True)
     t0 = time.monotonic()
     order_x, _ = run_crawl(
-        os.path.join(cache, "pages_bucketed"),
+        os.path.join(cache, "links_bucketed"),
         os.path.join(cache, "seeds.parquet"),
         None,
         wdx,
         crawl_cfg,
         extract_docs=True,
-        extract_concurrency=(1, pool),
+        extract_pages_path=os.path.join(cache, "pages_bucketed"),
     )
     timings["crawl_extract"] = round(time.monotonic() - t0, 3)
 

@@ -151,6 +151,7 @@ def cmd_crawl(args) -> int:
     order, seen = run_crawl(
         args.pages, args.seeds, args.politeness, args.workdir, cfg,
         extract_docs=args.extract,
+        extract_pages_path=args.extract_pages,
     )
     print(
         f"Time taken: {time.monotonic() - t0:.2f}s — fetched {order.num_rows} URLs, "
@@ -206,6 +207,8 @@ def main(argv=None) -> int:
     c.add_argument("--num-shards", type=int, default=None)
     c.add_argument("--extract", action="store_true",
                    help="run extraction on every fetched page (crawl-and-index)")
+    c.add_argument("--extract-pages", default=None,
+                   help="html pages layout for --extract when crawling a links layout")
     c.add_argument("--config", default=None, help="JSON CrawlConfig overrides")
     c.set_defaults(fn=cmd_crawl)
 

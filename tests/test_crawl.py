@@ -84,8 +84,9 @@ def test_distributed_matches_oracle(ray_session, fixture_dir, oracle_result, tmp
 
 
 def test_crawl_with_extraction(ray_session, fixture_dir, oracle_result, tmp_path):
-    """extract_docs mode: same crawl result + per-wave extracted docs whose
-    text matches the fixture oracle column."""
+    """extract_docs mode: same crawl result + extracted docs (deferred
+    chunked pass, wave column per row) whose text matches the fixture
+    oracle column."""
     import pyarrow.parquet as pq
     import glob as _glob
 
@@ -105,7 +106,7 @@ def test_crawl_with_extraction(ray_session, fixture_dir, oracle_result, tmp_path
     assert d_order.equals(o_order)
     assert d_seen.equals(o_seen)
 
-    doc_files = _glob.glob(os.path.join(wd, "docs", "wave_*", "*.parquet"))
+    doc_files = _glob.glob(os.path.join(wd, "docs", "part-*", "*.parquet"))
     assert doc_files
     fixture = pq.read_table(os.path.join(fixture_dir, "pages.parquet"), columns=["url", "text"])
     exp = {}
@@ -124,6 +125,14 @@ def test_crawl_with_extraction(ray_session, fixture_dir, oracle_result, tmp_path
     assert n_checked > 20
     # extracted docs cover exactly the fetched URLs present in the pages table
     assert docs.num_rows <= d_order.num_rows
+    # the wave column matches the crawl order's wave per url
+    wave_by_url = dict(
+        zip(d_order.column("url").to_pylist(), d_order.column("wave").to_pylist())
+    )
+    for u, w in zip(
+        docs.column("warc_target_uri").to_pylist(), docs.column("wave").to_pylist()
+    ):
+        assert w == wave_by_url[u]
 
 
 def test_links_layout_matches_oracle(ray_session, fixture_dir, oracle_result, tmp_path):
