@@ -204,3 +204,51 @@ def test_body_keeps_replacement_chars_like_reference():
     assert r["skip_reason"] is None
     assert "�" in r["body"]
     assert "�" not in r["full_body"]
+
+
+def test_fast_tokenizer_matches_stdlib(fixture_dir):
+    """The fast regex tokenizer must build the IDENTICAL tree to stdlib
+    html.parser on every fixture page and the synthetic corpus — these are
+    the corpora that define extraction conformance."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import engine.html_extract as hx
+    from engine.pipelines.testdata_pages import build_link_maps, synth_pages_batch
+
+    def tree_sig(tree):
+        def node_sig(n):
+            return (n.tag, tuple(sorted(n.attrs.items())), n.text,
+                    tuple(node_sig(c) for c in n.children))
+        return (node_sig(tree.head) if tree.head else None,
+                node_sig(tree.body) if tree.body else None)
+
+    def parse_with(s, fast):
+        b = hx._TreeBuilder()
+        try:
+            if fast:
+                hx._fast_feed(s, b)
+            else:
+                b.feed(s)
+                b.close()
+        except Exception:
+            pass
+        return b.tree()
+
+    t = pq.read_table(
+        os.path.join(fixture_dir, "pages.parquet"), columns=["html"]
+    )
+    htmls = [h for h in t.column("html").to_pylist() if h]
+    d = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    )
+    lm, i2s = build_link_maps("/root/testdata/sf0.001")
+    htmls += synth_pages_batch(d, lm, i2s).column("html").to_pylist()
+
+    assert len(htmls) > 1000
+    for h in htmls:
+        enc = hx.declared_charset(h) or hx.detect_encoding(h)
+        s = hx.bytes_to_str(h, enc)
+        assert tree_sig(parse_with(s, True)) == tree_sig(parse_with(s, False))
