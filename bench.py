@@ -224,23 +224,80 @@ def _cpu_burn(n_iter: int) -> float:
     return n_iter / (_t.monotonic() - t0)
 
 
-def hardware_ceiling() -> float:
-    """Per-process pure-CPU throughput ratio at 32 vs 8 processes (no Ray).
+_BURN_PAGES = None
+
+
+def _extract_burn_setup():
+    """Pool initializer: synthesize the probe corpus once per process."""
+    global _BURN_PAGES
+    import pyarrow.parquet as pq
+
+    from engine.pipelines.testdata_pages import build_link_maps, synth_pages_batch
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text", "source"])
+    lm, i2s = build_link_maps(sf)
+    pages = synth_pages_batch(t, lm, i2s)
+    _BURN_PAGES = (
+        pages.column("url").to_pylist(),
+        pages.column("html").to_pylist(),
+    )
+    from engine.stages.extract import extract_page
+
+    for u, h in zip(*_BURN_PAGES):  # warm code paths / JIT-free but caches
+        extract_page(u, h)
+
+
+def _extract_burn(seconds: float) -> float:
+    """Run the REAL extraction kernel for ~seconds; return pages/sec."""
+    import time as _t
+
+    from engine.stages.extract import extract_page
+
+    urls, htmls = _BURN_PAGES
+    n = 0
+    t0 = _t.monotonic()
+    while _t.monotonic() - t0 < seconds:
+        for u, h in zip(urls, htmls):
+            extract_page(u, h)
+        n += len(urls)
+    return n / (_t.monotonic() - t0)
+
+
+def hardware_ceiling() -> dict:
+    """Per-process throughput ratio at 32 vs 8 processes (no Ray).
 
     On this virtualized single node, running 4x more processes lowers
     per-core throughput (all-core frequency scaling / memory bandwidth /
     host contention) — a ceiling that applies to ANY 8-vs-32 scaling
     measurement and that a real N-vs-4N-node cluster does not have.  The
     engine-attributable efficiency is measured_eff / this ceiling.
+
+    Two probes, both plain multiprocessing with zero Ray involvement:
+    - ``extract``: the REAL per-page extraction kernel (extract_page over
+      the synthetic corpus) — the representative ceiling, since it has the
+      same instruction/memory mix as the measured pipeline;
+    - ``blake2b``: a pure-ALU hash loop, kept for comparison (it
+      understates throttling for memory-heavier workloads).
     """
     import multiprocessing as mp
 
-    rates = {}
+    out = {}
+    ex_rates = {}
+    for nproc in (8, 32):
+        with mp.Pool(nproc, initializer=_extract_burn_setup) as p:
+            rs = p.map(_extract_burn, [2.0] * nproc)
+        ex_rates[nproc] = sum(rs) / len(rs)
+    out["extract"] = ex_rates[32] / ex_rates[8]
+    out["extract_pages_per_core_8"] = round(ex_rates[8], 1)
+    out["extract_pages_per_core_32"] = round(ex_rates[32], 1)
+    bl_rates = {}
     for nproc in (8, 32):
         with mp.Pool(nproc) as p:
             rs = p.map(_cpu_burn, [300_000] * nproc)
-        rates[nproc] = sum(rs) / len(rs)
-    return rates[32] / rates[8]
+        bl_rates[nproc] = sum(rs) / len(rs)
+    out["blake2b"] = bl_rates[32] / bl_rates[8]
+    return out
 
 
 def run_scaling() -> dict:
@@ -268,10 +325,17 @@ def run_scaling() -> dict:
         "value": round(eff_extract, 3),
         "unit": "ratio",
         "headline_efficiency": round(eff_headline, 3),
-        # pure-CPU per-process ratio at 32 vs 8 procs (no Ray): the
-        # hardware's own ceiling for this measurement on a shared node
-        "hardware_ceiling": round(hw, 3),
-        "engine_efficiency_normalized": round(min(1.0, eff_extract / hw), 3),
+        # per-process ratio at 32 vs 8 procs (no Ray): the hardware's own
+        # ceiling for this measurement on a shared node.  "extract" runs
+        # the REAL extraction kernel (representative); "blake2b" is the
+        # pure-ALU comparison probe.
+        "hardware_ceiling": round(hw["extract"], 3),
+        "hardware_ceiling_blake2b": round(hw["blake2b"], 3),
+        "probe_pages_per_core_8": hw["extract_pages_per_core_8"],
+        "probe_pages_per_core_32": hw["extract_pages_per_core_32"],
+        "engine_efficiency_normalized": round(
+            min(1.0, eff_extract / hw["extract"]), 3
+        ),
         # per-core rates separate engine scaling from host-level effects
         # (virtualized CPU burst at low parallelism): equal per-core rates
         # == linear engine scaling regardless of the wall-clock ratio.

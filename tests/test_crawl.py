@@ -363,3 +363,62 @@ def test_cuckoo_shard_aligned_hashes_low_overflow():
     f.commit()
     assert f.contains_many(aligned).all()
     assert len(f.overflow) < 600, f"overflow blowup: {len(f.overflow)}"
+
+
+def test_deferred_extraction_chunk_resume(ray_session, fixture_dir, tmp_path):
+    """Deferred extraction is resumable per chunk: existing part dirs are
+    skipped (idempotent), a deleted part is rebuilt identically, and tiny
+    chunk budgets (multiple chunks) give the same docs as one chunk."""
+    import glob as _glob
+    import pyarrow.parquet as pq
+
+    from engine.pipelines.crawl import run_crawl
+
+    wd = str(tmp_path / "wd")
+    order, _ = run_crawl(
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+        wd,
+        CFG,
+        extract_docs=True,
+    )
+    files = sorted(_glob.glob(os.path.join(wd, "docs", "part-*", "*.parquet")))
+    assert files
+    before = pa.concat_tables([pq.read_table(f) for f in files]).sort_by(
+        "warc_target_uri"
+    )
+
+    # re-run extraction directly: all chunks present -> nothing rewritten
+    from engine.pipelines.crawl import CrawlRun
+
+    run = CrawlRun(
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+        wd,
+        CFG,
+        extract_docs=True,
+    )
+    try:
+        mtimes = {f: os.path.getmtime(f) for f in files}
+        run._extract_fetched(order)
+        assert {f: os.path.getmtime(f) for f in files} == mtimes
+
+        # tiny chunk budget -> many chunks -> same rows
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(wd, "docs"))
+        run._extract_fetched(order, chunk_urls=7)
+        parts = sorted(_glob.glob(os.path.join(wd, "docs", "part-*")))
+        assert len(parts) > 1
+        files2 = sorted(_glob.glob(os.path.join(wd, "docs", "part-*", "*.parquet")))
+        after = pa.concat_tables([pq.read_table(f) for f in files2]).sort_by(
+            "warc_target_uri"
+        )
+        assert after.equals(before)
+    finally:
+        import ray as _ray
+
+        for s in run.shards:
+            _ray.kill(s)
