@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages": q.q_extract_pages,
         "ann_topk": q.q_ann_topk,
         "lang_id": q.q_lang_id,
+        "crawl_order": q.q_crawl_order,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "fingerprint": q.q_fingerprint,
@@ -77,7 +78,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q.q_ann_ivf,
         "extract_enriched": q.q_extract_enriched,
         "media_features": q.q_media_features,
-        "crawl_order": q.q_crawl_order,
         "dedup_clusters": q.q_dedup_clusters,
         "approx_users": q.q_approx_users,
     }
@@ -258,6 +258,87 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.99) AS p99,
                    count(*) AS n_rows
             FROM events GROUP BY event_type
+        """,
+        # crawl_order: the politeness-budgeted frontier crawl, driver-
+        # verified.  q_crawl_order runs CrawlConfig(max_waves=2) with
+        # default politeness over the synthesized pages graph; with all
+        # priorities equal per wave (priority = 1/(1+depth)) the scheduler
+        # reduces to: wave 0 = the 8 seeds ordered by url; wave 1 = links
+        # of wave-0 docs minus the seen set, capped at
+        # floor(wave_seconds/crawl_delay) = 6 per host by url order, then
+        # globally ordered by url.  Two waves unroll into plain CTEs (the
+        # link graph is the same tgt derivation as the extract_pages
+        # oracle).  Constants (8 seeds, cap 6, 2 waves) mirror
+        # q_crawl_order's config — change them together.
+        "crawl_order": """
+            WITH m AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id AS gid, source AS gsrc,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS gpos
+              FROM documents
+            ),
+            gn AS (SELECT count(*) AS c FROM documents),
+            tgt AS (
+              SELECT m.doc_id, d.ordn, m2.doc_id AS t, m2.source AS tsrc
+              FROM m
+              JOIN (VALUES (1),(2),(3)) AS d(ordn) ON true
+              JOIN m m2 ON m2.source = m.source AND m2.pos = (m.pos + d.ordn) % m.n
+              WHERE m2.doc_id <> m.doc_id
+              UNION ALL
+              SELECT m.doc_id, 4 AS ordn, g.gid, g.gsrc
+              FROM m CROSS JOIN gn JOIN g ON g.gpos = (m.doc_id * 7 + 3) % gn.c
+              WHERE g.gid <> m.doc_id
+            ),
+            links AS (
+              SELECT DISTINCT doc_id,
+                     'https://' || tsrc || '.example.com/docs/' || t || '.html' AS turl,
+                     tsrc || '.example.com' AS thost
+              FROM tgt
+            ),
+            srcs AS (
+              SELECT source, min(doc_id) AS first_doc,
+                     row_number() OVER (ORDER BY source) AS srn
+              FROM documents GROUP BY source
+            ),
+            seeds AS (
+              SELECT 'https://' || source || '.example.com/docs/' || first_doc
+                         || '.html' AS url,
+                     source || '.example.com' AS host,
+                     first_doc AS doc_id
+              FROM srcs WHERE srn <= 8
+            ),
+            wave0 AS (
+              SELECT 0 AS wave,
+                     CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS seq,
+                     url, host, doc_id
+              FROM seeds
+            ),
+            n0 AS (SELECT count(*) AS c FROM wave0),
+            cand1 AS (
+              SELECT DISTINCT l.turl AS url, l.thost AS host
+              FROM wave0 w JOIN links l ON l.doc_id = w.doc_id
+              WHERE l.turl NOT IN (SELECT url FROM seeds)
+            ),
+            sel1 AS (
+              SELECT url, host,
+                     row_number() OVER (PARTITION BY host ORDER BY url) AS hrn
+              FROM cand1
+            ),
+            wave1 AS (
+              SELECT 1 AS wave,
+                     CAST((SELECT c FROM n0)
+                          + row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS seq,
+                     url, host
+              FROM sel1 WHERE hrn <= 6
+            )
+            SELECT CAST(wave AS BIGINT) AS wave, seq, url, host FROM wave0
+            UNION ALL
+            SELECT CAST(wave AS BIGINT) AS wave, seq, url, host FROM wave1
         """,
         # quality: counts are exact; ppm = floor(1e6*count/n_chars) is
         # bit-reproducible IEEE (unlike round(x,6), whose half-way handling

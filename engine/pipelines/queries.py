@@ -409,7 +409,12 @@ def q_media_features(sf_dir: str):
 
 
 def q_crawl_order(sf_dir: str):
-    """Distributed frontier crawl over the synthesized pages graph (2 waves)."""
+    """Distributed frontier crawl over the synthesized pages graph (2 waves).
+
+    SQL-verified: with default politeness all priorities are equal per wave,
+    so the 2-wave schedule unrolls into plain CTEs (see the crawl_order
+    oracle in __ray_entry__ — its constants 8 seeds / cap 6 / 2 waves mirror
+    this function's config; change them together)."""
     import tempfile
 
     import pyarrow.parquet as pq

@@ -59,6 +59,7 @@ SQL_NAMES = [
     "events_window", "topk_orders", "pricing_summary", "surt_hosts",
     "distinct_users", "sessions", "hash_join", "asof_join", "range_join",
     "quantiles", "quality", "extract_pages", "ann_topk", "lang_id",
+    "crawl_order",
 ]
 
 
@@ -93,7 +94,6 @@ ROWS_ONLY = [
     ("ann_ivf", 1),
     ("extract_enriched", 1),
     ("media_features", 1),
-    ("crawl_order", 1),
     ("bpe_tokens", 1),
     ("dedup_clusters", 0),
     ("approx_users", 1),
