@@ -67,9 +67,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q.q_ann_topk,
         "lang_id": q.q_lang_id,
         "crawl_order": q.q_crawl_order,
+        "fingerprint": q.q_fingerprint,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
-        "fingerprint": q.q_fingerprint,
         "bpe_tokens": q.q_bpe_tokens,
         "minhash_dedup": q.q_minhash_dedup,
         "ngram_dedup": q.q_ngram_dedup,
@@ -126,9 +126,74 @@ def _lang_id_sql() -> str:
     """
 
 
+def _fingerprint_sql() -> str:
+    """Generate the fingerprint oracle: exact 64-bit FNV-1a in SQL.
+
+    DuckDB has no byte-level string access, but codepoints
+    (unicode(substring(...))) + arithmetic UTF-8 expansion give the exact
+    byte sequence, and ``list_reduce`` over HUGEINT implements the FNV-1a
+    fold — ``f(a,b) = (xor(a,b) * prime) mod 2^64`` reduced over
+    ``[offset, b0, b1, ...]``.  The winnowing min-window fingerprint is
+    sliding-window list_min + list_distinct + xor-reduce, mirroring
+    engine.stages.text.fingerprint (window=8).  Verified 0 mismatches on
+    the testdata at sf0.001/sf0.01."""
+    FNV_OFF = "14695981039346656037"
+    FNV_PRIME = "1099511628211"
+    M64 = "18446744073709551616"
+    TOK = r"'[^\t\n\v\f\r ]+'"
+
+    def utf8_bytes(s: str) -> str:
+        return f"""flatten(list_transform(
+            list_transform(range(length({s})), i -> unicode(substring({s}, i+1, 1))),
+            cp -> CASE
+                WHEN cp < 128 THEN [cp]
+                WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+                WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64,
+                                      128 + cp % 64]
+                ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+                      128 + (cp // 64) % 64, 128 + cp % 64]
+            END))"""
+
+    def fnv(s: str) -> str:
+        return f"""list_reduce(
+            list_prepend(CAST({FNV_OFF} AS HUGEINT),
+                         list_transform({utf8_bytes(s)}, b -> CAST(b AS HUGEINT))),
+            (a, b) -> (xor(a, b) * {FNV_PRIME}) % {M64})"""
+
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, {TOK}) AS toks,
+                 array_to_string(regexp_extract_all(text, {TOK}), ' ') AS norm
+          FROM documents
+        ), th AS (
+          SELECT doc_id, norm,
+                 list_transform(toks, tok -> {fnv('tok')}) AS h,
+                 len(toks) AS nt
+          FROM t
+        ), win AS (
+          SELECT doc_id, norm, nt, h,
+                 CASE
+                   WHEN nt = 0 THEN CAST(0 AS HUGEINT)
+                   WHEN nt < 8 THEN list_min(h)
+                   ELSE list_reduce(
+                       list_distinct(list_transform(range(nt - 7),
+                                                    i -> list_min(h[i+1:i+8]))),
+                       (a, b) -> xor(a, b))
+                 END AS wfp
+          FROM th
+        )
+        SELECT doc_id,
+               CAST({fnv('norm')} AS VARCHAR) AS doc_fp,
+               CAST(wfp AS VARCHAR) AS win_fp
+        FROM win
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
+        "fingerprint": _fingerprint_sql(),
         "exact_dedup": """
             SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY md5(text)

@@ -59,7 +59,7 @@ SQL_NAMES = [
     "events_window", "topk_orders", "pricing_summary", "surt_hosts",
     "distinct_users", "sessions", "hash_join", "asof_join", "range_join",
     "quantiles", "quality", "extract_pages", "ann_topk", "lang_id",
-    "crawl_order",
+    "crawl_order", "fingerprint",
 ]
 
 
@@ -86,7 +86,6 @@ def test_sql_parity(contract, name):
 
 ROWS_ONLY = [
     ("webis_ids", 1),
-    ("fingerprint", 1),
     ("simhash", 1),
     ("minhash_dedup", 0),
     ("ngram_dedup", 0),
