@@ -6,12 +6,12 @@ SURVEY.md §2 plus the training-data operator suite (dedup, ANN, text
 analysis, multimodal plumbing, crawl frontier).  ``oracle_sql()`` provides
 DuckDB-equivalent SQL for every SQL-expressible query with IDENTICAL column
 names — including extraction (the oracle re-derives the synthetic page HTML
-and the full extracted body text), quality scoring, ANN ranks, and the
-stopword language detector.  Genuinely non-SQL-expressible ops (uuid5 ids,
-blake2b-based MinHash/SimHash/fingerprints, HLL estimates, IVF recall, the
-politeness-budgeted crawl) are rows-only by design, each with its own
-non-SQL oracle in tests (numpy exact top-k, union-find, scheduler oracle,
-accuracy bounds).
+and the full extracted body text), the 2-wave crawl schedule, quality
+scoring, ANN ranks, FNV fingerprints, and the stopword language detector.
+Genuinely non-SQL-expressible ops (uuid5/sha1 ids, blake2b-based
+MinHash/SimHash/HLL, approximate-by-design IVF and embedding-LSH) are
+rows-only by design, each with its own non-SQL oracle in tests (numpy
+exact top-k, union-find, scheduler oracle, accuracy bounds).
 
 Ray is initialised by the driver before import; nothing here calls
 ray.init()/ray.shutdown().
