@@ -261,6 +261,22 @@ def minhash_lsh_pairs(
         Count(alias_name="n_bands")
     ).materialize()
 
+    if uniq.count() == 0:
+        # zero candidates: a block-less materialized dataset has no schema,
+        # so downstream joins/collects would fail — return a typed empty
+        from engine.stages.join import _arrow_types
+
+        id_type = _arrow_types(ds).get(id_col, pa.int64())
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], id_type),
+                    "doc_b": pa.array([], id_type),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+
     if texts is None:
         texts = ds
     texts = texts.map_batches(
@@ -560,6 +576,20 @@ def connected_components(
     edges = pairs.map_batches(
         to_sym, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+
+    if edges.count() == 0:
+        # block-less empty datasets have no schema; joins would fail
+        from engine.stages.join import _arrow_types
+
+        id_type = _arrow_types(pairs).get(a_col, pa.int64())
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], id_type),
+                    "cluster_id": pa.array([], id_type),
+                }
+            )
+        )
 
     # initial labels: label(v) = v, one row per distinct node
     labels = (

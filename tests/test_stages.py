@@ -166,3 +166,48 @@ def test_minhash_small_and_scale_paths_agree(ray_session):
     )
     assert len(small) > 0
     assert small.reset_index(drop=True).equals(scale.reset_index(drop=True))
+
+
+def test_minhash_and_cc_zero_pair_corpus(ray_session):
+    """All-unique corpus: zero candidate pairs must yield typed empty
+    results on BOTH gated paths, and connected_components on an empty pair
+    set must return a typed empty cluster table (block-less materialized
+    datasets lose their schema — regression for the early-exit guards)."""
+    import ray.data
+
+    from engine.stages.dedup import connected_components, minhash_lsh_pairs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(
+                [
+                    f"unique document number {i} "
+                    + " ".join(f"w{i}x{j}" for j in range(30))
+                    for i in range(40)
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    for hot_max, pairs_max in ((10**6, 10**5), (0, 0)):
+        p = minhash_lsh_pairs(
+            ds, threshold=0.5,
+            broadcast_hot_max=hot_max, broadcast_pairs_max=pairs_max,
+        )
+        assert p.count() == 0
+        assert set(p.schema().names) == {"doc_a", "doc_b", "jaccard"}
+    cc = connected_components(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    )
+    assert cc.count() == 0
+    assert set(cc.schema().names) == {"doc_id", "cluster_id"}
