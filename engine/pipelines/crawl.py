@@ -772,9 +772,16 @@ class CrawlRun:
 
         Resumable per chunk: chunk output dirs are derived purely from the
         checkpointed order log, written atomically (.tmp + rename), and
-        skipped when already present — a killed run redoes only the
-        in-flight chunk.
+        skipped only when their recorded URL-set fingerprint matches — a
+        killed run redoes only the in-flight chunk.  The fingerprint guard
+        matters for a crawl RESUMED with more waves: greedy chunking is
+        prefix-stable except that the final chunk absorbs new waves, so
+        that chunk's fingerprint changes and it (alone) is rebuilt; a bare
+        directory-exists check would silently skip the new waves.
         """
+        import json as _json
+        from hashlib import blake2b as _blake2b
+
         from engine.sources.bucketed import is_bucketed, read_buckets_for
         from engine.stages.extract import extract_pages_task
 
@@ -801,10 +808,32 @@ class CrawlRun:
         if cur:
             chunks.append(cur)
 
+        # drop parts beyond the current chunk count (possible only if
+        # chunk_urls changed between runs — stale content must not linger)
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join(docs_dir, "part-*")):
+            name = os.path.basename(stale).replace(".tmp", "")
+            try:
+                idx = int(name.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if idx >= len(chunks) or stale.endswith(".tmp"):
+                shutil.rmtree(stale, ignore_errors=True)
+
         for ci, wave_map in enumerate(chunks):
             part_dir = os.path.join(docs_dir, f"part-{ci:04d}")
+            fp = _blake2b(
+                "\n".join(sorted(wave_map)).encode(), digest_size=8
+            ).hexdigest()
+            meta_path = os.path.join(part_dir, "_chunk.json")
             if os.path.isdir(part_dir):
-                continue  # resume: chunk already extracted
+                try:
+                    if _json.load(open(meta_path))["fp"] == fp:
+                        continue  # resume: chunk already extracted, same URL set
+                except (OSError, ValueError, KeyError):
+                    pass
+                shutil.rmtree(part_dir, ignore_errors=True)  # stale/partial
             tmp_dir = part_dir + ".tmp"
             shutil.rmtree(tmp_dir, ignore_errors=True)
             ref = ray.put(wave_map)  # url -> wave (doubles as the fetch set)
@@ -835,6 +864,8 @@ class CrawlRun:
             docs.map_batches(
                 add_wave, batch_format="pyarrow", zero_copy_batch=True
             ).write_parquet(tmp_dir)
+            with open(os.path.join(tmp_dir, "_chunk.json"), "w") as f:
+                _json.dump({"fp": fp, "n_urls": len(wave_map)}, f)
             os.replace(tmp_dir, part_dir)
 
     def collect_outputs(self) -> Tuple[pa.Table, pa.Table]:

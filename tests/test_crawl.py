@@ -422,3 +422,38 @@ def test_deferred_extraction_chunk_resume(ray_session, fixture_dir, tmp_path):
 
         for s in run.shards:
             _ray.kill(s)
+
+
+def test_deferred_extraction_resume_with_more_waves(ray_session, fixture_dir, tmp_path):
+    """A crawl resumed with a larger max_waves regrows the final chunk;
+    the fingerprint guard must rebuild it (a bare exists-check would
+    silently skip the new waves' documents)."""
+    import glob as _glob
+    import pyarrow.parquet as pq
+
+    from engine.pipelines.crawl import run_crawl
+
+    wd = str(tmp_path / "wd")
+    args = (
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+        wd,
+    )
+    run_crawl(*args, CrawlConfig(max_waves=2), extract_docs=True)
+    order3, _ = run_crawl(*args, CFG, extract_docs=True)  # resume to 3 waves
+
+    files = sorted(_glob.glob(os.path.join(wd, "docs", "part-*", "*.parquet")))
+    docs = pa.concat_tables([pq.read_table(f) for f in files])
+    # docs must cover every fetched URL present in the pages table,
+    # including wave-2 fetches that only exist in the resumed run
+    fetched = set(docs.column("warc_target_uri").to_pylist())
+    pages_urls = set(
+        pq.read_table(os.path.join(fixture_dir, "pages.parquet"), columns=["url"])
+        .column("url").to_pylist()
+    )
+    expected = {
+        u for u in order3.column("url").to_pylist() if u in pages_urls
+    }
+    assert fetched == expected
+    assert 2 in set(docs.column("wave").to_pylist())
