@@ -163,8 +163,9 @@ def _fingerprint_sql() -> str:
     return f"""
         WITH t AS (
           SELECT doc_id,
-                 regexp_extract_all(text, {TOK}) AS toks,
-                 array_to_string(regexp_extract_all(text, {TOK}), ' ') AS norm
+                 regexp_extract_all(coalesce(text, ''), {TOK}) AS toks,
+                 array_to_string(regexp_extract_all(coalesce(text, ''), {TOK}),
+                                 ' ') AS norm
           FROM documents
         ), th AS (
           SELECT doc_id, norm,
@@ -194,28 +195,33 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
         "fingerprint": _fingerprint_sql(),
+        # coalesce mirrors the Python `(x or "")` null handling throughout
         "exact_dedup": """
-            SELECT md5(text) AS h, min(doc_id) AS doc_id, count(*) AS n_dups
-            FROM documents GROUP BY md5(text)
+            SELECT md5(coalesce(text, '')) AS h, min(doc_id) AS doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(coalesce(text, ''))
         """,
         # tokenizer class matches engine.stages.text._TOKEN exactly
         # (explicit ASCII whitespace — Python \S and RE2 \S disagree on
         # Unicode spaces)
         "token_stats": r"""
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
             SELECT doc_id,
                    length(text) AS n_chars,
                    length(regexp_extract_all(text, '[^\t\n\v\f\r ]+')) AS n_tokens,
                    CAST(coalesce(list_sum(list_transform(
                        regexp_extract_all(text, '[^\t\n\v\f\r ]+'),
                        x -> length(x))), 0) AS BIGINT) AS tok_chars
-            FROM documents
+            FROM d
         """,
         "doc_filter": r"""
             SELECT doc_id, lang, n_chars,
-                   length(regexp_extract_all(text, '[^\t\n\v\f\r ]+')) AS n_tokens
+                   length(regexp_extract_all(coalesce(text, ''),
+                                             '[^\t\n\v\f\r ]+')) AS n_tokens
             FROM documents
             WHERE n_chars >= 200
-              AND length(regexp_extract_all(text, '[^\t\n\v\f\r ]+')) >= 40
+              AND length(regexp_extract_all(coalesce(text, ''),
+                                            '[^\t\n\v\f\r ]+')) >= 40
         """,
         "lang_agg": """
             SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
@@ -408,7 +414,10 @@ def oracle_sql() -> dict[str, str]:
         # quality: counts are exact; ppm = floor(1e6*count/n_chars) is
         # bit-reproducible IEEE (unlike round(x,6), whose half-way handling
         # differs between Python and DuckDB — measured on this testdata).
+        # coalesce(text,'') mirrors quality_scores' `t or ""` — a NULL text
+        # row must yield zeros, not NULLs
         "quality": """
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
             SELECT doc_id,
                    length(text) AS n_chars,
                    length(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
@@ -419,7 +428,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(text) = 0 THEN 0 ELSE
                        CAST(floor(1000000.0 * length(regexp_extract_all(text, '[0-9]'))
                             / length(text)) AS BIGINT) END AS digit_ppm
-            FROM documents
+            FROM d
         """,
         # extract_pages: the pages table is a pure function of documents
         # (engine/pipelines/testdata_pages.py); this SQL re-derives the

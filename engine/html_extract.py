@@ -366,14 +366,22 @@ _FAST_ATTR = re.compile(
 _AMP = "&"
 
 
-def _fast_attrs(blob: str) -> Dict[str, str]:
+def _fast_attrs(blob: str) -> Tuple[Dict[str, str], bool]:
+    """Parse an attr blob; returns (attrs, self_closing).
+
+    Self-closing mirrors html.parser: the tag is self-closing iff a ``/``
+    remains AFTER attribute consumption — a trailing ``/`` of an unquoted
+    attribute VALUE (``href=http://x.com/``) is part of the value, while a
+    ``/`` after a bare attribute name or quoted value (``disabled/``,
+    ``src="x"/``) closes the tag (attr names cannot contain ``/``).
+    """
     from html import unescape as _unescape
 
     attrs: Dict[str, str] = {}
+    last_end = 0
     for m in _FAST_ATTR.finditer(blob):
+        last_end = m.end()
         name = m.group(1).lower()
-        if name == "/":
-            continue
         v = m.group(2)
         if v is None:
             val = ""
@@ -384,7 +392,8 @@ def _fast_attrs(blob: str) -> Dict[str, str]:
         # last occurrence wins — matches what the builder's dict() over
         # html.parser's attr list produces for duplicate attributes
         attrs[name] = val
-    return attrs
+    self_closing = blob[last_end:].strip() == "/"
+    return attrs, self_closing
 
 
 def _fast_feed(html: str, b: "_TreeBuilder") -> None:
@@ -416,8 +425,17 @@ def _fast_feed(html: str, b: "_TreeBuilder") -> None:
             if html.startswith("<!--", lt):
                 end = find("-->", lt + 4)
                 pos = n if end < 0 else end + 3
+            elif html.startswith("<![", lt):
+                # marked section (<![CDATA[...]]> etc.): ends at ']>' like
+                # html.parser's parse_marked_section, not at the first '>'
+                end = find("]>", lt + 3)
+                if end < 0:
+                    end = find(">", lt + 3)
+                    pos = n if end < 0 else end + 1
+                else:
+                    pos = end + 2
             else:
-                end = find(">", lt + 2)  # doctype / CDATA-ish: skip
+                end = find(">", lt + 2)  # doctype: skip
                 pos = n if end < 0 else end + 1
             continue
         if nxt == "?":
@@ -435,14 +453,21 @@ def _fast_feed(html: str, b: "_TreeBuilder") -> None:
         if closing:
             b.handle_endtag(name)
             continue
-        attrs_list = list(_fast_attrs(blob).items()) if blob.strip(" /") else []
-        if blob.rstrip().endswith("/"):
+        if blob.strip(" /"):
+            attrs, self_closing = _fast_attrs(blob)
+            attrs_list = list(attrs.items())
+        else:
+            attrs_list = []
+            self_closing = blob.strip().endswith("/")
+        if self_closing:
             b.handle_startendtag(name, attrs_list)
             continue
         b.handle_starttag(name, attrs_list)
         if name in ("script", "style"):
-            # raw-text mode: everything until the case-insensitive close tag
-            close = re.compile(rf"</{name}\s*>", re.IGNORECASE)
+            # raw-text mode until the close tag; like html.parser's cdata
+            # regex (r'</\s*script'), whitespace after '/' and junk before
+            # the final '>' are tolerated
+            close = re.compile(rf"</\s*{name}", re.IGNORECASE)
             cm = close.search(html, pos)
             if cm is None:
                 if pos < n:
@@ -452,7 +477,8 @@ def _fast_feed(html: str, b: "_TreeBuilder") -> None:
                 if cm.start() > pos:
                     b.handle_data(html[pos : cm.start()])
                 b.handle_endtag(name)
-                pos = cm.end()
+                gt = find(">", cm.end())
+                pos = n if gt < 0 else gt + 1
 
 
 # --------------------------------------------------------------------------

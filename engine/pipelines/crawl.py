@@ -19,8 +19,10 @@ crawl_oracle):
    inside ``map_batches`` against one of three layouts: flat pages
    (column-pruned scan), hash-bucketed pages, or a pre-derived bucketed
    link graph (engine.sources.bucketed — only buckets containing selected
-   URLs are read; no HTML re-parse per wave).  ``extract_docs`` mode runs
-   the full ExtractPages actor pool on each wave's fetch (crawl-and-index).
+   URLs are read; no HTML re-parse per wave).  ``extract_docs`` mode
+   (crawl-and-index) defers extraction to one chunked task-fn pass after
+   the crawl loop (see _extract_fetched); ``extract_pages_path`` lets the
+   crawl itself run over the links layout.
 3. **Discovery** — ``map_batches`` parses links, emits (url, depth+1);
    exact within-wave dedup = ``groupby('url').aggregate(Min('depth'))``
    (hash shuffle on url — the one unavoidable wide op; pre-deduped per
@@ -282,7 +284,6 @@ class CrawlRun:
         workdir: str,
         cfg: CrawlConfig = CrawlConfig(),
         extract_docs: bool = False,
-        extract_concurrency=(1, 8),
         extract_pages_path: Optional[str] = None,
     ):
         self.pages_path = pages_path
@@ -303,7 +304,6 @@ class CrawlRun:
         # cost (measured 2-4 s/wave at bench scale).  Defaults to
         # pages_path, which must then carry html.
         self.extract_docs = extract_docs
-        self.extract_concurrency = extract_concurrency
         self.extract_src = extract_pages_path or pages_path
         if extract_docs:
             from engine.sources.bucketed import is_bucketed, layout_kind
@@ -923,7 +923,6 @@ def run_crawl(
     workdir: str,
     cfg: CrawlConfig = CrawlConfig(),
     extract_docs: bool = False,
-    extract_concurrency=(1, 8),
     extract_pages_path: Optional[str] = None,
 ) -> Tuple[pa.Table, pa.Table]:
     """Run (or resume) a crawl; returns (crawl_order, url_seen) tables.
@@ -942,7 +941,6 @@ def run_crawl(
         workdir,
         cfg,
         extract_docs=extract_docs,
-        extract_concurrency=extract_concurrency,
         extract_pages_path=extract_pages_path,
     )
     try:

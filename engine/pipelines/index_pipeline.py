@@ -296,15 +296,27 @@ def apply_updates(
         # row.  Tie-break WITHIN the updates delta deterministically — a
         # bare _src sort would surface whichever duplicate arrived last in
         # the shuffle.  idx_id (present in meta/data tables) is a total
-        # order; for tables without it, scalar object columns give a
-        # stable lexicographic order (list columns are unsortable and are
-        # excluded).
-        tiebreak = [
-            c
-            for c in (["idx_id"] if "idx_id" in df.columns else
-                      [c for c in df.columns
-                       if c != "_src" and df[c].dtype != object])
-        ]
+        # order; for tables without it, every sortable column participates
+        # (strings ARE object dtype in pandas and must be included;
+        # list/array-valued columns are unsortable and are excluded by
+        # value inspection, not dtype).
+        def sortable(c):
+            if c == "_src":
+                return False
+            s = df[c].dropna()
+            if s.empty:
+                return True  # all-null sorts stably
+            import numpy as _np
+
+            return not isinstance(
+                s.iloc[0], (list, tuple, dict, set, _np.ndarray)
+            )
+
+        tiebreak = (
+            ["idx_id"]
+            if "idx_id" in df.columns
+            else [c for c in df.columns if sortable(c)]
+        )
         df = df.sort_values(["_src"] + tiebreak, kind="mergesort")
         return df.tail(1).drop(columns=["_src"])
 

@@ -328,6 +328,13 @@ def minhash_lsh_pairs(
             lookup = ray.get(ref)
             das = t.column("doc_a").to_pylist()
             dbs = t.column("doc_b").to_pylist()
+            missing = [d for d in das + dbs if d not in lookup]
+            if missing:
+                raise KeyError(
+                    f"minhash_lsh_pairs: texts table is missing candidate "
+                    f"doc ids {missing[:5]!r} — every id in `ds` must "
+                    f"appear in `texts`"
+                )
             keep_a, keep_b, ja = _jaccard_rows(
                 das, dbs, [lookup[d] for d in das], [lookup[d] for d in dbs]
             )
@@ -369,7 +376,18 @@ def minhash_lsh_pairs(
         lambda t: _rename(t, text_col, "text_b", [id_col]),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()
+    # inner joins silently DROP pairs whose ids are absent from `texts`;
+    # fail loudly instead (mirrors the broadcast path's KeyError)
+    n_joined = with_b.count()
+    n_pairs = uniq.count()
+    if n_joined != n_pairs:
+        raise KeyError(
+            f"minhash_lsh_pairs: text join produced {n_joined} rows for "
+            f"{n_pairs} candidate pairs — `texts` must contain exactly one "
+            f"row per candidate doc id (missing ids drop pairs, duplicate "
+            f"ids multiply them)"
+        )
 
     def verify(t: pa.Table) -> pa.Table:
         keep_a, keep_b, ja = _jaccard_rows(

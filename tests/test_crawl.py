@@ -100,7 +100,6 @@ def test_crawl_with_extraction(ray_session, fixture_dir, oracle_result, tmp_path
         wd,
         CFG,
         extract_docs=True,
-        extract_concurrency=2,
     )
     o_order, o_seen = oracle_result
     assert d_order.equals(o_order)
