@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.q_lang_id,
         "crawl_order": q.q_crawl_order,
         "fingerprint": q.q_fingerprint,
+        "dedup_corpus": q.q_dedup_corpus,
+        "sample_stratified": q.q_sample_stratified,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
@@ -222,6 +224,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars >= 200
               AND length(regexp_extract_all(coalesce(text, ''),
                                             '[^\t\n\v\f\r ]+')) >= 40
+        """,
+        "dedup_corpus": """
+            SELECT doc_id, lang, n_chars
+            FROM (SELECT doc_id, lang, n_chars,
+                         row_number() OVER (PARTITION BY md5(coalesce(text, ''))
+                                            ORDER BY doc_id) AS rn
+                  FROM documents)
+            WHERE rn = 1
+        """,
+        # hash-gated sampling: bucket = int(md5(id)[:8], 16) % 100 — the
+        # '0x'-prefixed CAST parses hex identically to Python int(s, 16)
+        "sample_stratified": """
+            SELECT doc_id, lang, n_chars
+            FROM (SELECT doc_id, lang, n_chars,
+                         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) % 100 AS b
+                  FROM documents)
+            WHERE b < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
         """,
         "lang_agg": """
             SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -223,6 +223,30 @@ def q_surt_hosts(sf_dir: str):
 # rows-only queries (not SQL-expressible)
 # ---------------------------------------------------------------------------
 
+def q_dedup_corpus(sf_dir: str):
+    """Deduplicated-corpus materialization: keep-first per exact content
+    hash (the consuming side of exact_dedup).  SQL-verified."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+    return dd.dedup_keep_first(
+        ds, id_col="doc_id", text_col="text", carry_cols=("lang", "n_chars")
+    )
+
+
+def q_sample_stratified(sf_dir: str):
+    """Deterministic per-language hash-gated sampling (reproducible across
+    engines/partitionings — md5 bucket on the id).  SQL-verified."""
+    from engine.stages.sample import stratified_sample
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    return stratified_sample(
+        ds,
+        id_col="doc_id",
+        strata_col="lang",
+        rates={"en": 50, "de": 25},
+        default_rate_pct=10,
+    )
+
+
 def q_webis_ids(sf_dir: str):
     """F1/F2 id derivation over the documents table (uuid5+b64: no SQL)."""
     ds = _docs(sf_dir, ["doc_id"])

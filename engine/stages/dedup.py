@@ -104,6 +104,43 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def dedup_keep_first(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: Tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """Materialize the DEDUPLICATED corpus: keep the min-id row per exact
+    content hash (the standard keep-first policy on top of exact_dedup).
+
+    Shuffle moves (hash, id, *carry) — never the text: the content hash is
+    computed per batch, the text column is dropped before the groupby, and
+    the winner row is picked inside map_groups.  Output columns:
+    (id_col, *carry_cols).
+    """
+
+    def hash_and_strip(t: pa.Table) -> pa.Table:
+        hs = [md5((x or "").encode()).hexdigest() for x in t.column(text_col).to_pylist()]
+        cols = {"h": pa.array(hs, pa.string()), id_col: t.column(id_col)}
+        for c in carry_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(id_col, kind="mergesort")
+            .head(1)
+            .drop(columns=["h"])
+        )
+
+    return (
+        ds.map_batches(hash_and_strip, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
 class MinHashStage:
     """Per-doc MinHash -> flat (band, band_hash, doc_id) rows for LSH."""
 
