@@ -32,8 +32,21 @@ from engine.stages.multimodal import decode_media_dataset, synth_media_table
 from engine.pipelines.testdata_pages import pages_dataset, seeds_table
 
 
-def _docs(sf_dir: str, columns):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+def _docs(sf_dir: str, columns, num_blocks: int | None = None):
+    """documents table, column-pruned.  ``num_blocks`` matters for
+    CPU-heavy per-doc stages: the table is one parquet file, so the default
+    read yields a handful of blocks and a map stage runs on that few tasks
+    — pass ~session CPUs to spread the work."""
+    kwargs = {}
+    if num_blocks is not None:
+        kwargs["override_num_blocks"] = num_blocks
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns, **kwargs
+    )
+
+
+def _cpus() -> int:
+    return max(4, int(ray.cluster_resources().get("CPU", 8)))
 
 
 # ---------------------------------------------------------------------------
@@ -316,13 +329,13 @@ def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup pairs — fully distributed verification (the
     candidate list is hash-joined against the documents table; no
     whole-corpus broadcast)."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     pairs = dd.minhash_lsh_pairs(ds, threshold=0.5)
     return pairs.sort(["doc_a", "doc_b"])
 
 
 def q_ngram_dedup(sf_dir: str):
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     pairs = dd.ngram_jaccard_pairs(ds, threshold=0.2)
     return pairs.sort(["doc_a", "doc_b"])
 
@@ -521,7 +534,7 @@ def q_dedup_clusters(sf_dir: str):
     """Near-dup clusters: MinHash-LSH pairs -> connected components via
     distributed min-label propagation (edges and labels stay Datasets;
     rows-only; verified against a union-find oracle in tests)."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     pairs = dd.minhash_lsh_pairs(ds, threshold=0.2)
     return dd.connected_components(pairs).sort("doc_id")
 
