@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q.q_fingerprint,
         "dedup_corpus": q.q_dedup_corpus,
         "sample_stratified": q.q_sample_stratified,
+        "pack_sequences": q.q_pack_sequences,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
@@ -224,6 +225,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars >= 200
               AND length(regexp_extract_all(coalesce(text, ''),
                                             '[^\t\n\v\f\r ]+')) >= 40
+        """,
+        "pack_sequences": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     length(regexp_extract_all(coalesce(text, ''),
+                                               '[^\t\n\v\f\r ]+')) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS stream_offset
+              FROM d
+            )
+            SELECT doc_id, n_tokens, stream_offset,
+                   stream_offset // 2048 AS pack_id
+            FROM c
         """,
         "dedup_corpus": """
             SELECT doc_id, lang, n_chars

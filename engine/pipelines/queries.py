@@ -260,6 +260,16 @@ def q_sample_stratified(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing for LLM pretraining: global ordered prefix-sum of
+    token counts -> per-doc stream offset and 2048-token pack id
+    (distributed two-phase prefix sum; SQL-verified via window cumsum)."""
+    from engine.stages.pack import pack_sequences
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return pack_sequences(ds, seq_len=2048)
+
+
 def q_webis_ids(sf_dir: str):
     """F1/F2 id derivation over the documents table (uuid5+b64: no SQL)."""
     ds = _docs(sf_dir, ["doc_id"])

@@ -211,3 +211,30 @@ def test_minhash_and_cc_zero_pair_corpus(ray_session):
     )
     assert cc.count() == 0
     assert set(cc.schema().names) == {"doc_id", "cluster_id"}
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    """Distributed two-phase prefix sum == serial cumsum; pack boundaries
+    at floor(stream_offset / seq_len)."""
+    import ray.data
+
+    from engine.stages.pack import pack_sequences
+
+    texts = [f"{'tok ' * (i % 7 + 1)}" for i in range(200)]
+    t = pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = (
+        pack_sequences(ray.data.from_arrow(t), seq_len=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    acc = 0
+    for i, row in out.iterrows():
+        n = i % 7 + 1
+        assert row["n_tokens"] == n
+        assert row["stream_offset"] == acc
+        assert row["pack_id"] == acc // 10
+        acc += n
