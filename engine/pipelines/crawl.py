@@ -326,6 +326,28 @@ class CrawlRun:
         self.seq = 0
         self.start_wave = 0
 
+        # Links-layout wave cache: the link graph is STATIC across waves,
+        # so re-reading parquet every wave pays the read cost x waves.
+        # When the layout fits the object store comfortably (on-disk size
+        # below the gate), materialize it ONCE and let every wave filter
+        # the cached blocks; above the gate (the 10^10-URL path) waves keep
+        # the pruned per-bucket reads.
+        self._links_cache = None
+        from engine.sources.bucketed import is_bucketed, layout_kind
+
+        if is_bucketed(pages_path) and layout_kind(pages_path) == "links":
+            import glob as _glob
+
+            files = _glob.glob(os.path.join(pages_path, "bucket=*", "*.parquet"))
+            on_disk = sum(os.path.getsize(f) for f in files)
+            if on_disk <= cfg.links_cache_bytes:
+                cpus = max(4, int(ray.cluster_resources().get("CPU", 8)))
+                self._links_cache = ray.data.read_parquet(
+                    files,
+                    columns=["url", "links"],
+                    override_num_blocks=min(cpus, max(1, len(files))),
+                ).materialize()
+
     # -- checkpoint helpers -------------------------------------------------
     def _wave_dir(self, wave: int) -> str:
         return os.path.join(self.workdir, "seed" if wave < 0 else f"wave_{wave:04d}")
@@ -659,12 +681,17 @@ class CrawlRun:
             if is_bucketed(self.pages_path) and layout_kind(self.pages_path) == "links":
                 # Scale path: pre-derived link graph (engine.sources.bucketed
                 # .bucketize_links) — no HTML bytes read, no per-wave parse.
-                links_ds = read_buckets_for(
-                    self.pages_path,
-                    sel_urls,
-                    columns=["url", "links"],
-                    override_num_blocks=n_blocks,
-                )
+                # Small layouts are served from the once-materialized object
+                # store cache (see __init__); large ones read pruned buckets.
+                if self._links_cache is not None:
+                    links_ds = self._links_cache
+                else:
+                    links_ds = read_buckets_for(
+                        self.pages_path,
+                        sel_urls,
+                        columns=["url", "links"],
+                        override_num_blocks=n_blocks,
+                    )
                 links = links_ds.map_batches(
                     _links_filter,
                     fn_kwargs=dict(selected_ref=selected_ref),

@@ -57,6 +57,10 @@ class CrawlConfig:
     # (host, salt) sub-groups for a stage-1 partial top-k, bounding any one
     # task's group to frontier(host)/n_salts (skew control, north_rule).
     n_selection_salts: int = 16
+    # Links layouts at or below this on-disk size are materialized into the
+    # object store ONCE and filtered per wave (the graph is static); larger
+    # layouts keep pruned per-bucket reads every wave (the 10^10-URL path).
+    links_cache_bytes: int = 4 << 30
 
 
 @dataclass
