@@ -345,8 +345,11 @@ def q_minhash_dedup(sf_dir: str):
 
 
 def q_ngram_dedup(sf_dir: str):
+    """Character 5-gram Jaccard near-dup pairs (distinct from minhash_dedup's
+    word shingles; threshold 0.5 — char-gram resemblance is permissive at
+    low thresholds since common character sequences overlap everywhere)."""
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
-    pairs = dd.ngram_jaccard_pairs(ds, threshold=0.2)
+    pairs = dd.ngram_jaccard_pairs(ds, threshold=0.5)
     return pairs.sort(["doc_a", "doc_b"])
 
 

@@ -56,14 +56,7 @@ _PERM_A = _rs.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint
 _PERM_B = _rs.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
 
 
-def _shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingle hashes (uint64, deduped)."""
-    toks = _TOKEN.findall(text or "")
-    if len(toks) < k:
-        base = toks if toks else [""]
-        grams = [" ".join(base)]
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+def _hash_grams(grams) -> np.ndarray:
     hs = np.fromiter(
         (
             int.from_bytes(blake2b(g.encode(), digest_size=8).digest(), "big")
@@ -75,10 +68,36 @@ def _shingles(text: str, k: int = 3) -> np.ndarray:
     return np.unique(hs)
 
 
-def minhash_signature(text: str, k: int = 3) -> np.ndarray:
+def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingle hashes (uint64, deduped)."""
+    toks = _TOKEN.findall(text or "")
+    if len(toks) < k:
+        base = toks if toks else [""]
+        grams = [" ".join(base)]
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return _hash_grams(grams)
+
+
+def _char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Character k-gram shingle hashes over the whitespace-normalized text
+    (uint64, deduped) — finer-grained than word shingles: robust to
+    punctuation/word-boundary edits that break word k-grams."""
+    norm = " ".join(_TOKEN.findall(text or ""))
+    if len(norm) < k:
+        grams = [norm]
+    else:
+        grams = [norm[i : i + k] for i in range(len(norm) - k + 1)]
+    return _hash_grams(grams)
+
+
+def minhash_signature(text: str, k: int = 3, shingle_fn=None) -> np.ndarray:
     """64-perm MinHash signature via exact universal hashing ((a*x+b) mod
-    2^31-1; all intermediates fit uint64 — see module constants)."""
-    sh = _shingles(text, k) % np.uint64(_MERSENNE)
+    2^31-1; all intermediates fit uint64 — see module constants).
+
+    ``shingle_fn(text, k)`` defaults to word k-gram shingles (_shingles);
+    pass _char_shingles for character-level resemblance."""
+    sh = (shingle_fn or _shingles)(text, k) % np.uint64(_MERSENNE)
     # (n_perm, n_shingles) is fine: shingle counts are bounded by doc length.
     vals = (_PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]) % np.uint64(_MERSENNE)
     return vals.min(axis=1).astype(np.uint64)
@@ -144,10 +163,17 @@ def dedup_keep_first(
 class MinHashStage:
     """Per-doc MinHash -> flat (band, band_hash, doc_id) rows for LSH."""
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 3,
+        shingle_fn=None,
+    ):
         self.text_col = text_col
         self.id_col = id_col
         self.k = k
+        self.shingle_fn = shingle_fn or _shingles
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids: List = []
@@ -156,7 +182,7 @@ class MinHashStage:
         for i, txt in zip(
             batch.column(self.id_col).to_pylist(), batch.column(self.text_col).to_pylist()
         ):
-            sig = minhash_signature(txt, self.k)
+            sig = minhash_signature(txt, self.k, self.shingle_fn)
             for b in range(_LSH_BANDS):
                 chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
                 # 63-bit key: int64 keeps Ray's groupby/sort on the native
@@ -204,6 +230,7 @@ def minhash_lsh_pairs(
     num_partitions: int | None = None,
     broadcast_hot_max: int = 1_000_000,
     broadcast_pairs_max: int = 100_000,
+    shingle_fn=None,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
@@ -235,9 +262,10 @@ def minhash_lsh_pairs(
     """
     import pyarrow.compute as pc
 
+    shingle_fn = shingle_fn or _shingles
     num_partitions = _join_partitions(num_partitions)
     bands = ds.map_batches(
-        MinHashStage(text_col=text_col, id_col=id_col, k=k),
+        MinHashStage(text_col=text_col, id_col=id_col, k=k, shingle_fn=shingle_fn),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -325,7 +353,7 @@ def minhash_lsh_pairs(
     def _jaccard_rows(das, dbs, tas, tbs):
         ja, keep_a, keep_b = [], [], []
         for da, db, ta, tb in zip(das, dbs, tas, tbs):
-            sa, sb = _shingles(ta, k), _shingles(tb, k)
+            sa, sb = shingle_fn(ta, k), shingle_fn(tb, k)
             inter = len(np.intersect1d(sa, sb))
             union = len(sa) + len(sb) - inter
             j = inter / union if union else 0.0
@@ -482,19 +510,27 @@ def ngram_jaccard_pairs(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 3,
+    k: int = 5,
     threshold: float = 0.2,
     texts: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
-    """All-pairs n-gram Jaccard above threshold, LSH-pruned.
+    """All-pairs CHARACTER n-gram Jaccard above threshold, LSH-pruned.
 
-    Same machinery as minhash_lsh_pairs with a lower threshold: LSH recall
-    for J>=0.2 at 16 bands x 4 rows is partial BY DESIGN (documented cap:
-    candidate generation is approximate; exact all-pairs is O(n^2) and only
-    used by tests at tiny scale).
+    Distinct from minhash_lsh_pairs: resemblance is over character k-grams
+    of the whitespace-normalized text (_char_shingles) — robust to
+    punctuation/word-boundary edits that break word shingles.  Same LSH
+    machinery; recall for J>=0.2 at 16 bands x 4 rows is partial BY DESIGN
+    (documented cap: candidate generation is approximate; exact all-pairs
+    is O(n^2) and only used by tests at tiny scale).
     """
     return minhash_lsh_pairs(
-        ds, text_col=text_col, id_col=id_col, k=k, threshold=threshold, texts=texts
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        threshold=threshold,
+        texts=texts,
+        shingle_fn=_char_shingles,
     )
 
 
