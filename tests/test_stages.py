@@ -238,3 +238,35 @@ def test_pack_sequences_prefix_sum(ray_session):
         assert row["stream_offset"] == acc
         assert row["pack_id"] == acc // 10
         acc += n
+
+
+def test_deterministic_sampling(ray_session):
+    """Hash-gated sampling: reproducible across runs/partitionings, rate
+    approximately honored, strata rates independent."""
+    import ray.data
+
+    from engine.stages.sample import deterministic_sample, stratified_sample
+
+    t = pa.table({
+        "doc_id": pa.array(range(2000), pa.int64()),
+        "lang": pa.array(["en" if i % 2 else "de" for i in range(2000)], pa.string()),
+    })
+    ds = ray.data.from_arrow(t)
+    a = deterministic_sample(ds, rate_pct=10).to_pandas()["doc_id"].tolist()
+    b = deterministic_sample(
+        ray.data.from_arrow(t).repartition(7), rate_pct=10
+    ).to_pandas()["doc_id"].tolist()
+    assert sorted(a) == sorted(b)  # partitioning-independent
+    assert 120 <= len(a) <= 280  # ~10% of 2000
+
+    s = stratified_sample(
+        ds, rates={"en": 50}, default_rate_pct=10
+    ).to_pandas()
+    n_en = (s["lang"] == "en").sum()
+    n_de = (s["lang"] == "de").sum()
+    assert 400 <= n_en <= 600  # ~50% of 1000
+    assert 60 <= n_de <= 140   # ~10% of 1000
+    # subset law: the 10% sample is a subset of the 50% sample per id
+    ten = set(deterministic_sample(ds, rate_pct=10).to_pandas()["doc_id"])
+    fifty = set(deterministic_sample(ds, rate_pct=50).to_pandas()["doc_id"])
+    assert ten <= fifty
