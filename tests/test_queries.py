@@ -185,3 +185,19 @@ def test_ann_topk_is_exact(contract):
         expect = [vid for _, vid in order[:10]]
         sub = got[got["query_id"] == qi].sort_values("rank")
         assert sub["vec_id"].tolist() == expect, f"query {qi} top-10 differs"
+
+
+def test_contract_lists_complete(contract):
+    """Every queries() entry is either SQL-verified (with an oracle) or in
+    the rows-only smoke list — no query can silently escape testing; no
+    oracle can exist without a query."""
+    queries, oracles = contract
+    tested = set(SQL_NAMES) | {n for n, _ in ROWS_ONLY}
+    assert set(queries) == tested, (
+        f"untested queries: {set(queries) - tested}; "
+        f"stale test entries: {tested - set(queries)}"
+    )
+    assert set(oracles) == set(SQL_NAMES), (
+        f"oracles without SQL parity test: {set(oracles) - set(SQL_NAMES)}; "
+        f"SQL_NAMES without oracle: {set(SQL_NAMES) - set(oracles)}"
+    )
