@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_agg": q.q_lang_agg,
         "lookup_join": q.q_lookup_join,
         "events_window": q.q_events_window,
+        "events_hopping": q.q_events_hopping,
         "topk_orders": q.q_topk_orders,
         "pricing_summary": q.q_pricing_summary,
         "surt_hosts": q.q_surt_hosts,
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q.q_minhash_dedup,
         "ngram_dedup": q.q_ngram_dedup,
         "simhash": q.q_simhash,
+        "simhash_pairs": q.q_simhash_pairs,
         "embedding_dedup": q.q_embedding_dedup,
         "ann_ivf": q.q_ann_ivf,
         "extract_enriched": q.q_extract_enriched,
@@ -272,6 +274,16 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             LEFT JOIN nation ON c_nationkey = n_nationkey
             LEFT JOIN region ON n_regionkey = r_regionkey
+        """,
+        # hopping windows: each event in size/hop = 2 windows (cross join
+        # with hop offsets 0,1); all-integer arithmetic
+        "events_hopping": """
+            SELECT (epoch_us(ts) // 1800000000 - k.k) * 1800000000 AS win_start,
+                   event_type,
+                   count(*) AS n_events,
+                   max(value) AS max_value
+            FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+            GROUP BY 1, 2
         """,
         "events_window": """
             SELECT epoch_us(ts) // 3600000000 AS bucket,

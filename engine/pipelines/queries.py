@@ -179,6 +179,53 @@ def q_events_window(sf_dir: str):
     )
 
 
+def q_events_hopping(sf_dir: str):
+    """HOPPING window aggregate (1-hour windows, 30-minute hop): each event
+    lands in size/hop = 2 windows — emitted per batch, pre-aggregated, then
+    one global groupby.  Complements the tumbling q_events_window
+    (SURVEY §2.7 streaming shapes).  SQL-verified."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    HOP_US = 1_800_000_000  # 30 min
+    SIZE_HOPS = 2           # 1 h window = 2 hops
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        hop = pc.divide(us, HOP_US)
+        tables = []
+        for k in range(SIZE_HOPS):
+            ws = pc.multiply(pc.subtract(hop, k), HOP_US)
+            tables.append(
+                pa.table(
+                    {
+                        "win_start": ws,
+                        "event_type": t.column("event_type"),
+                        "value": t.column("value"),
+                    }
+                )
+            )
+        both = pa.concat_tables(tables)
+        return (
+            both.group_by(["win_start", "event_type"])
+            .aggregate([("value", "count"), ("value", "max")])
+            .rename_columns(["win_start", "event_type", "n_events", "max_value"])
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby(["win_start", "event_type"]).aggregate(
+        Sum("n_events", alias_name="n_events"), Max("max_value", alias_name="max_value")
+    )
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs via the 4x16-bit band trick (hamming <= 3
+    pigeonhole; rows-only — blake2b token hashing has no SQL analog;
+    exactness vs an all-pairs hamming oracle is pinned in tests)."""
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return dd.simhash_pairs(ds, max_hamming=3).sort(["doc_a", "doc_b"])
+
+
 def q_topk_orders(sf_dir: str):
     """Global top-k: sort + limit with deterministic tie-break."""
     ds = ray.data.read_parquet(

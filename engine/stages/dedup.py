@@ -505,6 +505,82 @@ class SimHashStage:
         )
 
 
+def simhash_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> ray.data.Dataset:
+    """SimHash near-dup pairs: 64-bit fingerprints paired when their
+    Hamming distance is <= ``max_hamming`` (Manku et al., WWW'07 table
+    trick).
+
+    The fingerprint is split into 4 x 16-bit bands; any pair within
+    Hamming distance 3 agrees EXACTLY on at least one band (pigeonhole),
+    so a groupby on (band_no, band_value) generates all candidates with no
+    all-pairs pass; the exact Hamming check runs inside the bucket.
+    Shuffle moves (band_no, band_value, doc_id, simhash) — 4 small rows
+    per doc, never text.  Output: (doc_a, doc_b, hamming), deduped across
+    bands with a groupby Min.
+    """
+    st = SimHashStage(text_col=text_col, id_col=id_col)
+
+    def bandize(t: pa.Table) -> pa.Table:
+        sim_t = st(t)
+        ids = sim_t.column(id_col).to_pylist()
+        sims = [int(x, 16) for x in sim_t.column("simhash").to_pylist()]
+        out_id, out_band, out_val, out_sim = [], [], [], []
+        for i, s in zip(ids, sims):
+            # simhash carried as int64 two's complement — keeps Arrow's
+            # native groupby path; hamming is XOR-popcount, sign-agnostic
+            s64 = s - (1 << 64) if s >= (1 << 63) else s
+            for b in range(4):
+                out_id.append(i)
+                out_band.append(b)
+                out_val.append((s >> (16 * b)) & 0xFFFF)
+                out_sim.append(s64)
+        return pa.table(
+            {
+                "band_no": pa.array(out_band, pa.int64()),
+                "band_val": pa.array(out_val, pa.int64()),
+                id_col: pa.array(out_id),
+                "sim": pa.array(out_sim, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = df[id_col].tolist()
+        sims = df["sim"].tolist()
+        a, b, h = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = bin((sims[i] ^ sims[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= max_hamming:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    h.append(d)
+        dt = df[id_col].dtype
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(a, dtype=dt),
+                "doc_b": pd.Series(b, dtype=dt),
+                "hamming": pd.Series(h, dtype="int64"),
+            }
+        )
+
+    bands = ds.map_batches(bandize, batch_format="pyarrow", zero_copy_batch=True)
+    cand = bands.groupby(["band_no", "band_val"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset,
     *,

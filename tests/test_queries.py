@@ -60,7 +60,7 @@ SQL_NAMES = [
     "distinct_users", "sessions", "hash_join", "asof_join", "range_join",
     "quantiles", "quality", "extract_pages", "ann_topk", "lang_id",
     "crawl_order", "fingerprint", "dedup_corpus", "sample_stratified",
-    "pack_sequences",
+    "pack_sequences", "events_hopping",
 ]
 
 
@@ -88,6 +88,7 @@ def test_sql_parity(contract, name):
 ROWS_ONLY = [
     ("webis_ids", 1),
     ("simhash", 1),
+    ("simhash_pairs", 0),
     ("minhash_dedup", 0),
     ("ngram_dedup", 0),
     ("embedding_dedup", 0),

@@ -270,3 +270,32 @@ def test_deterministic_sampling(ray_session):
     ten = set(deterministic_sample(ds, rate_pct=10).to_pandas()["doc_id"])
     fifty = set(deterministic_sample(ds, rate_pct=50).to_pandas()["doc_id"])
     assert ten <= fifty
+
+
+def test_simhash_pairs_hamming(ray_session):
+    """SimHash band pairing finds near-identical docs (hamming <= 3) and
+    the pigeonhole guarantee holds: every pair within distance 3 appears."""
+    import ray.data
+
+    from engine.stages.dedup import SimHashStage, simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    texts = [base, base + "extra", "entirely different words " * 10,
+             base.replace("quick", "quik"), "unrelated content here " * 12]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = simhash_pairs(ray.data.from_arrow(t), max_hamming=3).to_pandas()
+    found = {(r["doc_a"], r["doc_b"]) for _, r in got.iterrows()}
+
+    # exact oracle: all-pairs hamming over the same fingerprints
+    sims = [int(x, 16) for x in SimHashStage()(t).column("simhash").to_pylist()]
+    expect = set()
+    for i in range(len(sims)):
+        for j in range(i + 1, len(sims)):
+            if bin(sims[i] ^ sims[j]).count("1") <= 3:
+                expect.add((i, j))
+    assert found == expect
+    for _, r in got.iterrows():
+        assert bin(sims[r["doc_a"]] ^ sims[r["doc_b"]]).count("1") == r["hamming"]
