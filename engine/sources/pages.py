@@ -8,9 +8,13 @@ block splitting, task retries, and streaming scheduling (SURVEY.md §2.1).
 
 from __future__ import annotations
 
+import base64
 from typing import List, Optional
 
+import pyarrow as pa
 import ray.data
+
+from engine.schema import PAGES
 
 
 def read_pages(
@@ -28,3 +32,70 @@ def read_pages(
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
     return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def read_pages_jsonl(
+    path: str,
+    columns: Optional[List[str]] = None,
+    override_num_blocks: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Read a pages table from JSONL files into the canonical PAGES schema.
+
+    Second source format alongside Parquet (crawl dumps frequently ship as
+    line-delimited JSON).  Per-record fields:
+
+    - ``url``        : string (required)
+    - ``warc_ts``    : ISO-8601 string or epoch microseconds (optional)
+    - ``html_b64``   : base64-encoded page bytes (JSON cannot carry raw
+                       binary — the standard encoding for html payloads)
+    - ``text``/``lang``: optional pass-through enrichment columns
+
+    Output schema is exactly ``engine.schema.PAGES`` (url, warc_ts, html,
+    text, lang) so every downstream pipeline (extraction, crawl, bucketize)
+    consumes it unchanged.  Column pruning happens after decode — JSON has
+    no columnar projection; prefer Parquet at scale (this reader exists for
+    ingest interoperability, not as the 100 TB hot path).
+    """
+    import datetime as _dt
+
+    ds = ray.data.read_json(path, override_num_blocks=override_num_blocks) \
+        if override_num_blocks else ray.data.read_json(path)
+
+    def coerce(t: pa.Table) -> pa.Table:
+        names = t.column_names
+        n = t.num_rows
+
+        def col(name):
+            return t.column(name).to_pylist() if name in names else [None] * n
+
+        urls = col("url")
+        raw_ts = col("warc_ts")
+        ts = []
+        for v in raw_ts:
+            if v is None:
+                ts.append(None)
+            elif isinstance(v, (int, float)):
+                ts.append(_dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(v)))
+            elif isinstance(v, _dt.datetime):
+                ts.append(v.replace(tzinfo=None))
+            else:
+                ts.append(_dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+                          .replace(tzinfo=None))
+        htmls = [
+            base64.b64decode(v) if v is not None else None for v in col("html_b64")
+        ]
+        out = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array(col("text"), pa.string()),
+                "lang": pa.array(col("lang"), pa.string()),
+            },
+            schema=PAGES,
+        )
+        if columns:
+            out = out.select(columns)
+        return out
+
+    return ds.map_batches(coerce, batch_format="pyarrow", zero_copy_batch=True)

@@ -136,3 +136,39 @@ def test_lookup_join(extracted_dir, fixture_dir):
             assert row["spam_rank"] == s
         if p is not None:
             assert abs(row["page_rank"] - p) < 1e-9
+
+
+def test_jsonl_pages_source(ray_session, tmp_path):
+    """JSONL pages source: same rows as the Parquet source for the same
+    corpus (base64 html round-trip, ts coercion), and the extraction
+    pipeline consumes it unchanged."""
+    import base64
+    import json
+
+    import pyarrow.parquet as pq
+
+    from engine.pipelines.index_pipeline import extract_dataset
+    from engine.pipelines.testdata_pages import pages_dataset
+    from engine.sources.pages import read_pages_jsonl
+
+    pages = pages_dataset("/root/testdata/sf0.001").limit(64).to_pandas()
+    jl = tmp_path / "pages.jsonl"
+    with open(jl, "w") as f:
+        for _, r in pages.iterrows():
+            f.write(json.dumps({
+                "url": r["url"],
+                "warc_ts": r["warc_ts"].isoformat(),
+                "html_b64": base64.b64encode(r["html"]).decode(),
+            }) + "\n")
+
+    ds = read_pages_jsonl(str(jl))
+    got = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    exp = pages.sort_values("url").reset_index(drop=True)
+    assert got["url"].tolist() == exp["url"].tolist()
+    assert [bytes(x) for x in got["html"]] == [bytes(x) for x in exp["html"]]
+    assert got["warc_ts"].tolist() == exp["warc_ts"].tolist()
+
+    # extraction consumes the JSONL source unchanged
+    ex = extract_dataset(ds, concurrency=(1, 2), batch_size=32).to_pandas()
+    assert len(ex) == len(exp)
+    assert (ex["skip_reason"].isna()).sum() > 0
