@@ -357,6 +357,12 @@ import os as _os
 _USE_STDLIB_PARSER = _os.environ.get("RAYCRAWL_STDLIB_PARSER", "") == "1"
 
 # one tag: optional '/', name, quote-aware attr blob, '>'
+# marked-section scanning, mirroring _markupbase: keyword per _scan_name's
+# declname pattern; two close forms (']]>' standard, ']>' for MS if/else/endif)
+_MS_KEYWORD = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*")
+_MS_CLOSE_LONG = re.compile(r"]\s*]\s*>")
+_MS_CLOSE_SHORT = re.compile(r"]\s*>")
+
 _FAST_TAG = re.compile(
     r"<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>"
 )
@@ -426,14 +432,41 @@ def _fast_feed(html: str, b: "_TreeBuilder") -> None:
                 end = find("-->", lt + 4)
                 pos = n if end < 0 else end + 3
             elif html.startswith("<![", lt):
-                # marked section (<![CDATA[...]]> etc.): ends at ']>' like
-                # html.parser's parse_marked_section, not at the first '>'
-                end = find("]>", lt + 3)
-                if end < 0:
-                    end = find(">", lt + 3)
-                    pos = n if end < 0 else end + 1
+                # marked section: mirror _markupbase.parse_marked_section —
+                # cdata/rcdata/ignore/include/temp close at ']\s*]\s*>' (so
+                # '<![CDATA[a]>b]]>' skips past 'b]]>'), the MS-Office
+                # if/else/endif keywords close at ']\s*>', an unknown
+                # keyword aborts the parse (stdlib raises through error();
+                # parse() swallows it, keeping the tree built so far), and
+                # an unterminated/truncated section emits RAW data up to
+                # and including the next '>' (goahead's end-of-feed path).
+                mkw = _MS_KEYWORD.match(html, lt + 3)
+                close = None
+                if mkw is not None and mkw.end() < n:
+                    kw = mkw.group(0).lower()
+                    if kw in ("if", "else", "endif"):
+                        close = _MS_CLOSE_SHORT.search(html, lt + 3)
+                    elif kw in ("temp", "cdata", "ignore", "include", "rcdata"):
+                        close = _MS_CLOSE_LONG.search(html, lt + 3)
+                    else:
+                        raise ValueError(
+                            f"unknown status keyword {kw!r} in marked section"
+                        )
+                elif mkw is None and lt + 3 < n:
+                    # garbage after '<![' that can never become a keyword
+                    raise ValueError("malformed marked section")
+                if close is not None:
+                    pos = close.end()
                 else:
-                    pos = end + 2
+                    k = find(">", lt + 1)
+                    if k < 0:
+                        k = find("<", lt + 1)
+                        if k < 0:
+                            k = lt + 1
+                    else:
+                        k += 1
+                    b.handle_data(html[lt:k])
+                    pos = k
             else:
                 end = find(">", lt + 2)  # doctype: skip
                 pos = n if end < 0 else end + 1

@@ -17,6 +17,18 @@ import ray.data
 from engine.schema import PAGES
 
 
+def _to_naive_utc(v):
+    """Normalize a datetime to a naive UTC instant: tz-aware values are
+    CONVERTED to UTC before the tzinfo is dropped (a bare replace() would
+    store the local wall-clock, making identical instants with different
+    offsets yield different warc_ts values)."""
+    import datetime as _dt
+
+    if v.tzinfo is not None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
 def read_pages(
     path: str,
     columns: Optional[List[str]] = None,
@@ -77,10 +89,11 @@ def read_pages_jsonl(
             elif isinstance(v, (int, float)):
                 ts.append(_dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(v)))
             elif isinstance(v, _dt.datetime):
-                ts.append(v.replace(tzinfo=None))
+                ts.append(_to_naive_utc(v))
             else:
-                ts.append(_dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
-                          .replace(tzinfo=None))
+                ts.append(_to_naive_utc(
+                    _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+                ))
         htmls = [
             base64.b64decode(v) if v is not None else None for v in col("html_b64")
         ]

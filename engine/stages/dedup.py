@@ -11,6 +11,7 @@ emitted with doc_a < doc_b and outputs sorted by the caller.
 
 from __future__ import annotations
 
+import logging
 import re
 from hashlib import blake2b, md5
 from typing import Dict, List, Tuple
@@ -23,6 +24,34 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 _TOKEN = re.compile(r"\S+")
+
+_log = logging.getLogger("engine.dedup")
+
+_PLANES_CACHE: Dict[Tuple[int, int], np.ndarray] = {}
+
+
+def _hyperplanes(n_total: int, dim: int) -> np.ndarray:
+    """Deterministic random-hyperplane matrix, generated once per worker
+    process (not per batch) — fixed seed, keyed by shape."""
+    key = (n_total, dim)
+    p = _PLANES_CACHE.get(key)
+    if p is None:
+        p = np.random.RandomState(98765).standard_normal((n_total, dim))
+        _PLANES_CACHE[key] = p
+    return p
+
+
+# Hot-bucket gate: above this many members, a single LSH bucket stops
+# emitting all O(m^2) pairs and switches to the STAR pattern — every member
+# paired with the bucket's min-id representative, O(m) pairs.  Rationale
+# (100 TB): one pathological bucket of 10^6 boilerplate near-identicals
+# would otherwise emit ~10^12 pairs inside ONE map_groups task.  The star
+# keeps the bucket connected (sufficient for dedup / connected-components
+# clustering) at the cost of not enumerating every intra-bucket edge;
+# verification below the caller's threshold can drop star edges, in which
+# case recall within that pathological bucket is partial — the switch is
+# logged so the loss is visible, never silent.
+_STAR_GATE = 4096
 
 
 def _join_partitions(requested: int | None = None) -> int:
@@ -205,18 +234,29 @@ class MinHashStage:
         )
 
 
-def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (doc_a < doc_b)."""
-    ids = sorted(df["doc_id"].tolist())
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    dt = df["doc_id"].dtype
-    return pd.DataFrame(
-        {"doc_a": pd.Series(a, dtype=dt), "doc_b": pd.Series(b, dtype=dt)}
-    )
+def _bucket_pairs(df: pd.DataFrame, max_bucket: int = _STAR_GATE) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket (doc_a < doc_b).
+
+    Buckets larger than ``max_bucket`` emit the star pattern (min-id
+    representative x every member, O(m)) instead of all O(m^2) pairs —
+    see _STAR_GATE.
+    """
+    ids = df["doc_id"].sort_values(kind="mergesort").reset_index(drop=True)
+    m = len(ids)
+    dt = ids.dtype
+    if m > max_bucket:
+        _log.warning(
+            "LSH bucket of %d members exceeds gate %d: emitting star "
+            "pattern (%d pairs) instead of %d all-pairs",
+            m, max_bucket, m - 1, m * (m - 1) // 2,
+        )
+        a = ids.iloc[np.zeros(m - 1, dtype=np.int64)].reset_index(drop=True)
+        b = ids.iloc[1:].reset_index(drop=True)
+    else:
+        iu, ju = np.triu_indices(m, k=1)
+        a = ids.iloc[iu].reset_index(drop=True)
+        b = ids.iloc[ju].reset_index(drop=True)
+    return pd.DataFrame({"doc_a": a.astype(dt), "doc_b": b.astype(dt)})
 
 
 def minhash_lsh_pairs(
@@ -230,6 +270,7 @@ def minhash_lsh_pairs(
     num_partitions: int | None = None,
     broadcast_hot_max: int = 1_000_000,
     broadcast_pairs_max: int = 100_000,
+    max_bucket: int = _STAR_GATE,
     shingle_fn=None,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
@@ -248,7 +289,9 @@ def minhash_lsh_pairs(
        never O(corpus); measured: each native join costs ~2-4 s of
        aggregator-actor spin-up, which dominates small/medium corpora.
     4. pairwise candidates inside each colliding bucket, deduped with a
-       groupby Count.
+       groupby Count.  Buckets above ``max_bucket`` members emit the
+       O(m) star pattern instead of O(m^2) all-pairs (see _STAR_GATE) —
+       a 10^6-member boilerplate bucket stays bounded.
     5. exact-Jaccard verification: texts for the candidate doc ids are
        fetched with the same gated pattern — small candidate sets
        broadcast the ID set, semi-join the text table in a task stage and
@@ -319,8 +362,10 @@ def minhash_lsh_pairs(
             on=("band", "band_hash"),
         )
 
+    from functools import partial
+
     cand = colliding.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+        partial(_bucket_pairs, max_bucket=max_bucket), batch_format="pandas"
     )
     uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_bands")
@@ -483,19 +528,38 @@ class SimHashStage:
         self.text_col = text_col
         self.id_col = id_col
 
+    _POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for txt in batch.column(self.text_col).to_pylist():
             toks = _TOKEN.findall(txt or "")
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                h = int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(), "big")
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            sim = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    sim |= 1 << bit
+            if not toks:
+                out.append(f"{0:016x}")
+                continue
+            # Vectorized kernel: hash UNIQUE tokens once (blake2b is the
+            # only per-item Python call left), expand the uint64 hashes to
+            # a (n_uniq, 64) bit matrix in one unpackbits, then weight by
+            # occurrence counts — acc[bit] = 2*set_count - n_tokens, so
+            # the output bit is set iff 2*set_count > n_tokens.  Exactly
+            # the Charikar +1/-1 accumulate, ~50x fewer numpy dispatches.
+            uniq, counts = np.unique(toks, return_counts=True)
+            hs = np.fromiter(
+                (
+                    int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "big")
+                    for t in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            # little-endian host: byte 0 of the uint64 view is the LSByte,
+            # so bitorder="little" puts bit i of the hash in column i
+            bits = np.unpackbits(
+                hs[:, None].view(np.uint8), axis=1, bitorder="little"
+            ).astype(np.int64)
+            set_cnt = counts.astype(np.int64) @ bits
+            sim_bits = (2 * set_cnt) > len(toks)
+            sim = int(sim_bits.astype(np.uint64) @ self._POW2)
             out.append(f"{sim:016x}")
         return pa.table(
             {
@@ -511,10 +575,12 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = _STAR_GATE,
 ) -> ray.data.Dataset:
     """SimHash near-dup pairs: 64-bit fingerprints paired when their
     Hamming distance is <= ``max_hamming`` (Manku et al., WWW'07 table
-    trick).
+    trick).  Buckets above ``max_bucket`` emit the O(m) star pattern
+    (see _STAR_GATE).
 
     The fingerprint is split into 4 x 16-bit bands; any pair within
     Hamming distance 3 agrees EXACTLY on at least one band (pigeonhole),
@@ -550,25 +616,54 @@ def simhash_pairs(
         )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        ids = df[id_col].tolist()
-        sims = df["sim"].tolist()
-        a, b, h = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = bin((sims[i] ^ sims[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if d <= max_hamming:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    h.append(d)
+        # a doc emits exactly one row per band_no, so ids are unique within
+        # a bucket; drop_duplicates is defensive (identical rows carry
+        # identical sims, so dropping is semantics-preserving)
+        df = (
+            df.drop_duplicates(subset=[id_col])
+            .sort_values(id_col, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        m = len(df)
         dt = df[id_col].dtype
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=dt),
+                    "doc_b": pd.Series([], dtype=dt),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        sims = df["sim"].to_numpy(np.int64).view(np.uint64)
+        if m > max_bucket:
+            _log.warning(
+                "simhash bucket of %d members exceeds gate %d: star pattern",
+                m, max_bucket,
+            )
+            iu = np.zeros(m - 1, dtype=np.int64)
+            ju = np.arange(1, m, dtype=np.int64)
+        else:
+            iu, ju = np.triu_indices(m, k=1)
+        keep_a, keep_b, keep_h = [], [], []
+        # chunked XOR-popcount: bounds the (pairs x 64) unpackbits buffer
+        for lo in range(0, len(iu), 1 << 20):
+            ic, jc = iu[lo : lo + (1 << 20)], ju[lo : lo + (1 << 20)]
+            x = sims[ic] ^ sims[jc]
+            d = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(
+                axis=1, dtype=np.int64
+            )
+            sel = d <= max_hamming
+            keep_a.append(ic[sel])
+            keep_b.append(jc[sel])
+            keep_h.append(d[sel])
+        ai = np.concatenate(keep_a)
+        bi = np.concatenate(keep_b)
+        ids = df[id_col]
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(a, dtype=dt),
-                "doc_b": pd.Series(b, dtype=dt),
-                "hamming": pd.Series(h, dtype="int64"),
+                "doc_a": ids.iloc[ai].reset_index(drop=True).astype(dt),
+                "doc_b": ids.iloc[bi].reset_index(drop=True).astype(dt),
+                "hamming": pd.Series(np.concatenate(keep_h), dtype="int64"),
             }
         )
 
@@ -618,6 +713,7 @@ def embedding_nn_pairs(
     threshold: float = 0.35,
     n_planes: int = 4,
     n_tables: int = 8,
+    max_bucket: int = _STAR_GATE,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup via multi-table random-hyperplane LSH.
 
@@ -626,7 +722,9 @@ def embedding_nn_pairs(
     (table_id, bucket) key; within-bucket exact cosine; pairs >= threshold,
     deduped across tables with a groupby Max.  Recall for cosine c is
     1-(1-(1-acos(c)/pi)^b)^L — approximate BY DESIGN; exact comparisons use
-    brute_force_topk.  Output: (id_a, id_b, cos), cos rounded to 6 decimals.
+    brute_force_topk.  Buckets above ``max_bucket`` emit the O(m) star
+    pattern (see _STAR_GATE).  Output: (id_a, id_b, cos), cos rounded to
+    6 decimals.
     """
 
     def bucketize(t: pa.Table) -> pa.Table:
@@ -634,9 +732,7 @@ def embedding_nn_pairs(
         n = np.linalg.norm(vecs, axis=1, keepdims=True)
         n[n == 0] = 1.0
         vn = vecs / n
-        planes = np.random.RandomState(98765).standard_normal(
-            (n_tables * n_planes, vecs.shape[1])
-        )
+        planes = _hyperplanes(n_tables * n_planes, vecs.shape[1])
         signs = (vn @ planes.T) > 0  # (rows, L*b)
         tids, buckets, ids, vcol = [], [], [], []
         raw_ids = t.column(id_col).to_pylist()
@@ -670,24 +766,34 @@ def embedding_nn_pairs(
                 }
             )
         df = df.sort_values(id_col).reset_index(drop=True)
+        m = len(df)
         vecs = np.array(df[vec_col].tolist(), dtype=np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         vn = vecs / norms
-        sims = vn @ vn.T
-        ids = df[id_col].tolist()
-        a, b, c = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    c.append(round(float(sims[i, j]), 6))
+        if m > max_bucket:
+            _log.warning(
+                "cosine LSH bucket of %d members exceeds gate %d: star pattern",
+                m, max_bucket,
+            )
+            iu = np.zeros(m - 1, dtype=np.int64)
+            ju = np.arange(1, m, dtype=np.int64)
+            sim_vals = vn[1:] @ vn[0]
+        else:
+            iu, ju = np.triu_indices(m, k=1)
+            sim_vals = (vn @ vn.T)[iu, ju]
+        sel = sim_vals >= threshold
+        ids = df[id_col]
         return pd.DataFrame(
             {
-                "id_a": pd.Series(a, dtype=idt),
-                "id_b": pd.Series(b, dtype=idt),
-                "cos": pd.Series(c, dtype="float64"),
+                "id_a": ids.iloc[iu[sel]].reset_index(drop=True).astype(idt),
+                "id_b": ids.iloc[ju[sel]].reset_index(drop=True).astype(idt),
+                # Python round (correctly-rounded), not np.round: keeps the
+                # output bit-identical to the previous per-pair kernel; the
+                # selected set is small so the comprehension is cheap
+                "cos": pd.Series(
+                    [round(float(x), 6) for x in sim_vals[sel]], dtype="float64"
+                ),
             }
         )
 
@@ -721,7 +827,8 @@ def connected_components(
 
     Convergence is detected without a per-round join: labels only ever
     decrease under Min-propagation, so the label multiset changes iff its
-    deterministic fingerprint (sum of per-row blake2b(node|label) mod 2^63)
+    deterministic fingerprint (sum of per-row splitmix64(node, label) mod
+    2^64 — vectorized numpy for integer ids, blake2b fallback otherwise)
     changes — one cheap aggregate per round, dtype-agnostic.
 
     Output: (doc_id, cluster_id) where cluster_id is the component's
@@ -770,20 +877,43 @@ def connected_components(
         .materialize()
     )
 
+    def _mix64(v: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer, vectorized; uint64 arithmetic wraps mod 2^64
+        v = v + np.uint64(0x9E3779B97F4A7C15)
+        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return v ^ (v >> np.uint64(31))
+
     def _fingerprint(lab: ray.data.Dataset) -> int:
-        # Sum of per-row hashes is partition-independent (unlike any
-        # per-block masking), but can exceed int64 — per-block partials are
-        # carried as decimal strings and combined with Python bigints on
-        # the driver (one tiny row per block, never the label rows).
+        # Sum of per-row hashes mod 2^64 is partition-independent (addition
+        # is commutative; per-block wrap + driver wrap = total mod 2^64
+        # regardless of block boundaries).  Integer label types take the
+        # vectorized splitmix64 path (the common case — one numpy pass per
+        # block); anything else falls back to per-row blake2b.
         def fp(t: pa.Table) -> pa.Table:
-            s = 0
-            for n_, l_ in zip(t.column("node").to_pylist(), t.column("label").to_pylist()):
-                h = blake2b(f"{n_}|{l_}".encode(), digest_size=8).digest()
-                s += int.from_bytes(h, "big")
+            node = t.column("node").combine_chunks()
+            label = t.column("label").combine_chunks()
+            if pa.types.is_integer(node.type) and pa.types.is_integer(label.type):
+                n = (
+                    node.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .view(np.uint64)
+                )
+                l = (
+                    label.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .view(np.uint64)
+                )
+                s = int(_mix64(n ^ _mix64(l)).sum(dtype=np.uint64))
+            else:
+                s = 0
+                for n_, l_ in zip(node.to_pylist(), label.to_pylist()):
+                    h = blake2b(f"{n_}|{l_}".encode(), digest_size=8).digest()
+                    s += int.from_bytes(h, "big")
             return pa.table({"fp": pa.array([str(s)], pa.string())})
 
         parts = lab.map_batches(fp, batch_format="pyarrow").take_all()
-        return sum(int(r["fp"]) for r in parts)
+        return sum(int(r["fp"]) for r in parts) & 0xFFFFFFFFFFFFFFFF
 
     prev_fp = _fingerprint(labels)
     for _ in range(max_iters):

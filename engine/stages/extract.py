@@ -237,7 +237,15 @@ def extract_pages_task(batch: pa.Table, **kwargs) -> pa.Table:
     key = tuple(sorted(kwargs.items()))
     ex = _TASK_EXTRACTORS.get(key)
     if ex is None:
+        # Only one kwargs config is live at a time, but keys can embed
+        # per-run ObjectRefs (lookup_ref) — an unbounded dict would leak
+        # one extractor per pipeline invocation in a long-lived session
+        # (ADVICE r2).  Keep a tiny LRU: evict the oldest beyond 4.
+        while len(_TASK_EXTRACTORS) >= 4:
+            _TASK_EXTRACTORS.pop(next(iter(_TASK_EXTRACTORS)))
         ex = _TASK_EXTRACTORS[key] = ExtractPages(**kwargs)
+    else:
+        _TASK_EXTRACTORS[key] = _TASK_EXTRACTORS.pop(key)  # LRU touch
     return ex(batch)
 
 

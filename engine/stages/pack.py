@@ -30,11 +30,15 @@ import ray.data
 from engine.stages.text import _TOKEN
 
 
-def _count_tokens(texts) -> np.ndarray:
-    return np.fromiter(
-        (len(_TOKEN.findall(t or "")) for t in texts),
-        dtype=np.int64,
-        count=len(texts),
+def _count_tokens_arr(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized token-run count (RE2 C kernel; identical semantics to
+    len(_TOKEN.findall(t or '')) — the pattern has no lookarounds)."""
+    import pyarrow.compute as pc
+
+    return (
+        pc.count_substring_regex(pc.fill_null(col, ""), pattern=_TOKEN.pattern)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
     )
 
 
@@ -54,7 +58,7 @@ def pack_sequences(
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t.column(id_col)
-        n = _count_tokens(t.column(text_col).to_pylist())
+        n = _count_tokens_arr(t.column(text_col))
         return pa.table(
             {
                 "block_key": pa.array([ids[0].as_py()] if len(ids) else [], ids.type),
@@ -86,7 +90,7 @@ def pack_sequences(
             )
         offs = ray.get(ref)
         ids = t.column(id_col)
-        n = _count_tokens(t.column(text_col).to_pylist())
+        n = _count_tokens_arr(t.column(text_col))
         base = offs[ids[0].as_py()]
         cum_before = base + np.concatenate(([0], np.cumsum(n)[:-1]))
         return pa.table(

@@ -52,17 +52,26 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ``tok_chars`` (total non-whitespace chars) is exposed so callers never
     re-run the tokenizer regex — the SQL-verified tokenizer definition lives
     here and only here.
+
+    Fully vectorized: ``pc.count_substring_regex`` (RE2, C speed) counts
+    token runs and whitespace chars; no per-row Python.  Verified identical
+    to ``len(_TOKEN.findall(t))`` on nulls/unicode/all-ws edge cases (the
+    pattern has no lookarounds, so RE2 and Python re agree).
     """
-    texts = batch.column(text_col).to_pylist()
-    n_chars = np.empty(len(texts), dtype=np.int64)
-    n_tokens = np.empty(len(texts), dtype=np.int64)
-    tok_chars = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        toks = _TOKEN.findall(t)
-        n_chars[i] = len(t)
-        n_tokens[i] = len(toks)
-        tok_chars[i] = sum(len(x) for x in toks)
+    col = pc.fill_null(batch.column(text_col), "")
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tokens = (
+        pc.count_substring_regex(col, pattern=_TOKEN.pattern)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    # every codepoint is either ASCII-whitespace or part of a token
+    n_ws = (
+        pc.count_substring_regex(col, pattern=r"[\t\n\v\f\r ]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    tok_chars = n_chars - n_ws
     avg = np.where(n_tokens > 0, np.round(tok_chars / np.maximum(n_tokens, 1), 6), 0.0)
     return (
         batch.append_column("n_chars", pa.array(n_chars))
@@ -96,29 +105,39 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     - alpha_ratio / digit_ratio — ``round(count/n, 6)`` floats for API
       consumers; NOT oracle-checked (see above).
     """
-    texts = batch.column(text_col).to_pylist()
-    n = len(texts)
-    n_chars = np.empty(n, dtype=np.int64)
-    n_alpha = np.empty(n, dtype=np.int64)
-    n_digit = np.empty(n, dtype=np.int64)
-    alpha_ppm = np.empty(n, dtype=np.int64)
-    digit_ppm = np.empty(n, dtype=np.int64)
-    alpha = np.empty(n, dtype=np.float64)
-    digit = np.empty(n, dtype=np.float64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        nc = len(t)
-        a = len(_ALPHA.findall(t))
-        d = len(_DIGIT.findall(t))
-        n_chars[i], n_alpha[i], n_digit[i] = nc, a, d
-        if nc == 0:
-            alpha_ppm[i] = digit_ppm[i] = 0
-            alpha[i] = digit[i] = 0.0
-        else:
-            alpha_ppm[i] = int(np.floor(1000000.0 * a / nc))
-            digit_ppm[i] = int(np.floor(1000000.0 * d / nc))
-            alpha[i] = round(a / nc, 6)
-            digit[i] = round(d / nc, 6)
+    col = pc.fill_null(batch.column(text_col), "")
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_alpha = (
+        pc.count_substring_regex(col, pattern=_ALPHA.pattern)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_digit = (
+        pc.count_substring_regex(col, pattern=_DIGIT.pattern)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    nz = np.maximum(n_chars, 1)
+    nonempty = n_chars > 0
+    alpha_ppm = np.where(
+        nonempty, np.floor(1000000.0 * n_alpha / nz), 0
+    ).astype(np.int64)
+    digit_ppm = np.where(
+        nonempty, np.floor(1000000.0 * n_digit / nz), 0
+    ).astype(np.int64)
+    # Python round (correctly-rounded) per row, NOT np.round — keeps the
+    # float columns bit-identical to the previous kernel; this loop is over
+    # precomputed ints, ~100x cheaper than the old per-row regex findall
+    alpha = np.fromiter(
+        (round(a / nc, 6) if nc else 0.0 for a, nc in zip(n_alpha, n_chars)),
+        dtype=np.float64,
+        count=len(n_chars),
+    )
+    digit = np.fromiter(
+        (round(d / nc, 6) if nc else 0.0 for d, nc in zip(n_digit, n_chars)),
+        dtype=np.float64,
+        count=len(n_chars),
+    )
     return (
         batch.append_column("n_chars", pa.array(n_chars))
         .append_column("n_alpha", pa.array(n_alpha))

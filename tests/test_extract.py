@@ -252,3 +252,44 @@ def test_fast_tokenizer_matches_stdlib(fixture_dir):
         enc = hx.declared_charset(h) or hx.detect_encoding(h)
         s = hx.bytes_to_str(h, enc)
         assert tree_sig(parse_with(s, True)) == tree_sig(parse_with(s, False))
+
+
+def test_fast_tokenizer_marked_section_edges():
+    """Marked-section edge cases (ADVICE r2): ']]>' close skipping an inner
+    ']>', MS-Office ']>' close for if/endif, truncated sections, unknown
+    keywords — fast tree must equal the stdlib tree on each."""
+    import engine.html_extract as hx
+
+    def tree_sig(tree):
+        def node_sig(n):
+            return (n.tag, tuple(sorted(n.attrs.items())), n.text,
+                    tuple(node_sig(c) for c in n.children))
+        return (node_sig(tree.head) if tree.head else None,
+                node_sig(tree.body) if tree.body else None)
+
+    def parse_with(s, fast):
+        b = hx._TreeBuilder()
+        try:
+            if fast:
+                hx._fast_feed(s, b)
+            else:
+                b.feed(s)
+                b.close()
+        except Exception:
+            pass
+        return b.tree()
+
+    cases = [
+        "<body><p>a<![CDATA[x]>skipped]]>b</p></body>",
+        "<body><p><![if !IE]>x<![endif]>done</p></body>",
+        "<body><p><![cdata[low]]>tail</p></body>",
+        "<body><p><![CDATA[a]] >b</p></body>",
+        "<body><p><![if gt]  >z</p></body>",
+        "<body><p>t<![CDATA[unterminated <b>x</p></body>",
+        "<body><p>t<![unknownkw]>rest</p></body>",
+        "<body><p>t<![ bogus]>rest</p></body>",
+        "<body><p>t<![</p></body>",
+        "<body><p>t<![CDATA</p></body>",
+    ]
+    for s in cases:
+        assert tree_sig(parse_with(s, True)) == tree_sig(parse_with(s, False)), s

@@ -172,3 +172,26 @@ def test_jsonl_pages_source(ray_session, tmp_path):
     ex = extract_dataset(ds, concurrency=(1, 2), batch_size=32).to_pandas()
     assert len(ex) == len(exp)
     assert (ex["skip_reason"].isna()).sum() > 0
+
+
+def test_jsonl_tz_offsets_normalize_to_utc(ray_session, tmp_path):
+    """Identical instants written with different UTC offsets coerce to the
+    SAME naive-UTC warc_ts (ADVICE r2: bare replace() kept local wall-clock)."""
+    import datetime as dt
+    import json
+
+    from engine.sources.pages import read_pages_jsonl
+
+    jl = tmp_path / "tz.jsonl"
+    rows = [
+        {"url": "http://a/", "warc_ts": "2024-01-01T12:00:00+02:00"},
+        {"url": "http://b/", "warc_ts": "2024-01-01T10:00:00Z"},
+        {"url": "http://c/", "warc_ts": "2024-01-01T05:00:00-05:00"},
+        {"url": "http://d/", "warc_ts": "2024-01-01T10:00:00"},  # naive = UTC
+    ]
+    with open(jl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    got = read_pages_jsonl(str(jl)).to_pandas().sort_values("url")
+    want = dt.datetime(2024, 1, 1, 10, 0, 0)
+    assert got["warc_ts"].tolist() == [want] * 4

@@ -299,3 +299,79 @@ def test_simhash_pairs_hamming(ray_session):
     assert found == expect
     for _, r in got.iterrows():
         assert bin(sims[r["doc_a"]] ^ sims[r["doc_b"]]).count("1") == r["hamming"]
+
+
+def test_bucket_pairs_star_gate():
+    """Above the gate a bucket emits the O(m) star pattern (min-id rep x
+    members), not O(m^2) all-pairs — the 100 TB hot-bucket bound."""
+    import pandas as pd
+
+    from engine.stages.dedup import _bucket_pairs
+
+    m = 10_000
+    df = pd.DataFrame({"doc_id": pd.Series(range(m), dtype="int64")})
+    star = _bucket_pairs(df, max_bucket=4096)
+    assert len(star) == m - 1  # O(m), not m*(m-1)/2
+    assert (star["doc_a"] == 0).all()
+    assert sorted(star["doc_b"]) == list(range(1, m))
+
+    # below the gate: unchanged all-pairs
+    small = _bucket_pairs(pd.DataFrame({"doc_id": pd.Series([3, 1, 2], dtype="int64")}))
+    assert sorted(map(tuple, small.values.tolist())) == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_star_gate_keeps_clusters_connected(ray_session):
+    """With a tiny gate forcing the star path end-to-end, identical docs
+    still verify (J=1.0) and cluster into ONE component."""
+    import ray.data
+
+    from engine.stages.dedup import connected_components, minhash_lsh_pairs
+
+    texts = ["same boilerplate text repeated for every page " * 4] * 12
+    ds = ray.data.from_arrow(
+        pa.table({
+            "doc_id": pa.array(range(12), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+    )
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, max_bucket=4).materialize()
+    p = pairs.to_pandas()
+    assert (p["jaccard"] == 1.0).all()
+    # star pattern: far fewer than all 66 pairs, but still spanning
+    assert len(p) < 66
+    clusters = connected_components(pairs).to_pandas()
+    assert clusters["cluster_id"].nunique() == 1
+    assert set(clusters["doc_id"]) == set(range(12))
+
+
+def test_simhash_star_gate(ray_session):
+    import ray.data
+
+    from engine.stages.dedup import simhash_pairs
+
+    texts = ["identical content words here " * 6] * 8
+    t = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = simhash_pairs(ray.data.from_arrow(t), max_hamming=3, max_bucket=4).to_pandas()
+    assert (got["hamming"] == 0).all()
+    # star: rep 0 paired with everyone; no quadratic blowup
+    assert set(zip(got["doc_a"], got["doc_b"])) == {(0, j) for j in range(1, 8)}
+
+
+def test_embedding_star_gate(ray_session):
+    import ray.data
+
+    from engine.stages.dedup import embedding_nn_pairs
+
+    vec = [1.0, 0.5, -0.25, 0.125]
+    t = pa.table({
+        "vec_id": pa.array(range(10), pa.int64()),
+        "embedding": pa.array([vec] * 10, pa.list_(pa.float64())),
+    })
+    got = embedding_nn_pairs(
+        ray.data.from_arrow(t), threshold=0.9, max_bucket=4
+    ).to_pandas()
+    assert (got["cos"] == 1.0).all()
+    assert set(zip(got["id_a"], got["id_b"])) == {(0, j) for j in range(1, 10)}
