@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_corpus": q.q_dedup_corpus,
         "sample_stratified": q.q_sample_stratified,
         "pack_sequences": q.q_pack_sequences,
+        "sink_status": q.q_sink_status,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
@@ -253,6 +254,29 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY doc_id) AS rn
                   FROM documents)
             WHERE rn = 1
+        """,
+        # per-doc sink retry protocol (es_sink parity) driven by the
+        # deterministic md5 fault injector: hv%23==0 -> retryable failure
+        # every attempt (exhausts max_retries=3 -> 'failed'/3);
+        # hv%23==1 -> non-retryable 400 analog ('rejected'/1);
+        # else hv%5==0 -> transient, succeeds on retry ('indexed'/2);
+        # else first-try success ('indexed'/1)
+        "sink_status": """
+            SELECT doc_id,
+                   CASE WHEN hv % 23 = 0 THEN 'failed'
+                        WHEN hv % 23 = 1 THEN 'rejected'
+                        ELSE 'indexed' END AS status,
+                   CAST(CASE WHEN hv % 23 = 0 THEN 3
+                             WHEN hv % 23 = 1 THEN 1
+                             WHEN hv % 5 = 0 THEN 2
+                             ELSE 1 END AS BIGINT) AS attempts,
+                   CASE WHEN hv % 23 = 0 THEN 'bulk_error'
+                        WHEN hv % 23 = 1 THEN 'rejected_400'
+                        ELSE '' END AS reason
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) AS hv
+                  FROM documents)
         """,
         # hash-gated sampling: bucket = int(md5(id)[:8], 16) % 100 — the
         # '0x'-prefixed CAST parses hex identically to Python int(s, 16)

@@ -28,6 +28,17 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 TARGET_PAGES = int(os.environ.get("BENCH_TARGET_PAGES", "400000"))
 
+# Healthy-window reference rates for the zero-Ray extraction-kernel probe
+# (pages/s per core, by probe width; measured and recorded in BASELINE.md
+# r2: 3,820 at 8-wide, 3,043 at 32-wide — all-core frequency scaling).  The
+# emitted urls_per_sec_normalized rescales the measured throughput by
+# PROBE_REF / probe so cross-round comparisons survive host throttling.
+PROBE_REF_BY_WIDTH = {8: 3820.0, 32: 3043.0}
+
+
+def _probe_ref(width: int) -> float:
+    return PROBE_REF_BY_WIDTH[min(PROBE_REF_BY_WIDTH, key=lambda w: abs(w - width))]
+
 
 def _pages_cache(sf_dir: str) -> str:
     """Synthesize the pages table once per sf_dir (cached in /tmp).
@@ -129,21 +140,28 @@ def run_bench() -> dict:
     pool = min(max(2, int(NUM_CPUS * 0.75)), max(1, NUM_CPUS - 1))
 
     # --- headline 1: extraction throughput ---------------------------------
-    # best-of-2: the first trial pays actor-pool ramp-up; the second is the
-    # steady-state number (and the min de-noises machine interference)
+    # median-of-3: trial 1 pays actor-pool ramp-up; the median de-noises
+    # host interference without the min's optimism (round-2 VERDICT #4 —
+    # the driver-visible number must be window-robust)
     out_dir = f"/tmp/bench_out/extract_{NUM_CPUS}"
     trials = []
-    for _trial in range(2):
+    for _trial in range(3):
         t0 = time.monotonic()
         ds = ray.data.read_parquet(pages_path)
         ex = extract_dataset(ds, concurrency=pool, batch_size=128)
         shutil.rmtree(out_dir, ignore_errors=True)
         ex.write_parquet(out_dir)
         trials.append(time.monotonic() - t0)
-    extract_sec = min(trials)
+    extract_sec = sorted(trials)[1]
     timings["extract"] = round(extract_sec, 3)
     timings["extract_trials"] = [round(t, 3) for t in trials]
     n_urls = ray.data.read_parquet(out_dir, columns=["uuid"]).count()
+    # window probe ADJACENT to the measurement: the REAL extraction kernel
+    # via plain multiprocessing (zero Ray) at the same width.  Lets any
+    # reader separate an engine regression (urls/s down, probe unchanged)
+    # from host throttling (both down together); the normalized number
+    # rescales to the documented healthy-window reference rate.
+    probe_rate = _probe_extract(min(NUM_CPUS, 32))
 
     # --- headline 2: frontier scheduling (links layout, 3 waves) -----------
     crawl_cfg = CrawlConfig(
@@ -208,6 +226,22 @@ def run_bench() -> dict:
         "n_urls": n_urls,
         "crawl_urls": crawl_urls,
         "urls_per_sec": round(n_urls / extract_sec, 1),
+        "probe_pages_per_core": round(probe_rate, 1),
+        "probe_ref_pages_per_core": _probe_ref(min(NUM_CPUS, 32)),
+        # urls/s rescaled to the healthy-window kernel rate (factor capped
+        # at 2x): comparable across rounds regardless of host throttling
+        "urls_per_sec_normalized": round(
+            n_urls
+            / extract_sec
+            * min(
+                2.0,
+                max(
+                    0.5,
+                    _probe_ref(min(NUM_CPUS, 32)) / max(probe_rate, 1e-9),
+                ),
+            ),
+            1,
+        ),
     }
     ray.shutdown()
     return result

@@ -1,0 +1,217 @@
+"""Distributed EXACT per-group quantiles (quantile_disc convention).
+
+Replaces the single-task "sort the whole group in one pandas call" kernel
+(round-2 VERDICT "What's wrong" #3): with 5 event types over 100 TB of
+events, one group = one task = a scale-killer.  This operator never
+materializes a group:
+
+Pass 1 (map_batches): per (block, group) sort the block's values and emit
+    a SAMPLE of ~``sample_per_block`` (value, within-block-rank) points
+    plus the exact block count.  Driver state is O(blocks x groups x S)
+    sample points — tunable: at 100k blocks, S=64 is ~50 MB; the values
+    themselves never leave the workers.
+
+Driver: merged samples give hard rank bounds for any candidate value v in
+    group g: LB(v) = sum_b (max sample rank with value <= v) + 1, UB(v) =
+    sum_b (min sample rank with value > v).  For target rank k (DuckDB
+    quantile_disc: k = ceil(q*n), v_k = k-th smallest) pick the window
+    (lo, hi] with UB(lo) < k <= LB(hi) — guaranteed to contain v_k, and
+    guaranteed small: at most ~2*(blocks + n/S) values per group.
+
+Pass 2 (map_batches): per (block, group) count values <= lo and collect
+    the values inside (lo, hi] — a tiny fraction of the data.  The driver
+    sorts each window and indexes v_k = window[k - n_below - 1].  Exact,
+    deterministic, two streaming passes, no shuffle at all.
+
+Unit-tested exact against a single-process numpy sort at multiple block
+counts including heavy-duplicate distributions (tests/test_stages.py).
+"""
+
+from __future__ import annotations
+
+import math
+from bisect import bisect_left, bisect_right
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _block_summaries(
+    t: pa.Table, group_col: str, value_col: str, sample_per_block: int
+) -> pa.Table:
+    """One row per group present in this block: exact count + sorted sample
+    of (rank, value) points (always includes first and last)."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "g": t.column(group_col).to_pandas(),
+            "v": t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64),
+        }
+    )
+    out_g, out_n, out_ranks, out_vals = [], [], [], []
+    for g, sub in df.groupby("g", sort=False)["v"]:
+        arr = np.sort(sub.to_numpy(), kind="stable")
+        n = len(arr)
+        step = max(1, math.ceil(n / sample_per_block))
+        idx = np.arange(0, n, step, dtype=np.int64)
+        if idx[-1] != n - 1:
+            idx = np.append(idx, n - 1)
+        out_g.append(g)
+        out_n.append(n)
+        out_ranks.append(idx.tolist())
+        out_vals.append(arr[idx].tolist())
+    return pa.table(
+        {
+            "g": pa.array(out_g, t.column(group_col).type),
+            "n": pa.array(out_n, pa.int64()),
+            "ranks": pa.array(out_ranks, pa.list_(pa.int64())),
+            "vals": pa.array(out_vals, pa.list_(pa.float64())),
+        }
+    )
+
+
+def _rank_bounds(summaries: List[Tuple[int, List[int], List[float]]], v: float) -> Tuple[int, int]:
+    """(LB, UB) on count(<= v) across a group's block summaries.
+
+    Per block (n, ranks, vals) with vals sorted and ranks the within-block
+    sorted positions: count(<= v) >= rank of the LAST sample value <= v,
+    +1; count(<= v) <= rank of the FIRST sample value > v (or n if none).
+    """
+    lb = ub = 0
+    for n, ranks, vals in summaries:
+        j = bisect_right(vals, v)  # samples <= v
+        lb += 0 if j == 0 else ranks[j - 1] + 1
+        ub += n if j == len(vals) else ranks[j]
+    return lb, ub
+
+
+def grouped_quantiles_disc(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float],
+    sample_per_block: int = 256,
+) -> "pa.Table":
+    """Exact per-group discrete quantiles, distributed (see module doc).
+
+    Returns a driver-side Arrow table (one row per group — inherently
+    tiny): (group_col, q_<label> per q, n_rows).  Convention matches
+    DuckDB ``quantile_disc``: sorted[ceil(q*n)-1].
+    """
+    summaries_ds = ds.map_batches(
+        lambda t: _block_summaries(t, group_col, value_col, sample_per_block),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # driver state: O(blocks x groups x sample_per_block) sample points
+    summ_t = pa.concat_tables(
+        ray.get(summaries_ds.to_arrow_refs()), promote_options="default"
+    )
+    per_group: Dict = defaultdict(list)
+    for g, n, ranks, vals in zip(
+        summ_t.column("g").to_pylist(),
+        summ_t.column("n").to_pylist(),
+        summ_t.column("ranks").to_pylist(),
+        summ_t.column("vals").to_pylist(),
+    ):
+        per_group[g].append((n, ranks, vals))
+
+    # windows per (group, q): (lo, hi] guaranteed to hold the k-th value
+    windows: Dict = {}
+    totals: Dict = {}
+    for g, summ in per_group.items():
+        n_total = sum(s[0] for s in summ)
+        totals[g] = n_total
+        cand = sorted({v for _, _, vals in summ for v in vals})
+        for q in qs:
+            k = max(1, math.ceil(q * n_total))
+            lo = -math.inf
+            hi = math.inf
+            for v in cand:
+                lb, ub = _rank_bounds(summ, v)
+                if ub < k:
+                    lo = v  # strictly below the k-th value
+                if lb >= k and v < hi:
+                    hi = v  # k-th value is <= hi
+            windows[(g, q)] = (lo, hi)
+
+    win_ref = ray.put(dict(windows))
+    qs_list = list(qs)
+
+    def pass2(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        win = ray.get(win_ref)
+        df = pd.DataFrame(
+            {
+                "g": t.column(group_col).to_pandas(),
+                "v": t.column(value_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            }
+        )
+        out_g, out_q, out_below, out_win = [], [], [], []
+        for g, sub in df.groupby("g", sort=False)["v"]:
+            arr = sub.to_numpy()
+            for q in qs_list:
+                lo, hi = win[(g, q)]
+                out_g.append(g)
+                out_q.append(q)
+                out_below.append(int((arr <= lo).sum()) if lo != -math.inf else 0)
+                sel = arr[(arr > lo) & (arr <= hi)]
+                out_win.append(sel.tolist())
+        return pa.table(
+            {
+                "g": pa.array(out_g, t.column(group_col).type),
+                "q": pa.array(out_q, pa.float64()),
+                "n_below": pa.array(out_below, pa.int64()),
+                "win": pa.array(out_win, pa.list_(pa.float64())),
+            }
+        )
+
+    p2 = pa.concat_tables(
+        ray.get(
+            ds.map_batches(pass2, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    below: Dict = defaultdict(int)
+    winvals: Dict = defaultdict(list)
+    for g, q, nb, wv in zip(
+        p2.column("g").to_pylist(),
+        p2.column("q").to_pylist(),
+        p2.column("n_below").to_pylist(),
+        p2.column("win").to_pylist(),
+    ):
+        below[(g, q)] += nb
+        winvals[(g, q)].extend(wv)
+
+    groups_sorted = sorted(per_group)
+    cols: Dict[str, list] = {group_col: groups_sorted}
+    for q in qs_list:
+        picked = []
+        for g in groups_sorted:
+            k = max(1, math.ceil(q * totals[g]))
+            w = sorted(winvals[(g, q)])
+            picked.append(float(w[k - below[(g, q)] - 1]))
+        cols[f"q{q}"] = picked
+    cols["n_rows"] = [totals[g] for g in groups_sorted]
+    gtype = summ_t.column("g").type
+    out = pa.table(
+        {
+            group_col: pa.array(groups_sorted, gtype),
+            **{
+                f"q{q}": pa.array(cols[f"q{q}"], pa.float64())
+                for q in qs_list
+            },
+            "n_rows": pa.array(cols["n_rows"], pa.int64()),
+        }
+    )
+    return out

@@ -88,9 +88,30 @@ class CuckooFilter:
         return (i1, fp) in self.overflow or (i2, fp) in self.overflow
 
     def contains_many(self, hashes: np.ndarray) -> np.ndarray:
-        return np.fromiter(
-            (self.contains(int(h)) for h in hashes), dtype=bool, count=len(hashes)
-        )
+        """Vectorized committed-state membership: both candidate buckets are
+        gathered and compared in one numpy pass; the exact overflow set is
+        consulted only for the (normally empty) miss remainder."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        fp = ((h >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        mixed = (h ^ (h >> np.uint64(17))) * np.uint64(0x9E3779B97F4A7C15)
+        i1 = (mixed >> np.uint64(64 - self._bucket_bits)).astype(np.int64)
+        i2 = (
+            i1 ^ (fp.astype(np.int64) * 0x5BD1E995)
+        ) & (self.num_buckets - 1)
+        hit = (self.buckets[i1] == fp[:, None]).any(axis=1) | (
+            self.buckets[i2] == fp[:, None]
+        ).any(axis=1)
+        if self.overflow:
+            miss = np.nonzero(~hit)[0]
+            for j in miss:
+                key1 = (int(i1[j]), int(fp[j]))
+                key2 = (int(i2[j]), int(fp[j]))
+                if key1 in self.overflow or key2 in self.overflow:
+                    hit[j] = True
+        return hit
 
     # -- wave protocol ------------------------------------------------------
     def stage(self, hashes: np.ndarray) -> None:
@@ -166,8 +187,31 @@ class CuckooShard:
         self.filter.stage(np.asarray(hashes, dtype=np.uint64))
         return len(hashes)
 
+    def contains_and_stage(self, hashes: np.ndarray) -> np.ndarray:
+        """Single-round form of the wave-protocol pair: answer membership
+        from COMMITTED state, stage the not-seen hashes, return the seen
+        mask.  Exactly equivalent to contains_many + stage(~seen), but one
+        actor RPC per (batch, shard) instead of two sequential rounds —
+        the per-wave coordination floor is RPC-round-bound (VERDICT r2 #2).
+        """
+        h = np.asarray(hashes, dtype=np.uint64)
+        seen = self.filter.contains_many(h)
+        if (~seen).any():
+            self.filter.stage(h[~seen])
+        return seen
+
     def commit(self) -> int:
         return self.filter.commit()
+
+    def snapshot(self) -> Tuple[int, bytes]:
+        """(seen_count, checkpoint blob) in one RPC."""
+        return self.filter.count, self.filter.to_bytes()
+
+    def commit_snapshot(self) -> Tuple[int, int, bytes]:
+        """Commit the wave's staged hashes, then snapshot — one RPC round
+        replaces the commit + seen_count + checkpoint trio (3 rounds/wave)."""
+        inserted = self.filter.commit()
+        return inserted, self.filter.count, self.filter.to_bytes()
 
     def seen_count(self) -> int:
         return self.filter.count

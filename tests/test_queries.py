@@ -60,7 +60,7 @@ SQL_NAMES = [
     "distinct_users", "sessions", "hash_join", "asof_join", "range_join",
     "quantiles", "quality", "extract_pages", "ann_topk", "lang_id",
     "crawl_order", "fingerprint", "dedup_corpus", "sample_stratified",
-    "pack_sequences", "events_hopping",
+    "pack_sequences", "events_hopping", "sink_status",
 ]
 
 

@@ -375,3 +375,107 @@ def test_embedding_star_gate(ray_session):
     ).to_pandas()
     assert (got["cos"] == 1.0).all()
     assert set(zip(got["id_a"], got["id_b"])) == {(0, j) for j in range(1, 10)}
+
+
+def test_distributed_quantiles_exact(ray_session):
+    """grouped_quantiles_disc is EXACT vs a single-process numpy sort, at
+    several block counts, including heavy-duplicate distributions (the
+    rank-bounded window must handle ties across blocks)."""
+    import math
+
+    import ray.data
+
+    from engine.stages.quantiles import grouped_quantiles_disc
+
+    rng = np.random.RandomState(7)
+    n = 20_000
+    groups = rng.choice(["a", "b", "c"], size=n)
+    # mixture: continuous + heavy duplicates + constant group
+    vals = np.where(
+        rng.rand(n) < 0.5, rng.randn(n), rng.randint(0, 5, size=n).astype(float)
+    )
+    vals[groups == "c"] = 42.0  # all-equal group
+    t = pa.table({"g": pa.array(groups.tolist()), "v": pa.array(vals, pa.float64())})
+    qs = (0.5, 0.9, 0.99)
+
+    def oracle(g, q):
+        s = np.sort(vals[groups == g])
+        return float(s[max(0, math.ceil(q * len(s)) - 1)])
+
+    for blocks in (1, 7, 32):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = grouped_quantiles_disc(
+            ds, group_col="g", value_col="v", qs=qs, sample_per_block=16
+        )
+        got = {r["g"]: r for r in out.to_pylist()}
+        for g in ("a", "b", "c"):
+            for q in qs:
+                assert got[g][f"q{q}"] == oracle(g, q), (g, q, blocks)
+            assert got[g]["n_rows"] == int((groups == g).sum())
+
+
+def test_bulk_sink_retry_protocol(ray_session, tmp_path):
+    """Per-document sink failure semantics (es_sink parity): transient
+    failures retry ONLY the failed docs, 400-analogs quarantine without
+    retry, persistent failures exhaust max_retries; accepted rows and
+    quarantined rows split losslessly."""
+    from hashlib import md5 as _md5
+
+    import ray.data
+
+    from engine.stages.sink_policy import (
+        BulkSinkStage,
+        deterministic_fault_injector,
+        run_bulk_sink,
+        write_with_quarantine,
+    )
+
+    ids = list(range(1, 400))
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    got = (
+        run_bulk_sink(ds, bulk_fn=deterministic_fault_injector, max_retries=3)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert len(got) == len(ids)
+    for i in ids:
+        hv = int(_md5(str(i).encode()).hexdigest()[:8], 16)
+        if hv % 23 == 0:
+            exp = ("failed", 3, "bulk_error")
+        elif hv % 23 == 1:
+            exp = ("rejected", 1, "rejected_400")
+        elif hv % 5 == 0:
+            exp = ("indexed", 2, "")
+        else:
+            exp = ("indexed", 1, "")
+        r = got.loc[i]
+        assert (r["status"], r["attempts"], r["reason"]) == exp, i
+    # every status class must actually occur in this id range
+    assert set(got["status"]) == {"indexed", "rejected", "failed"}
+    assert (got[got["status"] == "indexed"]["attempts"] == 2).any()
+
+    # quarantine split is lossless and disjoint
+    n_ok, n_bad = write_with_quarantine(
+        ds,
+        str(tmp_path / "ok"),
+        str(tmp_path / "bad"),
+        bulk_fn=deterministic_fault_injector,
+    )
+    assert n_ok + n_bad == len(ids)
+    assert n_ok == (got["status"] == "indexed").sum()
+    bad = ray.data.read_parquet(str(tmp_path / "bad")).to_pandas()
+    assert set(bad["status"]) == {"rejected", "failed"}
+
+    # ignore_persistent_400=False mirrors the reference raise
+    reject_id = next(
+        i for i in ids if int(_md5(str(i).encode()).hexdigest()[:8], 16) % 23 == 1
+    )
+    stage = BulkSinkStage(
+        bulk_fn=deterministic_fault_injector, ignore_persistent_400=False
+    )
+    with pytest.raises(RuntimeError):
+        stage(pa.table({"doc_id": pa.array([reject_id], pa.int64())}))
+
+    # batches are emitted sorted by id (the reference's pre-flush sort)
+    out = BulkSinkStage()(pa.table({"doc_id": pa.array([5, 3, 9], pa.int64())}))
+    assert out.column("doc_id").to_pylist() == [3, 5, 9]
