@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.q_media_features,
         "dedup_clusters": q.q_dedup_clusters,
         "approx_users": q.q_approx_users,
+        "approx_quantiles": q.q_approx_quantiles,
     }
 
 

@@ -767,3 +767,20 @@ def q_sink_status(sf_dir: str):
         bulk_fn=deterministic_fault_injector,
         max_retries=3,
     )
+
+
+def q_approx_quantiles(sf_dir: str):
+    """ONE-pass approximate per-group quantiles via mergeable equal-weight
+    digests (scale-path companion to the exact q_quantiles; approximate by
+    design -> rows-only, accuracy bound pinned in
+    tests/test_stages.py::test_approx_quantiles_accuracy)."""
+    from engine.stages.quantiles import grouped_quantiles_approx
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    out = grouped_quantiles_approx(
+        ds, group_col="event_type", value_col="value", qs=(0.5, 0.9, 0.99), delta=200
+    )
+    out = out.rename_columns(["event_type", "p50", "p90", "p99", "n_rows"])
+    return ray.data.from_arrow(out)

@@ -98,6 +98,7 @@ ROWS_ONLY = [
     ("bpe_tokens", 1),
     ("dedup_clusters", 0),
     ("approx_users", 1),
+    ("approx_quantiles", 1),
 ]
 
 

@@ -479,3 +479,34 @@ def test_bulk_sink_retry_protocol(ray_session, tmp_path):
     # batches are emitted sorted by id (the reference's pre-flush sort)
     out = BulkSinkStage()(pa.table({"doc_id": pa.array([5, 3, 9], pa.int64())}))
     assert out.column("doc_id").to_pylist() == [3, 5, 9]
+
+
+def test_approx_quantiles_accuracy(ray_session):
+    """The one-pass mergeable digest's rank error stays under 3/delta at
+    every probed quantile, across block counts (HLL-style accuracy-bound
+    test for an approximate-by-design operator)."""
+    import ray.data
+
+    from engine.stages.quantiles import grouped_quantiles_approx
+
+    rng = np.random.RandomState(11)
+    n = 50_000
+    groups = rng.choice(["x", "y"], size=n)
+    vals = np.where(rng.rand(n) < 0.3, rng.randn(n) * 100, rng.exponential(10, n))
+    t = pa.table({"g": pa.array(groups.tolist()), "v": pa.array(vals, pa.float64())})
+    delta = 100
+    qs = (0.1, 0.5, 0.9, 0.99)
+    for blocks in (4, 32):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = grouped_quantiles_approx(
+            ds, group_col="g", value_col="v", qs=qs, delta=delta
+        )
+        got = {r["g"]: r for r in out.to_pylist()}
+        for g in ("x", "y"):
+            sorted_g = np.sort(vals[groups == g])
+            ng = len(sorted_g)
+            assert got[g]["n_rows"] == ng
+            for q in qs:
+                est = got[g][f"q{q}"]
+                rank = np.searchsorted(sorted_g, est) / ng
+                assert abs(rank - q) < 3.0 / delta, (g, q, blocks, rank)
