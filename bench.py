@@ -411,6 +411,15 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
+    # hang safety: if anything wedges (e.g. a stray half-dead GCS from an
+    # earlier session), dump all thread stacks to stderr and exit non-zero
+    # instead of hanging the caller forever
+    import faulthandler
+    import signal
+
+    faulthandler.dump_traceback_later(1500, exit=True)
+    # kill -USR1 <pid> dumps all thread stacks to stderr (hang forensics)
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

@@ -221,6 +221,48 @@ def _discover_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _robust_gather(futs: List, resubmit, *, timeout: float = 30.0, attempts: int = 4) -> List:
+    """ray.get over actor futures with a lost-submission workaround.
+
+    Measured failure mode (this Ray version, single node, after heavy
+    Ray Data activity): one of N freshly-created actors occasionally never
+    receives its queued method call — 15/16 shards execute, one sits idle
+    forever, and a bare ray.get blocks the driver indefinitely (stack
+    captured via SIGUSR1; the actor's core-worker log shows only its
+    __init__ ever ran).  All shard RPCs used with this helper are
+    IDEMPOTENT (stage dedups at commit; a re-committed shard commits an
+    empty staging buffer; snapshot is read-only), so the fix is: wait with
+    a timeout, resubmit the unresolved slots via ``resubmit(slot)``, and
+    only fail after ``attempts`` rounds.
+    """
+    results: List = [None] * len(futs)
+    slot_of = {f: i for i, f in enumerate(futs)}
+    for attempt in range(attempts):
+        pending = list(slot_of)
+        if not pending:
+            return results
+        ready, not_ready = ray.wait(
+            pending, num_returns=len(pending), timeout=timeout
+        )
+        for f in ready:
+            results[slot_of.pop(f)] = ray.get(f)
+        if not slot_of:
+            return results
+        if attempt < attempts - 1:
+            import logging as _logging
+
+            _logging.getLogger("engine.crawl").warning(
+                "%d shard RPC(s) unresolved after %.0fs — resubmitting "
+                "(lost actor-task submission workaround)",
+                len(slot_of), timeout,
+            )
+            slot_of = {resubmit(i): i for i in slot_of.values()}
+    raise TimeoutError(
+        f"shard RPCs unresolved after {attempts} x {timeout}s: "
+        f"slots {sorted(slot_of.values())}"
+    )
+
+
 def _enqueue_stage(batch: pa.Table, shard_handles, rules_ref, cfg: CrawlConfig) -> pa.Table:
     """Distributed wrapper over :func:`_enqueue_core` (broadcast rules)."""
     return _enqueue_core(batch, shard_handles, ray.get(rules_ref), cfg)
@@ -253,13 +295,20 @@ def _enqueue_core(batch: pa.Table, shard_handles, rules, cfg: CrawlConfig) -> pa
     # one combined contains+stage RPC per shard, gathered in ONE ray.get —
     # the old contains round (serially ray.get per shard) + stage round
     # were the dominant per-batch coordination cost (VERDICT r2 #2)
-    futs, idxs = [], []
+    futs, idxs, shard_ids = [], [], []
     for s in range(len(shard_handles)):
         idx = np.nonzero(sid == s)[0]
         if len(idx):
             idxs.append(idx)
+            shard_ids.append(s)
             futs.append(shard_handles[s].contains_and_stage.remote(hashes[idx]))
-    for idx, res in zip(idxs, ray.get(futs)):
+    res_list = _robust_gather(
+        futs,
+        lambda i: shard_handles[shard_ids[i]].contains_and_stage.remote(
+            hashes[idxs[i]]
+        ),
+    )
+    for idx, res in zip(idxs, res_list):
         seen[idx] = res
 
     keep = ~seen
@@ -416,7 +465,10 @@ class CrawlRun:
         """
         d = self._wave_dir(wave)
         if snaps is None:
-            snaps = ray.get([s.snapshot.remote() for s in self.shards])
+            snaps = _robust_gather(
+                [s.snapshot.remote() for s in self.shards],
+                lambda i: self.shards[i].snapshot.remote(),
+            )
         # per-wave lineage/metrics row (north_rule: every partition
         # checkpoints its lineage + metrics to Parquet)
         m = dict(metrics or {})
@@ -472,9 +524,15 @@ class CrawlRun:
         self.fetched_count = dict(state["fetched_count"])
         self.start_wave = wave + 1
         d = self._wave_dir(wave)
-        for i, s in enumerate(self.shards):
+        blobs = []
+        for i in range(len(self.shards)):
             with open(os.path.join(d, "shards", f"shard_{i:03d}.bin"), "rb") as f:
-                ray.get(s.restore.remote(f.read()))
+                blobs.append(f.read())
+        # one parallel (robust) round instead of serial per-shard gets
+        _robust_gather(
+            [s.restore.remote(b) for s, b in zip(self.shards, blobs)],
+            lambda i: self.shards[i].restore.remote(blobs[i]),
+        )
         return True
 
     # -- seed load ----------------------------------------------------------
@@ -494,7 +552,10 @@ class CrawlRun:
         frontier = enq.filter(pc.equal(enq.column("blocked"), False)).select(
             ["url", "host", "depth", "priority"]
         )
-        cs = ray.get([s.commit_snapshot.remote() for s in self.shards])
+        cs = _robust_gather(
+            [s.commit_snapshot.remote() for s in self.shards],
+            lambda i: self.shards[i].commit_snapshot.remote(),
+        )
         self._checkpoint(
             -1,
             frontier,
@@ -792,7 +853,10 @@ class CrawlRun:
             # ONE RPC round: commit + seen_count + checkpoint blob per shard
             # (was three sequential rounds; the per-wave floor is
             # coordination-round-bound, VERDICT r2 #2)
-            cs = ray.get([s.commit_snapshot.remote() for s in self.shards])
+            cs = _robust_gather(
+                [s.commit_snapshot.remote() for s in self.shards],
+                lambda i: self.shards[i].commit_snapshot.remote(),
+            )
             snaps = [(sc, blob) for _ins, sc, blob in cs]
             t0 = _tlog(f"wave {wave} artifacts+commit", t0)
             metrics = {
