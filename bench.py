@@ -300,10 +300,16 @@ def _extract_burn(seconds: float) -> float:
 
 def _probe_extract(nproc: int) -> float:
     """Per-process pages/sec with nproc concurrent REAL extraction kernels
-    (plain multiprocessing, zero Ray)."""
+    (plain multiprocessing, zero Ray).
+
+    SPAWN context, not fork: run_bench calls this after ray.init, and
+    fork-children of a Ray-initialized process inherit raylet/grpc threads
+    that abort intermittently (observed as BrokenPipeError pool crashes).
+    """
     import multiprocessing as mp
 
-    with mp.Pool(nproc, initializer=_extract_burn_setup) as p:
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(nproc, initializer=_extract_burn_setup) as p:
         rs = p.map(_extract_burn, [2.0] * nproc)
     return sum(rs) / len(rs)
 
@@ -348,14 +354,20 @@ def hardware_ceiling() -> dict:
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            # surface the child's failure instead of a bare CalledProcessError
+            sys.stderr.write(
+                f"--- bench child (ncpu={ncpu}) failed rc={proc.returncode}; "
+                f"stderr tail ---\n" + "\n".join(proc.stderr.splitlines()[-40:]) + "\n"
+            )
+            raise RuntimeError(f"bench child at ncpu={ncpu} failed")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # each ceiling probe runs ADJACENT to its same-width measurement so
     # probe and measurement share the host's throttling window
