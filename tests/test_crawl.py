@@ -456,3 +456,52 @@ def test_deferred_extraction_resume_with_more_waves(ray_session, fixture_dir, tm
     }
     assert fetched == expected
     assert 2 in set(docs.column("wave").to_pylist())
+
+
+def test_robust_gather_resubmits_and_orders(ray_session):
+    """_robust_gather returns results in slot order and recovers lost
+    submissions by resubmitting (idempotent RPC contract)."""
+    import ray as _ray
+
+    from engine.pipelines.crawl import _robust_gather
+
+    @_ray.remote
+    class Echo:
+        def __init__(self):
+            self.calls = 0
+
+        def val(self, x):
+            self.calls += 1
+            return x * 10
+
+        def n_calls(self):
+            return self.calls
+
+    actors = [Echo.remote() for _ in range(4)]
+    futs = [a.val.remote(i) for i, a in enumerate(actors)]
+    out = _robust_gather(futs, lambda i: actors[i].val.remote(i))
+    assert out == [0, 10, 20, 30]
+
+    # a never-resolving slot: resubmission path fires, then times out loudly
+    @_ray.remote
+    class Stuck:
+        def val(self, x):
+            import time as _t
+
+            _t.sleep(3600)
+
+    stuck = Stuck.remote()
+    calls_before = _ray.get(actors[0].n_calls.remote())
+    futs = [actors[0].val.remote(7), stuck.val.remote(1)]
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        _robust_gather(
+            futs,
+            lambda i: (actors[0].val.remote(7) if i == 0 else stuck.val.remote(1)),
+            timeout=0.5,
+            attempts=2,
+        )
+    # the healthy slot resolved on the first round and was NEVER
+    # resubmitted (exactly one extra call); only the stuck slot retried
+    assert _ray.get(actors[0].n_calls.remote()) == calls_before + 1
