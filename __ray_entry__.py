@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": q.q_sample_stratified,
         "pack_sequences": q.q_pack_sequences,
         "sink_status": q.q_sink_status,
+        "rep_stats": q.q_rep_stats,
+        "line_dedup": q.q_line_dedup,
+        "decontam": q.q_decontam,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
@@ -278,6 +281,83 @@ def oracle_sql() -> dict[str, str]:
                          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                               AS BIGINT) AS hv
                   FROM documents)
+        """,
+        # Gopher-style repetition signals; the words list is the repo-wide
+        # SQL-portable tokenizer; ppm ints via floor (bit-reproducible)
+        "rep_stats": r"""
+            WITH d AS (SELECT doc_id,
+                              regexp_extract_all(coalesce(text,''), '[^\t\n\v\f\r ]+') AS w
+                       FROM documents),
+            wc AS (SELECT doc_id, unnest(w) AS word FROM d),
+            wcounts AS (SELECT doc_id, word, count(*) AS c FROM wc GROUP BY doc_id, word),
+            wstat AS (SELECT doc_id,
+                             CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS dups
+                      FROM wcounts GROUP BY doc_id),
+            g AS (SELECT doc_id,
+                         list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2]) AS grams
+                  FROM d),
+            gc AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            gcounts AS (SELECT doc_id, gram, count(*) AS c FROM gc GROUP BY doc_id, gram),
+            gstat AS (SELECT doc_id,
+                             CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS gdups,
+                             CAST(coalesce(max(c), 0) AS BIGINT) AS gmax
+                      FROM gcounts GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(CASE WHEN len(w) > 0
+                             THEN floor(1000000.0 * coalesce(wstat.dups, 0) / len(w))
+                             ELSE 0 END AS BIGINT) AS dup_word_ppm,
+                   CAST(CASE WHEN len(w) > 1
+                             THEN floor(1000000.0 * coalesce(gstat.gdups, 0) / (len(w) - 1))
+                             ELSE 0 END AS BIGINT) AS dup_gram2_ppm,
+                   CAST(CASE WHEN len(w) > 1
+                             THEN floor(1000000.0 * coalesce(gstat.gmax, 0) / (len(w) - 1))
+                             ELSE 0 END AS BIGINT) AS top_gram2_ppm
+            FROM d LEFT JOIN wstat USING (doc_id) LEFT JOIN gstat USING (doc_id)
+        """,
+        # CCNet-style cross-corpus line dedup: a line dropped everywhere
+        # when it appears in >= 2 DISTINCT docs; clean_text rebuilt in
+        # original order (string_agg skips NULLed hot lines)
+        "line_dedup": r"""
+            WITH l AS (SELECT doc_id, ord, line FROM (
+                    SELECT doc_id,
+                           unnest(string_split(coalesce(text, ''), chr(10))) AS line,
+                           generate_subscripts(string_split(coalesce(text, ''), chr(10)), 1) AS ord
+                    FROM documents)),
+            hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS d
+                                      FROM l GROUP BY line)
+                    WHERE d >= 2)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(coalesce(sum(CASE WHEN line IN (SELECT line FROM hot)
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped,
+                   coalesce(string_agg(CASE WHEN line IN (SELECT line FROM hot)
+                                            THEN NULL ELSE line END,
+                                       chr(10) ORDER BY ord), '') AS clean_text,
+                   CAST(length(coalesce(string_agg(
+                        CASE WHEN line IN (SELECT line FROM hot) THEN NULL ELSE line END,
+                        chr(10) ORDER BY ord), '')) AS BIGINT) AS clean_chars
+            FROM l GROUP BY doc_id
+        """,
+        # benchmark decontamination: distinct word 5-grams vs the
+        # doc_id % 97 == 0 eval subset's gram set
+        "decontam": r"""
+            WITH d AS (SELECT doc_id,
+                              regexp_extract_all(coalesce(text,''), '[^\t\n\v\f\r ]+') AS w
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(range(greatest(len(w) - 4, 0)),
+                             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                                  w[i+4] || ' ' || w[i+5])) AS grams
+                  FROM d),
+            ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+            gd AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            hits AS (SELECT doc_id, count(*) AS cnt FROM gd
+                     WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id)
+            SELECT g.doc_id,
+                   CAST(len(grams) AS BIGINT) AS n_grams,
+                   CAST(coalesce(hits.cnt, 0) AS BIGINT) AS contam_grams
+            FROM g LEFT JOIN hits USING (doc_id)
         """,
         # hash-gated sampling: bucket = int(md5(id)[:8], 16) % 100 — the
         # '0x'-prefixed CAST parses hex identically to Python int(s, 16)

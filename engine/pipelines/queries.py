@@ -784,3 +784,47 @@ def q_approx_quantiles(sf_dir: str):
     )
     out = out.rename_columns(["event_type", "p50", "p90", "p99", "n_rows"])
     return ray.data.from_arrow(out)
+
+
+def q_rep_stats(sf_dir: str):
+    """Gopher-style per-document repetition signals (dup-word / dup-2-gram
+    / top-2-gram fractions as floor-ppm ints).  SQL-verified."""
+    from engine.stages.clean import repetition_stats
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+
+    def f(t: pa.Table) -> pa.Table:
+        return repetition_stats(t, "text").select(
+            ["doc_id", "n_words", "dup_word_ppm", "dup_gram2_ppm", "top_gram2_ppm"]
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_line_dedup(sf_dir: str):
+    """CCNet-style cross-corpus boilerplate line removal.  SQL-verified
+    (the testdata corpus is single-line so the no-drop path dominates
+    here; the multi-line drop path is pinned by the unit test and by the
+    broadcast==join paths-identical test)."""
+    from engine.stages.clean import line_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return line_dedup(ds, id_col="doc_id", text_col="text", min_docs=2)
+
+
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination: distinct word 5-grams of every document
+    intersected with the eval subset's (doc_id % 97 == 0) gram set.
+    SQL-verified."""
+    from engine.stages.clean import decontam
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+
+    def eval_subset(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    ev = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        eval_subset, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return decontam(ds, ev, id_col="doc_id", text_col="text", n=5)

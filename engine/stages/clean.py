@@ -1,0 +1,329 @@
+"""Corpus-cleaning operators for LLM training-data pipelines.
+
+Three standard web-corpus cleaning stages (all public-method; Rae et al.
+"Gopher" arXiv:2112.11446 §A1.1 repetition filters; Wenzek et al. "CCNet"
+arXiv:1911.00359 line-level dedup; benchmark decontamination as in public
+LM reports), each expressed Ray-Data-first and each with an exact DuckDB
+oracle (see __ray_entry__.oracle_sql):
+
+- ``repetition_stats``: per-document repetition signals — duplicate-word
+  and duplicate-2-gram occurrence fractions and the top-2-gram fraction,
+  emitted as floor-ppm integers (bit-reproducible across engines, same
+  device as quality_scores).
+- ``line_dedup``: cross-corpus boilerplate line removal — a line dropped
+  from every document when it appears in >= ``min_docs`` DISTINCT
+  documents.  Shuffle moves (line_md5, doc_id) pairs, never text; the hot
+  set is collected only above ``min_docs`` (boilerplate sets are small by
+  construction) and applied via a size-gated broadcast, with a native
+  hash-join fallback above the gate (both paths test-pinned identical).
+- ``decontam``: benchmark-overlap flagging — each document's DISTINCT
+  word n-grams intersected with the eval corpus's n-gram set.  The eval
+  set is broadcast as raw strings under ``broadcast_max`` (exact; test
+  scale) and as 64-bit FNV-1a hashes above it (8 bytes/gram, the 100 TB
+  path; collision probability ~|grams|^2/2^64).
+
+Tokenization is the repo-wide SQL-portable whitespace tokenizer
+(engine.stages.text._TOKEN).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from hashlib import md5
+from typing import Dict, List, Set, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from engine.stages.text import _TOKEN
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_words / dup_word_ppm / dup_gram2_ppm / top_gram2_ppm.
+
+    dup_*_ppm = floor(1e6 * (occurrences belonging to a unit seen >= 2
+    times in the doc) / total units); top_gram2_ppm = floor(1e6 *
+    max 2-gram count / total 2-grams).  0 when the doc has no units.
+    """
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    n_words = np.zeros(n, dtype=np.int64)
+    dup_w = np.zeros(n, dtype=np.int64)
+    dup_g = np.zeros(n, dtype=np.int64)
+    top_g = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = _TOKEN.findall(t or "")
+        nw = len(toks)
+        n_words[i] = nw
+        if nw:
+            wc = Counter(toks)
+            dups = sum(c for c in wc.values() if c >= 2)
+            dup_w[i] = int(np.floor(1000000.0 * dups / nw))
+        ng = nw - 1
+        if ng > 0:
+            gc = Counter(
+                toks[j] + " " + toks[j + 1] for j in range(ng)
+            )
+            gdups = sum(c for c in gc.values() if c >= 2)
+            gmax = max(gc.values())
+            dup_g[i] = int(np.floor(1000000.0 * gdups / ng))
+            top_g[i] = int(np.floor(1000000.0 * gmax / ng))
+    return (
+        batch.append_column("n_words", pa.array(n_words))
+        .append_column("dup_word_ppm", pa.array(dup_w))
+        .append_column("dup_gram2_ppm", pa.array(dup_g))
+        .append_column("top_gram2_ppm", pa.array(top_g))
+    )
+
+
+def _doc_lines(text: str) -> List[str]:
+    return (text or "").split("\n")
+
+
+def line_dedup(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    broadcast_max: int = 5_000_000,
+) -> ray.data.Dataset:
+    """CCNet-style cross-corpus line dedup (module docstring).
+
+    Output: (id_col, n_lines, n_dropped, clean_text, clean_chars) — the
+    document with boilerplate lines removed, plus stats.
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        hs: List[str] = []
+        for d, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            # distinct lines PER DOC: the count below is then the number
+            # of distinct docs containing the line
+            for ln in set(_doc_lines(txt)):
+                hs.append(md5(ln.encode()).hexdigest())
+        return pa.table({"h": pa.array(hs, pa.string())})
+
+    counts = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Count(alias_name="n"))
+    )
+    import pyarrow.compute as pc
+
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), min_docs)).select(["h"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    n_hot = hot.count()
+
+    def rebuild_with(hot_lookup) -> "callable":
+        def rebuild(t: pa.Table) -> pa.Table:
+            hotset = hot_lookup()
+            ids = t.column(id_col).to_pylist()
+            out_nl, out_nd, out_txt, out_ch = [], [], [], []
+            for txt in t.column(text_col).to_pylist():
+                lines = _doc_lines(txt)
+                kept = [
+                    ln
+                    for ln in lines
+                    if md5(ln.encode()).hexdigest() not in hotset
+                ]
+                out_nl.append(len(lines))
+                out_nd.append(len(lines) - len(kept))
+                clean = "\n".join(kept)
+                out_txt.append(clean)
+                out_ch.append(len(clean))
+            return pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "n_lines": pa.array(out_nl, pa.int64()),
+                    "n_dropped": pa.array(out_nd, pa.int64()),
+                    "clean_text": pa.array(out_txt, pa.string()),
+                    "clean_chars": pa.array(out_ch, pa.int64()),
+                }
+            )
+
+        return rebuild
+
+    if n_hot <= broadcast_max:
+        if n_hot == 0:
+            ref = ray.put(frozenset())
+        else:
+            ht = pa.concat_tables(
+                ray.get(hot.to_arrow_refs()), promote_options="default"
+            )
+            ref = ray.put(frozenset(ht.column("h").to_pylist()))
+        return ds.map_batches(
+            rebuild_with(lambda: ray.get(ref)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    # scale fallback: explode (doc, ord, line_h, line), UNION the hot keys
+    # as marker rows, and semi-join with a groupby(h).map_groups — NOT the
+    # native acero join, whose hash partitions lose their schema when a
+    # partition gets zero right-side rows (measured: "No match for
+    # FieldRef h" on small hot sets).  Shuffle volume O(corpus lines);
+    # text moves once through the h-shuffle, once through the doc-shuffle.
+    from engine.stages.join import _arrow_types
+
+    id_type = _arrow_types(ds).get(id_col, pa.int64())
+
+    def explode_ord(t: pa.Table) -> pa.Table:
+        out_id, out_ord, out_h, out_ln = [], [], [], []
+        for d, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            for o, ln in enumerate(_doc_lines(txt)):
+                out_id.append(d)
+                out_ord.append(o)
+                out_h.append(md5(ln.encode()).hexdigest())
+                out_ln.append(ln)
+        n = len(out_id)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, id_type),
+                "ord": pa.array(out_ord, pa.int64()),
+                "h": pa.array(out_h, pa.string()),
+                "line": pa.array(out_ln, pa.string()),
+                "_hot": pa.array([False] * n, pa.bool_()),
+            }
+        )
+
+    def hot_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                id_col: pa.array([None] * n, id_type),
+                "ord": pa.array([-1] * n, pa.int64()),
+                "h": t.column("h"),
+                "line": pa.array([""] * n, pa.string()),
+                "_hot": pa.array([True] * n, pa.bool_()),
+            }
+        )
+
+    lines = ds.map_batches(
+        explode_ord, batch_format="pyarrow", zero_copy_batch=True
+    )
+    unioned = lines.union(
+        hot.map_batches(hot_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def mark(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        real = df[~df["_hot"]]
+        out = real[[id_col, "ord", "line"]].copy()
+        # groups holding a null-id marker row promote int ids to float64
+        # in pandas; restore the declared id type after the markers go
+        if pa.types.is_integer(id_type):
+            out[id_col] = out[id_col].astype("int64")
+        out["drop"] = bool(df["_hot"].any())
+        return out
+
+    marked = unioned.groupby("h").map_groups(mark, batch_format="pandas")
+
+    def reassemble(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        df = df.sort_values("ord", kind="mergesort")
+        kept = df[~df["drop"]]["line"].tolist()
+        clean = "\n".join(kept)
+        return pd.DataFrame(
+            {
+                id_col: [df[id_col].iloc[0]],
+                "n_lines": pd.Series([len(df)], dtype="int64"),
+                "n_dropped": pd.Series([len(df) - len(kept)], dtype="int64"),
+                "clean_text": [clean],
+                "clean_chars": pd.Series([len(clean)], dtype="int64"),
+            }
+        )
+
+    return marked.groupby(id_col).map_groups(reassemble, batch_format="pandas")
+
+
+_FNV_OFF = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_M64 = 1 << 64
+
+
+def _fnv1a(s: str) -> int:
+    h = _FNV_OFF
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * _FNV_PRIME) % _M64
+    return h
+
+
+def _word_ngrams(text: str, n: int) -> Set[str]:
+    toks = _TOKEN.findall(text or "")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def decontam(
+    ds: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    broadcast_max: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Benchmark decontamination (module docstring).
+
+    Output: (id_col, n_grams, contam_grams) — distinct word n-grams and
+    how many of them appear in the eval corpus's n-gram set.
+    """
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        grams: Set[str] = set()
+        for txt in t.column(text_col).to_pylist():
+            grams |= _word_ngrams(txt, n)
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    ev = (
+        eval_ds.map_batches(eval_grams, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(Count(alias_name="_c"))
+        .materialize()
+    )
+    n_ev = ev.count()
+    if n_ev == 0:
+        gram_set: frozenset = frozenset()
+        hashed = False
+    else:
+        et = pa.concat_tables(ray.get(ev.to_arrow_refs()), promote_options="default")
+        strs = et.column("g").to_pylist()
+        hashed = n_ev > broadcast_max
+        # above the gate: broadcast 8-byte FNV hashes, not strings (the
+        # 100 TB path; exact below the gate)
+        gram_set = (
+            frozenset(_fnv1a(s) for s in strs) if hashed else frozenset(strs)
+        )
+    ref = ray.put(gram_set)
+
+    def flag(t: pa.Table, _hashed=hashed) -> pa.Table:
+        ev_set = ray.get(ref)
+        out_n, out_c = [], []
+        for txt in t.column(text_col).to_pylist():
+            grams = _word_ngrams(txt, n)
+            out_n.append(len(grams))
+            if _hashed:
+                out_c.append(sum(1 for g in grams if _fnv1a(g) in ev_set))
+            else:
+                out_c.append(sum(1 for g in grams if g in ev_set))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_grams": pa.array(out_n, pa.int64()),
+                "contam_grams": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

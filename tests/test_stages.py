@@ -510,3 +510,98 @@ def test_approx_quantiles_accuracy(ray_session):
                 est = got[g][f"q{q}"]
                 rank = np.searchsorted(sorted_g, est) / ng
                 assert abs(rank - q) < 3.0 / delta, (g, q, blocks, rank)
+
+
+def test_line_dedup_drops_boilerplate(ray_session):
+    """CCNet-style line dedup: lines in >= min_docs DISTINCT docs are
+    dropped everywhere; order preserved; broadcast and join paths are
+    pinned identical."""
+    import ray.data
+
+    from engine.stages.clean import line_dedup
+
+    docs = [
+        (1, "alpha\nSHARED FOOTER\nbeta"),
+        (2, "SHARED FOOTER\ngamma"),
+        (3, "unique only"),
+        (4, ""),
+        (5, "SHARED FOOTER"),
+        (6, "dup\ndup\ndelta"),  # within-doc dup only: NOT boilerplate
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([x for _, x in docs], pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = (
+        line_dedup(ds, min_docs=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = {
+        1: (3, 1, "alpha\nbeta"),
+        2: (2, 1, "gamma"),
+        3: (1, 0, "unique only"),
+        4: (1, 0, ""),
+        5: (1, 1, ""),
+        6: (3, 0, "dup\ndup\ndelta"),
+    }
+    for _, r in got.iterrows():
+        nl, nd, ct = exp[r["doc_id"]]
+        assert (r["n_lines"], r["n_dropped"], r["clean_text"]) == (nl, nd, ct), r["doc_id"]
+        assert r["clean_chars"] == len(ct)
+
+    # scale path (native join, broadcast_max=0) must be identical
+    got_join = (
+        line_dedup(ray.data.from_arrow(t).repartition(3), min_docs=2, broadcast_max=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got_join[["doc_id", "n_lines", "n_dropped", "clean_text", "clean_chars"]].equals(
+        got[["doc_id", "n_lines", "n_dropped", "clean_text", "clean_chars"]]
+    )
+
+
+def test_decontam_string_and_hash_paths_agree(ray_session):
+    """Benchmark decontamination: overlap counts are exact, and the
+    above-gate FNV-hash broadcast path matches the raw-string path."""
+    import ray.data
+
+    from engine.stages.clean import decontam
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different words with no benchmark overlap at all"),
+        (3, "xx the quick brown fox jumps over yy zz ww"),
+        (4, "short doc"),
+    ]
+    ev = [(100, "the quick brown fox jumps over the fence")]
+    ct = pa.table({
+        "doc_id": pa.array([d for d, _ in corpus], pa.int64()),
+        "text": pa.array([x for _, x in corpus], pa.string()),
+    })
+    et = pa.table({
+        "doc_id": pa.array([d for d, _ in ev], pa.int64()),
+        "text": pa.array([x for _, x in ev], pa.string()),
+    })
+    for bmax in (2_000_000, 0):  # string path, then forced FNV-hash path
+        got = (
+            decontam(
+                ray.data.from_arrow(ct),
+                ray.data.from_arrow(et),
+                n=5,
+                broadcast_max=bmax,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # doc 1: grams of ev text overlap on 5-grams within the shared
+        # prefix 'the quick brown fox jumps over the'
+        assert got.loc[0, "n_grams"] == 6
+        assert got.loc[0, "contam_grams"] == 3
+        assert got.loc[1, "contam_grams"] == 0
+        assert got.loc[2, "contam_grams"] == 2
+        assert got.loc[3, "n_grams"] == 0 and got.loc[3, "contam_grams"] == 0
