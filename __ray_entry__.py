@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q.q_dedup_clusters,
         "approx_users": q.q_approx_users,
         "approx_quantiles": q.q_approx_quantiles,
+        "pagerank": q.q_pagerank,
     }
 
 

@@ -828,3 +828,41 @@ def q_decontam(sf_dir: str):
         eval_subset, batch_format="pyarrow", zero_copy_batch=True
     )
     return decontam(ds, ev, id_col="doc_id", text_col="text", n=5)
+
+
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank over the deterministic synthetic link graph
+    (iterative edges-join-ranks + groupby-sum with dangling correction).
+    Rows-only: float ranks are not bit-stable across summation orders;
+    exactness vs a numpy power iteration is pinned in
+    tests/test_stages.py::test_pagerank_matches_power_iteration."""
+    from engine.pipelines.testdata_pages import build_link_maps
+    from engine.stages.graph import pagerank
+
+    lm, _ = build_link_maps(sf_dir)
+    src, dst = [], []
+    for s, targets in lm.items():
+        for t in targets:
+            # the synthetic link graph is near-regular (uniform PageRank);
+            # drop a deterministic third of edges so degrees vary and the
+            # rank distribution is non-trivial
+            if (s + t) % 3 == 0:
+                continue
+            src.append(s)
+            dst.append(t)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    ranks = pagerank(edges, damping=0.85, iters=5)
+
+    def to_ppb(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "rank_ppb": pc.cast(
+                    pc.floor(pc.multiply(t.column("rank"), 1e9)), pa.int64()
+                ),
+            }
+        )
+
+    return ranks.map_batches(to_ppb, batch_format="pyarrow", zero_copy_batch=True)

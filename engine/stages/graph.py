@@ -1,0 +1,176 @@
+"""Distributed graph analytics over the crawl link graph.
+
+``pagerank``: classic damped PageRank (Page et al. 1999, public) as an
+iterative Ray-Data pipeline — the same edges-join-labels shape as
+``dedup.connected_components`` but with weighted contributions and the
+dangling-mass correction:
+
+    rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + dangling/N)
+
+Per iteration: ONE native hash join (static edge weights x current ranks
+on src), one union with zero rows (so sink-only nodes keep a row — a
+union+groupby, never an outer join: the acero join loses schema on empty
+hash partitions), one groupby-sum, and one tiny aggregate for the
+dangling mass (dangling = 1 - total contribution, exact because the
+update preserves sum(rank) == 1).  Edge weights are joined ONCE up front
+and materialized; ranks are materialized per round to cut lineage.
+
+Exactly verified against a single-process numpy power iteration in
+tests/test_stages.py (same formula, same iteration count).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from engine.stages.dedup import _join_partitions
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    num_partitions: Optional[int] = None,
+) -> ray.data.Dataset:
+    """PageRank over an edge list; returns (node, rank) after ``iters``
+    rounds.  Duplicate edges contribute once each (multigraph semantics —
+    match the oracle).  Ranks sum to exactly 1.0 up to float addition.
+    """
+    edges = edges.map_batches(
+        lambda t: pa.table(
+            {"src": t.column(src_col), "dst": t.column(dst_col)}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    # node universe: distinct src UNION dst (groupby, no join)
+    def both_ends(t: pa.Table) -> pa.Table:
+        s, d = t.column("src").combine_chunks(), t.column("dst").combine_chunks()
+        return pa.table({"node": pa.chunked_array([s, d])})
+
+    nodes = (
+        edges.map_batches(both_ends, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: t.select(["node"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
+        )
+    # join partitions sized to the graph: tiny graphs get 1 partition so
+    # no hash partition is ever empty (acero schema-loss hazard)
+    npart = num_partitions or max(1, min(_join_partitions(), n_nodes // 32))
+
+    outdeg = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
+    # static edge weights w = 1/outdeg(src), joined ONCE
+    ew = (
+        edges.join(
+            outdeg,
+            join_type="inner",
+            num_partitions=npart,
+            on=("src",),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("src"),
+                    "dst": t.column("dst"),
+                    "w": pa.compute.divide(
+                        pa.scalar(1.0, pa.float64()),
+                        t.column("outdeg").cast(pa.float64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+
+    init = 1.0 / n_nodes
+    ranks = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "rank": pa.array([init] * t.num_rows, pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    zeros = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "c": pa.array([0.0] * t.num_rows, pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    for _ in range(iters):
+        contribs = ew.join(
+            ranks,
+            join_type="inner",
+            num_partitions=npart,
+            on=("src",),
+            right_on=("node",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("dst"),
+                    "c": pa.compute.multiply(t.column("rank"), t.column("w")),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        summed = (
+            contribs.union(zeros)
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"))
+            .materialize()
+        )
+        # exact dangling mass: update preserves sum(rank) == 1, and
+        # sum(contribs) == sum of non-dangling ranks
+        total_in = summed.sum("c") or 0.0
+        dangling = max(0.0, 1.0 - total_in)
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        def renew(t: pa.Table, _base=base) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "rank": pa.compute.add(
+                        pa.scalar(_base, pa.float64()),
+                        pa.compute.multiply(
+                            pa.scalar(damping, pa.float64()), t.column("c")
+                        ),
+                    ),
+                }
+            )
+
+        ranks = summed.map_batches(
+            renew, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    return ranks

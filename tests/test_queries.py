@@ -100,6 +100,7 @@ ROWS_ONLY = [
     ("dedup_clusters", 0),
     ("approx_users", 1),
     ("approx_quantiles", 1),
+    ("pagerank", 1),
 ]
 
 

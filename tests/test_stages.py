@@ -605,3 +605,43 @@ def test_decontam_string_and_hash_paths_agree(ray_session):
         assert got.loc[1, "contam_grams"] == 0
         assert got.loc[2, "contam_grams"] == 2
         assert got.loc[3, "n_grams"] == 0 and got.loc[3, "contam_grams"] == 0
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    """Distributed PageRank == single-process numpy power iteration with
+    the identical formula (damping, dangling-mass correction, multigraph
+    edge semantics), on a graph with a dangling node, a sink-only node,
+    and a duplicate edge."""
+    import ray.data
+
+    from engine.stages.graph import pagerank
+
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (0, 1), (4, 5)]
+    # node 5 is dangling (no out-edges); node 3 has no in-edges
+    t = pa.table({
+        "src": pa.array([a for a, _ in E], pa.int64()),
+        "dst": pa.array([b for _, b in E], pa.int64()),
+    })
+    got = (
+        pagerank(ray.data.from_arrow(t).repartition(3), damping=0.85, iters=12)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    nodes = sorted({x for e in E for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    outdeg = np.zeros(N)
+    for a, _ in E:
+        outdeg[idx[a]] += 1
+    r = np.full(N, 1.0 / N)
+    d = 0.85
+    for _ in range(12):
+        contrib = np.zeros(N)
+        for a, b in E:
+            contrib[idx[b]] += r[idx[a]] / outdeg[idx[a]]
+        dangling = r[outdeg == 0].sum()
+        r = (1 - d) / N + d * (contrib + dangling / N)
+    assert got["node"].tolist() == nodes
+    assert np.allclose(got["rank"].to_numpy(), r, atol=1e-12)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
