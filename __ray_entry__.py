@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": q.q_sample_stratified,
         "pack_sequences": q.q_pack_sequences,
         "sink_status": q.q_sink_status,
+        "bm25_topk": q.q_bm25_topk,
         "rep_stats": q.q_rep_stats,
         "line_dedup": q.q_line_dedup,
         "decontam": q.q_decontam,
@@ -134,6 +135,47 @@ def _lang_id_sql() -> str:
                     OR 20*sc < nw
                THEN 'unknown' ELSE best END AS lang_pred
         FROM b
+    """
+
+
+def _bm25_sql() -> str:
+    """Generate the bm25_topk oracle from engine.stages.search.BM25_TERMS
+    (single source of truth).  Rank-only: both engines evaluate the SAME
+    Lucene-BM25 expression in the same operation order; the ordering
+    survives ln-ULP noise (same device as ann_topk).  avgdl is written as
+    sum/count (not avg()) so the float matches Python's sum_dl/N."""
+    from engine.stages.search import BM25_TERMS
+
+    terms = list(BM25_TERMS)
+    tf_cols = ",\n                   ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                   ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"(ln(1 + (stats.N - df.df_{i} + 0.5) / (df.df_{i} + 0.5)) * tf_{i} * (1.2 + 1.0)"
+        f" / (tf_{i} + 1.2 * (1 - 0.75 + 0.75 * (dl / stats.avgdl))))"
+        for i in range(len(terms))
+    )
+    return rf"""
+        WITH d AS (SELECT doc_id,
+                          regexp_extract_all(coalesce(text,''), '[^\t\n\v\f\r ]+') AS w
+                   FROM documents),
+        tf AS (SELECT doc_id, len(w) AS dl,
+                   {tf_cols}
+               FROM d),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM tf),
+        df AS (SELECT {df_cols}
+               FROM tf)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+               doc_id
+        FROM (SELECT doc_id, {score} AS score FROM tf, stats, df)
+        WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 50
     """
 
 
@@ -206,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
         "fingerprint": _fingerprint_sql(),
+        "bm25_topk": _bm25_sql(),
         # coalesce mirrors the Python `(x or "")` null handling throughout
         "exact_dedup": """
             SELECT md5(coalesce(text, '')) AS h, min(doc_id) AS doc_id,

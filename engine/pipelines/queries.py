@@ -866,3 +866,14 @@ def q_pagerank(sf_dir: str):
         )
 
     return ranks.map_batches(to_ppb, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_bm25_topk(sf_dir: str):
+    """Distributed BM25 top-50 retrieval (Lucene idf — the reference's ES
+    relevance function) for a fixed query.  Rank-only output
+    (SQL-verified; float scores are ln-ULP-unstable across engines, the
+    ordering is not — same device as ann_topk)."""
+    from engine.stages.search import BM25_TERMS, bm25_topk
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return bm25_topk(ds, BM25_TERMS, id_col="doc_id", text_col="text", k=50)
