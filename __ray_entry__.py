@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "sink_status": q.q_sink_status,
         "bm25_topk": q.q_bm25_topk,
+        "snapshot_diff": q.q_snapshot_diff,
+        "latest_events": q.q_latest_events,
         "rep_stats": q.q_rep_stats,
         "line_dedup": q.q_line_dedup,
         "decontam": q.q_decontam,
@@ -249,6 +251,35 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "fingerprint": _fingerprint_sql(),
         "bm25_topk": _bm25_sql(),
+        # crawl-snapshot diff: the mutated second snapshot is re-derived
+        # in SQL (drop %31, append ' v2' on %17, re-add %41 under +1e6);
+        # content compare == md5 compare
+        "snapshot_diff": """
+            WITH old AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM old WHERE doc_id % 31 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+              FROM old WHERE doc_id % 41 = 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text = n.text THEN 'same'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        """,
+        # latest event per user: argmax by (ts, event_id)
+        "latest_events": """
+            SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   event_type
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
         # coalesce mirrors the Python `(x or "")` null handling throughout
         "exact_dedup": """
             SELECT md5(coalesce(text, '')) AS h, min(doc_id) AS doc_id,

@@ -877,3 +877,68 @@ def q_bm25_topk(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return bm25_topk(ds, BM25_TERMS, id_col="doc_id", text_col="text", k=50)
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Crawl-snapshot diff: documents vs a deterministically mutated
+    second snapshot (doc_id%31 removed, doc_id%17 changed, doc_id%41
+    re-added under a new key) -> (doc_id, status).  SQL-verified; the
+    incremental-reindex primitive (only added/changed keys re-index)."""
+    from engine.stages.diff import snapshot_diff
+
+    old = _docs(sf_dir, ["doc_id", "text"])
+
+    def mutate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = [x or "" for x in t.column("text").to_pylist()]
+        keep = ids % 31 != 0
+        out_ids = ids[keep].tolist()
+        out_txt = [
+            txt + " v2" if i % 17 == 0 else txt
+            for i, txt in zip(ids[keep], [texts[j] for j in np.nonzero(keep)[0]])
+        ]
+        add = ids % 41 == 0
+        out_ids += (ids[add] + 1_000_000).tolist()
+        out_txt += ["new " + texts[j] for j in np.nonzero(add)[0]]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    new = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        mutate, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return snapshot_diff(old, new, key_col="doc_id", content_col="text")
+
+
+def q_latest_events(sf_dir: str):
+    """Latest event per user (argmax by (ts, event_id) with deterministic
+    tie-break) — per-batch candidate pre-aggregation, one row per key per
+    block shuffles.  SQL-verified (row_number window)."""
+    from engine.stages.diff import latest_events
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    ds = ds.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+    return latest_events(
+        ds,
+        key_col="user_id",
+        ts_col="ts_us",
+        tiebreak_col="event_id",
+        carry_cols=("event_type",),
+    )

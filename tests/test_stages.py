@@ -645,3 +645,67 @@ def test_pagerank_matches_power_iteration(ray_session):
     assert got["node"].tolist() == nodes
     assert np.allclose(got["rank"].to_numpy(), r, atol=1e-12)
     assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_snapshot_diff_classifies(ray_session):
+    """added/removed/changed/same classification, partitioning-independent."""
+    import ray.data
+
+    from engine.stages.diff import snapshot_diff
+
+    old = pa.table({
+        "url": pa.array(["a", "b", "c", "d"], pa.string()),
+        "text": pa.array(["1", "2", "3", "4"], pa.string()),
+    })
+    new = pa.table({
+        "url": pa.array(["a", "b", "e"], pa.string()),
+        "text": pa.array(["1", "CHANGED", "5"], pa.string()),
+    })
+    got = (
+        snapshot_diff(
+            ray.data.from_arrow(old).repartition(2),
+            ray.data.from_arrow(new).repartition(3),
+            key_col="url",
+            content_col="text",
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(got["url"], got["status"])) == {
+        "a": "same", "b": "changed", "c": "removed", "d": "removed", "e": "added",
+    }
+
+
+def test_latest_events_argmax(ray_session):
+    """Argmax per key with (ts, id) tie-break; identical across block
+    layouts (the per-batch candidate pre-aggregation must not change the
+    answer)."""
+    import ray.data
+
+    from engine.stages.diff import latest_events
+
+    rows = [
+        (1, 10, 100, "x"), (1, 11, 300, "y"), (1, 12, 300, "z"),  # tie on ts
+        (2, 20, 50, "p"), (3, 30, 1, "q"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts_us": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    for blocks in (1, 4):
+        got = (
+            latest_events(
+                ray.data.from_arrow(t).repartition(blocks),
+                key_col="user_id", ts_col="ts_us",
+                tiebreak_col="event_id", carry_cols=("event_type",),
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert got[["user_id", "event_id", "event_type"]].values.tolist() == [
+            [1, 12, "z"], [2, 20, "p"], [3, 30, "q"],
+        ]
