@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q.q_bm25_topk,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
+        "json_props": q.q_json_props,
         "rep_stats": q.q_rep_stats,
         "line_dedup": q.q_line_dedup,
         "decontam": q.q_decontam,
@@ -270,6 +271,13 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.text = n.text THEN 'same'
                         ELSE 'changed' END AS status
             FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        """,
+        # JSON property extraction over the events props column
+        "json_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         # latest event per user: argmax by (ts, event_id)
         "latest_events": """

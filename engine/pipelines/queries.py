@@ -942,3 +942,32 @@ def q_latest_events(sf_dir: str):
         tiebreak_col="event_id",
         carry_cols=("event_type",),
     )
+
+
+def q_json_props(sf_dir: str):
+    """JSON property extraction + grouped aggregate over the events
+    ``props`` JSON column (per-batch json parse -> partial sums -> one
+    small groupby).  SQL-verified vs DuckDB json_extract."""
+    import json as _json
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (int(_json.loads(p or "{}").get("k", 0)) for p in t.column("props").to_pylist()),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        t2 = pa.table({"event_type": t.column("event_type"), "k": pa.array(ks)})
+        return (
+            t2.group_by("event_type")
+            .aggregate([("k", "sum"), ("k", "count")])
+            .rename_columns(["event_type", "sum_k", "n"])
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("event_type").aggregate(
+        Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n")
+    )

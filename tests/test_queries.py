@@ -62,7 +62,7 @@ SQL_NAMES = [
     "crawl_order", "fingerprint", "dedup_corpus", "sample_stratified",
     "pack_sequences", "events_hopping", "sink_status",
     "rep_stats", "line_dedup", "decontam", "bm25_topk",
-    "snapshot_diff", "latest_events",
+    "snapshot_diff", "latest_events", "json_props",
 ]
 
 
