@@ -40,40 +40,66 @@ def snapshot_diff(
     {'added','removed','changed','same'}.  Each side must be unique per
     key (crawl outputs are)."""
 
+    # each side contributes (key, h_old|null, h_new|null); the groupby
+    # aggregate Max picks the single non-null hash per side — fully
+    # vectorized, no per-key Python call (a per-key map_groups would be
+    # billions of interpreter calls at web scale)
     def summarize(side: str):
         def f(t: pa.Table) -> pa.Table:
-            hs = [
-                md5((x or "").encode()).hexdigest()
-                for x in t.column(content_col).to_pylist()
-            ]
+            hs = pa.array(
+                [
+                    md5((x or "").encode()).hexdigest()
+                    for x in t.column(content_col).to_pylist()
+                ],
+                pa.string(),
+            )
+            nulls = pa.array([None] * t.num_rows, pa.string())
             return pa.table(
                 {
                     key_col: t.column(key_col),
-                    "h": pa.array(hs, pa.string()),
-                    "side": pa.array([side] * t.num_rows, pa.string()),
+                    "h_old": hs if side == "old" else nulls,
+                    "h_new": hs if side == "new" else nulls,
                 }
             )
 
         return f
 
-    unioned = old.map_batches(
-        summarize("old"), batch_format="pyarrow", zero_copy_batch=True
-    ).union(
-        new.map_batches(summarize("new"), batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Max
+
+    agg = (
+        old.map_batches(summarize("old"), batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            new.map_batches(
+                summarize("new"), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby(key_col)
+        .aggregate(
+            Max("h_old", alias_name="h_old", ignore_nulls=True),
+            Max("h_new", alias_name="h_new", ignore_nulls=True),
+        )
     )
 
-    def classify(df: pd.DataFrame) -> pd.DataFrame:
-        o = df[df["side"] == "old"]
-        n = df[df["side"] == "new"]
-        if len(o) and len(n):
-            status = "same" if o["h"].iloc[0] == n["h"].iloc[0] else "changed"
-        elif len(n):
-            status = "added"
-        else:
-            status = "removed"
-        return pd.DataFrame({key_col: [df[key_col].iloc[0]], "status": [status]})
+    def classify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return unioned.groupby(key_col).map_groups(classify, batch_format="pandas")
+        ho, hn = t.column("h_old"), t.column("h_new")
+        status = pc.if_else(
+            pc.is_null(ho),
+            pa.scalar("added", pa.string()),
+            pc.if_else(
+                pc.is_null(hn),
+                pa.scalar("removed", pa.string()),
+                pc.if_else(
+                    pc.equal(ho, hn),
+                    pa.scalar("same", pa.string()),
+                    pa.scalar("changed", pa.string()),
+                ),
+            ),
+        )
+        return pa.table({key_col: t.column(key_col), "status": status})
+
+    return agg.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def latest_events(

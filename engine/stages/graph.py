@@ -25,6 +25,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute  # noqa: F401 — pa.compute used below
 import ray
 import ray.data
 from ray.data.aggregate import Count, Sum

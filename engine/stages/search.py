@@ -25,6 +25,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute  # noqa: F401 — pa.compute used below
 import ray
 import ray.data
 

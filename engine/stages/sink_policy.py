@@ -208,8 +208,17 @@ def write_with_quarantine(
         max_retries=max_retries,
         carry_cols=carry_cols,
     ).materialize()
-    ok = statused.filter(lambda r: r["status"] == "indexed")
-    bad = statused.filter(lambda r: r["status"] != "indexed")
+    # vectorized split (never Dataset.filter(lambda) — per-row Python)
+    ok = statused.map_batches(
+        lambda t: t.filter(pc.equal(t.column("status"), "indexed")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bad = statused.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("status"), "indexed")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     n_ok = ok.count()
     n_bad = bad.count()
     if n_ok:
