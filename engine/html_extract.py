@@ -363,6 +363,8 @@ _MS_KEYWORD = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*")
 _MS_CLOSE_LONG = re.compile(r"]\s*]\s*>")
 _MS_CLOSE_SHORT = re.compile(r"]\s*>")
 
+from html import unescape as _unescape
+
 _FAST_TAG = re.compile(
     r"<(/?)([a-zA-Z][a-zA-Z0-9:._-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>"
 )
@@ -381,8 +383,6 @@ def _fast_attrs(blob: str) -> Tuple[Dict[str, str], bool]:
     ``/`` after a bare attribute name or quoted value (``disabled/``,
     ``src="x"/``) closes the tag (attr names cannot contain ``/``).
     """
-    from html import unescape as _unescape
-
     attrs: Dict[str, str] = {}
     last_end = 0
     for m in _FAST_ATTR.finditer(blob):
@@ -410,8 +410,6 @@ def _fast_feed(html: str, b: "_TreeBuilder") -> None:
     close tag, comments/doctypes/PIs are skipped, a '<' that opens nothing
     recognizable is literal text.
     """
-    from html import unescape as _unescape
-
     n = len(html)
     pos = 0
     find = html.find
