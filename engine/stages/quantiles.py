@@ -30,7 +30,6 @@ counts including heavy-duplicate distributions (tests/test_stages.py).
 from __future__ import annotations
 
 import math
-from bisect import bisect_left, bisect_right
 from collections import defaultdict
 from typing import Dict, List, Sequence, Tuple
 
@@ -75,19 +74,60 @@ def _block_summaries(
     )
 
 
-def _rank_bounds(summaries: List[Tuple[int, List[int], List[float]]], v: float) -> Tuple[int, int]:
-    """(LB, UB) on count(<= v) across a group's block summaries.
+def _plan_windows_group(
+    summaries: List[Tuple[int, Sequence[int], Sequence[float]]],
+    qs: Sequence[float],
+) -> Tuple[int, Dict[float, Tuple[float, float]]]:
+    """Vectorized window planner for ONE group: rank bounds for ALL
+    candidate values in one sweep (round-3 VERDICT #2 fix).
 
-    Per block (n, ranks, vals) with vals sorted and ranks the within-block
-    sorted positions: count(<= v) >= rank of the LAST sample value <= v,
-    +1; count(<= v) <= rank of the FIRST sample value > v (or n if none).
+    For candidate v, count(<= v) is bounded per block (n, ranks, vals):
+    LB >= rank of the LAST sample value <= v, +1 (0 if none);
+    UB <= rank of the FIRST sample value > v (n if none).
+    Both are nondecreasing step functions of v whose steps sit exactly at
+    the block's own sample values — so each block scatters S step-deltas
+    into shared diff arrays (np.searchsorted + np.add.at), one cumsum
+    yields LB/UB over every candidate, and each target rank k picks its
+    window by binary search on the monotone bounds.  O(blocks*(S + log C))
+    per group vs the old O(candidates * blocks) driver bisect loop.
+
+    Returns (n_total, {q: (lo, hi)}) with (lo, hi] guaranteed to contain
+    the k-th smallest value, k = max(1, ceil(q * n_total)).
     """
-    lb = ub = 0
+    n_total = sum(s[0] for s in summaries)
+    cand = np.unique(
+        np.concatenate([np.asarray(vals, dtype=np.float64) for _, _, vals in summaries])
+    )
+    c = len(cand)
+    dlb = np.zeros(c, dtype=np.int64)
+    dub = np.zeros(c, dtype=np.int64)
+    ub_base = 0
     for n, ranks, vals in summaries:
-        j = bisect_right(vals, v)  # samples <= v
-        lb += 0 if j == 0 else ranks[j - 1] + 1
-        ub += n if j == len(vals) else ranks[j]
-    return lb, ub
+        r = np.asarray(ranks, dtype=np.int64)
+        v = np.asarray(vals, dtype=np.float64)
+        pos = np.searchsorted(cand, v)  # exact matches: cand ⊇ vals
+        # LB step: at pos[k] the bound becomes ranks[k]+1
+        steps_lb = np.empty(len(r), dtype=np.int64)
+        steps_lb[0] = r[0] + 1
+        steps_lb[1:] = np.diff(r)
+        np.add.at(dlb, pos, steps_lb)
+        # UB: ranks[0] before any sample; at pos[k] becomes ranks[k+1] (or n)
+        ub_base += int(r[0])
+        nxt = np.empty(len(r), dtype=np.int64)
+        nxt[:-1] = r[1:]
+        nxt[-1] = n
+        np.add.at(dub, pos, nxt - r)
+    lb = np.cumsum(dlb)
+    ub = ub_base + np.cumsum(dub)
+    windows: Dict[float, Tuple[float, float]] = {}
+    for q in qs:
+        k = max(1, math.ceil(q * n_total))
+        lo_idx = int(np.searchsorted(ub, k, side="left")) - 1  # last UB < k
+        hi_idx = int(np.searchsorted(lb, k, side="left"))  # first LB >= k
+        lo = float(cand[lo_idx]) if lo_idx >= 0 else -math.inf
+        hi = float(cand[hi_idx]) if hi_idx < c else math.inf
+        windows[q] = (lo, hi)
+    return n_total, windows
 
 
 def grouped_quantiles_disc(
@@ -122,24 +162,15 @@ def grouped_quantiles_disc(
     ):
         per_group[g].append((n, ranks, vals))
 
-    # windows per (group, q): (lo, hi] guaranteed to hold the k-th value
+    # windows per (group, q): (lo, hi] guaranteed to hold the k-th value —
+    # one vectorized sweep per group (see _plan_windows_group)
     windows: Dict = {}
     totals: Dict = {}
     for g, summ in per_group.items():
-        n_total = sum(s[0] for s in summ)
+        n_total, g_windows = _plan_windows_group(summ, qs)
         totals[g] = n_total
-        cand = sorted({v for _, _, vals in summ for v in vals})
-        for q in qs:
-            k = max(1, math.ceil(q * n_total))
-            lo = -math.inf
-            hi = math.inf
-            for v in cand:
-                lb, ub = _rank_bounds(summ, v)
-                if ub < k:
-                    lo = v  # strictly below the k-th value
-                if lb >= k and v < hi:
-                    hi = v  # k-th value is <= hi
-            windows[(g, q)] = (lo, hi)
+        for q, w in g_windows.items():
+            windows[(g, q)] = w
 
     win_ref = ray.put(dict(windows))
     qs_list = list(qs)
