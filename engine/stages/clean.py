@@ -14,8 +14,11 @@ oracle (see __ray_entry__.oracle_sql):
   from every document when it appears in >= ``min_docs`` DISTINCT
   documents.  Shuffle moves (line_md5, doc_id) pairs, never text; the hot
   set is collected only above ``min_docs`` (boilerplate sets are small by
-  construction) and applied via a size-gated broadcast, with a native
-  hash-join fallback above the gate (both paths test-pinned identical).
+  construction) and applied via a size-gated broadcast.  Above the gate,
+  the fallback computes only the tiny (doc_id, ord) DROP list (hot-line
+  hits) via a union+groupby semi-join over hash triples and applies it in
+  one vectorized map_batches over the original dataset — text never
+  shuffles (all three paths test-pinned identical).
 - ``decontam``: benchmark-overlap flagging — each document's DISTINCT
   word n-grams intersected with the eval corpus's n-gram set.  The eval
   set is broadcast as raw strings under ``broadcast_max`` (exact; test
@@ -90,11 +93,16 @@ def line_dedup(
     text_col: str = "text",
     min_docs: int = 2,
     broadcast_max: int = 5_000_000,
+    drop_broadcast_max: int = 50_000_000,
 ) -> ray.data.Dataset:
     """CCNet-style cross-corpus line dedup (module docstring).
 
     Output: (id_col, n_lines, n_dropped, clean_text, clean_chars) — the
     document with boilerplate lines removed, plus stats.
+
+    ``broadcast_max`` gates the hot-hash broadcast (primary path);
+    ``drop_broadcast_max`` gates the fallback's (doc_id, ord) drop-list
+    broadcast — above BOTH gates, text shuffles once (by doc).
     """
 
     def explode(t: pa.Table) -> pa.Table:
@@ -166,18 +174,25 @@ def line_dedup(
             zero_copy_batch=True,
         )
 
-    # scale fallback: explode (doc, ord, line_h, line), UNION the hot keys
-    # as marker rows, and semi-join with a groupby(h).map_groups — NOT the
-    # native acero join, whose hash partitions lose their schema when a
-    # partition gets zero right-side rows (measured: "No match for
-    # FieldRef h" on small hot sets).  Shuffle volume O(corpus lines);
-    # text moves once through the h-shuffle, once through the doc-shuffle.
+    # scale fallback (round-3 VERDICT #3, inverted): text NEVER shuffles
+    # through the hash exchange.  Explode only (doc_id, ord, line_md5)
+    # triples, semi-join against the hot hashes via union + groupby — NOT
+    # the native acero join, whose hash partitions lose their schema when
+    # a partition gets zero right-side rows ("No match for FieldRef h") —
+    # and keep only the HITS: the (doc_id, ord) DROP list.  Hot lines are
+    # boilerplate, i.e. a small distinct set hit a bounded number of times
+    # per doc, so the drop list is O(hot occurrences) << O(corpus lines).
+    # Under drop_broadcast_max the list is broadcast as a doc->ords map
+    # and applied in ONE vectorized map_batches over the original dataset
+    # (zero text shuffles); above it, the drop rows union+groupby with
+    # the docs (one text shuffle — down from the old fallback's two plus
+    # a per-doc map_groups reassembly of the whole corpus).
     from engine.stages.join import _arrow_types
 
     id_type = _arrow_types(ds).get(id_col, pa.int64())
 
     def explode_ord(t: pa.Table) -> pa.Table:
-        out_id, out_ord, out_h, out_ln = [], [], [], []
+        out_id, out_ord, out_h = [], [], []
         for d, txt in zip(
             t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
         ):
@@ -185,14 +200,12 @@ def line_dedup(
                 out_id.append(d)
                 out_ord.append(o)
                 out_h.append(md5(ln.encode()).hexdigest())
-                out_ln.append(ln)
         n = len(out_id)
         return pa.table(
             {
                 id_col: pa.array(out_id, id_type),
                 "ord": pa.array(out_ord, pa.int64()),
                 "h": pa.array(out_h, pa.string()),
-                "line": pa.array(out_ln, pa.string()),
                 "_hot": pa.array([False] * n, pa.bool_()),
             }
         )
@@ -204,49 +217,122 @@ def line_dedup(
                 id_col: pa.array([None] * n, id_type),
                 "ord": pa.array([-1] * n, pa.int64()),
                 "h": t.column("h"),
-                "line": pa.array([""] * n, pa.string()),
                 "_hot": pa.array([True] * n, pa.bool_()),
             }
         )
 
-    lines = ds.map_batches(
+    occs = ds.map_batches(
         explode_ord, batch_format="pyarrow", zero_copy_batch=True
     )
-    unioned = lines.union(
+    unioned = occs.union(
         hot.map_batches(hot_rows, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def mark(df) -> "pd.DataFrame":
-        import pandas as pd
-
-        real = df[~df["_hot"]]
-        out = real[[id_col, "ord", "line"]].copy()
+    def hits(df) -> "pd.DataFrame":
+        if not df["_hot"].any():
+            return df[[id_col, "ord"]].iloc[0:0]
+        out = df[~df["_hot"]][[id_col, "ord"]].copy()
         # groups holding a null-id marker row promote int ids to float64
         # in pandas; restore the declared id type after the markers go
         if pa.types.is_integer(id_type):
             out[id_col] = out[id_col].astype("int64")
-        out["drop"] = bool(df["_hot"].any())
         return out
 
-    marked = unioned.groupby("h").map_groups(mark, batch_format="pandas")
+    drops = unioned.groupby("h").map_groups(hits, batch_format="pandas").materialize()
+    n_drops = drops.count()
 
-    def reassemble(df) -> "pd.DataFrame":
+    if n_drops <= drop_broadcast_max:
+        drop_map: Dict = {}
+        if n_drops:
+            dt = pa.concat_tables(
+                ray.get(drops.to_arrow_refs()), promote_options="default"
+            )
+            for d, o in zip(
+                dt.column(id_col).to_pylist(), dt.column("ord").to_pylist()
+            ):
+                drop_map.setdefault(d, set()).add(o)
+        dref = ray.put(drop_map)
+
+        def rebuild_by_ord(t: pa.Table) -> pa.Table:
+            dm = ray.get(dref)
+            out_nl, out_nd, out_txt, out_ch = [], [], [], []
+            for d, txt in zip(
+                t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+            ):
+                lines = _doc_lines(txt)
+                ords = dm.get(d)
+                kept = (
+                    lines
+                    if not ords
+                    else [ln for o, ln in enumerate(lines) if o not in ords]
+                )
+                out_nl.append(len(lines))
+                out_nd.append(len(lines) - len(kept))
+                clean = "\n".join(kept)
+                out_txt.append(clean)
+                out_ch.append(len(clean))
+            return pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "n_lines": pa.array(out_nl, pa.int64()),
+                    "n_dropped": pa.array(out_nd, pa.int64()),
+                    "clean_text": pa.array(out_txt, pa.string()),
+                    "clean_chars": pa.array(out_ch, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(
+            rebuild_by_ord, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # drop list itself too big to broadcast: ONE doc-keyed shuffle — union
+    # the docs with the drop rows and rebuild per doc (each group is one
+    # document plus its drop ords)
+    def doc_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                text_col: t.column(text_col),
+                "ord": pa.array([-1] * n, pa.int64()),
+            }
+        )
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                text_col: pa.array([None] * n, pa.string()),
+                "ord": t.column("ord"),
+            }
+        )
+
+    both = ds.map_batches(
+        doc_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(drops.map_batches(drop_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def rebuild_group(df) -> "pd.DataFrame":
         import pandas as pd
 
-        df = df.sort_values("ord", kind="mergesort")
-        kept = df[~df["drop"]]["line"].tolist()
+        doc = df[df["ord"] < 0]
+        txt = doc[text_col].iloc[0]
+        lines = _doc_lines(txt)
+        ords = set(df.loc[df["ord"] >= 0, "ord"].astype("int64").tolist())
+        kept = [ln for o, ln in enumerate(lines) if o not in ords]
         clean = "\n".join(kept)
+        did = doc[id_col].iloc[0]
         return pd.DataFrame(
             {
-                id_col: [df[id_col].iloc[0]],
-                "n_lines": pd.Series([len(df)], dtype="int64"),
-                "n_dropped": pd.Series([len(df) - len(kept)], dtype="int64"),
+                id_col: pd.Series([did], dtype=doc[id_col].dtype),
+                "n_lines": pd.Series([len(lines)], dtype="int64"),
+                "n_dropped": pd.Series([len(lines) - len(kept)], dtype="int64"),
                 "clean_text": [clean],
                 "clean_chars": pd.Series([len(clean)], dtype="int64"),
             }
         )
 
-    return marked.groupby(id_col).map_groups(reassemble, batch_format="pandas")
+    return both.groupby(id_col).map_groups(rebuild_group, batch_format="pandas")
 
 
 _FNV_OFF = 0xCBF29CE484222325

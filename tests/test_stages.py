@@ -615,16 +615,20 @@ def test_line_dedup_drops_boilerplate(ray_session):
         assert (r["n_lines"], r["n_dropped"], r["clean_text"]) == (nl, nd, ct), r["doc_id"]
         assert r["clean_chars"] == len(ct)
 
-    # scale path (native join, broadcast_max=0) must be identical
-    got_join = (
-        line_dedup(ray.data.from_arrow(t).repartition(3), min_docs=2, broadcast_max=0)
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    assert got_join[["doc_id", "n_lines", "n_dropped", "clean_text", "clean_chars"]].equals(
-        got[["doc_id", "n_lines", "n_dropped", "clean_text", "clean_chars"]]
-    )
+    # scale paths must be identical: (a) drop-list broadcast fallback
+    # (broadcast_max=0 forces it), (b) doc-shuffle fallback (both gates 0)
+    cols = ["doc_id", "n_lines", "n_dropped", "clean_text", "clean_chars"]
+    for kw in (
+        dict(broadcast_max=0),
+        dict(broadcast_max=0, drop_broadcast_max=-1),
+    ):
+        got_fb = (
+            line_dedup(ray.data.from_arrow(t).repartition(3), min_docs=2, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got_fb[cols].equals(got[cols]), kw
 
 
 def test_decontam_string_and_hash_paths_agree(ray_session):
