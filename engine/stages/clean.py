@@ -41,7 +41,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count
 
-from engine.stages.text import _TOKEN
+from engine.stages.text import _TOKEN, fnv1a_batch
 
 
 def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -341,6 +341,8 @@ _M64 = 1 << 64
 
 
 def _fnv1a(s: str) -> int:
+    """Scalar FNV-1a 64 (reference definition; batch paths use
+    engine.stages.text.fnv1a_batch, pinned bit-identical to this)."""
     h = _FNV_OFF
     for b in s.encode("utf-8"):
         h = ((h ^ b) * _FNV_PRIME) % _M64
@@ -388,22 +390,33 @@ def decontam(
         strs = et.column("g").to_pylist()
         hashed = n_ev > broadcast_max
         # above the gate: broadcast 8-byte FNV hashes, not strings (the
-        # 100 TB path; exact below the gate)
+        # 100 TB path; exact below the gate).  Batch-vectorized kernel,
+        # bit-identical to scalar _fnv1a.
         gram_set = (
-            frozenset(_fnv1a(s) for s in strs) if hashed else frozenset(strs)
+            frozenset(
+                fnv1a_batch([s.encode("utf-8") for s in strs]).tolist()
+            )
+            if hashed
+            else frozenset(strs)
         )
     ref = ray.put(gram_set)
 
     def flag(t: pa.Table, _hashed=hashed) -> pa.Table:
         ev_set = ray.get(ref)
-        out_n, out_c = [], []
-        for txt in t.column(text_col).to_pylist():
-            grams = _word_ngrams(txt, n)
-            out_n.append(len(grams))
-            if _hashed:
-                out_c.append(sum(1 for g in grams if _fnv1a(g) in ev_set))
-            else:
-                out_c.append(sum(1 for g in grams if g in ev_set))
+        gram_lists = [
+            sorted(_word_ngrams(txt, n)) for txt in t.column(text_col).to_pylist()
+        ]
+        out_n = [len(g) for g in gram_lists]
+        if _hashed:
+            # flatten all grams across the batch, hash once, count per doc
+            flat = [g.encode("utf-8") for grams in gram_lists for g in grams]
+            hv = fnv1a_batch(flat).tolist()
+            out_c, pos = [], 0
+            for cnt in out_n:
+                out_c.append(sum(1 for x in hv[pos : pos + cnt] if x in ev_set))
+                pos += cnt
+        else:
+            out_c = [sum(1 for g in grams if g in ev_set) for grams in gram_lists]
         return pa.table(
             {
                 id_col: t.column(id_col),

@@ -48,6 +48,39 @@ def test_fingerprint_deterministic_and_sensitive():
     assert a.column("doc_fp").to_pylist() == d.column("doc_fp").to_pylist()
 
 
+def _fnv1a_scalar(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def test_fnv1a_batch_matches_scalar():
+    """Vectorized kernel is bit-identical to the per-byte reference loop on
+    empties, unicode, skewed lengths, and rows long enough to cross the
+    scalar-tail switch."""
+    rng = np.random.default_rng(7)
+    items = [
+        b"",
+        b"a",
+        "héllo wörld ☃".encode("utf-8"),
+        b"x" * 5000,  # long tail row: exercises the < _FNV_TAIL suffix path
+    ]
+    items += [bytes(rng.integers(0, 256, size=int(n)).tolist())
+              for n in rng.integers(0, 300, size=200)]
+    got = tx.fnv1a_batch(items).tolist()
+    want = [_fnv1a_scalar(b) for b in items]
+    assert got == want
+
+
+def test_fnv1a_batch_matches_clean_scalar():
+    from engine.stages.clean import _fnv1a
+
+    strs = ["one two three", "", "naïve café", "z" * 999]
+    got = tx.fnv1a_batch([s.encode("utf-8") for s in strs]).tolist()
+    assert got == [_fnv1a(s) for s in strs]
+
+
 def test_minhash_similarity_tracks_jaccard():
     base = "w" + " w".join(str(i) for i in range(100))
     near = base.replace("w5 ", "w5x ")  # small edit
