@@ -6,10 +6,12 @@ idf = ln(1 + (N - df + 0.5)/(df + 0.5))).  This operator reproduces that
 scoring Ray-Data-first, so a reference user can run the same
 "index then search" flow without the ES cluster:
 
-1. ONE tokenize pass materializes the tiny per-doc term-frequency table
-   (doc_id, dl, tf per query term — never the text).
-2. Corpus statistics (N, sum dl, df per term) are per-block partial sums
-   collected to the driver (one tiny row per block).
+1. ONE tokenize pass (a single Counter per doc — O(dl + m), any query
+   size) materializes the sparse tf table: one self-contained row per doc
+   with >= 1 matching term, carrying (dl, matched term ids, tfs) as list
+   columns — never the text, never absent-term zeros.
+2. Corpus statistics (N, sum dl, df per term) ride along as one stats row
+   per block from the SAME pass, collected to the driver.
 3. A scoring pass over the tf table (broadcast constants), then a
    distributed sort by (score desc, id asc) + limit(k).
 
@@ -21,6 +23,7 @@ SQL-green ann_topk.  Ties break by doc_id ascending, deterministic.
 from __future__ import annotations
 
 import math
+from collections import Counter
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -47,42 +50,69 @@ def bm25_topk(
     query term present) are excluded."""
     terms = list(terms)
     m = len(terms)
+    term_id = {t: j for j, t in enumerate(terms)}
 
+    # Sparse tf table: one SELF-CONTAINED row per doc that matches >= 1
+    # query term — (doc_id, dl, tids sorted asc, tfs aligned) — docs with
+    # no query term emit nothing (they score 0 and are excluded anyway), so
+    # the table shrinks with selectivity instead of growing with m.  Each
+    # block also emits exactly one stats row (kind=1) carrying its partial
+    # (n_docs, sum_dl, df per term), so corpus statistics need no second
+    # tokenize pass.  One Counter per doc: O(dl + m), not the old
+    # O(dl * m) per-term ``toks.count``.  Self-contained rows make scoring
+    # immune to block re-batching/splitting between the two passes.
     def tf_extract(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pylist()
-        n = len(texts)
-        dl = np.zeros(n, dtype=np.int64)
-        tfs = np.zeros((n, m), dtype=np.int64)
+        ids = t.column(id_col).to_pylist()
+        sum_dl = 0
+        df = np.zeros(m, dtype=np.int64)
+        out_id: List[int] = []
+        out_dl: List[int] = []
+        out_tids: List[List[int]] = []
+        out_tfs: List[List[int]] = []
         for i, txt in enumerate(texts):
             toks = _TOKEN.findall(txt or "")
-            dl[i] = len(toks)
-            for j, term in enumerate(terms):
-                tfs[i, j] = toks.count(term)
-        cols = {id_col: t.column(id_col), "dl": pa.array(dl)}
-        for j in range(m):
-            cols[f"tf_{j}"] = pa.array(tfs[:, j])
-        return pa.table(cols)
+            sum_dl += len(toks)
+            cnt = Counter(toks)
+            # iterate the smaller side: query terms when m is small,
+            # distinct doc tokens when the query set is large
+            if m <= len(cnt):
+                hits = sorted((j, cnt[tok]) for tok, j in term_id.items() if tok in cnt)
+            else:
+                hits = sorted((term_id[tok], c) for tok, c in cnt.items() if tok in term_id)
+            if hits:
+                out_id.append(ids[i])
+                out_dl.append(len(toks))
+                out_tids.append([h[0] for h in hits])
+                out_tfs.append([h[1] for h in hits])
+                df[[h[0] for h in hits]] += 1
+        n_doc = len(out_id)
+        return pa.table(
+            {
+                "kind": pa.array([0] * n_doc + [1], pa.int8()),
+                id_col: pa.array(out_id + [-1], pa.int64()),
+                "dl": pa.array(out_dl + [sum_dl], pa.int64()),
+                "n": pa.array([0] * n_doc + [len(texts)], pa.int64()),
+                "tids": pa.array(out_tids + [[]], pa.list_(pa.int32())),
+                "tfs": pa.array(out_tfs + [[]], pa.list_(pa.int64())),
+                "df": pa.array([None] * n_doc + [df.tolist()], pa.list_(pa.int64())),
+            }
+        )
 
     tf_ds = ds.map_batches(
         tf_extract, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    def partials(t: pa.Table) -> pa.Table:
-        cols = {
-            "n": pa.array([t.num_rows], pa.int64()),
-            "sum_dl": pa.array(
-                [int(t.column("dl").to_numpy(zero_copy_only=False).sum())],
-                pa.int64(),
-            ),
-        }
-        for j in range(m):
-            arr = t.column(f"tf_{j}").to_numpy(zero_copy_only=False)
-            cols[f"df_{j}"] = pa.array([int((arr > 0).sum())], pa.int64())
-        return pa.table(cols)
+    def stats_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.equal(t.column("kind"), 1)).select(
+            ["dl", "n", "df"]
+        )
 
     pt = pa.concat_tables(
         ray.get(
-            tf_ds.map_batches(partials, batch_format="pyarrow").to_arrow_refs()
+            tf_ds.map_batches(
+                stats_rows, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
         ),
         promote_options="default",
     )
@@ -91,27 +121,56 @@ def bm25_topk(
         return pa.table(
             {"rank": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())}
         )
-    sum_dl = int(pa.compute.sum(pt.column("sum_dl")).as_py() or 0)
+    sum_dl = int(pa.compute.sum(pt.column("dl")).as_py() or 0)
     avgdl = float(sum_dl) / N
-    dfs = [int(pa.compute.sum(pt.column(f"df_{j}")).as_py() or 0) for j in range(m)]
-    idfs = [math.log(1 + (N - dfs[j] + 0.5) / (dfs[j] + 0.5)) for j in range(m)]
+    df_list = [d for d in pt.column("df").to_pylist() if d is not None]
+    dfs = np.array(df_list, dtype=np.int64).reshape(-1, m).sum(axis=0)
+    idfs = np.array(
+        [math.log(1 + (N - int(dfs[j]) + 0.5) / (int(dfs[j]) + 0.5)) for j in range(m)],
+        dtype=np.float64,
+    )
 
     def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.equal(t.column("kind"), 0))
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
-        # term order and operation order mirror the SQL oracle exactly
-        norm = dl / avgdl
-        s = np.zeros(len(dl), dtype=np.float64)
-        for j in range(m):
-            tf = t.column(f"tf_{j}").to_numpy(zero_copy_only=False).astype(
-                np.float64
-            )
-            s = s + (idfs[j] * tf * (k1 + 1.0)) / (
-                tf + k1 * (1 - b + b * norm)
-            )
+        # list_flatten / list_value_length are slice- and chunk-safe
+        counts = (
+            pa.compute.list_value_length(t.column("tids"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        tid = pa.compute.list_flatten(t.column("tids")).to_numpy(zero_copy_only=False)
+        tf = (
+            pa.compute.list_flatten(t.column("tfs"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        # per-(doc, term) component, fully vectorized; dl repeated per hit
+        dl_rep = np.repeat(dl, counts)
+        comp = (idfs[tid] * tf * (k1 + 1.0)) / (
+            tf + k1 * (1 - b + b * (dl_rep / avgdl))
+        )
+        # per-doc sum in ascending term order — bit-identical to the SQL
+        # oracle's term-ordered `+` chain (absent terms contribute an exact
+        # 0.0 there, and x + 0.0 == x); Python left-to-right accumulation,
+        # no pairwise reassociation
+        s = np.empty(len(ids), dtype=np.float64)
+        for g in range(len(ids)):
+            acc = 0.0
+            for v in comp[offs[g] : offs[g + 1]]:
+                acc += v
+            s[g] = acc
         keep = s > 0
         return pa.table(
             {
-                id_col: t.column(id_col).filter(pa.array(keep)),
+                id_col: pa.array(ids[keep], pa.int64()),
                 "score": pa.array(s[keep], pa.float64()),
             }
         )

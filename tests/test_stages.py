@@ -664,6 +664,57 @@ def test_line_dedup_drops_boilerplate(ray_session):
         assert got_fb[cols].equals(got[cols]), kw
 
 
+def test_bm25_wide_query_matches_dense_numpy_oracle(ray_session):
+    """50-term query: the sparse Counter-based tf path must rank exactly
+    like a dense numpy evaluation of the same Lucene-BM25 formula (the
+    pre-sparse implementation's semantics: j-loop over ALL terms with
+    zeros for absent ones, sequential float accumulation)."""
+    import ray.data
+
+    from engine.stages.search import bm25_topk
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(5, 60))))
+        for _ in range(200)
+    ]
+    terms = [f"w{i}" for i in range(0, 100, 2)]  # 50 terms
+    k1, b, k = 1.2, 0.75, 30
+
+    # dense oracle
+    import re as _re
+
+    tok = _re.compile(r"[^\t\n\v\f\r ]+")
+    toks = [tok.findall(t) for t in texts]
+    dl = np.array([len(ts) for ts in toks], dtype=np.float64)
+    N = len(texts)
+    avgdl = float(dl.sum()) / N
+    tf = np.zeros((N, len(terms)), dtype=np.float64)
+    for i, ts in enumerate(toks):
+        for j, term in enumerate(terms):
+            tf[i, j] = ts.count(term)
+    scores = np.zeros(N, dtype=np.float64)
+    for j in range(len(terms)):
+        df = float((tf[:, j] > 0).sum())
+        idf = np.log(1 + (N - df + 0.5) / (df + 0.5))
+        scores = scores + (idf * tf[:, j] * (k1 + 1.0)) / (
+            tf[:, j] + k1 * (1 - b + b * (dl / avgdl))
+        )
+    order = sorted(range(N), key=lambda i: (-scores[i], i))
+    want = [i for i in order if scores[i] > 0][:k]
+
+    ds = ray.data.from_arrow(
+        pa.table({
+            "doc_id": pa.array(range(N), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+    ).repartition(5)
+    got = bm25_topk(ds, terms, k=k, k1=k1, b=b)
+    assert got.column("doc_id").to_pylist() == want
+    assert got.column("rank").to_pylist() == list(range(1, len(want) + 1))
+
+
 def test_decontam_string_and_hash_paths_agree(ray_session):
     """Benchmark decontamination: overlap counts are exact, and the
     above-gate FNV-hash broadcast path matches the raw-string path."""
