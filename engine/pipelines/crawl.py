@@ -234,6 +234,13 @@ def _robust_gather(futs: List, resubmit, *, timeout: float = 30.0, attempts: int
     empty staging buffer; snapshot is read-only), so the fix is: wait with
     a timeout, resubmit the unresolved slots via ``resubmit(slot)``, and
     only fail after ``attempts`` rounds.
+
+    The timeout DOUBLES each attempt (30, 60, 120, ... by default): a
+    legitimately slow-but-alive RPC (e.g. a large snapshot serialization)
+    is then hit with at most one redundant resubmission before the window
+    grows past its real duration, instead of being re-submitted every 30 s
+    while the busy actor compounds work.  Only the resubmit COUNT is
+    bounded; total wall budget grows geometrically with ``attempts``.
     """
     results: List = [None] * len(futs)
     slot_of = {f: i for i, f in enumerate(futs)}
@@ -241,8 +248,9 @@ def _robust_gather(futs: List, resubmit, *, timeout: float = 30.0, attempts: int
         pending = list(slot_of)
         if not pending:
             return results
+        window = timeout * (2.0 ** attempt)
         ready, not_ready = ray.wait(
-            pending, num_returns=len(pending), timeout=timeout
+            pending, num_returns=len(pending), timeout=window
         )
         for f in ready:
             results[slot_of.pop(f)] = ray.get(f)
@@ -254,12 +262,12 @@ def _robust_gather(futs: List, resubmit, *, timeout: float = 30.0, attempts: int
             _logging.getLogger("engine.crawl").warning(
                 "%d shard RPC(s) unresolved after %.0fs — resubmitting "
                 "(lost actor-task submission workaround)",
-                len(slot_of), timeout,
+                len(slot_of), window,
             )
             slot_of = {resubmit(i): i for i in slot_of.values()}
     raise TimeoutError(
-        f"shard RPCs unresolved after {attempts} x {timeout}s: "
-        f"slots {sorted(slot_of.values())}"
+        f"shard RPCs unresolved after {attempts} backoff rounds "
+        f"({timeout:.0f}s base, doubling): slots {sorted(slot_of.values())}"
     )
 
 

@@ -947,16 +947,26 @@ def q_latest_events(sf_dir: str):
 def q_json_props(sf_dir: str):
     """JSON property extraction + grouped aggregate over the events
     ``props`` JSON column (per-batch json parse -> partial sums -> one
-    small groupby).  SQL-verified vs DuckDB json_extract."""
+    small groupby).  SQL-verified vs DuckDB json_extract.
+
+    NULL parity with the oracle: rows whose props lack a numeric ``k``
+    contribute 0 to sum_k (DuckDB's sum skips the NULL cast) but still
+    count in ``n`` (count(*)).  Non-integer ``k`` values would diverge
+    (int() truncates, SQL CAST rounds); the fixture invariant that every
+    ``k`` is a JSON integer is pinned in tests/test_queries.py."""
     import json as _json
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "props"]
     )
 
+    def _k(p) -> int:
+        v = _json.loads(p).get("k") if p else None
+        return 0 if v is None else int(v)
+
     def partial(t: pa.Table) -> pa.Table:
         ks = np.fromiter(
-            (int(_json.loads(p or "{}").get("k", 0)) for p in t.column("props").to_pylist()),
+            (_k(p) for p in t.column("props").to_pylist()),
             dtype=np.int64,
             count=t.num_rows,
         )

@@ -75,11 +75,16 @@ def pagerank(
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())})
         )
-    # join partitions sized to the graph: tiny graphs get 1 partition so
-    # no hash partition is ever empty (acero schema-loss hazard)
-    npart = num_partitions or max(1, min(_join_partitions(), n_nodes // 32))
-
-    outdeg = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
+    outdeg = (
+        edges.groupby("src").aggregate(Count(alias_name="outdeg")).materialize()
+    )
+    n_src = outdeg.count()  # >= 1: empty edge sets returned above
+    # join partitions sized to the graph: tiny graphs get 1 partition and
+    # npart never exceeds the joins' small-side distinct key count (distinct
+    # src — both the outdeg join and the per-round ranks join hash on src),
+    # so no hash partition is ever empty (acero schema-loss hazard on
+    # sink-heavy graphs where few nodes have outlinks)
+    npart = num_partitions or max(1, min(_join_partitions(), n_nodes // 32, n_src))
     # static edge weights w = 1/outdeg(src), joined ONCE
     ew = (
         edges.join(

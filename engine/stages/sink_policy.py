@@ -35,6 +35,7 @@ Parquet world; the knob exists for a real networked sink.
 
 from __future__ import annotations
 
+import shutil
 import time
 from hashlib import md5
 from typing import Callable, List, Optional, Tuple
@@ -221,6 +222,10 @@ def write_with_quarantine(
     )
     n_ok = ok.count()
     n_bad = bad.count()
+    # write_parquet into an existing dir APPENDS part files (repo rule) —
+    # clear both targets so a re-run never silently duplicates rows
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(quarantine_dir, ignore_errors=True)
     if n_ok:
         ok.write_parquet(out_dir)
     if n_bad:

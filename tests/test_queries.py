@@ -192,6 +192,22 @@ def test_ann_topk_is_exact(contract):
         assert sub["vec_id"].tolist() == expect, f"query {qi} top-10 differs"
 
 
+def test_json_props_fixture_invariant():
+    """Pin the events fixture invariant q_json_props' SQL parity relies on:
+    every props row carries an INTEGER 'k' (int() truncation vs SQL CAST
+    rounding would diverge on floats; sum-NULL skipping is mirrored in the
+    query itself)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_FAST}/events.parquet", columns=["props"])
+    for p in t.column("props").to_pylist():
+        assert p is not None
+        v = json.loads(p).get("k")
+        assert isinstance(v, int) and not isinstance(v, bool), repr(v)
+
+
 def test_contract_lists_complete(contract):
     """Every queries() entry is either SQL-verified (with an oracle) or in
     the rows-only smoke list — no query can silently escape testing; no

@@ -562,6 +562,17 @@ def test_bulk_sink_retry_protocol(ray_session, tmp_path):
     bad = ray.data.read_parquet(str(tmp_path / "bad")).to_pandas()
     assert set(bad["status"]) == {"rejected", "failed"}
 
+    # idempotent re-run: directories are cleared, not appended to
+    n_ok2, n_bad2 = write_with_quarantine(
+        ds,
+        str(tmp_path / "ok"),
+        str(tmp_path / "bad"),
+        bulk_fn=deterministic_fault_injector,
+    )
+    assert (n_ok2, n_bad2) == (n_ok, n_bad)
+    assert ray.data.read_parquet(str(tmp_path / "ok")).count() == n_ok
+    assert ray.data.read_parquet(str(tmp_path / "bad")).count() == n_bad
+
     # ignore_persistent_400=False mirrors the reference raise
     reject_id = next(
         i for i in ids if int(_md5(str(i).encode()).hexdigest()[:8], 16) % 23 == 1
@@ -796,6 +807,44 @@ def test_pagerank_matches_power_iteration(ray_session):
     assert got["node"].tolist() == nodes
     assert np.allclose(got["rank"].to_numpy(), r, atol=1e-12)
     assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_sink_heavy_graph(ray_session):
+    """Sink-heavy graph (2 source nodes fanning out to 200 sinks):
+    n_nodes//32 exceeds the distinct-src count, so without the n_src cap
+    the hash joins would create empty partitions (acero schema loss).
+    Result must still match power iteration."""
+    import ray.data
+
+    from engine.stages.graph import pagerank
+
+    E = [(0, d) for d in range(2, 102)] + [(1, d) for d in range(102, 202)]
+    t = pa.table({
+        "src": pa.array([a for a, _ in E], pa.int64()),
+        "dst": pa.array([b for _, b in E], pa.int64()),
+    })
+    got = (
+        pagerank(ray.data.from_arrow(t).repartition(4), damping=0.85, iters=5)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    nodes = sorted({x for e in E for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    outdeg = np.zeros(N)
+    for a, _ in E:
+        outdeg[idx[a]] += 1
+    r = np.full(N, 1.0 / N)
+    d = 0.85
+    for _ in range(5):
+        contrib = np.zeros(N)
+        for a, b in E:
+            contrib[idx[b]] += r[idx[a]] / outdeg[idx[a]]
+        dangling = r[outdeg == 0].sum()
+        r = (1 - d) / N + d * (contrib + dangling / N)
+    assert got["node"].tolist() == nodes
+    assert np.allclose(got["rank"].to_numpy(), r, atol=1e-12)
 
 
 def test_snapshot_diff_classifies(ray_session):
