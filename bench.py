@@ -5,9 +5,15 @@ Prints ONE JSON line:
    "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
    "urls_per_sec": ...}
 
---scaling: runs bench.py twice in fresh processes (RAY_GRAFT_CPUS=8 then
-32) on the same input and reports both throughputs + scaling efficiency
-(the sandbox stand-in for N vs 4N nodes; see BASELINE.md).
+--scaling: runs INTERLEAVED 8-then-32-CPU child processes on the same
+input — three back-to-back (8, 32) pairs within one host window — and
+reports the MEDIAN pair efficiency (the sandbox stand-in for N vs 4N
+nodes; see BASELINE.md).  Interleaving makes host-side throttling hit
+both widths of a pair near-symmetrically, so the raw ratio is meaningful
+on its own; the adjacent in-child kernel probes are kept for diagnosis.
+
+--extract-only (internal): child mode that runs just the warmup +
+extraction measurement + probe — the fast pair body for --scaling.
 """
 
 from __future__ import annotations
@@ -91,7 +97,7 @@ def _pages_cache(sf_dir: str) -> str:
     return out
 
 
-def run_bench() -> dict:
+def run_bench(extract_only: bool = False) -> dict:
     import ray
 
     ray.init(
@@ -126,8 +132,13 @@ def run_bench() -> dict:
     def _touch(t: _pa.Table) -> _pa.Table:
         return _pa.table({"n": _pa.array([t.num_rows], _pa.int64())})
 
-    for p in (pages_path, os.path.join(cache, "links_bucketed"),
-              os.path.join(cache, "pages_bucketed")):
+    warm_layouts = (
+        (pages_path,)
+        if extract_only
+        else (pages_path, os.path.join(cache, "links_bucketed"),
+              os.path.join(cache, "pages_bucketed"))
+    )
+    for p in warm_layouts:
         ray.data.read_parquet(p).map_batches(
             _touch, batch_format="pyarrow", zero_copy_batch=True
         ).count()
@@ -163,6 +174,20 @@ def run_bench() -> dict:
     # rescales to the documented healthy-window reference rate.
     probe_rate = _probe_extract(min(NUM_CPUS, 32))
 
+    if extract_only:
+        ray.shutdown()
+        return {
+            "metric": "extract_sec",
+            "value": round(extract_sec, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "n_urls": n_urls,
+            "urls_per_sec": round(n_urls / extract_sec, 1),
+            "probe_pages_per_core": round(probe_rate, 1),
+        }
+
     # --- headline 2: frontier scheduling (links layout, 3 waves) -----------
     crawl_cfg = CrawlConfig(
         max_waves=3, default_crawl_delay=0.005, default_max_pages=10**9
@@ -195,6 +220,9 @@ def run_bench() -> dict:
         crawl_cfg,
         extract_docs=True,
         extract_pages_path=os.path.join(cache, "pages_bucketed"),
+        # close an extraction chunk per ~wave at bench scale so completed
+        # waves extract on the overlap thread while later waves crawl
+        extract_chunk_urls=2000,
     )
     timings["crawl_extract"] = round(time.monotonic() - t0, 3)
 
@@ -352,14 +380,25 @@ def hardware_ceiling() -> dict:
 
 
 def run_scaling() -> dict:
-    def one(ncpu: int) -> dict:
+    """Interleaved 8-vs-32 scaling measurement (round-3 VERDICT #1).
+
+    Three back-to-back (8-CPU, 32-CPU) child pairs run within one host
+    window: two fast --extract-only pairs, then one full-bench pair (which
+    also supplies the crawl / integrated numbers).  Host throttling drifts
+    on minute scales here, so the two widths of a pair see near-identical
+    conditions and the RAW pair ratio is meaningful by itself; the median
+    over pairs rejects a window boundary landing inside one pair.  Each
+    child still runs the zero-Ray extraction-kernel probe adjacent to its
+    own measurement, so a probe-vs-pipeline disagreement inside any single
+    pair remains diagnosable (per-pair probes are emitted verbatim).
+    """
+
+    def one(ncpu: int, extract_only: bool) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-        )
+        args = [sys.executable, os.path.join(REPO, "bench.py")]
+        if extract_only:
+            args.append("--extract-only")
+        proc = subprocess.run(args, env=env, capture_output=True, text=True)
         if proc.returncode != 0:
             # surface the child's failure instead of a bare CalledProcessError
             sys.stderr.write(
@@ -369,55 +408,62 @@ def run_scaling() -> dict:
             raise RuntimeError(f"bench child at ncpu={ncpu} failed")
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    # each ceiling probe runs ADJACENT to its same-width measurement so
-    # probe and measurement share the host's throttling window
-    probe8 = _probe_extract(8)
-    lo = one(8)
-    probe32 = _probe_extract(32)
-    hi = one(32)
-    hw = {
-        "extract": probe32 / probe8,
-        "extract_pages_per_core_8": round(probe8, 1),
-        "extract_pages_per_core_32": round(probe32, 1),
-        "blake2b": None,
-    }
+    pairs = []
+    full_lo = full_hi = None
+    for pair_idx in range(3):
+        extract_only = pair_idx < 2
+        lo = one(8, extract_only)
+        hi = one(32, extract_only)
+        if not extract_only:
+            full_lo, full_hi = lo, hi
+        eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (32 / 8)
+        ceiling = hi["probe_pages_per_core"] / lo["probe_pages_per_core"]
+        pairs.append(
+            {
+                "raw_efficiency": round(eff, 3),
+                "hardware_ceiling": round(ceiling, 3),
+                "normalized_efficiency": round(min(1.0, eff / ceiling), 3),
+                "urls_per_sec_8": lo["urls_per_sec"],
+                "urls_per_sec_32": hi["urls_per_sec"],
+                "probe_pages_per_core_8": lo["probe_pages_per_core"],
+                "probe_pages_per_core_32": hi["probe_pages_per_core"],
+                "extract_sec_8": lo["queries"]["extract"],
+                "extract_sec_32": hi["queries"]["extract"],
+            }
+        )
+
+    def med(key: str) -> float:
+        return sorted(p[key] for p in pairs)[len(pairs) // 2]
+
     # primary scaling criterion: extraction THROUGHPUT (urls/sec) ratio —
     # the compute-bound phase.  Per-wave crawl coordination (~1s/wave) is a
     # constant independent of cluster size and is reported separately; see
     # BASELINE.md for the analysis.
-    eff_extract = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (32 / 8)
-    eff_headline = (lo["value"] / hi["value"]) / (32 / 8)
+    eff_headline = (full_lo["value"] / full_hi["value"]) / (32 / 8)
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff_extract, 3),
+        "value": med("raw_efficiency"),  # median of interleaved pairs, RAW
         "unit": "ratio",
+        "pairs": pairs,
         "headline_efficiency": round(eff_headline, 3),
-        # per-process ratio at 32 vs 8 procs (no Ray): the hardware's own
-        # ceiling for this measurement on a shared node.  "extract" runs
-        # the REAL extraction kernel (representative); "blake2b" is the
-        # pure-ALU comparison probe.
-        "hardware_ceiling": round(hw["extract"], 3),
-        "hardware_ceiling_blake2b": (
-            round(hw["blake2b"], 3) if hw.get("blake2b") else None
-        ),
-        "probe_pages_per_core_8": hw["extract_pages_per_core_8"],
-        "probe_pages_per_core_32": hw["extract_pages_per_core_32"],
-        "engine_efficiency_normalized": round(
-            min(1.0, eff_extract / hw["extract"]), 3
-        ),
+        # per-process probe ratio at 32 vs 8 procs (no Ray): the hardware's
+        # own ceiling for this measurement on a shared node, from the REAL
+        # extraction kernel run adjacent to each child's measurement.
+        "hardware_ceiling": med("hardware_ceiling"),
+        "engine_efficiency_normalized": med("normalized_efficiency"),
         # per-core rates separate engine scaling from host-level effects
         # (virtualized CPU burst at low parallelism): equal per-core rates
         # == linear engine scaling regardless of the wall-clock ratio.
-        "urls_per_core_8": round(lo["urls_per_sec"] / 8, 1),
-        "urls_per_core_32": round(hi["urls_per_sec"] / 32, 1),
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "urls_per_sec_8": lo["urls_per_sec"],
-        "urls_per_sec_32": hi["urls_per_sec"],
-        "crawl_sec_8": lo["queries"]["crawl"],
-        "crawl_sec_32": hi["queries"]["crawl"],
-        "crawl_extract_sec_8": lo["queries"].get("crawl_extract"),
-        "crawl_extract_sec_32": hi["queries"].get("crawl_extract"),
+        "urls_per_core_8": round(med("urls_per_sec_8") / 8, 1),
+        "urls_per_core_32": round(med("urls_per_sec_32") / 32, 1),
+        "sec_8": full_lo["value"],
+        "sec_32": full_hi["value"],
+        "urls_per_sec_8": full_lo["urls_per_sec"],
+        "urls_per_sec_32": full_hi["urls_per_sec"],
+        "crawl_sec_8": full_lo["queries"]["crawl"],
+        "crawl_sec_32": full_hi["queries"]["crawl"],
+        "crawl_extract_sec_8": full_lo["queries"].get("crawl_extract"),
+        "crawl_extract_sec_32": full_hi["queries"].get("crawl_extract"),
         "sf": SF_DIR,
     }
 
@@ -435,4 +481,4 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(run_bench(extract_only="--extract-only" in sys.argv)))

@@ -350,6 +350,8 @@ class CrawlRun:
         cfg: CrawlConfig = CrawlConfig(),
         extract_docs: bool = False,
         extract_pages_path: Optional[str] = None,
+        extract_chunk_urls: int = 500_000,
+        overlap_extract: bool = True,
     ):
         self.pages_path = pages_path
         self.seeds_path = seeds_path
@@ -361,6 +363,15 @@ class CrawlRun:
         # per-wave extraction paid pipeline-launch + parquet-write fixed
         # costs every wave (~2 s/wave measured at bench scale, 0.41
         # 8->32-CPU efficiency in round 1).
+        #
+        # overlap_extract: additionally start extraction of CLOSED chunks
+        # (greedy chunking is prefix-stable, so every chunk except the last
+        # has final membership the moment it closes) on a single background
+        # thread WHILE later waves crawl — the cluster does useful work
+        # during the driver-side per-wave coordination floor.  Chunk
+        # results are byte-identical regardless of when they run, and the
+        # post-loop pass re-derives the same plan and skips completed
+        # chunks via their fingerprint, so resume semantics are unchanged.
         #
         # extract_pages_path decouples the two layouts: the crawl loop can
         # run over the cheap pruned LINKS layout (discovery never touches
@@ -390,6 +401,11 @@ class CrawlRun:
         self.fetched_count: Dict[str, int] = {}
         self.seq = 0
         self.start_wave = 0
+        self.extract_chunk_urls = extract_chunk_urls
+        self.overlap_extract = overlap_extract and extract_docs
+        self._bg_pool = None  # lazy ThreadPoolExecutor(1) for overlap chunks
+        self._bg_futures: Dict[int, Any] = {}  # chunk idx -> Future
+        self._planned_orders: List[pa.Table] = []  # order logs seen so far
 
         # Links-layout wave cache: the link graph is STATIC across waves,
         # so re-reading parquet every wave pays the read cost x waves.
@@ -629,7 +645,18 @@ class CrawlRun:
 
     # -- main loop ----------------------------------------------------------
     def run(self) -> Tuple[pa.Table, pa.Table]:
-        if not self.resume():
+        if self.resume():
+            if self.overlap_extract:
+                # seed the overlap planner with the completed waves' order
+                # logs so chunk indices line up with the final plan
+                import glob as _glob
+
+                for name in sorted(os.listdir(self.workdir)):
+                    if name.startswith("wave_") and not name.endswith(".tmp"):
+                        op = os.path.join(self.workdir, name, "order.parquet")
+                        if os.path.exists(op):
+                            self._planned_orders.append(pq.read_table(op))
+        else:
             self._load_seeds()
             self.start_wave = 0
 
@@ -878,6 +905,9 @@ class CrawlRun:
                 snaps=snaps,
             )
             _tlog(f"wave {wave} checkpoint", t0)
+            # overlap: closed extraction chunks run on a background thread
+            # while the next wave's selection/coordination proceeds
+            self._overlap_submit(order_t)
 
         order, enq = self.collect_outputs()
         if self.extract_docs:
@@ -886,7 +916,7 @@ class CrawlRun:
             _tlog(f"deferred extract ({order.num_rows} pages)", t0)
         return order, enq
 
-    def _extract_fetched(self, order: pa.Table, chunk_urls: int = 500_000) -> None:
+    def _extract_fetched(self, order: pa.Table, chunk_urls: Optional[int] = None) -> None:
         """Crawl-and-index: one chunked extraction pass over every fetched
         URL, AFTER the crawl loop.
 
@@ -912,19 +942,43 @@ class CrawlRun:
         that chunk's fingerprint changes and it (alone) is rebuilt; a bare
         directory-exists check would silently skip the new waves.
         """
-        import json as _json
-        from hashlib import blake2b as _blake2b
+        import glob as _glob
 
-        from engine.sources.bucketed import is_bucketed, read_buckets_for
-        from engine.stages.extract import extract_pages_task
+        if chunk_urls is None:
+            chunk_urls = self.extract_chunk_urls
+        # join any overlap chunks first: a finished one will be skipped by
+        # its fingerprint below; a failed one left no committed part dir and
+        # is simply redone sequentially here
+        self._join_overlap()
 
         docs_dir = os.path.join(self.workdir, "docs")
         os.makedirs(docs_dir, exist_ok=True)
         if order.num_rows == 0:
             return
 
-        # greedy wave coalescing (wave ids are contiguous per chunk, so
-        # chunk membership is deterministic given the order log)
+        chunks = self._plan_chunks(order, chunk_urls)
+
+        # drop parts beyond the current chunk count (possible only if
+        # chunk_urls changed between runs — stale content must not linger)
+        for stale in _glob.glob(os.path.join(docs_dir, "part-*")):
+            name = os.path.basename(stale).replace(".tmp", "")
+            try:
+                idx = int(name.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if idx >= len(chunks) or stale.endswith(".tmp"):
+                shutil.rmtree(stale, ignore_errors=True)
+
+        for ci, wave_map in enumerate(chunks):
+            self._extract_one_chunk(ci, wave_map)
+
+    @staticmethod
+    def _plan_chunks(order: pa.Table, chunk_urls: int) -> List[Dict[str, int]]:
+        """Greedy wave coalescing into url->wave chunks of <=
+        max(chunk_urls, largest single wave) URLs.  Wave ids are contiguous
+        per chunk, so membership is deterministic given the order log; the
+        plan is PREFIX-STABLE: appending later waves can only change the
+        final chunk or append new ones (the overlap path relies on this)."""
         waves = order.column("wave").to_pylist()
         urls = order.column("url").to_pylist()
         by_wave: Dict[int, List[str]] = {}
@@ -940,66 +994,109 @@ class CrawlRun:
                 cur[u] = w
         if cur:
             chunks.append(cur)
+        return chunks
 
-        # drop parts beyond the current chunk count (possible only if
-        # chunk_urls changed between runs — stale content must not linger)
-        import glob as _glob
+    def _extract_one_chunk(self, ci: int, wave_map: Dict[str, int]) -> None:
+        """Extract one chunk into docs/part-{ci} (atomic, fingerprint-
+        idempotent).  Safe to call from the overlap thread: touches only
+        chunk-local state and Ray driver APIs."""
+        import json as _json
+        from hashlib import blake2b as _blake2b
 
-        for stale in _glob.glob(os.path.join(docs_dir, "part-*")):
-            name = os.path.basename(stale).replace(".tmp", "")
+        from engine.sources.bucketed import is_bucketed, read_buckets_for
+        from engine.stages.extract import extract_pages_task
+
+        docs_dir = os.path.join(self.workdir, "docs")
+        os.makedirs(docs_dir, exist_ok=True)
+        part_dir = os.path.join(docs_dir, f"part-{ci:04d}")
+        fp = _blake2b(
+            "\n".join(sorted(wave_map)).encode(), digest_size=8
+        ).hexdigest()
+        meta_path = os.path.join(part_dir, "_chunk.json")
+        if os.path.isdir(part_dir):
             try:
-                idx = int(name.split("-")[1])
-            except (IndexError, ValueError):
+                if _json.load(open(meta_path))["fp"] == fp:
+                    return  # resume: chunk already extracted, same URL set
+            except (OSError, ValueError, KeyError):
+                pass
+            shutil.rmtree(part_dir, ignore_errors=True)  # stale/partial
+        tmp_dir = part_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        ref = ray.put(wave_map)  # url -> wave (doubles as the fetch set)
+        cols = ["url", "html", "warc_ts"]
+        sel_urls = list(wave_map)
+        if is_bucketed(self.extract_src):
+            pages_ds = read_buckets_for(self.extract_src, sel_urls, columns=cols)
+        else:
+            pages_ds = ray.data.read_parquet(self.extract_src, columns=cols)
+        fetched = pages_ds.map_batches(
+            _fetch_filter,
+            fn_kwargs=dict(selected_ref=ref),
+            batch_format="pyarrow",
+            batch_size=1024,
+        )
+        docs = fetched.map_batches(
+            extract_pages_task,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=128,
+        )
+
+        def add_wave(t: pa.Table, _ref=ref) -> pa.Table:
+            m = ray.get(_ref)
+            w = [m[u] for u in t.column("warc_target_uri").to_pylist()]
+            return t.append_column("wave", pa.array(w, pa.int64()))
+
+        docs.map_batches(
+            add_wave, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(tmp_dir)
+        with open(os.path.join(tmp_dir, "_chunk.json"), "w") as f:
+            _json.dump({"fp": fp, "n_urls": len(wave_map)}, f)
+        os.replace(tmp_dir, part_dir)
+
+    # -- overlap: extract closed chunks while later waves crawl -------------
+    def _overlap_submit(self, order_t: pa.Table) -> None:
+        """Called once per completed wave (after its checkpoint): submit
+        every newly CLOSED chunk (all but the plan's final, still-open one)
+        to the single background extraction thread.  One worker thread
+        bounds resource use and keeps chunk writes serialized."""
+        if not self.overlap_extract:
+            return
+        self._planned_orders.append(order_t)
+        plan = self._plan_chunks(
+            pa.concat_tables(self._planned_orders), self.extract_chunk_urls
+        )
+        for ci in range(len(plan) - 1):
+            if ci in self._bg_futures:
                 continue
-            if idx >= len(chunks) or stale.endswith(".tmp"):
-                shutil.rmtree(stale, ignore_errors=True)
+            if self._bg_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
 
-        for ci, wave_map in enumerate(chunks):
-            part_dir = os.path.join(docs_dir, f"part-{ci:04d}")
-            fp = _blake2b(
-                "\n".join(sorted(wave_map)).encode(), digest_size=8
-            ).hexdigest()
-            meta_path = os.path.join(part_dir, "_chunk.json")
-            if os.path.isdir(part_dir):
-                try:
-                    if _json.load(open(meta_path))["fp"] == fp:
-                        continue  # resume: chunk already extracted, same URL set
-                except (OSError, ValueError, KeyError):
-                    pass
-                shutil.rmtree(part_dir, ignore_errors=True)  # stale/partial
-            tmp_dir = part_dir + ".tmp"
-            shutil.rmtree(tmp_dir, ignore_errors=True)
-            ref = ray.put(wave_map)  # url -> wave (doubles as the fetch set)
-            cols = ["url", "html", "warc_ts"]
-            sel_urls = list(wave_map)
-            if is_bucketed(self.extract_src):
-                pages_ds = read_buckets_for(self.extract_src, sel_urls, columns=cols)
-            else:
-                pages_ds = ray.data.read_parquet(self.extract_src, columns=cols)
-            fetched = pages_ds.map_batches(
-                _fetch_filter,
-                fn_kwargs=dict(selected_ref=ref),
-                batch_format="pyarrow",
-                batch_size=1024,
-            )
-            docs = fetched.map_batches(
-                extract_pages_task,
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-                batch_size=128,
+                self._bg_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="crawl-extract"
+                )
+            self._bg_futures[ci] = self._bg_pool.submit(
+                self._extract_one_chunk, ci, plan[ci]
             )
 
-            def add_wave(t: pa.Table, _ref=ref) -> pa.Table:
-                m = ray.get(_ref)
-                w = [m[u] for u in t.column("warc_target_uri").to_pylist()]
-                return t.append_column("wave", pa.array(w, pa.int64()))
+    def _join_overlap(self) -> None:
+        """Wait for background chunk extractions; failures are logged and
+        left to the sequential pass (their part dir was never committed)."""
+        if self._bg_pool is None:
+            return
+        import logging as _logging
 
-            docs.map_batches(
-                add_wave, batch_format="pyarrow", zero_copy_batch=True
-            ).write_parquet(tmp_dir)
-            with open(os.path.join(tmp_dir, "_chunk.json"), "w") as f:
-                _json.dump({"fp": fp, "n_urls": len(wave_map)}, f)
-            os.replace(tmp_dir, part_dir)
+        for ci, fut in sorted(self._bg_futures.items()):
+            try:
+                fut.result()
+            except Exception as exc:  # noqa: BLE001 — redone sequentially
+                _logging.getLogger("engine.crawl").warning(
+                    "overlapped extraction of chunk %d failed (%s); "
+                    "the deferred pass will redo it", ci, exc,
+                )
+        self._bg_pool.shutdown(wait=True)
+        self._bg_pool = None
+        self._bg_futures = {}
 
     def collect_outputs(self) -> Tuple[pa.Table, pa.Table]:
         """Concatenate per-wave order/enqueued logs into the final artifacts.
@@ -1057,11 +1154,15 @@ def run_crawl(
     cfg: CrawlConfig = CrawlConfig(),
     extract_docs: bool = False,
     extract_pages_path: Optional[str] = None,
+    extract_chunk_urls: int = 500_000,
+    overlap_extract: bool = True,
 ) -> Tuple[pa.Table, pa.Table]:
     """Run (or resume) a crawl; returns (crawl_order, url_seen) tables.
 
     ``extract_pages_path``: html source for crawl-and-index mode when the
     crawl itself runs over a links layout (see CrawlRun).
+    ``overlap_extract``: extract closed chunks concurrently with later
+    waves (identical outputs; see CrawlRun.__init__).
 
     Kills the cuckoo shard actors on exit (their state is checkpointed per
     wave, so nothing is lost; lingering actors would pin memory across many
@@ -1075,9 +1176,12 @@ def run_crawl(
         cfg,
         extract_docs=extract_docs,
         extract_pages_path=extract_pages_path,
+        extract_chunk_urls=extract_chunk_urls,
+        overlap_extract=overlap_extract,
     )
     try:
         return run.run()
     finally:
+        run._join_overlap()  # never leak the overlap thread on error paths
         for s in run.shards:
             ray.kill(s)

@@ -423,6 +423,45 @@ def test_deferred_extraction_chunk_resume(ray_session, fixture_dir, tmp_path):
             _ray.kill(s)
 
 
+def test_overlapped_extraction_identical_to_sequential(ray_session, fixture_dir, tmp_path):
+    """Overlapped (background-thread) chunk extraction produces the exact
+    same docs as the purely deferred pass: tiny chunk budget forces
+    multiple chunks so earlier waves' chunks actually run DURING the crawl
+    loop, and the outputs must still match row-for-row."""
+    import glob as _glob
+
+    from engine.pipelines.crawl import run_crawl
+
+    args = (
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+    )
+
+    def docs_of(wd):
+        files = sorted(_glob.glob(os.path.join(wd, "docs", "part-*", "*.parquet")))
+        assert files
+        return pa.concat_tables([pq.read_table(f) for f in files]).sort_by(
+            "warc_target_uri"
+        )
+
+    wd_seq = str(tmp_path / "seq")
+    run_crawl(*args, wd_seq, CFG, extract_docs=True,
+              extract_chunk_urls=7, overlap_extract=False)
+    wd_ovl = str(tmp_path / "ovl")
+    run_crawl(*args, wd_ovl, CFG, extract_docs=True,
+              extract_chunk_urls=7, overlap_extract=True)
+    # same multi-chunk layout, identical rows
+    assert (
+        sorted(os.path.basename(p)
+               for p in _glob.glob(os.path.join(wd_ovl, "docs", "part-*")))
+        == sorted(os.path.basename(p)
+                  for p in _glob.glob(os.path.join(wd_seq, "docs", "part-*")))
+    )
+    assert len(_glob.glob(os.path.join(wd_ovl, "docs", "part-*"))) > 1
+    assert docs_of(wd_ovl).equals(docs_of(wd_seq))
+
+
 def test_deferred_extraction_resume_with_more_waves(ray_session, fixture_dir, tmp_path):
     """A crawl resumed with a larger max_waves regrows the final chunk;
     the fingerprint guard must rebuild it (a bare exists-check would
