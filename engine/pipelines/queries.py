@@ -28,7 +28,11 @@ from engine.ids import webis_uuid_batch
 from engine.stages import dedup as dd
 from engine.stages import text as tx
 from engine.stages.ann import brute_force_topk, ivf_topk
-from engine.stages.multimodal import decode_media_dataset, synth_media_table
+from engine.stages.multimodal import (
+    decode_media_dataset,
+    synth_media_table,
+    synth_real_media_table,
+)
 from engine.pipelines.testdata_pages import pages_dataset, seeds_table
 
 
@@ -495,14 +499,23 @@ def q_extract_enriched(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing: binary payload -> typed feature rows (fake decode)."""
-    media = ray.data.from_arrow(synth_media_table(n=96))
-    feats = decode_media_dataset(media, fake=True)
+    """Multimodal decode: fake-decoded opaque payloads (pipeline-shape
+    coverage for codec-requiring mimes) UNION a REALLY-decoded subset of
+    valid BMP / PPM / PCM-WAV payloads (stdlib parsers, byte-level oracle
+    test in tests/test_stages.py)."""
+    fake = decode_media_dataset(
+        ray.data.from_arrow(synth_media_table(n=96)), fake=True
+    )
+    real = decode_media_dataset(
+        ray.data.from_arrow(synth_real_media_table(n=48)), fake=False
+    )
 
     def strip(t: pa.Table) -> pa.Table:
         return t.select(["media_id", "media_type", "width", "height", "duration_ms", "n_frames"])
 
-    return feats.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+    return fake.union(real).map_batches(
+        strip, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def q_crawl_order(sf_dir: str):

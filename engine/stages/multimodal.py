@@ -1,10 +1,24 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The decode/resize/frame-sample kernels need codec libraries that are NOT in
-this container, so the kernel itself is stubbed (deterministic fake behind
-``fake=True``, ``NotImplementedError`` otherwise) — but the Ray-side
-plumbing is real and tested: schema, actor-pool signature, batch sizing for
-large binary payloads, typed metadata output layout.
+Two decode paths:
+
+- ``fake=True``: deterministic pseudo-metadata from a blake2b of the
+  payload — exercises the pipeline shape (schemas, batching, joins) for
+  any mime type.
+- ``fake=False``: REAL decoding for the container-less formats a stdlib +
+  numpy environment can parse bit-exactly — uncompressed 24-bit BMP,
+  binary PPM/PGM (P6/P5), and PCM WAV — yielding true dimensions/duration
+  and a deterministic 16-dim content feature (documented layout below).
+  Formats that require codec libraries (PNG/JPEG/MP4 — not in this
+  container) raise ``NotImplementedError`` at decode time, clearly marked.
+
+Feature layout (``feature_dim`` >= 16, trailing dims zero):
+- image: [0:3] mean RGB / 255, [3:6] std RGB / 255, [6:14] 8-bin gray
+  histogram (fractions), [14] w/h, [15] log2(w*h).
+- audio: [0] mean, [1] std, [2] rms, [3] zero-crossing rate (over
+  samples in [-1, 1]), [4:12] 8-bin |amplitude| histogram (fractions),
+  [12] log2(sample_rate), [13] log2(n_samples + 1).
+All in float32; byte-level oracle test in tests/test_stages.py.
 
 Sizing note (memory-aware, per the build brief): binary payloads are large,
 so these stages use SMALL batch sizes (default 32) and ``pyarrow`` batches
@@ -14,8 +28,9 @@ in one task's heap.
 
 from __future__ import annotations
 
+import struct
 from hashlib import blake2b
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -43,20 +58,188 @@ FEATURE_SCHEMA = pa.schema(
 )
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB.  Pure struct/numpy."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BMP core-header variant not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression}: only uncompressed "
+            "24-bit BMP decodes without codec libraries"
+        )
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    row = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    need = data_off + row * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row * h, offset=data_off)
+    px = raw.reshape(h, row)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    return px[::-1] if flip else px
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5), maxval <= 255 -> (h, w, 3) uint8 RGB."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    gray = payload[:2] == b"P5"
+    # header: magic, width, height, maxval as ASCII tokens; '#' comments
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    n = w * h * (1 if gray else 3)
+    if len(payload) < pos + n:
+        raise ValueError("truncated PPM pixel data")
+    px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    if gray:
+        return np.repeat(px.reshape(h, w, 1), 3, axis=2)
+    return px.reshape(h, w, 3)
+
+
+def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
+    """PCM WAV (8/16-bit) -> (samples float32 in [-1, 1] mono-mixed, rate)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"WAV format={audio_format} bits={bits}: only 8/16-bit PCM "
+            "decodes without codec libraries"
+        )
+    if bits == 16:
+        s = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    else:
+        s = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    if channels > 1:
+        s = s[: len(s) - len(s) % channels].reshape(-1, channels).mean(axis=1)
+    return s, rate
+
+
+def image_feature(px: np.ndarray, dim: int) -> np.ndarray:
+    """(h, w, 3) uint8 -> float32 feature (layout in module docstring)."""
+    f = np.zeros(dim, dtype=np.float32)
+    pxf = px.astype(np.float32) / np.float32(255.0)
+    f[0:3] = pxf.mean(axis=(0, 1))
+    f[3:6] = pxf.std(axis=(0, 1))
+    gray = pxf.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 1.0))
+    f[6:14] = (hist / gray.size).astype(np.float32)
+    h, w = px.shape[:2]
+    f[14] = np.float32(w / h)
+    f[15] = np.float32(np.log2(w * h))
+    return f
+
+
+def audio_feature(s: np.ndarray, rate: int, dim: int) -> np.ndarray:
+    """(n,) float32 samples -> float32 feature (layout in docstring)."""
+    f = np.zeros(dim, dtype=np.float32)
+    if len(s):
+        f[0] = s.mean()
+        f[1] = s.std()
+        f[2] = np.sqrt(np.mean(s * s))
+        f[3] = np.float32(np.count_nonzero(np.diff(np.signbit(s))) / len(s))
+        hist, _ = np.histogram(np.abs(s), bins=8, range=(0.0, 1.0))
+        f[4:12] = (hist / len(s)).astype(np.float32)
+    f[12] = np.float32(np.log2(rate))
+    f[13] = np.float32(np.log2(len(s) + 1))
+    return f
+
+
 class DecodeMedia:
     """Actor-pool stage: binary payload -> typed metadata + feature vector.
 
     ``__init__`` is where a real deployment loads the codec/model once per
-    actor (PIL/ffmpeg/torchvision).  Here: ``fake=True`` derives
-    deterministic pseudo-metadata from a blake2b of the payload so the
-    pipeline shape (schemas, batching, downstream joins) is fully
-    exercisable; ``fake=False`` raises NotImplementedError at decode time
-    (clearly marked stub: no codec libs in this environment).
+    actor (PIL/ffmpeg/torchvision).  ``fake=True`` derives deterministic
+    pseudo-metadata from a blake2b of the payload so the pipeline shape
+    (schemas, batching, downstream joins) is exercisable for any mime;
+    ``fake=False`` REALLY decodes BMP / PPM / PGM / PCM-WAV payloads
+    (module-level stdlib parsers, byte-level oracle-tested) and raises
+    NotImplementedError only for codec-requiring formats (PNG/JPEG/MP4 —
+    libraries not in this environment; clearly marked stub).
     """
 
     def __init__(self, fake: bool = True, feature_dim: int = 16):
         self.fake = fake
         self.dim = feature_dim
+
+    def _real_decode(self, media_id: str, mtype: str, payload: Optional[bytes]):
+        p = payload or b""
+        if p[:2] == b"BM":
+            px = decode_bmp(p)
+            h, w = px.shape[:2]
+            return {
+                "media_id": media_id,
+                "media_type": mtype,
+                "width": w,
+                "height": h,
+                "duration_ms": None,
+                "n_frames": 1,
+                "feature": image_feature(px, self.dim).tolist(),
+            }
+        if p[:2] in (b"P6", b"P5"):
+            px = decode_ppm(p)
+            h, w = px.shape[:2]
+            return {
+                "media_id": media_id,
+                "media_type": mtype,
+                "width": w,
+                "height": h,
+                "duration_ms": None,
+                "n_frames": 1,
+                "feature": image_feature(px, self.dim).tolist(),
+            }
+        if p[:4] == b"RIFF":
+            s, rate = decode_wav(p)
+            return {
+                "media_id": media_id,
+                "media_type": mtype,
+                "width": None,
+                "height": None,
+                "duration_ms": int(round(len(s) / rate * 1000)),
+                "n_frames": min(len(s), 2**31 - 1),
+                "feature": audio_feature(s, rate, self.dim).tolist(),
+            }
+        raise NotImplementedError(
+            "Real decode of this payload requires codec libraries "
+            "(PIL/ffmpeg) not present in this environment; only BMP/PPM/"
+            "PGM/PCM-WAV decode natively.  Construct with fake=True for "
+            "pipeline-shape testing."
+        )
 
     def _fake_decode(self, media_id: str, mtype: str, payload: Optional[bytes]):
         h = blake2b(payload or b"", digest_size=16).digest()
@@ -75,13 +258,9 @@ class DecodeMedia:
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "Real media decode requires codec libraries (PIL/ffmpeg) "
-                "not present in this environment; construct with fake=True."
-            )
+        decode = self._fake_decode if self.fake else self._real_decode
         rows = [
-            self._fake_decode(m, t, p)
+            decode(m, t, p)
             for m, t, p in zip(
                 batch.column("media_id").to_pylist(),
                 batch.column("media_type").to_pylist(),
@@ -106,6 +285,68 @@ def decode_media_dataset(
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed bottom-up 24-bit BMP bytes."""
+    h, w = px.shape[:2]
+    row = (w * 3 + 3) & ~3
+    body = np.zeros((h, row), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6) bytes."""
+    h, w = px.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def encode_wav(samples_i16: np.ndarray, rate: int) -> bytes:
+    """(n,) int16 mono PCM -> WAV bytes."""
+    data = samples_i16.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def synth_real_media_table(n: int = 48, seed: int = 13) -> pa.Table:
+    """Deterministic media table whose payloads are VALID BMP / PPM / WAV
+    files (decodable by the fake=False path end-to-end)."""
+    rs = np.random.RandomState(seed)
+    ids, tys, payloads, mimes = [], [], [], []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:
+            w, h = int(rs.randint(4, 40)), int(rs.randint(4, 40))
+            px = rs.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            ids.append(f"r{i:04d}"); tys.append("image")
+            payloads.append(encode_bmp(px)); mimes.append("image/bmp")
+        elif kind == 1:
+            w, h = int(rs.randint(4, 40)), int(rs.randint(4, 40))
+            px = rs.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            ids.append(f"r{i:04d}"); tys.append("image")
+            payloads.append(encode_ppm(px)); mimes.append("image/x-portable-pixmap")
+        else:
+            rate = int(rs.choice([8000, 16000, 44100]))
+            s = (rs.standard_normal(int(rs.randint(200, 4000))) * 8000).astype(np.int16)
+            ids.append(f"r{i:04d}"); tys.append("audio")
+            payloads.append(encode_wav(s, rate)); mimes.append("audio/wav")
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(tys, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+        },
+        schema=MEDIA_SCHEMA,
     )
 
 

@@ -125,9 +125,101 @@ def test_media_decode_fake_plumbing():
     assert out.equals(out2)
 
 
-def test_media_decode_real_raises():
+def test_media_decode_real_raises_for_codec_formats():
+    """Opaque random payloads (PNG/JPEG/MP4 stand-ins) still raise: only
+    the container-less formats decode without codec libraries."""
     with pytest.raises(NotImplementedError):
         DecodeMedia(fake=False)(synth_media_table(n=2))
+
+
+def test_media_decode_real_byte_level_oracle():
+    """fake=False decodes handcrafted BMP / PPM / WAV payloads to exact,
+    hand-derivable metadata and features."""
+    from engine.stages.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+        MEDIA_SCHEMA,
+    )
+
+    # 2x2 image: red, green / blue, white — known bytes through both codecs
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    # hand-built BMP bytes (not via encode_bmp): bottom-up 24-bit, 1x2
+    import struct as _struct
+
+    raw = (
+        _struct.pack("<2sIHHI", b"BM", 54 + 8, 0, 0, 54)
+        + _struct.pack("<IiiHHIIiiII", 40, 1, 2, 1, 24, 0, 8, 0, 0, 0, 0)
+        + bytes([10, 20, 30, 0])   # bottom row BGR + pad
+        + bytes([40, 50, 60, 0])   # top row BGR + pad
+    )
+    got = decode_bmp(raw)
+    assert got.tolist() == [[[60, 50, 40]], [[30, 20, 10]]]  # top-first RGB
+
+    # WAV: 4 samples at 1000 Hz -> 4 ms; exact float conversion
+    s = np.array([0, 16384, -16384, 32767], dtype=np.int16)
+    dec, rate = decode_wav(encode_wav(s, 1000))
+    assert rate == 1000
+    assert np.allclose(dec, s.astype(np.float32) / 32768.0)
+
+    # end-to-end through the stage: exact metadata
+    t = pa.table(
+        {
+            "media_id": pa.array(["img", "wav"], pa.string()),
+            "media_type": pa.array(["image", "audio"], pa.string()),
+            "payload": pa.array([encode_bmp(px), encode_wav(s, 1000)], pa.binary()),
+            "mime": pa.array(["image/bmp", "audio/wav"], pa.string()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = DecodeMedia(fake=False)(t).to_pydict()
+    assert out["width"] == [2, None]
+    assert out["height"] == [2, None]
+    assert out["duration_ms"] == [None, 4]
+    assert out["n_frames"] == [1, 4]
+    f_img = out["feature"][0]
+    # mean RGB of (red, green, blue, white) = (510/4, 510/4, 510/4)/255 = .5
+    assert f_img[0] == pytest.approx(0.5)
+    assert f_img[1] == pytest.approx(0.5)
+    assert f_img[2] == pytest.approx(0.5)
+    assert f_img[14] == pytest.approx(1.0)   # w/h
+    assert f_img[15] == pytest.approx(2.0)   # log2(4)
+    f_wav = out["feature"][1]
+    exp = s.astype(np.float32) / 32768.0
+    assert f_wav[0] == pytest.approx(float(exp.mean()))
+    assert f_wav[2] == pytest.approx(float(np.sqrt((exp * exp).mean())))
+    assert f_wav[12] == pytest.approx(np.log2(1000))
+
+
+def test_media_decode_real_roundtrip_table(ray_session):
+    """The synthetic real-media table decodes end-to-end through the actor
+    pool with true dimensions (cross-checked against the generator RNG)."""
+    import ray.data
+
+    from engine.stages.multimodal import decode_media_dataset, synth_real_media_table
+
+    media = synth_real_media_table(n=24)
+    out = (
+        decode_media_dataset(ray.data.from_arrow(media), fake=False)
+        .to_pandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert len(out) == 24
+    img = out[out["media_type"] == "image"]
+    aud = out[out["media_type"] == "audio"]
+    assert (img["width"] >= 4).all() and (img["width"] < 40).all()
+    assert img["duration_ms"].isna().all()
+    assert (aud["duration_ms"] > 0).all()
+    assert aud["width"].isna().all()
 
 
 def test_rank_file_parsing(ray_session, tmp_path):
