@@ -469,6 +469,118 @@ def test_star_gate_keeps_clusters_connected(ray_session):
     assert set(clusters["doc_id"]) == set(range(12))
 
 
+def test_star_gate_recall_quantified(ray_session):
+    """Quantify the star-gate pairwise-recall loss end-to-end (r3 verdict
+    #8).  Corpus: one hot bucket of m=24 identical docs + one ordinary
+    near-dup pair outside it.  Pinned numbers (documented in COVERAGE.md):
+
+    - within the hot bucket, star recall = (m-1)/C(m,2) = 2/m ~ 0.083;
+    - OUTSIDE the hot bucket recall is 1.0 (the gate only ever fires
+      inside the pathological bucket);
+    - CLUSTER-level recall is 1.0: connected_components over the gated
+      pairs produces the identical partition, because the star spans the
+      bucket and every star edge verifies at J=1.0.
+    """
+    import ray.data
+
+    from engine.stages.dedup import connected_components, minhash_lsh_pairs
+
+    m = 24
+    hot = ["hot boilerplate navigation footer text " * 5] * m
+    near = [
+        "rare quartz zebra melody harbor lantern velvet osprey " * 4,
+        "rare quartz zebra melody harbor lantern velvet osprey " * 4
+        + "trailing tail",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(m)) + [100, 101], pa.int64()),
+            "text": pa.array(hot + near, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+
+    def pairset(pairs):
+        p = pairs.to_pandas()
+        return {(int(a), int(b)) for a, b in zip(p["doc_a"], p["doc_b"])}
+
+    truth_ds = minhash_lsh_pairs(ds, threshold=0.5, max_bucket=10_000).materialize()
+    star_ds = minhash_lsh_pairs(ds, threshold=0.5, max_bucket=4).materialize()
+    truth, star = pairset(truth_ds), pairset(star_ds)
+
+    hot_truth = {p for p in truth if p[0] < m}
+    hot_star = {p for p in star if p[0] < m}
+    assert hot_truth == {(i, j) for i in range(m) for j in range(i + 1, m)}
+    assert hot_star == {(0, j) for j in range(1, m)}
+    recall_hot = len(hot_star & hot_truth) / len(hot_truth)
+    assert recall_hot == (m - 1) / (m * (m - 1) // 2)  # = 2/m ~ 0.083
+
+    # outside the hot bucket: untouched, recall 1.0
+    assert (truth - hot_truth) == (star - hot_star) == {(100, 101)}
+
+    # cluster-level recall 1.0: identical partitions either way
+    def partition(pairs):
+        cl = connected_components(pairs).to_pandas()
+        groups = cl.groupby("cluster_id")["doc_id"].apply(frozenset)
+        return set(groups)
+
+    assert partition(truth_ds) == partition(star_ds)
+
+
+def test_star_gate_dropped_edge_recall():
+    """The documented failure mode of the star pattern (_STAR_GATE
+    comment): when rep-to-member similarity is BELOW the caller's
+    threshold, verification drops that star edge and recall inside the
+    pathological bucket is partial — quantified here on a graded bucket.
+
+    Members i=0..9 with shingle sets S_i = [5i, 5i+50): J(i,j) =
+    (50-5d)/(50+5d) for d=|i-j|, so at threshold 0.5 the TRUE pair graph
+    is the d<=3 chain band (24 edges, one connected component).  The star
+    keeps only rep edges (0,j) with J >= 0.5, i.e. j <= 3: recall 3/24 =
+    0.125 and members 4..9 disconnect.  This is the tradeoff the gate
+    logs: connectivity is only guaranteed when the bucket's members all
+    verify against the representative (e.g. identical boilerplate, the
+    case the gate exists for)."""
+    import pandas as pd
+
+    from engine.stages.dedup import _bucket_pairs
+
+    n = 10
+    sets = {i: set(range(5 * i, 5 * i + 50)) for i in range(n)}
+
+    def jac(a, b):
+        return len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+
+    ids = pd.DataFrame({"doc_id": pd.Series(range(n), dtype="int64")})
+    verify = lambda df: {
+        (int(a), int(b))
+        for a, b in zip(df["doc_a"], df["doc_b"])
+        if jac(int(a), int(b)) >= 0.5
+    }
+    truth = verify(_bucket_pairs(ids, max_bucket=10_000))
+    star = verify(_bucket_pairs(ids, max_bucket=4))
+    assert truth == {(i, j) for i in range(n) for j in range(i + 1, n) if j - i <= 3}
+    assert star == {(0, 1), (0, 2), (0, 3)}
+    assert len(star) / len(truth) == 0.125  # pinned partial recall
+
+    # connectivity loss: truth spans one component; star isolates 4..9
+    def components(edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        return len({find(i) for i in range(n)})
+
+    assert components(truth) == 1
+    assert components(star) == 1 + (n - 4)  # {0..3} plus 6 singletons
+
+
 def test_simhash_star_gate(ray_session):
     import ray.data
 
