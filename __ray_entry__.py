@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": q.q_json_props,
         "rep_stats": q.q_rep_stats,
         "line_dedup": q.q_line_dedup,
+        "span_dedup": q.q_span_dedup,
         "decontam": q.q_decontam,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
@@ -421,6 +422,42 @@ def oracle_sql() -> dict[str, str]:
                         CASE WHEN line IN (SELECT line FROM hot) THEN NULL ELSE line END,
                         chr(10) ORDER BY ord), '')) AS BIGINT) AS clean_chars
             FROM l GROUP BY doc_id
+        """,
+        # exact duplicated-span removal (Lee et al. arXiv:2107.06499,
+        # fixed-width variant): every 8-token window occurring >= 2 times
+        # keeps only its globally first occurrence, first = min packed
+        # (doc_id * 2^20 + start); non-first occurrences' token indices
+        # [p, p+7] are dropped and the doc rebuilt in order.  Groups by
+        # the window STRING where the engine groups by a 60-bit md5 of it
+        # (collision probability ~|windows|^2 / 2^60 — negligible).
+        "span_dedup": r"""
+            WITH d AS (SELECT doc_id,
+                              regexp_extract_all(coalesce(text, ''), '[^\t\n\v\f\r ]+') AS w
+                       FROM documents),
+            occ AS (SELECT doc_id, w,
+                           CAST(unnest(range(1, greatest(len(w) - 6, 1))) AS BIGINT) AS p
+                    FROM d),
+            o2 AS (SELECT doc_id, p, array_to_string(w[p : p + 7], ' ') AS win
+                   FROM occ),
+            f AS (SELECT win, min(doc_id * 1048576 + p) AS fk, count(*) AS n
+                  FROM o2 GROUP BY win),
+            drops AS (SELECT DISTINCT o2.doc_id, o2.p + k.k AS j
+                      FROM o2 JOIN f USING (win)
+                      CROSS JOIN (SELECT unnest(range(0, 8)) AS k) k
+                      WHERE f.n >= 2 AND o2.doc_id * 1048576 + o2.p <> f.fk),
+            tok AS (SELECT doc_id, unnest(w) AS tk, generate_subscripts(w, 1) AS j
+                    FROM d),
+            kept AS (SELECT t.doc_id, string_agg(t.tk, ' ' ORDER BY t.j) AS clean_text
+                     FROM tok t LEFT JOIN drops x ON t.doc_id = x.doc_id AND t.j = x.j
+                     WHERE x.j IS NULL
+                     GROUP BY t.doc_id),
+            nd AS (SELECT doc_id, count(*) AS n_dropped FROM drops GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(len(d.w) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(nd.n_dropped, 0) AS BIGINT) AS n_dropped,
+                   coalesce(kept.clean_text, '') AS clean_text,
+                   CAST(length(coalesce(kept.clean_text, '')) AS BIGINT) AS clean_chars
+            FROM d LEFT JOIN kept USING (doc_id) LEFT JOIN nd USING (doc_id)
         """,
         # benchmark decontamination: distinct word 5-grams vs the
         # doc_id % 97 == 0 eval subset's gram set

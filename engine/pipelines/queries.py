@@ -825,6 +825,19 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(ds, id_col="doc_id", text_col="text", min_docs=2)
 
 
+def q_span_dedup(sf_dir: str):
+    """Exact duplicated-span removal (Lee et al. arXiv:2107.06499 adapted
+    to fixed-width token windows): every 8-token window occurring >= 2
+    times in the corpus keeps only its globally first occurrence; later
+    occurrences' tokens are dropped and documents rebuilt.  SQL-verified
+    (~1k duplicated windows exist in the synthetic corpus at both test
+    SFs, so both the drop and keep paths execute)."""
+    from engine.stages.clean import span_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return span_dedup(ds, id_col="doc_id", text_col="text", width=8)
+
+
 def q_decontam(sf_dir: str):
     """Benchmark decontamination: distinct word 5-grams of every document
     intersected with the eval subset's (doc_id % 97 == 0) gram set.

@@ -24,6 +24,18 @@ oracle (see __ray_entry__.oracle_sql):
   set is broadcast as raw strings under ``broadcast_max`` (exact; test
   scale) and as 64-bit FNV-1a hashes above it (8 bytes/gram, the 100 TB
   path; collision probability ~|grams|^2/2^64).
+- ``span_dedup``: exact duplicated-SPAN removal (Lee et al.
+  "Deduplicating Training Data Makes Language Models Better"
+  arXiv:2107.06499, adapted from suffix arrays to fixed-width token
+  windows so the operator shuffles nothing but 8-byte window hashes and
+  stays one-pass-verifiable in SQL): every ``width``-token window that
+  occurs >= 2 times anywhere in the corpus keeps its GLOBALLY FIRST
+  occurrence (smallest (doc_id, position)) and every other occurrence's
+  tokens are dropped; documents are rebuilt from the surviving tokens.
+  Same three size-gated paths as ``line_dedup`` (hot-window broadcast /
+  (doc_id, start) drop-list broadcast / one doc-keyed shuffle), all
+  pinned identical by tests; text itself never shuffles below the last
+  gate.
 
 Tokenization is the repo-wide SQL-portable whitespace tokenizer
 (engine.stages.text._TOKEN).
@@ -39,7 +51,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Min, Sum
 
 from engine.stages.text import _TOKEN, fnv1a_batch
 
@@ -426,3 +438,297 @@ def decontam(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- exact duplicated-span removal (Lee et al. arXiv:2107.06499) ---------
+
+# (doc_id, window_start) packed into ONE int64 so the "globally first
+# occurrence" reduces to a single Min aggregate: doc_id * 2^20 + p.
+# Caps documents at 2^20 - 1 tokens (guarded loudly below); doc ids up to
+# 2^43 still fit the int64.  The SQL oracle uses the same packing.
+_SPAN_SHIFT = 1 << 20
+
+
+def _span_hash(span: str) -> int:
+    """60-bit window key: int(md5[:15 hex], 16).  md5 (not FNV) so DuckDB
+    can reproduce it exactly; 15 hex chars keep the key int64 (the repo
+    rule: uint64 keys fall off Arrow's native aggregate path).  8-byte
+    keys are the 100 TB shuffle story — window hashes dominate this
+    operator's exchange volume (~one row per corpus token)."""
+    return int(md5(span.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _doc_windows(toks: List[str], width: int) -> List[int]:
+    """Window keys for every ``width``-token window, index i = start."""
+    return [
+        _span_hash(" ".join(toks[i : i + width]))
+        for i in range(len(toks) - width + 1)
+    ]
+
+
+def span_dedup(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    broadcast_max: int = 5_000_000,
+    drop_broadcast_max: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Exact duplicated-span removal (module docstring).
+
+    Output: (id_col, n_tokens, n_dropped, clean_text, clean_chars) —
+    the document rebuilt from tokens not covered by any non-first
+    occurrence of a duplicated ``width``-token window.
+
+    Plan (mirrors ``line_dedup``'s gated shapes):
+
+    1. one pass: per-batch PARTIAL (window_hash -> count, min packed
+       (doc_id, start)) dicts -> groupby(h).aggregate(Sum, Min) — the
+       shuffle carries 24 B per distinct window per block, never text.
+    2. hot windows (count >= 2) with their first-occurrence key: rare by
+       construction (duplicated spans are boilerplate), so under
+       ``broadcast_max`` they broadcast as an {h: first_key} dict and a
+       second vectorized pass recomputes each doc's windows and drops
+       the covered tokens of every non-first hot occurrence.
+    3. above the gate: union+groupby semi-join (NOT the native acero
+       join — empty hash partitions lose their schema) emits only the
+       (doc_id, start) DROP list; under ``drop_broadcast_max`` it is
+       broadcast, else ONE doc-keyed shuffle rebuilds per group.
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        agg: Dict[int, List[int]] = {}
+        for d, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            toks = _TOKEN.findall(txt or "")
+            if len(toks) >= _SPAN_SHIFT:
+                raise ValueError(
+                    f"span_dedup: document {d!r} has {len(toks)} tokens; "
+                    f"the (doc_id, start) packing caps docs at "
+                    f"{_SPAN_SHIFT - 1} tokens"
+                )
+            for i, h in enumerate(_doc_windows(toks, width)):
+                mk = d * _SPAN_SHIFT + (i + 1)
+                cur = agg.get(h)
+                if cur is None:
+                    agg[h] = [1, mk]
+                else:
+                    cur[0] += 1
+                    if mk < cur[1]:
+                        cur[1] = mk
+        hs = list(agg.keys())
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "n": pa.array([agg[h][0] for h in hs], pa.int64()),
+                "mk": pa.array([agg[h][1] for h in hs], pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    counts = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"), Min("mk", alias_name="mk"))
+    )
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), 2)).select(["h", "mk"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    n_hot = hot.count()
+
+    def out_schema(ids, n_tok, n_drop, txts):
+        return pa.table(
+            {
+                id_col: ids,
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_dropped": pa.array(n_drop, pa.int64()),
+                "clean_text": pa.array(txts, pa.string()),
+                "clean_chars": pa.array([len(x) for x in txts], pa.int64()),
+            }
+        )
+
+    def rebuild_doc(d, toks: List[str], first_of) -> Tuple[int, str]:
+        """first_of: h -> packed first key (only hot windows present)."""
+        dropped: Set[int] = set()
+        for i, h in enumerate(_doc_windows(toks, width)):
+            fk = first_of(h)
+            if fk is not None and d * _SPAN_SHIFT + (i + 1) != fk:
+                dropped.update(range(i, i + width))
+        kept = [tk for j, tk in enumerate(toks) if j not in dropped]
+        return len(dropped), " ".join(kept)
+
+    if n_hot <= broadcast_max:
+        if n_hot == 0:
+            ref = ray.put({})
+        else:
+            ht = pa.concat_tables(
+                ray.get(hot.to_arrow_refs()), promote_options="default"
+            )
+            ref = ray.put(
+                dict(zip(ht.column("h").to_pylist(), ht.column("mk").to_pylist()))
+            )
+
+        def rebuild(t: pa.Table) -> pa.Table:
+            hm = ray.get(ref)
+            ids = t.column(id_col).to_pylist()
+            n_tok, n_drop, txts = [], [], []
+            for d, txt in zip(ids, t.column(text_col).to_pylist()):
+                toks = _TOKEN.findall(txt or "")
+                nd, clean = rebuild_doc(d, toks, hm.get)
+                n_tok.append(len(toks))
+                n_drop.append(nd)
+                txts.append(clean)
+            return out_schema(t.column(id_col), n_tok, n_drop, txts)
+
+        return ds.map_batches(rebuild, batch_format="pyarrow", zero_copy_batch=True)
+
+    # hot set too large to broadcast: semi-join occurrences against the
+    # hot windows via union + groupby (h) and keep only the DROP list —
+    # (doc_id, start) of non-first hot occurrences, O(duplicate
+    # occurrences) << O(corpus windows).
+    from engine.stages.join import _arrow_types
+
+    id_type = _arrow_types(ds).get(id_col, pa.int64())
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        out_id, out_p, out_h = [], [], []
+        for d, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            toks = _TOKEN.findall(txt or "")
+            for i, h in enumerate(_doc_windows(toks, width)):
+                out_id.append(d)
+                out_p.append(i + 1)
+                out_h.append(h)
+        n = len(out_id)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, id_type),
+                "p": pa.array(out_p, pa.int64()),
+                "h": pa.array(out_h, pa.int64()),
+                "mk": pa.array([-1] * n, pa.int64()),
+                "_hot": pa.array([False] * n, pa.bool_()),
+            }
+        )
+
+    def hot_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                id_col: pa.array([None] * n, id_type),
+                "p": pa.array([-1] * n, pa.int64()),
+                "h": t.column("h"),
+                "mk": t.column("mk"),
+                "_hot": pa.array([True] * n, pa.bool_()),
+            }
+        )
+
+    unioned = ds.map_batches(
+        occ_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(hot.map_batches(hot_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def hits(df) -> "pd.DataFrame":
+        hot_mask = df["_hot"]
+        if not hot_mask.any():
+            return df[[id_col, "p"]].iloc[0:0]
+        fk = int(df.loc[hot_mask, "mk"].iloc[0])
+        out = df[~hot_mask][[id_col, "p"]].copy()
+        if pa.types.is_integer(id_type):
+            # null-id marker rows promote ids to float64 in pandas
+            out[id_col] = out[id_col].astype("int64")
+        packed = out[id_col].astype("int64") * _SPAN_SHIFT + out["p"].astype("int64")
+        return out[packed != fk]
+
+    drops = unioned.groupby("h").map_groups(hits, batch_format="pandas").materialize()
+    n_drops = drops.count()
+
+    if n_drops <= drop_broadcast_max:
+        drop_map: Dict = {}
+        if n_drops:
+            dt = pa.concat_tables(
+                ray.get(drops.to_arrow_refs()), promote_options="default"
+            )
+            for d, p in zip(
+                dt.column(id_col).to_pylist(), dt.column("p").to_pylist()
+            ):
+                drop_map.setdefault(d, []).append(p)
+        dref = ray.put(drop_map)
+
+        def rebuild_by_start(t: pa.Table) -> pa.Table:
+            dm = ray.get(dref)
+            ids = t.column(id_col).to_pylist()
+            n_tok, n_drop, txts = [], [], []
+            for d, txt in zip(ids, t.column(text_col).to_pylist()):
+                toks = _TOKEN.findall(txt or "")
+                starts = dm.get(d)
+                if not starts:
+                    n_tok.append(len(toks))
+                    n_drop.append(0)
+                    txts.append(" ".join(toks))
+                    continue
+                dropped: Set[int] = set()
+                for p in starts:
+                    dropped.update(range(p - 1, p - 1 + width))
+                kept = [tk for j, tk in enumerate(toks) if j not in dropped]
+                n_tok.append(len(toks))
+                n_drop.append(len(dropped))
+                txts.append(" ".join(kept))
+            return out_schema(t.column(id_col), n_tok, n_drop, txts)
+
+        return ds.map_batches(
+            rebuild_by_start, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # drop list too large to broadcast: ONE doc-keyed shuffle — union the
+    # docs with their drop rows and rebuild per group
+    def doc_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                text_col: t.column(text_col),
+                "p": pa.array([-1] * n, pa.int64()),
+            }
+        )
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                text_col: pa.array([None] * n, pa.string()),
+                "p": t.column("p"),
+            }
+        )
+
+    both = ds.map_batches(
+        doc_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(drops.map_batches(drop_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def rebuild_group(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        doc = df[df["p"] < 0]
+        txt = doc[text_col].iloc[0]
+        toks = _TOKEN.findall(txt or "")
+        dropped: Set[int] = set()
+        for p in df.loc[df["p"] > 0, "p"].astype("int64").tolist():
+            dropped.update(range(p - 1, p - 1 + width))
+        kept = [tk for j, tk in enumerate(toks) if j not in dropped]
+        clean = " ".join(kept)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series([doc[id_col].iloc[0]], dtype=doc[id_col].dtype),
+                "n_tokens": pd.Series([len(toks)], dtype="int64"),
+                "n_dropped": pd.Series([len(dropped)], dtype="int64"),
+                "clean_text": [clean],
+                "clean_chars": pd.Series([len(clean)], dtype="int64"),
+            }
+        )
+
+    return both.groupby(id_col).map_groups(rebuild_group, batch_format="pandas")

@@ -879,6 +879,75 @@ def test_line_dedup_drops_boilerplate(ray_session):
         assert got_fb[cols].equals(got[cols]), kw
 
 
+def test_span_dedup_keeps_first_occurrence(ray_session):
+    """Exact duplicated-span removal (Lee et al. 2107.06499, fixed-width
+    variant): every 8-token window occurring >= 2 times anywhere keeps
+    only its globally-first occurrence (min (doc_id, start)); all three
+    size-gated paths are pinned identical."""
+    import ray.data
+
+    from engine.stages.clean import span_dedup
+
+    span = "a b c d e f g h"  # the duplicated 8-token span
+    docs = [
+        (1, f"x {span} y"),            # first occurrence (packed key min)
+        (2, f"{span} tail1 tail2"),    # later doc: span dropped
+        (3, f"pre1 pre2 {span}"),      # later doc: span dropped
+        (4, "s1 s2 s3 s4 s5 s6 s7 s8 mid s1 s2 s3 s4 s5 s6 s7 s8"),
+        (5, "tiny"),                   # < width tokens: no windows
+        (6, ""),                       # empty
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([x for _, x in docs], pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = (
+        span_dedup(ds, width=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = {
+        1: (10, 0, f"x {span} y"),
+        2: (10, 8, "tail1 tail2"),
+        3: (10, 8, "pre1 pre2"),
+        # within-doc repeat: second copy dropped, first + separator kept
+        4: (17, 8, "s1 s2 s3 s4 s5 s6 s7 s8 mid"),
+        5: (1, 0, "tiny"),
+        6: (0, 0, ""),
+    }
+    for _, r in got.iterrows():
+        nt, nd, ct = exp[r["doc_id"]]
+        assert (r["n_tokens"], r["n_dropped"], r["clean_text"]) == (nt, nd, ct), (
+            r["doc_id"]
+        )
+        assert r["clean_chars"] == len(ct)
+
+    # scale paths must be identical: (a) drop-list broadcast fallback
+    # (broadcast_max=-1 forces it), (b) doc-keyed shuffle (both gates off)
+    cols = ["doc_id", "n_tokens", "n_dropped", "clean_text", "clean_chars"]
+    for kw in (
+        dict(broadcast_max=-1),
+        dict(broadcast_max=-1, drop_broadcast_max=-1),
+    ):
+        got_fb = (
+            span_dedup(ray.data.from_arrow(t).repartition(3), width=8, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got_fb[cols].equals(got[cols]), kw
+
+    # the (doc_id, start) packing guard trips loudly on over-long docs
+    big = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array([" ".join(["t"] * (1 << 20))], pa.string()),
+    })
+    with pytest.raises(Exception, match="caps docs at"):
+        span_dedup(ray.data.from_arrow(big), width=8).materialize()
+
+
 def test_bm25_wide_query_matches_dense_numpy_oracle(ray_session):
     """50-term query: the sparse Counter-based tf path must rank exactly
     like a dense numpy evaluation of the same Lucene-BM25 formula (the
