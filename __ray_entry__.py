@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q.q_line_dedup,
         "span_dedup": q.q_span_dedup,
         "decontam": q.q_decontam,
+        "corpus_overlap": q.q_corpus_overlap,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
@@ -478,6 +479,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(grams) AS BIGINT) AS n_grams,
                    CAST(coalesce(hits.cnt, 0) AS BIGINT) AS contam_grams
             FROM g LEFT JOIN hits USING (doc_id)
+        """,
+        # corpus-vs-corpus 5-gram overlap: even-doc_id corpus A vs
+        # odd-doc_id corpus B.  The engine semi-joins 63-bit FNV gram
+        # hashes; the oracle joins the gram STRINGS (collision odds
+        # ~|grams|^2/2^63 — negligible, and the fixture agrees exactly).
+        "corpus_overlap": r"""
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(coalesce(text,''), '[^\t\n\v\f\r ]+') AS w
+                         FROM documents),
+            ag AS (SELECT DISTINCT doc_id, array_to_string(w[p : p + 4], ' ') AS g
+                   FROM (SELECT doc_id, w,
+                                CAST(unnest(range(1, greatest(len(w) - 3, 1))) AS BIGINT) AS p
+                         FROM tok WHERE doc_id % 2 = 0)),
+            bg AS (SELECT DISTINCT array_to_string(w[p : p + 4], ' ') AS g
+                   FROM (SELECT doc_id, w,
+                                CAST(unnest(range(1, greatest(len(w) - 3, 1))) AS BIGINT) AS p
+                         FROM tok WHERE doc_id % 2 = 1)),
+            hit AS (SELECT ag.doc_id, count(*) AS c FROM ag JOIN bg USING (g)
+                    GROUP BY ag.doc_id),
+            tot AS (SELECT doc_id, count(*) AS c FROM ag GROUP BY doc_id)
+            SELECT a.doc_id,
+                   CAST(coalesce(tot.c, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(hit.c, 0) AS BIGINT) AS overlap_grams
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) a
+            LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
         """,
         # hash-gated sampling: bucket = int(md5(id)[:8], 16) % 100 — the
         # '0x'-prefixed CAST parses hex identically to Python int(s, 16)

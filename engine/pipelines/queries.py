@@ -856,6 +856,27 @@ def q_decontam(sf_dir: str):
     return decontam(ds, ev, id_col="doc_id", text_col="text", n=5)
 
 
+def q_corpus_overlap(sf_dir: str):
+    """Corpus-vs-corpus 5-gram overlap: even-doc_id documents (corpus A)
+    vs odd-doc_id documents (corpus B), fully distributed — no broadcast,
+    no driver funnel (the scale path decontam must NOT use when both
+    sides are corpus-sized).  SQL-verified (the fixture has ~677
+    cross-parity overlap grams across 14 docs at sf0.001, so the hit
+    path executes)."""
+    from engine.stages.clean import corpus_overlap
+
+    def side(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+
+        return _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus()).map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    return corpus_overlap(side(0), side(1), id_col="doc_id", text_col="text", n=5)
+
+
 def q_pagerank(sf_dir: str):
     """Distributed PageRank over the deterministic synthetic link graph
     (iterative edges-join-ranks + groupby-sum with dangling correction).

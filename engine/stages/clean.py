@@ -36,6 +36,12 @@ oracle (see __ray_entry__.oracle_sql):
   (doc_id, start) drop-list broadcast / one doc-keyed shuffle), all
   pinned identical by tests; text itself never shuffles below the last
   gate.
+- ``corpus_overlap``: corpus-vs-corpus distinct word n-gram overlap with
+  NO broadcast and NO driver funnel — both sides emit 63-bit FNV gram
+  hashes, membership resolves via one union + groupby(h) semi-join, and
+  per-doc totals ride the same shuffle as negative-hash sentinel rows.
+  The scale path ``decontam`` must not use when both sides are
+  corpus-sized (decontam's broadcast is right only for tiny eval sets).
 
 Tokenization is the repo-wide SQL-portable whitespace tokenizer
 (engine.stages.text._TOKEN).
@@ -732,3 +738,126 @@ def span_dedup(
         )
 
     return both.groupby(id_col).map_groups(rebuild_group, batch_format="pandas")
+
+
+# --- corpus-vs-corpus n-gram overlap (distributed semi-join) -------------
+
+def corpus_overlap(
+    ds_a: ray.data.Dataset,
+    ds_b: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> ray.data.Dataset:
+    """Corpus-vs-corpus word n-gram overlap, fully distributed: for each
+    document in corpus A, how many of its DISTINCT word ``n``-grams occur
+    anywhere in corpus B.
+
+    ``decontam`` above broadcasts the small side's gram set — right for
+    eval benchmarks (tiny by definition), wrong when BOTH sides are
+    corpus-scale.  Here nothing is ever collected on the driver and
+    nothing is broadcast: both sides emit 63-bit FNV-1a gram-hash rows
+    (collision odds ~|grams|^2/2^63 — the SQL oracle groups the strings
+    themselves and agrees on the fixture), membership is resolved by ONE
+    union + groupby(h) semi-join (never the native acero join — empty
+    hash partitions lose their schema), and per-doc totals ride the same
+    shuffle as one sentinel row per document (h = -(doc_id+1): negative,
+    so it can never collide with a masked 63-bit gram hash, and unique
+    per doc, so sentinel groups are singletons — no hot group).  The
+    exchange carries 17-byte (hash, doc_id, flag) rows, never text; the
+    final per-doc reduce pre-aggregates per block.
+
+    Output: (id_col, n_grams, overlap_grams) per corpus-A document.
+    """
+    _MASK63 = (1 << 63) - 1
+
+    def a_rows(t: pa.Table) -> pa.Table:
+        out_h: List[int] = []
+        out_id: List[int] = []
+        out_tot: List[int] = []
+        for d, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            grams = sorted(_word_ngrams(txt, n))
+            hv = fnv1a_batch([g.encode("utf-8") for g in grams])
+            out_h.extend((int(x) & _MASK63) for x in hv)
+            out_id.extend([d] * len(grams))
+            out_tot.extend([-1] * len(grams))
+            # the per-doc total rides the same shuffle as a singleton group
+            out_h.append(-(d + 1))
+            out_id.append(d)
+            out_tot.append(len(grams))
+        return pa.table(
+            {
+                "h": pa.array(out_h, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "tot": pa.array(out_tot, pa.int64()),
+                "_b": pa.array([False] * len(out_h), pa.bool_()),
+            }
+        )
+
+    def b_rows(t: pa.Table) -> pa.Table:
+        grams: Set[str] = set()
+        for txt in t.column(text_col).to_pylist():
+            grams |= _word_ngrams(txt, n)
+        gl = sorted(grams)
+        hv = fnv1a_batch([g.encode("utf-8") for g in gl])
+        out_h = [int(x) & _MASK63 for x in hv]
+        m = len(out_h)
+        return pa.table(
+            {
+                "h": pa.array(out_h, pa.int64()),
+                id_col: pa.array([None] * m, pa.int64()),
+                "tot": pa.array([-1] * m, pa.int64()),
+                "_b": pa.array([True] * m, pa.bool_()),
+            }
+        )
+
+    unioned = ds_a.map_batches(
+        a_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(ds_b.map_batches(b_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def resolve(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        tot_mask = df["tot"] >= 0
+        if tot_mask.any():
+            # sentinel group: exactly one row (negative h, unique per doc)
+            return pd.DataFrame(
+                {
+                    # null-id B rows promote ids to float64 in pandas
+                    id_col: df.loc[tot_mask, id_col].astype("int64"),
+                    "n_grams": df.loc[tot_mask, "tot"].astype("int64"),
+                    "overlap_grams": pd.Series(
+                        [0] * int(tot_mask.sum()), dtype="int64"
+                    ),
+                }
+            )
+        if not df["_b"].any():
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "overlap_grams": pd.Series([], dtype="int64"),
+                }
+            )
+        hits = df.loc[~df["_b"], id_col].astype("int64")
+        k = len(hits)
+        return pd.DataFrame(
+            {
+                id_col: hits,
+                "n_grams": pd.Series([0] * k, dtype="int64"),
+                "overlap_grams": pd.Series([1] * k, dtype="int64"),
+            }
+        )
+
+    return (
+        unioned.groupby("h")
+        .map_groups(resolve, batch_format="pandas")
+        .groupby(id_col)
+        .aggregate(
+            Sum("n_grams", alias_name="n_grams"),
+            Sum("overlap_grams", alias_name="overlap_grams"),
+        )
+    )

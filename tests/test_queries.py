@@ -61,7 +61,8 @@ SQL_NAMES = [
     "quantiles", "quality", "extract_pages", "ann_topk", "lang_id",
     "crawl_order", "fingerprint", "dedup_corpus", "sample_stratified",
     "pack_sequences", "events_hopping", "sink_status",
-    "rep_stats", "line_dedup", "span_dedup", "decontam", "bm25_topk",
+    "rep_stats", "line_dedup", "span_dedup", "decontam", "corpus_overlap",
+    "bm25_topk",
     "snapshot_diff", "latest_events", "json_props",
 ]
 

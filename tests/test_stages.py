@@ -879,6 +879,50 @@ def test_line_dedup_drops_boilerplate(ray_session):
         assert got_fb[cols].equals(got[cols]), kw
 
 
+def test_corpus_overlap_counts_shared_grams(ray_session):
+    """Distributed corpus-vs-corpus overlap: per A-doc count of distinct
+    word 5-grams that occur anywhere in corpus B — no broadcast, the
+    whole resolution is one union + groupby(h) semi-join with sentinel
+    total rows."""
+    import ray.data
+
+    from engine.stages.clean import corpus_overlap
+
+    shared = "one two three four five"          # 1 shared 5-gram
+    a_docs = [
+        (2, f"{shared} six seven"),             # grams: 3, shared: 1
+        (4, "p q r s t u"),                     # grams: 2, shared: 0
+        (6, f"x {shared}"),                     # grams: 2, shared: 1
+        (8, "tiny doc"),                        # < 5 tokens: 0 grams
+    ]
+    b_docs = [
+        (1, f"zz {shared} yy"),
+        (3, "totally different words here indeed"),
+    ]
+
+    def mk(rows):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+        })).repartition(2)
+
+    got = (
+        corpus_overlap(mk(a_docs), mk(b_docs), n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = {2: (3, 1), 4: (2, 0), 6: (2, 1), 8: (0, 0)}
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert (r["n_grams"], r["overlap_grams"]) == exp[r["doc_id"]], r["doc_id"]
+
+    # empty B side: all zeros, every A doc still present
+    got0 = corpus_overlap(mk(a_docs), mk(b_docs).filter(
+        lambda r: False), n=5).to_pandas().sort_values("doc_id")
+    assert got0["overlap_grams"].sum() == 0 and len(got0) == len(a_docs)
+
+
 def test_span_dedup_keeps_first_occurrence(ray_session):
     """Exact duplicated-span removal (Lee et al. 2107.06499, fixed-width
     variant): every 8-token window occurring >= 2 times anywhere keeps
