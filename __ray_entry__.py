@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "sink_status": q.q_sink_status,
         "bm25_topk": q.q_bm25_topk,
+        "term_stats": q.q_term_stats,
+        "postings": q.q_postings,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
         "json_props": q.q_json_props,
@@ -479,6 +481,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(grams) AS BIGINT) AS n_grams,
                    CAST(coalesce(hits.cnt, 0) AS BIGINT) AS contam_grams
             FROM g LEFT JOIN hits USING (doc_id)
+        """,
+        # inverted-index term dictionary head: df = docs containing the
+        # token, cf = total occurrences; deterministic (cf desc, token)
+        # order — token is unique so the LIMIT cut is total-ordered
+        "term_stats": r"""
+            WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(
+                                coalesce(text, ''), '[^\t\n\v\f\r ]+')) AS token
+                         FROM documents)
+            SELECT token,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS cf
+            FROM tok GROUP BY token
+            ORDER BY cf DESC, token LIMIT 200
+        """,
+        # postings lists for a fixed term set: (token, doc_id, tf)
+        "postings": r"""
+            WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(
+                                coalesce(text, ''), '[^\t\n\v\f\r ]+')) AS token
+                         FROM documents)
+            SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM tok WHERE token IN ('join', 'merge', 'scan', 'window')
+            GROUP BY token, doc_id
         """,
         # corpus-vs-corpus 5-gram overlap: even-doc_id corpus A vs
         # odd-doc_id corpus B.  The engine semi-joins 63-bit FNV gram

@@ -926,6 +926,30 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, BM25_TERMS, id_col="doc_id", text_col="text", k=50)
 
 
+def q_term_stats(sf_dir: str):
+    """Inverted-index term dictionary head: (token, df, cf) for the 200
+    most frequent tokens — the statistics Elasticsearch builds server-side
+    from the reference sink's documents (es_sink.py hands docs to ES; the
+    index construction is ES's).  One tokenize pass with per-batch Counter
+    partials; the shuffle carries (token, df, cf) rows only."""
+    from engine.stages.index_build import term_stats
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return term_stats(ds, id_col="doc_id", text_col="text", top_n=200)
+
+
+def q_postings(sf_dir: str):
+    """Inverted-index postings lists for a fixed term set: (token, doc_id,
+    tf) sorted by (token, doc_id) — the per-term structure a search index
+    stores.  Output scales with term selectivity, not corpus size."""
+    from engine.stages.index_build import postings
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return postings(
+        ds, ("join", "merge", "scan", "window"), id_col="doc_id", text_col="text"
+    )
+
+
 def q_snapshot_diff(sf_dir: str):
     """Crawl-snapshot diff: documents vs a deterministically mutated
     second snapshot (doc_id%31 removed, doc_id%17 changed, doc_id%41

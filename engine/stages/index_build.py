@@ -1,0 +1,126 @@
+"""Inverted-index construction primitives.
+
+The reference pipeline's terminal store is Elasticsearch, whose value is
+the inverted index it builds from the documents it receives
+(`/root/reference/warc_indexer/es_sink.py` hands documents to ES and the
+index construction happens server-side).  These operators materialize the
+same index artifacts Ray-Data-first, so the "index" half of the engine is
+inspectable and testable without an ES cluster:
+
+``term_stats``
+    The term dictionary: per token, document frequency (df) and collection
+    frequency (cf) — the statistics every BM25/idf computation needs.
+    One tokenize pass; each batch pre-aggregates its own Counter partials
+    so the shuffle moves (token, df_partial, cf_partial) rows — never
+    positions, never text.  A final groupby(token).Sum + sort(cf desc) +
+    limit(top_n) yields the head of the dictionary.  At 100 TB the
+    intermediate is bounded by (distinct tokens per block × blocks) rows of
+    ~24 bytes; the groupby is the only shuffle.
+
+``postings``
+    The postings lists for a fixed term set: (token, doc_id, tf) rows,
+    globally sorted by (token, doc_id) — exactly the structure a search
+    index stores per term.  Same single tokenize pass; only matching docs
+    emit rows, so output scales with selectivity, not corpus size.
+
+Both are integer-only and SQL-expressible, hence driver hash-verified
+(queries ``term_stats`` / ``postings``).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import List, Sequence
+
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from engine.stages.text import _TOKEN
+
+
+def term_stats(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 200,
+) -> ray.data.Dataset:
+    """Term dictionary head: (token, df, cf) for the ``top_n`` tokens by
+    (cf desc, token asc).  df counts documents containing the token, cf
+    counts total occurrences."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        df: Counter = Counter()
+        cf: Counter = Counter()
+        for txt in texts:
+            cnt = Counter(_TOKEN.findall(txt or ""))
+            cf.update(cnt)
+            df.update(cnt.keys())
+        toks = list(cf.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "df": pa.array([df[tok] for tok in toks], pa.int64()),
+                "cf": pa.array([cf[tok] for tok in toks], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+    )
+    # deterministic head: cf desc, token asc
+    return (
+        agg.sort(key=["cf", "token"], descending=[True, False])
+        .limit(top_n)
+        .map_batches(
+            lambda t: t.select(["token", "df", "cf"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def postings(
+    ds: ray.data.Dataset,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Postings lists for ``terms``: (token, doc_id, tf) sorted by
+    (token, doc_id).  Only documents containing a term emit rows."""
+    term_set = frozenset(terms)
+
+    def extract(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_pylist()
+        out_tok: List[str] = []
+        out_id: List[int] = []
+        out_tf: List[int] = []
+        for i, txt in enumerate(texts):
+            cnt = Counter(_TOKEN.findall(txt or ""))
+            # iterate the smaller side (same device as search.tf_extract)
+            if len(term_set) <= len(cnt):
+                hits = [(tok, cnt[tok]) for tok in term_set if tok in cnt]
+            else:
+                hits = [(tok, c) for tok, c in cnt.items() if tok in term_set]
+            for tok, c in hits:
+                out_tok.append(tok)
+                out_id.append(ids[i])
+                out_tf.append(c)
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                id_col: pa.array(out_id, pa.int64()),
+                "tf": pa.array(out_tf, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        extract, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(key=["token", id_col])

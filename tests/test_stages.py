@@ -1226,3 +1226,54 @@ def test_latest_events_argmax(ray_session):
         assert got[["user_id", "event_id", "event_type"]].values.tolist() == [
             [1, 12, "z"], [2, 20, "p"], [3, 30, "q"],
         ]
+
+
+def test_index_build_matches_counter_oracle(ray_session):
+    """term_stats / postings == a single-process Counter oracle: df counts
+    documents containing the token, cf total occurrences; the top_n cut is
+    total-ordered (cf desc, token asc — token unique); postings emit only
+    the fixed term set, (token, doc_id)-sorted."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.index_build import postings, term_stats
+    from engine.stages.text import _TOKEN
+
+    docs = [
+        (1, "alpha beta beta gamma"),
+        (2, "beta gamma gamma delta"),
+        (3, "alpha alpha epsilon"),
+        (4, ""),  # empty doc: no tokens
+        (5, "zeta zeta zeta beta"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([x for _, x in docs], pa.string()),
+    })
+
+    df_o, cf_o = Counter(), Counter()
+    for _, txt in docs:
+        c = Counter(_TOKEN.findall(txt))
+        cf_o.update(c)
+        df_o.update(c.keys())
+    expect = sorted(cf_o, key=lambda k: (-cf_o[k], k))[:4]
+
+    got = term_stats(
+        ray.data.from_arrow(t).repartition(3), top_n=4
+    ).to_pandas()
+    assert got["token"].tolist() == expect
+    for _, r in got.iterrows():
+        assert (r["df"], r["cf"]) == (df_o[r["token"]], cf_o[r["token"]])
+
+    got_p = postings(
+        ray.data.from_arrow(t).repartition(3), ("beta", "alpha", "nosuch")
+    ).to_pandas()
+    exp_rows = sorted(
+        (tok, d, Counter(_TOKEN.findall(txt))[tok])
+        for d, txt in docs
+        for tok in ("beta", "alpha")
+        if tok in _TOKEN.findall(txt)
+    )
+    assert [tuple(r) for r in got_p[["token", "doc_id", "tf"]].values] == exp_rows
