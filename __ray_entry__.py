@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q.q_bm25_topk,
         "term_stats": q.q_term_stats,
         "postings": q.q_postings,
+        "unigram_nll": q.q_unigram_nll,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
         "json_props": q.q_json_props,
@@ -503,6 +504,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
             FROM tok WHERE token IN ('join', 'merge', 'scan', 'window')
             GROUP BY token, doc_id
+        """,
+        # unigram-LM mean negative log-likelihood (perplexity signal,
+        # CCNet-style), bit-reproducible fixed-point: components
+        # tf * ln(cf/N) summed in token-asc order by an explicit
+        # list_reduce `+` chain — exactly the engine's Python loop —
+        # so the doubles (and the floored nanonats) match bit-for-bit
+        "unigram_nll": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(
+                              coalesce(text, ''), '[^\t\n\v\f\r ]+') AS w
+                       FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS token FROM d),
+            cf AS (SELECT token, CAST(count(*) AS BIGINT) AS cf
+                   FROM tok GROUP BY token),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tok),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            comp AS (SELECT tf.doc_id, tf.token, tf.tf,
+                            tf.tf * ln(CAST(cf.cf AS DOUBLE) / n.nn) AS c
+                     FROM tf JOIN cf USING (token), n),
+            s AS (SELECT doc_id,
+                         list_reduce(list(c ORDER BY token), (a, b) -> a + b) AS lp,
+                         CAST(sum(tf) AS BIGINT) AS dl
+                  FROM comp GROUP BY doc_id)
+            SELECT d2.doc_id,
+                   CAST(coalesce(s.dl, 0) AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN coalesce(s.dl, 0) > 0
+                             THEN floor(-1000000000.0 * s.lp / s.dl)
+                             ELSE 0 END AS BIGINT) AS nll_nanonat
+            FROM (SELECT doc_id FROM documents) d2 LEFT JOIN s USING (doc_id)
         """,
         # corpus-vs-corpus 5-gram overlap: even-doc_id corpus A vs
         # odd-doc_id corpus B.  The engine semi-joins 63-bit FNV gram

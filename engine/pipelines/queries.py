@@ -950,6 +950,18 @@ def q_postings(sf_dir: str):
     )
 
 
+def q_unigram_nll(sf_dir: str):
+    """Unigram-LM perplexity signal (CCNet-style quality bucketing,
+    arXiv:1911.00359): per-doc mean negative log-likelihood under the
+    corpus's own unigram model, as a bit-reproducible fixed-point integer
+    (both engines sum tf*ln(cf/N) in token-asc order left-to-right, so
+    the doubles — and hence floor(-1e9*lp/dl) — are identical)."""
+    from engine.stages.lm import unigram_nll
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return unigram_nll(ds, id_col="doc_id", text_col="text")
+
+
 def q_snapshot_diff(sf_dir: str):
     """Crawl-snapshot diff: documents vs a deterministically mutated
     second snapshot (doc_id%31 removed, doc_id%17 changed, doc_id%41

@@ -1,0 +1,291 @@
+"""Unigram language-model scoring (perplexity-style quality signal).
+
+CCNet (Wenzek et al., arXiv:1911.00359) ranks web documents by language-
+model perplexity to split a crawl into quality buckets; the reference
+pipeline's corpus feeds exactly such filters downstream.  A full
+Kneser-Ney/transformer LM needs model weights this environment doesn't
+have, but the unigram LM is self-contained: train on the corpus itself in
+one distributed pass (token -> collection frequency cf, total N), then
+score every document by its mean negative log-likelihood
+
+    nll(d) = -(1/dl) * sum_{distinct t in d} tf_t * ln(cf_t / N)
+
+(perplexity = exp(nll), monotone — the ranking and bucketing signal is
+identical, so the exp is left to the caller).
+
+Bit-reproducibility device (stronger than bm25's rank-only output): both
+the engine and the DuckDB oracle accumulate the per-token components
+``tf * ln(cf/N)`` in TOKEN-ASCENDING order with a left-to-right ``+``
+chain (Python loop here; ``list_reduce(list(c ORDER BY token), ...)``
+there).  ln/division/multiplication on identical doubles are identical
+libm calls, and an ordered float sum has exactly one result — so the
+fixed-point ``nll_nanonat = floor(-1e9 * lp / dl)`` is hash-verifiable
+for every document, not just rank-stable.
+
+Scale plan (100 TB):
+
+1. Model pass: per-batch Counter partials -> groupby(token).Sum — the
+   shuffle carries (token, cf) rows, never text.  Vocabulary under the
+   webtext tokenizer is bounded (~1e7-1e8 distinct tokens), orders of
+   magnitude below corpus size.
+2. Scoring: vocab <= ``head_max`` broadcasts {token: ln(cf/N)} once
+   (``ray.put``, read per actor) — one streaming pass, no shuffle.
+3. Above the gate (hybrid, pinned identical by tests): the HEAD — the
+   ``head_max`` most frequent tokens, which by Zipf carry almost all
+   occurrences — still broadcasts, and head hits resolve map-side; only
+   TAIL tokens (cf below the head threshold, so every token-group is
+   small by construction — no hot keys) resolve through a union +
+   groupby(token) semi-join against the model rows.  Per-doc components
+   then regroup by doc_id (volume = the sparse tf table, standard
+   inverted-index exchange; text never shuffles) and sum in token order.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import Dict, List
+
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from engine.stages.text import _TOKEN
+
+
+def _cf_table(ds: ray.data.Dataset, text_col: str) -> ray.data.Dataset:
+    """One distributed pass: (token, cf) — per-batch Counter partials so
+    the shuffle moves distinct-token rows, never positions or text."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        cf: Counter = Counter()
+        for txt in t.column(text_col).to_pylist():
+            cf.update(_TOKEN.findall(txt or ""))
+        toks = list(cf.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "cf": pa.array([cf[tok] for tok in toks], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .materialize()
+    )
+
+
+def _out_table(id_arr, dls: List[int], nlls: List[int]) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": id_arr,
+            "n_tokens": pa.array(dls, pa.int64()),
+            "nll_nanonat": pa.array(nlls, pa.int64()),
+        }
+    )
+
+
+def _fixed_point(lp: float, dl: int) -> int:
+    # identical expression shape to the oracle's
+    # floor(-1000000000.0 * lp / dl): (-1e9 * lp) then / dl, then floor
+    return math.floor((-1e9 * lp) / dl) if dl else 0
+
+
+def unigram_nll(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_max: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Mean negative log-likelihood under the corpus's own unigram LM:
+    (id_col, n_tokens, nll_nanonat) per document (module docstring)."""
+    cf_ds = _cf_table(ds, text_col)
+    vocab = cf_ds.count()
+    n_total = int(cf_ds.sum("cf") or 0)
+
+    def _lp_map(tbl: pa.Table) -> Dict[str, float]:
+        return {
+            tok: math.log(c / n_total)
+            for tok, c in zip(
+                tbl.column("token").to_pylist(), tbl.column("cf").to_pylist()
+            )
+        }
+
+    if vocab <= head_max:
+        if vocab == 0:
+            ref = ray.put({})
+        else:
+            ref = ray.put(
+                _lp_map(
+                    pa.concat_tables(
+                        ray.get(cf_ds.to_arrow_refs()), promote_options="default"
+                    )
+                )
+            )
+
+        def score(t: pa.Table) -> pa.Table:
+            lpm = ray.get(ref)
+            dls, nlls = [], []
+            for txt in t.column(text_col).to_pylist():
+                cnt = Counter(_TOKEN.findall(txt or ""))
+                dl = sum(cnt.values())
+                acc = 0.0
+                for tok in sorted(cnt):  # token-asc, left-to-right: the
+                    acc += cnt[tok] * lpm[tok]  # oracle's list_reduce order
+                dls.append(dl)
+                nlls.append(_fixed_point(acc, dl))
+            return _out_table(t.column(id_col), dls, nlls)
+
+        return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    # --- hybrid scale path: broadcast head + token-keyed tail semi-join ---
+    head_tabs = (
+        ray.get(
+            cf_ds.sort(key=["cf", "token"], descending=[True, False])
+            .limit(head_max)
+            .to_arrow_refs()
+        )
+        if head_max > 0
+        else []
+    )
+    head_tbl = (
+        pa.concat_tables(head_tabs, promote_options="default")
+        if head_tabs
+        else pa.table(
+            {"token": pa.array([], pa.string()), "cf": pa.array([], pa.int64())}
+        )
+    )
+    href = ray.put(_lp_map(head_tbl))
+    from engine.stages.join import _arrow_types
+
+    id_type = _arrow_types(ds).get(id_col, pa.int64())
+
+    def comp_rows(t: pa.Table) -> pa.Table:
+        """Per (doc, distinct token): resolved comp rows for head tokens,
+        pending (comp=NaN) rows for tail tokens, plus one dl sentinel row
+        per doc (token '', comp 0.0 — sorts first, adds an exact 0)."""
+        lpm = ray.get(href)
+        out_id, out_tok, out_tf, out_comp = [], [], [], []
+        for d, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            cnt = Counter(_TOKEN.findall(txt or ""))
+            out_id.append(d)
+            out_tok.append("")
+            out_tf.append(sum(cnt.values()))  # dl sentinel
+            out_comp.append(0.0)
+            for tok, c in cnt.items():
+                lp = lpm.get(tok)
+                out_id.append(d)
+                out_tok.append(tok)
+                out_tf.append(c)
+                out_comp.append(c * lp if lp is not None else math.nan)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, id_type),
+                "token": pa.array(out_tok, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+                "comp": pa.array(out_comp, pa.float64()),
+            }
+        )
+
+    rows = ds.map_batches(comp_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    import pyarrow.compute as pc
+
+    pending = rows.map_batches(
+        lambda t: t.filter(pc.is_nan(t.column("comp"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    resolved = rows.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_nan(t.column("comp")))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    # explicit type: an empty value set would otherwise be null-typed
+    head_tokens = pa.array(head_tbl.column("token").to_pylist(), pa.string())
+
+    def model_rows(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("token"), value_set=head_tokens)
+        tail = t.filter(pc.invert(mask))
+        n = tail.num_rows
+        return pa.table(
+            {
+                id_col: pa.array([None] * n, id_type),
+                "token": tail.column("token"),
+                "tf": tail.column("cf"),
+                "comp": pa.array([math.nan] * n, pa.float64()),
+            }
+        )
+
+    # tail model rows ride the same union; tail groups are small by
+    # construction (cf < the head threshold), so no hot token keys
+    tail_model = cf_ds.map_batches(
+        model_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def resolve(df):
+        import pandas as pd
+
+        model = df[df[id_col].isna()]
+        lp = math.log(int(model["tf"].iloc[0]) / n_total)
+        occ = df[df[id_col].notna()]
+        return pd.DataFrame(
+            {
+                id_col: occ[id_col].astype("int64")
+                if pa.types.is_integer(id_type)
+                else occ[id_col],
+                "token": occ["token"],
+                "tf": occ["tf"].astype("int64"),
+                "comp": occ["tf"].astype("int64") * lp,
+            }
+        )
+
+    def to_arrow(df) -> pa.Table:
+        # the final groupby sorts; its input blocks must all be Arrow
+        # (mixing pandas map_groups blocks with Arrow blocks trips the
+        # sort boundary sampler's block-type assertion)
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col], id_type),
+                "token": pa.array(df["token"], pa.string()),
+                "tf": pa.array(df["tf"], pa.int64()),
+                "comp": pa.array(df["comp"], pa.float64()),
+            }
+        )
+
+    tail_resolved = (
+        pending.union(tail_model)
+        .groupby("token")
+        .map_groups(resolve, batch_format="pandas")
+        .map_batches(to_arrow, batch_format="pandas")
+    )
+
+    def doc_sum(df):
+        import pandas as pd
+
+        df = df.sort_values("token", kind="mergesort")
+        dl = int(df.loc[df["token"] == "", "tf"].iloc[0])
+        acc = 0.0
+        for v in df.loc[df["token"] != "", "comp"].tolist():
+            acc += v
+        d = df[id_col].iloc[0]
+        return pd.DataFrame(
+            {
+                id_col: pd.Series([d], dtype=df[id_col].dtype),
+                "n_tokens": pd.Series([dl], dtype="int64"),
+                "nll_nanonat": pd.Series([_fixed_point(acc, dl)], dtype="int64"),
+            }
+        )
+
+    return (
+        resolved.union(tail_resolved)
+        .groupby(id_col)
+        .map_groups(doc_sum, batch_format="pandas")
+    )

@@ -1277,3 +1277,64 @@ def test_index_build_matches_counter_oracle(ray_session):
         if tok in _TOKEN.findall(txt)
     )
     assert [tuple(r) for r in got_p[["token", "doc_id", "tf"]].values] == exp_rows
+
+
+def test_unigram_nll_matches_math_oracle(ray_session):
+    """Unigram-LM mean NLL == a single-process math oracle (same
+    token-asc left-to-right summation), and the hybrid scale path
+    (forced tiny head) is bit-identical to the broadcast path."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.lm import unigram_nll
+    from engine.stages.text import _TOKEN
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog ate the cat"),
+        (3, "rare words xylophone quasar"),
+        (4, ""),  # empty: (0, 0)
+        (5, "the the the"),
+    ]
+    corpus = Counter()
+    for _, txt in docs:
+        corpus.update(_TOKEN.findall(txt))
+    n_total = sum(corpus.values())
+
+    def oracle(txt):
+        cnt = Counter(_TOKEN.findall(txt))
+        dl = sum(cnt.values())
+        acc = 0.0
+        for tok in sorted(cnt):
+            acc += cnt[tok] * math.log(corpus[tok] / n_total)
+        return dl, (math.floor((-1e9 * acc) / dl) if dl else 0)
+
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([x for _, x in docs], pa.string()),
+    })
+    cols = ["doc_id", "n_tokens", "nll_nanonat"]
+    got = (
+        unigram_nll(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        dl, nll = oracle(dict(docs)[r["doc_id"]])
+        assert (r["n_tokens"], r["nll_nanonat"]) == (dl, nll), r["doc_id"]
+    # doc 5 is all-stopword (highest prob -> lowest nll); doc 3 all-rare
+    by_id = got.set_index("doc_id")["nll_nanonat"]
+    assert by_id[5] < by_id[1] < by_id[3]
+
+    for hm in (2, 0):  # head covers some / none of the vocab
+        fb = (
+            unigram_nll(ray.data.from_arrow(t).repartition(3), head_max=hm)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert fb[cols].astype("int64").equals(got[cols].astype("int64")), hm
