@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": q.q_term_stats,
         "postings": q.q_postings,
         "unigram_nll": q.q_unigram_nll,
+        "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
         "json_props": q.q_json_props,
@@ -143,6 +144,47 @@ def _lang_id_sql() -> str:
                     OR 20*sc < nw
                THEN 'unknown' ELSE best END AS lang_pred
         FROM b
+    """
+
+
+def _pii_sql() -> str:
+    """Generate the pii_scrub oracle from engine.stages.pii.PII_RULES
+    (single source of truth).  DuckDB's regex engine is RE2 — the same
+    engine behind pyarrow's count/replace_substring_regex — so counts and
+    replacements match exactly; the staged CTEs mirror the engine's fixed
+    rule order (each rule counts against the previous rule's output).
+    The injection CASEs mirror queries._inject_pii verbatim."""
+    from engine.stages.pii import PII_RULES
+
+    stages = []
+    prev = "t0"
+    for i, (name, pattern, repl) in enumerate(PII_RULES, start=1):
+        cur = f"t{i}"
+        carry = ", ".join(f"n_{n}" for n, _, _ in PII_RULES[: i - 1])
+        carry = carry + ", " if carry else ""
+        stages.append(
+            f"s{i} AS (SELECT doc_id, {carry}"
+            f"CAST(len(regexp_extract_all({prev}, '{pattern}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace({prev}, '{pattern}', '{repl}', 'g') AS {cur} FROM "
+            f"{'inj' if i == 1 else f's{i - 1}'})"
+        )
+        prev = cur
+    n_cols = ", ".join(f"n_{n}" for n, _, _ in PII_RULES)
+    return rf"""
+        WITH inj AS (SELECT doc_id,
+               coalesce(text, '')
+               || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com now' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 '
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' '
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS t0
+             FROM documents),
+        {", ".join(stages)}
+        SELECT doc_id, {n_cols}, {prev} AS clean_text,
+               CAST(length({prev}) AS BIGINT) AS clean_chars
+        FROM s{len(PII_RULES)}
     """
 
 
@@ -257,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "fingerprint": _fingerprint_sql(),
         "bm25_topk": _bm25_sql(),
+        "pii_scrub": _pii_sql(),
         # crawl-snapshot diff: the mutated second snapshot is re-derived
         # in SQL (drop %31, append ' v2' on %17, re-add %41 under +1e6);
         # content compare == md5 compare

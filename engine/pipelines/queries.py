@@ -962,6 +962,43 @@ def q_unigram_nll(sf_dir: str):
     return unigram_nll(ds, id_col="doc_id", text_col="text")
 
 
+def _inject_pii(t):
+    """Deterministic PII fixture synthesis (the corpus is word salad with
+    no natural PII): append an email / phone / IPv4 derived from doc_id.
+    Same device as the SQL-green sink_status fault injector — the oracle
+    applies the identical string construction, so the SCRUB kernel is
+    what gets verified."""
+    import pyarrow as pa
+
+    ids = t.column("doc_id").to_pylist()
+    out = []
+    for d, x in zip(ids, t.column("text").to_pylist()):
+        x = x or ""
+        if d % 3 == 0:
+            x += f" contact user{d}@example.com now"
+        if d % 5 == 0:
+            x += f" call +1 555 {d % 1000:03d} {d % 10000:04d}"
+        if d % 7 == 0:
+            x += f" from 10.0.{d % 256}.{(d * 7) % 256}"
+        out.append(x)
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())}
+    )
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (emails / IPv4 / phones -> typed placeholders) with
+    per-doc match counts, over deterministically injected PII.  The scrub
+    itself is zero-per-row-Python RE2 kernels; DuckDB's regex engine is
+    also RE2, so the full scrubbed text is hash-verified."""
+    from engine.stages.pii import pii_scrub
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _inject_pii, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pii_scrub(ds, id_col="doc_id", text_col="text")
+
+
 def q_snapshot_diff(sf_dir: str):
     """Crawl-snapshot diff: documents vs a deterministically mutated
     second snapshot (doc_id%31 removed, doc_id%17 changed, doc_id%41

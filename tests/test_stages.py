@@ -1338,3 +1338,45 @@ def test_unigram_nll_matches_math_oracle(ray_session):
             .reset_index(drop=True)
         )
         assert fb[cols].astype("int64").equals(got[cols].astype("int64")), hm
+
+
+def test_pii_scrub_redacts_and_counts(ray_session):
+    """RE2 scrub kernels: emails first (their parts contain digits/dots),
+    then IPv4, then phones; counts are per-stage; multiple occurrences and
+    PII-free docs handled."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.pii import pii_scrub
+
+    docs = [
+        (1, "mail a.b+c@x-y.co.uk and d@e.io today"),
+        (2, "server 10.0.255.1 and 192.168.0.254 up"),
+        (3, "call +1 555 867 5309 or +49 123 456 7890"),
+        (4, "plain text, no pii at all"),
+        (5, "mix u@v.com at 8.8.8.8 dial +1 222 333 4444"),
+        (6, None),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([x for _, x in docs], pa.string()),
+    })
+    got = (
+        pii_scrub(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    exp = {
+        1: (2, 0, 0, "mail <EMAIL> and <EMAIL> today"),
+        2: (0, 2, 0, "server <IP> and <IP> up"),
+        3: (0, 0, 2, "call <PHONE> or <PHONE>"),
+        4: (0, 0, 0, "plain text, no pii at all"),
+        5: (1, 1, 1, "mix <EMAIL> at <IP> dial <PHONE>"),
+        6: (0, 0, 0, ""),
+    }
+    for d, (ne, ni, np_, ct) in exp.items():
+        r = got.loc[d]
+        assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (ne, ni, np_), d
+        assert r["clean_text"] == ct, (d, r["clean_text"])
+        assert r["clean_chars"] == len(ct)
