@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": q.q_span_dedup,
         "decontam": q.q_decontam,
         "corpus_overlap": q.q_corpus_overlap,
+        "mixture_sample": q.q_mixture_sample,
+        "domain_terms": q.q_domain_terms,
+        "corpus_filter": q.q_corpus_filter,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
@@ -104,16 +107,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _lang_id_sql() -> str:
-    """Generate the lang_id oracle from engine.lang's stopword lists (single
-    source of truth).  The detector is pure stopword counting with integer
-    thresholds: the 0.05 evidence ratio becomes the exact integer test
-    ``20*sc < nw``, so the whole thing is faithfully SQL-expressible
-    (verified 0 mismatches on all three testdata scale factors)."""
+def _lang_pred_ctes(src: str) -> str:
+    """CTE chain ending in ``lang(doc_id, lang_pred)``, generated from
+    engine.lang's stopword lists (single source of truth) over any source
+    relation ``src(doc_id, text)``.  The detector is pure stopword counting
+    with integer thresholds: the 0.05 evidence ratio becomes the exact
+    integer test ``20*sc < nw``, so the whole thing is faithfully
+    SQL-expressible (verified 0 mismatches on all three testdata scale
+    factors)."""
     from engine.lang import LANGS, _STOPWORDS
 
     score_cols = ",\n    ".join(
-        "len(list_filter(words, x -> list_contains(["
+        "len(list_filter(lwords, x -> list_contains(["
         + ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
         + f"], x))) AS s_{lang}"
         for lang in LANGS
@@ -126,24 +131,105 @@ def _lang_id_sql() -> str:
         )
     case_chain = "\n         ".join(cases)
     greatest = ", ".join(f"s_{l}" for l in LANGS)
-    return f"""
-        WITH w AS (
-          SELECT doc_id, text, regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS words
-          FROM documents
-        ), s AS (
-          SELECT doc_id, text, len(words) AS nw,
+    return f"""lw AS (
+          SELECT doc_id, text, regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS lwords
+          FROM {src}
+        ), ls AS (
+          SELECT doc_id, text, len(lwords) AS nw,
             {score_cols}
-          FROM w
-        ), b AS (
+          FROM lw
+        ), lb AS (
           SELECT doc_id, text, nw, greatest({greatest}) AS sc,
             CASE {case_chain} END AS best
-          FROM s
-        )
-        SELECT doc_id,
-          CASE WHEN text IS NULL OR length(text) < 20 OR nw = 0 OR sc = 0
-                    OR 20*sc < nw
-               THEN 'unknown' ELSE best END AS lang_pred
-        FROM b
+          FROM ls
+        ), lang AS (
+          SELECT doc_id,
+            CASE WHEN text IS NULL OR length(text) < 20 OR nw = 0 OR sc = 0
+                      OR 20*sc < nw
+                 THEN 'unknown' ELSE best END AS lang_pred
+          FROM lb
+        )"""
+
+
+def _lang_id_sql() -> str:
+    return f"""
+        WITH {_lang_pred_ctes("documents")}
+        SELECT doc_id, lang_pred FROM lang
+    """
+
+
+def _filter_inject_sql() -> str:
+    """The corpus_filter fixture-injection CTE ``inj(doc_id, text)`` —
+    mirrors queries._inject_filter_fixture verbatim: doc_id%11==3 docs
+    become one shared boilerplate page (creates an exact-duplicate group),
+    everything else gets the _inject_pii suffixes."""
+    from engine.pipelines.queries import _FILTER_BOILERPLATE
+
+    return f"""inj AS (SELECT doc_id,
+          CASE WHEN doc_id % 11 = 3 THEN '{_FILTER_BOILERPLATE}'
+          ELSE coalesce(text, '')
+            || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com now' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 '
+                         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' '
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+          END AS text FROM documents)"""
+
+
+def _corpus_filter_sql() -> str:
+    """Generate the corpus_filter oracle from the engine's own pieces —
+    the injection CTE, the stopword-language CTE chain (_lang_pred_ctes),
+    the SQL-verified signal definitions (token/char counts, dup-word ppm,
+    alpha ppm, PII_RULES match counts) and the threshold constants
+    imported from engine.stages.filter_pipeline (single source of truth).
+    The ordered CASE mirrors the verdict chain verbatim."""
+    from engine.stages.filter_pipeline import (
+        MAX_DUP_WORD_PPM,
+        MAX_PII,
+        MIN_ALPHA_PPM,
+        MIN_CHARS,
+        MIN_WORDS,
+    )
+    from engine.stages.pii import PII_RULES
+
+    pii_sum = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for _, p, _ in PII_RULES
+    )
+    return rf"""
+        WITH {_filter_inject_sql()},
+        {_lang_pred_ctes("inj")},
+        d AS (SELECT doc_id, text, md5(text) AS h,
+                     regexp_extract_all(text, '[^\t\n\v\f\r ]+') AS w
+              FROM inj),
+        wc AS (SELECT doc_id, unnest(w) AS word FROM d),
+        wcounts AS (SELECT doc_id, word, count(*) AS c FROM wc GROUP BY doc_id, word),
+        wstat AS (SELECT doc_id,
+                         CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS dups
+                  FROM wcounts GROUP BY doc_id),
+        sig AS (SELECT d.doc_id, d.h,
+                   CAST(length(d.text) AS BIGINT) AS n_chars,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(CASE WHEN len(w) > 0
+                             THEN floor(1000000.0 * coalesce(wstat.dups, 0) / len(w))
+                             ELSE 0 END AS BIGINT) AS dup_word_ppm,
+                   CAST(CASE WHEN length(d.text) > 0
+                             THEN floor(1000000.0 * len(regexp_extract_all(d.text, '[A-Za-z]'))
+                                        / length(d.text))
+                             ELSE 0 END AS BIGINT) AS alpha_ppm,
+                   CAST({pii_sum} AS BIGINT) AS n_pii
+                FROM d LEFT JOIN wstat USING (doc_id)),
+        keepid AS (SELECT h, min(doc_id) AS mid FROM sig GROUP BY h)
+        SELECT doc_id, n_chars, n_words,
+          CASE WHEN doc_id <> keepid.mid THEN 'duplicate'
+               WHEN n_pii > {MAX_PII} THEN 'pii'
+               WHEN lang.lang_pred = 'unknown' THEN 'lang'
+               WHEN n_chars < {MIN_CHARS} OR n_words < {MIN_WORDS} THEN 'short'
+               WHEN dup_word_ppm > {MAX_DUP_WORD_PPM} THEN 'repetition'
+               WHEN alpha_ppm < {MIN_ALPHA_PPM} THEN 'quality'
+               ELSE 'kept' END AS status
+        FROM sig JOIN keepid USING (h) JOIN lang USING (doc_id)
     """
 
 
@@ -601,6 +687,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(hit.c, 0) AS BIGINT) AS overlap_grams
             FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) a
             LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+        """,
+        "corpus_filter": _corpus_filter_sql(),
+        # deterministic mixture sampling: all-integer rate derivation
+        # (rate_bp = min(10000, w_bp * ((total*40)//100) // n_domain)) +
+        # the same md5 hash gate as sample_stratified, mod 10000
+        "mixture_sample": """
+            WITH w(source, w_bp) AS (VALUES
+                ('src0', 1000), ('src1', 1000), ('src2', 1000), ('src3', 1000),
+                ('src4', 1000), ('src5', 1000), ('src6', 1000), ('src7', 1000),
+                ('src8', 1000), ('src9', 1000)),
+            cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+            tot AS (SELECT count(*) AS t FROM documents),
+            rates AS (SELECT cnt.source,
+                             LEAST(10000, (w.w_bp * ((tot.t * 40) // 100)) // cnt.n) AS bp
+                      FROM cnt JOIN w USING (source) CROSS JOIN tot)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN rates r USING (source)
+            WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10000 < r.bp
+        """,
+        # grouped top-k: token-count window rank per source; ties break
+        # token-ascending (binary UTF-8 order == Python codepoint order)
+        "domain_terms": r"""
+            WITH tok AS (SELECT source,
+                                unnest(regexp_extract_all(coalesce(text, ''),
+                                                          '[^\t\n\v\f\r ]+')) AS token
+                         FROM documents),
+            cnt AS (SELECT source, token, count(*) AS n FROM tok GROUP BY source, token),
+            rk AS (SELECT source, token, CAST(n AS BIGINT) AS term_count,
+                          CAST(row_number() OVER (
+                              PARTITION BY source ORDER BY n DESC, token ASC
+                          ) AS BIGINT) AS term_rank
+                   FROM cnt)
+            SELECT source, token, term_count, term_rank FROM rk WHERE term_rank <= 10
         """,
         # hash-gated sampling: bucket = int(md5(id)[:8], 16) % 100 — the
         # '0x'-prefixed CAST parses hex identically to Python int(s, 16)

@@ -311,6 +311,81 @@ def q_sample_stratified(sf_dir: str):
     )
 
 
+def q_mixture_sample(sf_dir: str):
+    """Deterministic data-mixing (Pile/Dolma-style source weighting):
+    two-pass integer-arithmetic mixture sampling — tiny per-domain count
+    groupby, then a stateless md5 hash-gate.  SQL-verified end to end
+    (counts, rates and gate all mirrored in the oracle)."""
+    from engine.stages.sample import mixture_sample
+
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    return mixture_sample(
+        ds,
+        id_col="doc_id",
+        domain_col="source",
+        # target mix: 10 weighted sources (the rest drop to 0)
+        weights_bp={f"src{i}": 1000 for i in range(10)},
+        out_frac_pct=40,
+    )
+
+
+def q_domain_terms(sf_dir: str):
+    """Grouped top-k: 10 most frequent tokens per source domain —
+    distributed term count (Counter partials -> groupby Sum) + two-stage
+    per-group top-k; SQL-verified against a window row_number."""
+    from engine.stages.topk import domain_terms
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"], num_blocks=_cpus())
+    return domain_terms(ds, group_col="source", text_col="text", k=10)
+
+
+_FILTER_BOILERPLATE = (
+    "the quick brown fox jumps over the lazy dog while many other animals "
+    "watch from the forest and some birds fly across the open sky in the "
+    "morning light with a gentle wind that carries leaves along the quiet "
+    "river path"
+)
+
+
+def _inject_filter_fixture(t: pa.Table) -> pa.Table:
+    """corpus_filter fixture synthesis: doc_id%11==3 docs become one shared
+    boilerplate page (the corpus has no natural exact dups — this creates
+    one large duplicate group whose min-id member passes every other rule),
+    everything else gets the _inject_pii suffixes.  The oracle applies the
+    identical construction."""
+    ids = t.column("doc_id").to_pylist()
+    out = []
+    for d, x in zip(ids, t.column("text").to_pylist()):
+        if d % 11 == 3:
+            out.append(_FILTER_BOILERPLATE)
+            continue
+        x = x or ""
+        if d % 3 == 0:
+            x += f" contact user{d}@example.com now"
+        if d % 5 == 0:
+            x += f" call +1 555 {d % 1000:03d} {d % 10000:04d}"
+        if d % 7 == 0:
+            x += f" from 10.0.{d % 256}.{(d * 7) % 256}"
+        out.append(x)
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())}
+    )
+
+
+def q_corpus_filter(sf_dir: str):
+    """The composed C4/CCNet-style cleaning chain (dedup -> pii -> lang ->
+    length -> repetition -> quality) as ONE fused signal pass + ONE
+    hash-group verdict — first failing rule per doc, SQL-verified.  Most
+    of the synthetic word-salad corpus honestly fails the language gate;
+    the thresholds are module constants shared with the oracle."""
+    from engine.stages.filter_pipeline import corpus_filter
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus()).map_batches(
+        _inject_filter_fixture, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return corpus_filter(ds, id_col="doc_id", text_col="text")
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing for LLM pretraining: global ordered prefix-sum of
     token counts -> per-doc stream offset and 2048-token pack id

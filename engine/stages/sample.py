@@ -17,6 +17,7 @@ from hashlib import md5
 from typing import Dict, Optional
 
 import pyarrow as pa
+import ray
 import ray.data
 
 
@@ -64,6 +65,89 @@ def stratified_sample(
         strata = t.column(strata_col).to_pylist()
         mask = [
             x < rates.get(s, default_rate_pct) for x, s in zip(b, strata)
+        ]
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mixture_sample(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    weights_bp: Dict[str, int],
+    out_frac_pct: int = 40,
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Deterministic mixture sampling to TARGET per-domain proportions —
+    the data-mixing step of LLM pretraining (e.g. The Pile / Dolma source
+    weighting): the output corpus should be ``out_frac_pct``% of the input
+    with domain ``s`` contributing fraction ``weights_bp[s]/10000`` of it.
+
+    Two passes, all-integer arithmetic so the DuckDB oracle reproduces it
+    bit-for-bit (__ray_entry__ oracle ``mixture_sample``):
+
+    1. per-domain counts — per-batch pre-aggregated, then one tiny
+       ``groupby(domain).Sum`` (cardinality = #domains, never rows);
+       the driver turns counts into basis-point acceptance rates
+       ``rate_bp[s] = min(10000, (weights_bp[s] * out_target) // n_s)``
+       with ``out_target = (total_rows * out_frac_pct) // 100``.
+       A domain without enough rows caps at 100% (you cannot mint data —
+       its shortfall is NOT redistributed, by design: deterministic and
+       composable across runs).  Domains absent from ``weights_bp`` are
+       dropped.
+    2. hash-gate filter — keep iff ``md5(salt+id) % 10000 < rate_bp[s]``:
+       stateless, partitioning-independent, reproducible on any engine.
+
+    Scale: pass 1's shuffle carries (domain, partial_count) rows only;
+    pass 2 is a streaming map with a broadcast dict of #domains entries.
+    """
+
+    def domain_counts(t: pa.Table) -> pa.Table:
+        return (
+            t.select([domain_col])
+            .group_by(domain_col)
+            .aggregate([(domain_col, "count")])
+            .rename_columns([domain_col, "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts_tbl = pa.concat_tables(
+        ray.get(
+            ds.map_batches(
+                domain_counts, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby(domain_col)
+            .aggregate(Sum("n", alias_name="n"))
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    counts = dict(
+        zip(
+            counts_tbl.column(domain_col).to_pylist(),
+            counts_tbl.column("n").to_pylist(),
+        )
+    )
+    total = sum(counts.values())
+    out_target = (total * out_frac_pct) // 100
+    rates_bp = {
+        s: min(10000, (w_bp * out_target) // counts[s])
+        for s, w_bp in weights_bp.items()
+        if counts.get(s)
+    }
+    rates_ref = ray.put(rates_bp)
+
+    def keep(t: pa.Table) -> pa.Table:
+        rates = ray.get(rates_ref)
+        ids = t.column(id_col).to_pylist()
+        doms = t.column(domain_col).to_pylist()
+        mask = [
+            int(md5((salt + str(i)).encode()).hexdigest()[:8], 16) % 10000
+            < rates.get(s, 0)
+            for i, s in zip(ids, doms)
         ]
         return t.filter(pa.array(mask))
 

@@ -1,0 +1,114 @@
+"""Distributed grouped top-k (per-key ranking).
+
+Ray Data has a global ``sort().limit(k)`` but no per-GROUP top-k; this is
+the standard two-stage candidate pattern (same shape as the crawl's salted
+politeness selection, `engine/pipelines/crawl.py`, but fully generic):
+
+1. local candidates — inside ``map_batches``, each block keeps only its
+   own top-k rows PER GROUP (vectorized pandas sort+head).  Candidate
+   volume is bounded by ``k x groups x blocks`` regardless of row count,
+   so the shuffle that follows never moves the data itself.
+2. final ranking — ``groupby(group).map_groups`` sorts each group's
+   candidate pool (<= k x blocks rows, tiny) and emits the global top-k
+   with a dense 1-based ``rank``.
+
+Correct for any total order expressible as a column sort: a row in the
+true global top-k of its group is by definition in its block's local
+top-k, so stage 1 never discards a winner.
+
+``domain_terms`` composes it with a distributed term-count (per-batch
+Counter partials -> groupby Sum, the inverted-index exchange: the shuffle
+carries (group, token, count) rows, never text) into "top-k terms per
+domain" — the per-source vocabulary signal web-corpus pipelines use for
+domain profiling.  SQL-verified (__ray_entry__ oracle ``domain_terms``:
+regexp tokenizer + window row_number).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import List, Sequence
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from engine.stages.text import _TOKEN
+
+
+def grouped_topk(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    order_cols: Sequence[str],
+    descending: Sequence[bool],
+    k: int,
+    rank_col: str = "rank",
+) -> ray.data.Dataset:
+    """Top-k rows per ``group_col`` value under the total order given by
+    ``order_cols``/``descending`` (must be a TOTAL order — include a
+    tiebreaker column), with a 1-based ``rank_col`` appended."""
+    asc = [not d for d in descending]
+    cols = list(order_cols)
+
+    def local_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(cols, ascending=asc, kind="mergesort")
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(cols, ascending=asc, kind="mergesort").head(k)
+        out[rank_col] = pd.Series(
+            range(1, len(out) + 1), index=out.index, dtype="int64"
+        )
+        return out
+
+    return (
+        ds.map_batches(local_candidates, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def domain_terms(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 10,
+) -> ray.data.Dataset:
+    """Top-k most frequent tokens per domain: (group_col, token,
+    term_count, rank); ties break token-ascending (module docstring)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for g, txt in zip(
+            t.column(group_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            for tok in _TOKEN.findall(txt or ""):
+                cnt[(g, tok)] += 1
+        keys: List = list(cnt.keys())
+        return pa.table(
+            {
+                group_col: pa.array([g for g, _ in keys], t.column(group_col).type),
+                "token": pa.array([tok for _, tok in keys], pa.string()),
+                "term_count": pa.array([cnt[key] for key in keys], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "token"])
+        .aggregate(Sum("term_count", alias_name="term_count"))
+    )
+    return grouped_topk(
+        counts,
+        group_col=group_col,
+        order_cols=["term_count", "token"],
+        descending=[True, False],
+        k=k,
+        rank_col="term_rank",
+    )

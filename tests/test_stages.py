@@ -1380,3 +1380,142 @@ def test_pii_scrub_redacts_and_counts(ray_session):
         assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (ne, ni, np_), d
         assert r["clean_text"] == ct, (d, r["clean_text"])
         assert r["clean_chars"] == len(ct)
+
+
+def test_mixture_sample_targets_and_determinism(ray_session):
+    """mixture_sample hits the per-domain targets (within hash-gate noise),
+    drops unweighted domains, and is partitioning-independent."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.sample import mixture_sample
+
+    n = 3000
+    doms = ["a", "b", "c"]  # c unweighted -> dropped
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array([doms[i % 3] for i in range(n)], pa.string()),
+        }
+    )
+    # out target = 40% of 3000 = 1200; a gets 75% of it, b 25%
+    weights = {"a": 7500, "b": 2500}
+    kw = dict(id_col="doc_id", domain_col="source", weights_bp=weights,
+              out_frac_pct=40)
+    got1 = mixture_sample(
+        ray.data.from_arrow(t), **kw
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got8 = mixture_sample(
+        ray.data.from_arrow(t).repartition(8), **kw
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got1.equals(got8)  # partitioning-independent
+    by = got1.groupby("source").size().to_dict()
+    assert "c" not in by
+    # rate_bp: a = min(10000, 7500*1200//1000) = 9000 -> ~900 of 1000
+    # (hash-gate binomial noise; 5 sigma ~ 47)
+    assert abs(by["a"] - 900) < 60, by
+    # b = 2500*1200//1000 = 3000 -> ~300
+    assert abs(by["b"] - 300) < 60, by
+    # capping: weight so large the domain cannot supply it -> keep all
+    gotcap = mixture_sample(
+        ray.data.from_arrow(t),
+        id_col="doc_id", domain_col="source",
+        weights_bp={"a": 10000}, out_frac_pct=400,
+    ).to_pandas()
+    assert len(gotcap) == 1000 and set(gotcap["source"]) == {"a"}
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    """Two-stage grouped top-k == single-process pandas oracle across block
+    counts (stage-1 locality must never discard a global winner)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.topk import grouped_topk
+
+    rs = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "g": rs.randint(0, 7, 500),
+            "v": rs.randint(0, 40, 500),  # heavy ties -> tiebreaker matters
+            "id": np.arange(500, dtype=np.int64),
+        }
+    )
+    exp = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False)
+        .head(5)
+    )
+    exp = exp.sort_values(["g", "v", "id"], ascending=[True, False, True]).reset_index(drop=True)
+    exp["rank"] = exp.groupby("g").cumcount() + 1
+    for nblocks in (1, 4, 16):
+        got = (
+            grouped_topk(
+                ray.data.from_pandas(df).repartition(nblocks),
+                group_col="g",
+                order_cols=["v", "id"],
+                descending=[True, False],
+                k=5,
+            )
+            .to_pandas()
+            .sort_values(["g", "v", "id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["g", "v", "id", "rank"]], exp[["g", "v", "id", "rank"]]
+        )
+
+
+def test_corpus_filter_rule_chain(ray_session):
+    """Each rule fires on a purpose-built doc; first-failing-rule order is
+    pinned (duplicate > pii > lang > short > repetition > quality)."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.filter_pipeline import corpus_filter
+
+    good = (
+        "the quick brown fox jumps over the lazy dog while many other animals "
+        "watch from the forest and some birds fly across the open sky in the "
+        "morning light with a gentle wind that carries leaves along the quiet "
+        "river path today"
+    )
+    pii3 = good + " a@b.com c@d.com e@f.gov"
+    # all-stopword filler: passes the lang gate, ~99.6% repeated tokens
+    rep = "the and " * 125 + "fox"
+    # 40 DISTINCT digit tokens + stopwords: no word repeats (repetition
+    # passes), alpha ratio far below the gate, enough stopword evidence
+    nonalpha = (
+        " ".join(str(1000000000 + i) for i in range(40))
+        + " the is and of to on in at"
+    )
+    docs = [
+        (1, good),            # kept
+        (2, good),            # duplicate of 1 (min id wins)
+        (3, pii3),            # pii (>2 matches)
+        (4, "zzz qqq xxx " * 40),  # lang: no stopwords -> unknown
+        (5, "the cat sat on the mat and it was good there then"),  # short
+        (6, rep),             # repetition (dup_word_ppm ~ 97%)
+        (7, nonalpha),        # quality (alpha_ppm < 76%) if lang passes
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x in docs], pa.string()),
+        }
+    )
+    got = (
+        corpus_filter(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")["status"]
+        .to_dict()
+    )
+    assert got[1] == "kept", got
+    assert got[2] == "duplicate", got
+    assert got[3] == "pii", got
+    assert got[4] == "lang", got
+    assert got[5] == "short", got
+    assert got[6] == "repetition", got
+    assert got[7] == "quality", got
