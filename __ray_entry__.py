@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q.q_mixture_sample,
         "domain_terms": q.q_domain_terms,
         "corpus_filter": q.q_corpus_filter,
+        "incremental_index": q.q_incremental_index,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
@@ -689,6 +690,25 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
         """,
         "corpus_filter": _corpus_filter_sql(),
+        # incremental re-index: the engine re-processes ONLY added/changed
+        # docs (hash diff vs the old state) and carries 'same' rows; the
+        # oracle is a FULL reprocess of the mutated snapshot — the two
+        # must be bit-identical (that equality IS the resume semantics)
+        "incremental_index": r"""
+            WITH o AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            newsnap AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM o WHERE doc_id % 31 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+              FROM o WHERE doc_id % 41 = 0
+            )
+            SELECT doc_id, md5(text) AS h,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '[^\t\n\v\f\r ]+')) AS BIGINT) AS n_tokens
+            FROM newsnap
+        """,
         # deterministic mixture sampling: all-integer rate derivation
         # (rate_bp = min(10000, w_bp * ((total*40)//100) // n_domain)) +
         # the same md5 hash gate as sample_stratified, mod 10000

@@ -242,6 +242,7 @@ def run_bench(extract_only: bool = False) -> dict:
     timed("pricing_summary", q.q_pricing_summary)
     timed("events_window", q.q_events_window)
     timed("surt_hosts", q.q_surt_hosts)
+    timed("corpus_filter", q.q_corpus_filter)
 
     headline = extract_sec + crawl_sec
     result = {

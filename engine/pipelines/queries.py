@@ -1082,30 +1082,79 @@ def q_snapshot_diff(sf_dir: str):
     from engine.stages.diff import snapshot_diff
 
     old = _docs(sf_dir, ["doc_id", "text"])
-
-    def mutate(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = [x or "" for x in t.column("text").to_pylist()]
-        keep = ids % 31 != 0
-        out_ids = ids[keep].tolist()
-        out_txt = [
-            txt + " v2" if i % 17 == 0 else txt
-            for i, txt in zip(ids[keep], [texts[j] for j in np.nonzero(keep)[0]])
-        ]
-        add = ids % 41 == 0
-        out_ids += (ids[add] + 1_000_000).tolist()
-        out_txt += ["new " + texts[j] for j in np.nonzero(add)[0]]
-        return pa.table(
-            {
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "text": pa.array(out_txt, pa.string()),
-            }
-        )
-
     new = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        mutate, batch_format="pyarrow", zero_copy_batch=True
+        _snapshot_mutation, batch_format="pyarrow", zero_copy_batch=True
     )
     return snapshot_diff(old, new, key_col="doc_id", content_col="text")
+
+
+def _snapshot_mutation(t: pa.Table) -> pa.Table:
+    """The deterministic second-crawl snapshot used by snapshot_diff AND
+    incremental_index: doc_id%31 removed, %17 changed (' v2' appended),
+    %41 re-added under +1e6.  The oracle re-derives it in SQL."""
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    txts = [x or "" for x in t.column("text").to_pylist()]
+    keep = ids % 31 != 0
+    out_ids = list(ids[keep])
+    out_txt = [
+        x + " v2" if i % 17 == 0 else x
+        for i, x in zip(ids[keep], [txts[j] for j in np.flatnonzero(keep)])
+    ]
+    readd = ids % 41 == 0
+    out_ids += [int(i) + 1000000 for i in ids[readd]]
+    out_txt += ["new " + txts[j] for j in np.flatnonzero(readd)]
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "text": pa.array(out_txt, pa.string()),
+        }
+    )
+
+
+def _index_process(t: pa.Table) -> pa.Table:
+    """The per-doc 'extraction' applied on (re-)index: content hash +
+    token/char counts.  Shared by the full (state-building) and
+    incremental paths so equality is meaningful."""
+    from hashlib import md5 as _md5
+
+    txt = pc.fill_null(t.column("text"), "")
+    hs = [ _md5(x.encode()).hexdigest() for x in txt.to_pylist() ]
+    toks = pc.count_substring_regex(txt, pattern=tx._TOKEN.pattern).cast(pa.int64())
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "h": pa.array(hs, pa.string()),
+            "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+            "n_tokens": toks,
+        }
+    )
+
+
+def q_incremental_index(sf_dir: str):
+    """Incremental re-indexing (the reference's resume-cache operating
+    model, distributed): previous index state + a mutated second snapshot
+    -> new index state, re-processing ONLY added/changed docs (hash-diff
+    classify; 'same' rows carried verbatim).  The oracle is a FULL
+    reprocess of the new snapshot — incremental must equal full
+    bit-for-bit."""
+    from engine.stages.diff import incremental_reindex
+
+    raw = _docs(sf_dir, ["doc_id", "text"])
+    old_state = raw.map_batches(
+        _index_process, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    new = raw.map_batches(
+        _snapshot_mutation, batch_format="pyarrow", zero_copy_batch=True
+    )
+    result, _, _ = incremental_reindex(
+        old_state,
+        new,
+        key_col="doc_id",
+        content_col="text",
+        process_fn=_index_process,
+        state_h_col="h",
+    )
+    return result
 
 
 def q_latest_events(sf_dir: str):

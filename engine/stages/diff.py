@@ -102,6 +102,196 @@ def snapshot_diff(
     return agg.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def incremental_reindex(
+    old_state: ray.data.Dataset,
+    new: ray.data.Dataset,
+    *,
+    key_col: str = "doc_id",
+    content_col: str = "text",
+    process_fn,
+    state_h_col: str = "h",
+    broadcast_max: int = 5_000_000,
+):
+    """Incremental re-indexing: produce the index state for the NEW crawl
+    snapshot while re-processing ONLY added/changed documents — the
+    reference's whole operating model (its Redis resume cache skips
+    already-indexed records one URL at a time,
+    /root/reference/warc_indexer/indexer/es_sink.py resume path; here the
+    skip-set is derived distributedly from content hashes in one pass).
+
+    ``old_state`` is the previous run's PROCESSED output and must carry
+    the content hash in ``state_h_col`` plus the same columns
+    ``process_fn`` emits.  ``new`` is the raw (key, text) snapshot.
+    ``process_fn`` is a map_batches callable (pa.Table -> pa.Table) that
+    must include (key_col, state_h_col) in its output.
+
+    Plan (no text ever shuffles):
+    1. (key, h) rows from BOTH sides — old side reads its stored hash, new
+       side hashes its text map-side — union + one groupby(key) classify
+       (same exchange as ``snapshot_diff``; hash rows only).
+    2. The classified key sets (reprocess = added|changed, keep = same)
+       are applied as FILTERS against the raw sides.  Below
+       ``broadcast_max`` keys the sets broadcast via ``ray.put`` (the
+       normal case: a daily diff is small relative to the corpus);
+       above it, each side unions with its key set and a groupby(key)
+       semi-join selects survivors (documented fallback: the new side's
+       text then shuffles once by key — unavoidable when the diff itself
+       is corpus-sized).  Both paths are test-pinned identical.
+    3. result = process_fn(new rows needing work) UNION old rows kept
+       verbatim.  Bit-identical to a full reprocess (pinned by
+       tests/test_stages.py::test_incremental_reindex_matches_full).
+
+    Returns (result_dataset, n_reprocessed, n_carried).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    def old_kh(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "h_old": t.column(state_h_col),
+                "h_new": pa.array([None] * n, pa.string()),
+            }
+        )
+
+    def new_kh(t: pa.Table) -> pa.Table:
+        hs = pa.array(
+            [
+                md5((x or "").encode()).hexdigest()
+                for x in t.column(content_col).to_pylist()
+            ],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "h_old": pa.array([None] * t.num_rows, pa.string()),
+                "h_new": hs,
+            }
+        )
+
+    agg = (
+        old_state.map_batches(old_kh, batch_format="pyarrow", zero_copy_batch=True)
+        .union(new.map_batches(new_kh, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby(key_col)
+        .aggregate(
+            Max("h_old", alias_name="h_old", ignore_nulls=True),
+            Max("h_new", alias_name="h_new", ignore_nulls=True),
+        )
+        .materialize()
+    )
+
+    # reprocess: in new, and (not in old, or hash differs).  Kleene
+    # variants: added keys have h_old NULL, and plain and_/or_ PROPAGATE
+    # null — the filter would silently drop every added doc.
+    reproc = agg.map_batches(
+        lambda t: t.filter(
+            pc.and_kleene(
+                pc.is_valid(t.column("h_new")),
+                pc.or_kleene(
+                    pc.is_null(t.column("h_old")),
+                    pc.not_equal(t.column("h_old"), t.column("h_new")),
+                ),
+            )
+        ).select([key_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    keep = agg.map_batches(
+        lambda t: t.filter(
+            pc.and_kleene(
+                pc.is_valid(t.column("h_new")),
+                pc.and_kleene(
+                    pc.is_valid(t.column("h_old")),
+                    pc.equal(t.column("h_old"), t.column("h_new")),
+                ),
+            )
+        ).select([key_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    n_reproc = reproc.count()
+    n_keep = keep.count()
+
+    def select_by(ds: ray.data.Dataset, keys: ray.data.Dataset, n_keys: int):
+        if n_keys <= broadcast_max:
+            key_tabs = ray.get(keys.to_arrow_refs())
+            kset = (
+                pa.concat_tables(key_tabs, promote_options="default")
+                .column(key_col)
+                .to_pylist()
+                if key_tabs
+                else []
+            )
+            ref = ray.put(set(kset))
+
+            def f(t: pa.Table) -> pa.Table:
+                ks = ray.get(ref)
+                mask = pa.array([k in ks for k in t.column(key_col).to_pylist()])
+                return t.filter(mask)
+
+            return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+        # scale fallback: union + groupby(key) semi-join — the marker row
+        # (payload columns null, _sel true) flags its key group as selected
+        schema = {f.name: f.type for f in ds.schema().base_schema}
+        payload = [(c, schema[c]) for c in schema if c != key_col]
+
+        def markers(t: pa.Table) -> pa.Table:
+            out = {key_col: t.column(key_col).cast(schema[key_col])}
+            for c, typ in payload:
+                out[c] = pa.array([None] * t.num_rows, typ)
+            out["_sel"] = pa.array([True] * t.num_rows, pa.bool_())
+            return pa.table(out)
+
+        def tag(t: pa.Table) -> pa.Table:
+            out = {key_col: t.column(key_col)}
+            for c, _ in payload:
+                out[c] = t.column(c)
+            out["_sel"] = pa.array([False] * t.num_rows, pa.bool_())
+            return pa.table(out)
+
+        # null marker rows promote int64 payload to float64 inside the
+        # group frame — astype back once the markers are dropped (repo
+        # rule), and re-emit Arrow blocks with the original schema so
+        # downstream sorts/groupbys never see mixed block types
+        int_cols = [c for c, typ in payload if pa.types.is_integer(typ)]
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            out = (
+                df[~df["_sel"]]
+                if df["_sel"].any()
+                else df.iloc[0:0]
+            ).drop(columns=["_sel"])
+            for c in int_cols:
+                out = out.assign(**{c: out[c].astype("int64")})
+            return out
+
+        def to_arrow(df: pd.DataFrame) -> pa.Table:
+            return pa.table(
+                {c: pa.array(df[c], schema[c]) for c in [key_col] + [p[0] for p in payload]}
+            )
+
+        tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        marked = keys.map_batches(markers, batch_format="pyarrow", zero_copy_batch=True)
+        return (
+            tagged.union(marked)
+            .groupby(key_col)
+            .map_groups(pick, batch_format="pandas")
+            .map_batches(to_arrow, batch_format="pandas")
+        )
+
+    to_process = select_by(new, reproc, n_reproc)
+    carried = select_by(old_state, keep, n_keep)
+    processed = to_process.map_batches(
+        process_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return processed.union(carried), n_reproc, n_keep
+
+
 def latest_events(
     ds: ray.data.Dataset,
     *,

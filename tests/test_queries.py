@@ -64,7 +64,7 @@ SQL_NAMES = [
     "rep_stats", "line_dedup", "span_dedup", "decontam", "corpus_overlap",
     "bm25_topk", "term_stats", "postings", "unigram_nll", "pii_scrub",
     "snapshot_diff", "latest_events", "json_props",
-    "mixture_sample", "domain_terms", "corpus_filter",
+    "mixture_sample", "domain_terms", "corpus_filter", "incremental_index",
 ]
 
 

@@ -1519,3 +1519,68 @@ def test_corpus_filter_rule_chain(ray_session):
     assert got[5] == "short", got
     assert got[6] == "repetition", got
     assert got[7] == "quality", got
+
+
+def test_incremental_reindex_matches_full(ray_session):
+    """Incremental re-index == full reprocess bit-for-bit, on BOTH the
+    broadcast path and the forced union+groupby fallback; exactly
+    added+changed docs are re-processed."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from engine.pipelines.queries import _index_process
+    from engine.stages.diff import incremental_reindex
+
+    n = 200
+    v1 = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"doc {i} body text alpha beta" for i in range(n)], pa.string()),
+        }
+    )
+    # v2: %13 removed, %7 changed, 20 added
+    ids2, txt2 = [], []
+    for i in range(n):
+        if i % 13 == 0:
+            continue
+        ids2.append(i)
+        txt2.append(
+            f"doc {i} body text alpha beta" + (" CHANGED" if i % 7 == 0 else "")
+        )
+    for i in range(n, n + 20):
+        ids2.append(i)
+        txt2.append(f"brand new doc {i}")
+    v2 = pa.table(
+        {"doc_id": pa.array(ids2, pa.int64()), "text": pa.array(txt2, pa.string())}
+    )
+    n_changed = sum(1 for i in ids2 if i < n and i % 7 == 0)
+    n_added = 20
+
+    old_state = (
+        ray.data.from_arrow(v1)
+        .repartition(4)
+        .map_batches(_index_process, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    full = (
+        ray.data.from_arrow(v2)
+        .map_batches(_index_process, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for gate in (5_000_000, 0):  # broadcast path, then forced fallback
+        res, n_re, n_keep = incremental_reindex(
+            old_state,
+            ray.data.from_arrow(v2).repartition(4),
+            key_col="doc_id",
+            content_col="text",
+            process_fn=_index_process,
+            state_h_col="h",
+            broadcast_max=gate,
+        )
+        got = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[full.columns.tolist()], full)
+        assert n_re == n_changed + n_added, (gate, n_re)
+        assert n_keep == len(ids2) - n_re, (gate, n_keep)
