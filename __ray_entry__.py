@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_terms": q.q_domain_terms,
         "corpus_filter": q.q_corpus_filter,
         "incremental_index": q.q_incremental_index,
+        "export_shards": q.q_export_shards,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
@@ -690,6 +691,20 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
         """,
         "corpus_filter": _corpus_filter_sql(),
+        # sharded-export manifest: the engine writes hash-assigned parquet
+        # shards and derives the manifest by reading the files back; the
+        # oracle computes the same (shard, count, independent-hash-slice
+        # sum) from the source table — a full write+read round-trip check
+        "export_shards": """
+            WITH s AS (SELECT
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 16 AS shard,
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+                      AS BIGINT) AS idh
+               FROM documents)
+            SELECT shard, count(*) AS n_rows, CAST(sum(idh) AS BIGINT) AS sum_idh
+            FROM s GROUP BY shard
+        """,
         # incremental re-index: the engine re-processes ONLY added/changed
         # docs (hash diff vs the old state) and carries 'same' rows; the
         # oracle is a FULL reprocess of the mutated snapshot — the two

@@ -386,6 +386,20 @@ def q_corpus_filter(sf_dir: str):
     return corpus_filter(ds, id_col="doc_id", text_col="text")
 
 
+def q_export_shards(sf_dir: str):
+    """Training-ready sharded export: hash-assigned parquet shards written
+    to disk, manifest (shard, n_rows, sum_idh) derived by READING THE
+    FILES BACK — the oracle computes the same manifest from the source
+    table, so wrong routing / dropped rows / duplicate part files all
+    fail the hash check."""
+    from engine.stages.export import export_shards
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return export_shards(
+        ds, id_col="doc_id", out_dir="/tmp/bench_out/export_shards", n_shards=16
+    )
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing for LLM pretraining: global ordered prefix-sum of
     token counts -> per-doc stream offset and 2048-token pack id

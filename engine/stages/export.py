@@ -1,0 +1,99 @@
+"""Training-ready sharded corpus export.
+
+The last stage of an LLM data pipeline materializes the cleaned corpus as
+N deterministic shards (data-loader workers each read their own shard;
+re-runs must produce byte-identical shard membership).  ``export_shards``
+assigns ``shard = int(md5(salt+id)[:8], 16) % n_shards`` map-side (the
+repo's cross-engine hash-gate device, engine/stages/sample.py), sorts by
+(shard, id) so each shard's parquet files are internally ordered and the
+partitioned write produces one contiguous file run per shard (repo rule:
+``partition_cols`` after a parallel map without a sort -> one sliver file
+per task x partition), and writes ``out_dir/shard=K/``.
+
+It returns a MANIFEST table derived by reading the written files back —
+(shard, n_rows, sum_idh) where ``sum_idh`` sums a second, independent
+32-bit slice of the id hash (md5 hex chars 9..16) — so the driver oracle
+(__ray_entry__ ``export_shards``) verifies the WHOLE write+read round
+trip against DuckDB computing the same manifest from the source table:
+wrong shard routing, dropped rows, or duplicated part files all break the
+hash sum.
+
+Scale: assignment is a stateless streaming map; the single all-to-all is
+the (shard, id) sort every deterministic exporter needs; the manifest
+aggregation moves one partial row per (block, shard).
+"""
+
+from __future__ import annotations
+
+import shutil
+from hashlib import md5
+
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _hash_cols(ids, salt: str):
+    shard_h, idh = [], []
+    for v in ids:
+        hx = md5((salt + str(v)).encode()).hexdigest()
+        shard_h.append(int(hx[:8], 16))
+        idh.append(int(hx[8:16], 16))
+    return shard_h, idh
+
+
+def export_shards(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    out_dir: str,
+    n_shards: int = 16,
+    salt: str = "",
+) -> ray.data.Dataset:
+    """Write ``ds`` as ``n_shards`` hash-assigned parquet shards under
+    ``out_dir`` (cleared first — write_parquet appends into existing
+    dirs) and return the read-back manifest (shard, n_rows, sum_idh)."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        sh, idh = _hash_cols(t.column(id_col).to_pylist(), salt)
+        return t.append_column(
+            "shard", pa.array([h % n_shards for h in sh], pa.int64())
+        ).append_column("idh", pa.array(idh, pa.int64()))
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["shard", id_col])
+        .write_parquet(out_dir, partition_cols=["shard"])
+    )
+
+    # manifest FROM THE WRITTEN FILES: verifies the full write+read loop
+    back = ray.data.read_parquet(out_dir, columns=["shard", "idh"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # hive partition columns can read back dictionary/string-typed
+        t = t.set_column(
+            t.schema.get_field_index("shard"),
+            "shard",
+            pc.cast(t.column("shard"), pa.int64()),
+        )
+        return (
+            t.group_by("shard")
+            .aggregate([("idh", "sum"), ("shard", "count")])
+            .rename_columns(["shard", "sum_idh", "n_rows"])
+        )
+
+    return (
+        back.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .aggregate(
+            Sum("sum_idh", alias_name="sum_idh"), Sum("n_rows", alias_name="n_rows")
+        )
+        .map_batches(
+            lambda t: t.select(["shard", "n_rows", "sum_idh"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )

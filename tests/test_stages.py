@@ -1584,3 +1584,63 @@ def test_incremental_reindex_matches_full(ray_session):
         pd.testing.assert_frame_equal(got[full.columns.tolist()], full)
         assert n_re == n_changed + n_added, (gate, n_re)
         assert n_keep == len(ids2) - n_re, (gate, n_keep)
+
+
+def test_export_shards_roundtrip(ray_session, tmp_path):
+    """Sharded export: manifest totals match the input, shard routing is
+    the cross-engine md5 gate, files are internally id-sorted, and a
+    re-run replaces (never appends) the output."""
+    from hashlib import md5 as _md5
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from engine.stages.export import export_shards
+
+    n = 400
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(n)], pa.string()),
+        }
+    )
+    out = str(tmp_path / "shards")
+    for _run in range(2):  # second run must replace, not append
+        man = (
+            export_shards(
+                ray.data.from_arrow(t).repartition(4),
+                id_col="doc_id",
+                out_dir=out,
+                n_shards=8,
+            )
+            .to_pandas()
+            .sort_values("shard")
+            .reset_index(drop=True)
+        )
+        assert man["n_rows"].sum() == n, man
+        # oracle manifest from the raw ids
+        exp = {}
+        for i in range(n):
+            hx = _md5(str(i).encode()).hexdigest()
+            s = int(hx[:8], 16) % 8
+            c, h = exp.get(s, (0, 0))
+            exp[s] = (c + 1, h + int(hx[8:16], 16))
+        for row in man.itertuples(index=False):
+            assert exp[row.shard] == (row.n_rows, row.sum_idh), row
+    # within-shard parquet files are id-sorted and contain only their shard
+    import glob
+
+    seen = 0
+    for d in sorted(glob.glob(out + "/shard=*")):
+        shard = int(d.rsplit("=", 1)[1])
+        ids = []
+        for f in sorted(glob.glob(d + "/*.parquet")):
+            fids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+            assert fids == sorted(fids), f  # each file internally id-sorted
+            ids.extend(fids)
+        assert all(
+            int(_md5(str(i).encode()).hexdigest()[:8], 16) % 8 == shard for i in ids
+        )
+        seen += len(ids)
+    assert seen == n
