@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": q.q_corpus_filter,
         "incremental_index": q.q_incremental_index,
         "export_shards": q.q_export_shards,
+        "chunk_docs": q.q_chunk_docs,
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
@@ -691,6 +692,26 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
         """,
         "corpus_filter": _corpus_filter_sql(),
+        # overlapping token-window chunking: stride 48 (= 64 - 16);
+        # chunk k covers tokens [48k, 48k+64); list_slice is 1-based
+        # inclusive and clamps at the list end, matching Python slicing
+        "chunk_docs": r"""
+            WITH d AS (SELECT doc_id,
+                              regexp_extract_all(coalesce(text, ''),
+                                                 '[^\t\n\v\f\r ]+') AS w
+                       FROM documents),
+            c AS (SELECT doc_id, w,
+                         unnest(range((len(w) + 47) // 48)) AS chunk_id
+                  FROM d)
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+                   CAST(len(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64))
+                        AS BIGINT) AS n_tok,
+                   array_to_string(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64),
+                                   ' ') AS chunk_text
+            FROM c
+        """,
         # sharded-export manifest: the engine writes hash-assigned parquet
         # shards and derives the manifest by reading the files back; the
         # oracle computes the same (shard, count, independent-hash-slice

@@ -7,6 +7,8 @@ guaranteed dependency here; the subcommand surface is preserved):
   index-setup      validate config, emit output schemas + scaffolding
   crawl            frontier crawl over a pages/links table
   clean            remove a checkpoint/output directory
+  filter           composed C4/CCNet cleaning-chain verdicts
+  export           sharded training export + round-trip manifest
 
 Run under a Ray job:  ray job submit -- python -m engine.cli index ...
 Owns its own Ray session (guarded init; the library never calls ray.init).
@@ -22,7 +24,11 @@ import sys
 import time
 
 
+_OWNS_SESSION = False
+
+
 def _ray_session(num_cpus: int | None):
+    global _OWNS_SESSION
     import ray
 
     if not ray.is_initialized():
@@ -33,10 +39,20 @@ def _ray_session(num_cpus: int | None):
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
+        _OWNS_SESSION = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_tensor_extension_casting = False
     return ray
+
+
+def _shutdown(ray) -> None:
+    """Shut down only a session this CLI started — never a caller's (e.g.
+    the pytest session fixture's)."""
+    global _OWNS_SESSION
+    if _OWNS_SESSION:
+        ray.shutdown()
+        _OWNS_SESSION = False
 
 
 def cmd_index(args) -> int:
@@ -67,7 +83,7 @@ def cmd_index(args) -> int:
         print(f"DRY RUN — would index {total - skipped} of {total} docs")
         print(counts.to_string())
         print(f"Time taken: {time.monotonic() - t0:.2f}s")
-        ray.shutdown()
+        _shutdown(ray)
         return 0
     out = run_index_pipeline_resumable(
         args.pages,
@@ -79,7 +95,7 @@ def cmd_index(args) -> int:
         concurrency=(1, max(2, (args.num_cpus or os.cpu_count() or 4) * 3 // 4)),
     )
     print(f"Time taken: {time.monotonic() - t0:.2f}s -> {out}")
-    ray.shutdown()
+    _shutdown(ray)
     return 0
 
 
@@ -93,7 +109,7 @@ def cmd_prepare_lookups(args) -> int:
         spam_ranks_path=args.spam_ranks, page_ranks_path=args.page_ranks,
     )
     print(f"Time taken: {time.monotonic() - t0:.2f}s -> {out}")
-    ray.shutdown()
+    _shutdown(ray)
     return 0
 
 
@@ -116,6 +132,47 @@ def cmd_index_setup(args) -> int:
     with open(path, "w") as f:
         json.dump(schemas, f, indent=2)
     print(f"wrote {path}")
+    return 0
+
+
+def cmd_filter(args) -> int:
+    """Run the composed C4/CCNet-style cleaning chain over a documents
+    parquet: write per-doc verdicts, print the status rollup."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data
+
+    from engine.stages.filter_pipeline import corpus_filter, filter_report
+
+    t0 = time.monotonic()
+    ds = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    verdicts = corpus_filter(ds, id_col=args.id_col, text_col=args.text_col)
+    shutil.rmtree(args.out, ignore_errors=True)
+    verdicts.write_parquet(args.out)
+    report = filter_report(ray.data.read_parquet(args.out, columns=["status"]))
+    for status in sorted(report):
+        print(f"{status:12s} {report[status]}")
+    print(f"Time taken: {time.monotonic() - t0:.2f}s -> {args.out}")
+    _shutdown(ray)
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Sharded training export: hash-assigned parquet shards + manifest."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data
+
+    from engine.stages.export import export_shards
+
+    t0 = time.monotonic()
+    ds = ray.data.read_parquet(args.docs)
+    manifest = export_shards(
+        ds, id_col=args.id_col, out_dir=args.out, n_shards=args.n_shards
+    ).to_pandas().sort_values("shard")
+    total = int(manifest["n_rows"].sum())
+    print(manifest.to_string(index=False))
+    print(f"Time taken: {time.monotonic() - t0:.2f}s -> {total} rows in "
+          f"{len(manifest)} shards under {args.out}")
+    _shutdown(ray)
     return 0
 
 
@@ -157,7 +214,7 @@ def cmd_crawl(args) -> int:
         f"Time taken: {time.monotonic() - t0:.2f}s — fetched {order.num_rows} URLs, "
         f"seen {seen.num_rows}; outputs in {args.workdir}"
     )
-    ray.shutdown()
+    _shutdown(ray)
     return 0
 
 
@@ -215,6 +272,22 @@ def main(argv=None) -> int:
     d = sub.add_parser("clean", help="remove a checkpoint/output dir")
     d.add_argument("path")
     d.set_defaults(fn=cmd_clean)
+
+    f = sub.add_parser("filter", help="composed cleaning-chain verdicts")
+    f.add_argument("docs", help="documents parquet path/glob")
+    f.add_argument("out", help="verdict output dir")
+    f.add_argument("--id-col", default="doc_id")
+    f.add_argument("--text-col", default="text")
+    f.add_argument("--num-cpus", type=int, default=None)
+    f.set_defaults(fn=cmd_filter)
+
+    e = sub.add_parser("export", help="sharded training export + manifest")
+    e.add_argument("docs", help="documents parquet path/glob")
+    e.add_argument("out", help="shard output dir")
+    e.add_argument("--id-col", default="doc_id")
+    e.add_argument("--n-shards", type=int, default=64)
+    e.add_argument("--num-cpus", type=int, default=None)
+    e.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     return args.fn(args)

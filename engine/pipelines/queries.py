@@ -386,6 +386,15 @@ def q_corpus_filter(sf_dir: str):
     return corpus_filter(ds, id_col="doc_id", text_col="text")
 
 
+def q_chunk_docs(sf_dir: str):
+    """Overlapping token-window chunking (RAG / long-context prep):
+    one row per 64-token chunk with 16-token overlap; chunk text is
+    whitespace-normalized so the oracle reproduces it exactly via
+    list_slice + array_to_string."""
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return tx.chunk_docs(ds, id_col="doc_id", text_col="text", seq_len=64, overlap=16)
+
+
 def q_export_shards(sf_dir: str):
     """Training-ready sharded export: hash-assigned parquet shards written
     to disk, manifest (shard, n_rows, sum_idh) derived by READING THE

@@ -247,3 +247,61 @@ def fingerprint(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.
     return batch.append_column("doc_fp", pa.array(doc_fp, type=pa.uint64())).append_column(
         "win_fp", pa.array(win_fp, type=pa.uint64())
     )
+
+
+def chunk_docs(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 64,
+    overlap: int = 16,
+):
+    """Split documents into overlapping token windows — the RAG /
+    long-context preprocessing step (fixed-size chunks with overlap so no
+    span is cut at a boundary without context).  Output one row per chunk:
+    (id_col, chunk_id, start_tok, n_tok, chunk_text), where chunk k covers
+    tokens [k*stride, k*stride + seq_len) with stride = seq_len - overlap,
+    and chunk_text re-joins the tokens with single spaces (whitespace-
+    normalized, so the text is deterministic and SQL-reproducible via
+    list_slice + array_to_string — oracle ``chunk_docs``).  Docs with zero
+    tokens emit zero chunks.
+
+    Scale: stateless streaming flat expansion inside ``map_batches`` — no
+    shuffle, no state; output volume ~ input x (1 + overlap/stride).
+    """
+    import pyarrow as pa
+    import ray.data  # noqa: F401
+
+    if overlap >= seq_len:
+        raise ValueError("overlap must be < seq_len")
+    stride = seq_len - overlap
+
+    def chunks(t: pa.Table) -> pa.Table:
+        out_id, out_ck, out_st, out_n, out_tx = [], [], [], [], []
+        for d, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            toks = _TOKEN.findall(txt or "")
+            n = len(toks)
+            k = 0
+            while k * stride < n:
+                start = k * stride
+                piece = toks[start : start + seq_len]
+                out_id.append(d)
+                out_ck.append(k)
+                out_st.append(start)
+                out_n.append(len(piece))
+                out_tx.append(" ".join(piece))
+                k += 1
+        return pa.table(
+            {
+                id_col: pa.array(out_id, t.column(id_col).type),
+                "chunk_id": pa.array(out_ck, pa.int64()),
+                "start_tok": pa.array(out_st, pa.int64()),
+                "n_tok": pa.array(out_n, pa.int64()),
+                "chunk_text": pa.array(out_tx, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)

@@ -44,3 +44,45 @@ def test_clean(tmp_path):
     assert not os.path.exists(d)
     # idempotent on a missing path
     assert main(["clean", str(d)]) == 0
+
+
+def test_filter_and_export_cli(ray_session, tmp_path, capsys):
+    """The filter/export subcommands run end-to-end over a small documents
+    parquet and never shut down a Ray session they didn't start."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    docs = tmp_path / "docs.parquet"
+    n = 60
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(
+                    [
+                        "the quick brown fox jumps over the lazy dog and "
+                        f"then walks away slowly number {i} " * 3
+                        for i in range(n)
+                    ],
+                    pa.string(),
+                ),
+            }
+        ),
+        docs,
+    )
+    out_f = tmp_path / "verdicts"
+    assert main(["filter", str(docs), str(out_f)]) == 0
+    assert ray.is_initialized()  # fixture session survived
+    got = capsys.readouterr().out
+    assert "Time taken" in got
+    verd = pq.read_table(str(out_f)).to_pandas()
+    assert len(verd) == n and set(verd.columns) == {
+        "doc_id", "n_chars", "n_words", "status",
+    }
+
+    out_e = tmp_path / "shards"
+    assert main(["export", str(docs), str(out_e), "--n-shards", "4"]) == 0
+    assert ray.is_initialized()
+    man = capsys.readouterr().out
+    assert f"{n} rows in 4 shards" in man

@@ -65,7 +65,7 @@ SQL_NAMES = [
     "bm25_topk", "term_stats", "postings", "unigram_nll", "pii_scrub",
     "snapshot_diff", "latest_events", "json_props",
     "mixture_sample", "domain_terms", "corpus_filter", "incremental_index",
-    "export_shards",
+    "export_shards", "chunk_docs",
 ]
 
 

@@ -1644,3 +1644,35 @@ def test_export_shards_roundtrip(ray_session, tmp_path):
         )
         seen += len(ids)
     assert seen == n
+
+
+def test_chunk_docs_windows(ray_session):
+    """Chunk boundaries, overlap, tail handling, and zero-token docs."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.text import chunk_docs
+
+    toks = [f"t{i}" for i in range(10)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([" ".join(toks), "one  two", "   "], pa.string()),
+        }
+    )
+    got = (
+        chunk_docs(ray.data.from_arrow(t), seq_len=4, overlap=1)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d1 = got[got.doc_id == 1]
+    # stride 3: starts 0,3,6,9; last chunk is the 1-token tail
+    assert d1["start_tok"].tolist() == [0, 3, 6, 9]
+    assert d1["chunk_text"].tolist() == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+    ]
+    assert d1["n_tok"].tolist() == [4, 4, 4, 1]
+    d2 = got[got.doc_id == 2]
+    assert d2["chunk_text"].tolist() == ["one two"]  # ws-normalized join
+    assert (got.doc_id == 3).sum() == 0  # zero-token doc -> zero chunks
