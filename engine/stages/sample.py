@@ -88,50 +88,62 @@ def mixture_sample(
     Two passes, all-integer arithmetic so the DuckDB oracle reproduces it
     bit-for-bit (__ray_entry__ oracle ``mixture_sample``):
 
-    1. per-domain counts — per-batch pre-aggregated, then one tiny
-       ``groupby(domain).Sum`` (cardinality = #domains, never rows);
-       the driver turns counts into basis-point acceptance rates
-       ``rate_bp[s] = min(10000, (weights_bp[s] * out_target) // n_s)``
-       with ``out_target = (total_rows * out_frac_pct) // 100``.
+    1. per-domain counts — per-batch pre-aggregated AND filtered to the
+       WEIGHTED domains (``weights_bp`` is a driver-sized dict by
+       definition, so each block emits <= |weights| + 1 partial rows: the
+       weighted-domain counts plus one total-row count), then a driver
+       reduce over O(|weights| x blocks) tiny rows — no shuffle at all.
+       (A ``groupby(domain)`` here costs 5-15 s of hash-aggregator actor
+       spin-up per run at bench scale — measured, PERF.md #24 — to move
+       20 rows.)  The driver turns counts into basis-point acceptance
+       rates ``rate_bp[s] = min(10000, (weights_bp[s] * out_target) //
+       n_s)`` with ``out_target = (total_rows * out_frac_pct) // 100``.
        A domain without enough rows caps at 100% (you cannot mint data —
        its shortfall is NOT redistributed, by design: deterministic and
        composable across runs).  Domains absent from ``weights_bp`` are
        dropped.
     2. hash-gate filter — keep iff ``md5(salt+id) % 10000 < rate_bp[s]``:
        stateless, partitioning-independent, reproducible on any engine.
-
-    Scale: pass 1's shuffle carries (domain, partial_count) rows only;
-    pass 2 is a streaming map with a broadcast dict of #domains entries.
     """
+    weighted = set(weights_bp)
 
     def domain_counts(t: pa.Table) -> pa.Table:
-        return (
-            t.select([domain_col])
-            .group_by(domain_col)
+        import pyarrow.compute as pc
+
+        dom = t.column(domain_col)
+        sub = t.select([domain_col]).filter(
+            pc.is_in(dom, value_set=pa.array(sorted(weighted), dom.type))
+        )
+        part = (
+            sub.group_by(domain_col)
             .aggregate([(domain_col, "count")])
             .rename_columns([domain_col, "n"])
         )
-
-    from ray.data.aggregate import Sum
-
-    counts_tbl = pa.concat_tables(
-        ray.get(
-            ds.map_batches(
-                domain_counts, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .groupby(domain_col)
-            .aggregate(Sum("n", alias_name="n"))
-            .to_arrow_refs()
-        ),
-        promote_options="default",
-    )
-    counts = dict(
-        zip(
-            counts_tbl.column(domain_col).to_pylist(),
-            counts_tbl.column("n").to_pylist(),
+        # one extra row carries this block's TOTAL count (domain null)
+        return pa.table(
+            {
+                domain_col: pa.concat_arrays(
+                    [part.column(domain_col).combine_chunks(),
+                     pa.array([None], part.column(domain_col).type)]
+                ),
+                "n": pa.concat_arrays(
+                    [part.column("n").cast(pa.int64()).combine_chunks(),
+                     pa.array([t.num_rows], pa.int64())]
+                ),
+            }
         )
-    )
-    total = sum(counts.values())
+
+    counts: Dict = {}
+    total = 0
+    for tab in ray.get(
+        ds.map_batches(domain_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ):
+        for s, n in zip(tab.column(domain_col).to_pylist(), tab.column("n").to_pylist()):
+            if s is None:
+                total += n
+            else:
+                counts[s] = counts.get(s, 0) + n
     out_target = (total * out_frac_pct) // 100
     rates_bp = {
         s: min(10000, (w_bp * out_target) // counts[s])
