@@ -9,6 +9,7 @@ guaranteed dependency here; the subcommand surface is preserved):
   clean            remove a checkpoint/output directory
   filter           composed C4/CCNet cleaning-chain verdicts
   export           sharded training export + round-trip manifest
+  build-corpus     full corpus build: filter -> dedup -> mixture -> pack -> shards
 
 Run under a Ray job:  ray job submit -- python -m engine.cli index ...
 Owns its own Ray session (guarded init; the library never calls ray.init).
@@ -176,6 +177,37 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_build_corpus(args) -> int:
+    """The full corpus build: filter -> near-dup drop -> optional mixture
+    -> pack -> sharded export (engine.pipelines.corpus_pipeline)."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data
+
+    from engine.pipelines.corpus_pipeline import build_corpus
+
+    weights = json.load(open(args.weights)) if args.weights else None
+    t0 = time.monotonic()
+    cols = [args.id_col, args.text_col] + (
+        [args.domain_col] if weights is not None else []
+    )
+    manifest, stats = build_corpus(
+        ray.data.read_parquet(args.docs, columns=cols),
+        out_dir=args.out,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        domain_col=args.domain_col,
+        weights_bp=weights,
+        out_frac_pct=args.out_frac_pct,
+        seq_len=args.seq_len,
+        n_shards=args.n_shards,
+    )
+    for k, v in stats.items():
+        print(f"{k:16s} {v}")
+    print(f"Time taken: {time.monotonic() - t0:.2f}s -> {args.out}")
+    _shutdown(ray)
+    return 0
+
+
 def cmd_crawl(args) -> int:
     ray = _ray_session(args.num_cpus)
     from dataclasses import replace
@@ -280,6 +312,23 @@ def main(argv=None) -> int:
     f.add_argument("--text-col", default="text")
     f.add_argument("--num-cpus", type=int, default=None)
     f.set_defaults(fn=cmd_filter)
+
+    b = sub.add_parser(
+        "build-corpus",
+        help="full corpus build: filter -> dedup -> mixture -> pack -> shards",
+    )
+    b.add_argument("docs", help="documents parquet path/glob")
+    b.add_argument("out", help="shard output dir")
+    b.add_argument("--id-col", default="doc_id")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--domain-col", default="source")
+    b.add_argument("--weights", default=None,
+                   help="JSON file: domain -> basis-point weight")
+    b.add_argument("--out-frac-pct", type=int, default=100)
+    b.add_argument("--seq-len", type=int, default=2048)
+    b.add_argument("--n-shards", type=int, default=64)
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.set_defaults(fn=cmd_build_corpus)
 
     e = sub.add_parser("export", help="sharded training export + manifest")
     e.add_argument("docs", help="documents parquet path/glob")

@@ -213,75 +213,36 @@ def incremental_reindex(
         zero_copy_batch=True,
     )
 
-    n_reproc = reproc.count()
-    n_keep = keep.count()
+    # both gate counts in ONE pass over the (corpus-sized) statuses table
+    # — two ints per block to the driver, instead of two full .count()
+    # executions
+    def gate_counts(t: pa.Table) -> pa.Table:
+        ho, hn = t.column("h_old"), t.column("h_new")
+        in_new = pc.is_valid(hn)
+        same = pc.and_kleene(
+            in_new, pc.and_kleene(pc.is_valid(ho), pc.equal(ho, hn))
+        )
+        n_new = int(pc.sum(pc.cast(in_new, pa.int64())).as_py() or 0)
+        n_same = int(pc.sum(pc.cast(same, pa.int64())).as_py() or 0)
+        return pa.table(
+            {
+                "n_reproc": pa.array([n_new - n_same], pa.int64()),
+                "n_keep": pa.array([n_same], pa.int64()),
+            }
+        )
+
+    n_reproc = 0
+    n_keep = 0
+    for tab in ray.get(
+        agg.map_batches(gate_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ):
+        n_reproc += sum(tab.column("n_reproc").to_pylist())
+        n_keep += sum(tab.column("n_keep").to_pylist())
 
     def select_by(ds: ray.data.Dataset, keys: ray.data.Dataset, n_keys: int):
-        if n_keys <= broadcast_max:
-            key_tabs = ray.get(keys.to_arrow_refs())
-            kset = (
-                pa.concat_tables(key_tabs, promote_options="default")
-                .column(key_col)
-                .to_pylist()
-                if key_tabs
-                else []
-            )
-            ref = ray.put(set(kset))
-
-            def f(t: pa.Table) -> pa.Table:
-                ks = ray.get(ref)
-                mask = pa.array([k in ks for k in t.column(key_col).to_pylist()])
-                return t.filter(mask)
-
-            return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-
-        # scale fallback: union + groupby(key) semi-join — the marker row
-        # (payload columns null, _sel true) flags its key group as selected
-        schema = {f.name: f.type for f in ds.schema().base_schema}
-        payload = [(c, schema[c]) for c in schema if c != key_col]
-
-        def markers(t: pa.Table) -> pa.Table:
-            out = {key_col: t.column(key_col).cast(schema[key_col])}
-            for c, typ in payload:
-                out[c] = pa.array([None] * t.num_rows, typ)
-            out["_sel"] = pa.array([True] * t.num_rows, pa.bool_())
-            return pa.table(out)
-
-        def tag(t: pa.Table) -> pa.Table:
-            out = {key_col: t.column(key_col)}
-            for c, _ in payload:
-                out[c] = t.column(c)
-            out["_sel"] = pa.array([False] * t.num_rows, pa.bool_())
-            return pa.table(out)
-
-        # null marker rows promote int64 payload to float64 inside the
-        # group frame — astype back once the markers are dropped (repo
-        # rule), and re-emit Arrow blocks with the original schema so
-        # downstream sorts/groupbys never see mixed block types
-        int_cols = [c for c, typ in payload if pa.types.is_integer(typ)]
-
-        def pick(df: pd.DataFrame) -> pd.DataFrame:
-            out = (
-                df[~df["_sel"]]
-                if df["_sel"].any()
-                else df.iloc[0:0]
-            ).drop(columns=["_sel"])
-            for c in int_cols:
-                out = out.assign(**{c: out[c].astype("int64")})
-            return out
-
-        def to_arrow(df: pd.DataFrame) -> pa.Table:
-            return pa.table(
-                {c: pa.array(df[c], schema[c]) for c in [key_col] + [p[0] for p in payload]}
-            )
-
-        tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-        marked = keys.map_batches(markers, batch_format="pyarrow", zero_copy_batch=True)
-        return (
-            tagged.union(marked)
-            .groupby(key_col)
-            .map_groups(pick, batch_format="pandas")
-            .map_batches(to_arrow, batch_format="pandas")
+        return select_by_keys(
+            ds, keys, n_keys, key_col=key_col, broadcast_max=broadcast_max
         )
 
     to_process = select_by(new, reproc, n_reproc)
@@ -290,6 +251,91 @@ def incremental_reindex(
         process_fn, batch_format="pyarrow", zero_copy_batch=True
     )
     return processed.union(carried), n_reproc, n_keep
+
+
+def select_by_keys(
+    ds: ray.data.Dataset,
+    keys: ray.data.Dataset,
+    n_keys: int,
+    *,
+    key_col: str,
+    broadcast_max: int = 5_000_000,
+    invert: bool = False,
+) -> ray.data.Dataset:
+    """Semi-join: rows of ``ds`` whose ``key_col`` appears in ``keys``
+    (a one-column key dataset, unique per key) — or the anti-join with
+    ``invert=True``.  Below ``broadcast_max`` keys the set broadcasts via
+    ``ray.put`` (one streaming filter pass); above it, a union +
+    groupby(key) semi-join co-locates each key's rows with its marker row
+    (documented fallback: ``ds`` then shuffles once by key).  Both paths
+    are pinned identical by the incremental_reindex and build-corpus
+    tests."""
+    if n_keys <= broadcast_max:
+        kset = []
+        for tab in ray.get(keys.to_arrow_refs()):
+            # a block-less materialized Dataset loses its schema (repo
+            # rule) — an empty key set arrives as zero-column tables or
+            # empty pandas passthrough blocks
+            if isinstance(tab, pa.Table) and key_col in tab.column_names:
+                kset.extend(tab.column(key_col).to_pylist())
+        ref = ray.put(set(kset))
+
+        def f(t: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            mask = pa.array(
+                [(k in ks) != invert for k in t.column(key_col).to_pylist()]
+            )
+            return t.filter(mask)
+
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    # scale fallback: union + groupby(key) semi-join — the marker row
+    # (payload columns null, _sel true) flags its key group as selected
+    schema = {f.name: f.type for f in ds.schema().base_schema}
+    payload = [(c, schema[c]) for c in schema if c != key_col]
+
+    def markers(t: pa.Table) -> pa.Table:
+        out = {key_col: t.column(key_col).cast(schema[key_col])}
+        for c, typ in payload:
+            out[c] = pa.array([None] * t.num_rows, typ)
+        out["_sel"] = pa.array([True] * t.num_rows, pa.bool_())
+        return pa.table(out)
+
+    def tag(t: pa.Table) -> pa.Table:
+        out = {key_col: t.column(key_col)}
+        for c, _ in payload:
+            out[c] = t.column(c)
+        out["_sel"] = pa.array([False] * t.num_rows, pa.bool_())
+        return pa.table(out)
+
+    # null marker rows promote int64 payload to float64 inside the
+    # group frame — astype back once the markers are dropped (repo
+    # rule), and re-emit Arrow blocks with the original schema so
+    # downstream sorts/groupbys never see mixed block types
+    int_cols = [c for c, typ in payload if pa.types.is_integer(typ)]
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        selected = bool(df["_sel"].any()) != invert
+        out = (df[~df["_sel"]] if selected else df.iloc[0:0]).drop(
+            columns=["_sel"]
+        )
+        for c in int_cols:
+            out = out.assign(**{c: out[c].astype("int64")})
+        return out
+
+    def to_arrow(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {c: pa.array(df[c], schema[c]) for c in [key_col] + [p[0] for p in payload]}
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    marked = keys.map_batches(markers, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        tagged.union(marked)
+        .groupby(key_col)
+        .map_groups(pick, batch_format="pandas")
+        .map_batches(to_arrow, batch_format="pandas")
+    )
 
 
 def latest_events(

@@ -139,6 +139,10 @@ def mixture_sample(
         ds.map_batches(domain_counts, batch_format="pyarrow", zero_copy_batch=True)
         .to_arrow_refs()
     ):
+        # zero-row blocks bypass map_batches and can surface as empty
+        # pandas frames (e.g. downstream of a map_groups stage) — skip
+        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
+            continue
         for s, n in zip(tab.column(domain_col).to_pylist(), tab.column("n").to_pylist()):
             if s is None:
                 total += n

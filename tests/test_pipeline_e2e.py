@@ -195,3 +195,36 @@ def test_jsonl_tz_offsets_normalize_to_utc(ray_session, tmp_path):
     got = read_pages_jsonl(str(jl)).to_pandas().sort_values("url")
     want = dt.datetime(2024, 1, 1, 10, 0, 0)
     assert got["warc_ts"].tolist() == [want] * 4
+
+
+def test_build_corpus_end_to_end(ray_session, tmp_path):
+    """The composed corpus build runs documents -> shards, is byte-
+    deterministic, and the gated-broadcast and union+groupby key paths
+    produce identical shard manifests (pins select_by_keys invert too)."""
+    import pandas as pd
+    import ray.data
+
+    from engine.pipelines.corpus_pipeline import build_corpus
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    )
+    manifests = []
+    for run, gate in ((0, 5_000_000), (1, 0)):
+        man, stats = build_corpus(
+            docs,
+            out_dir=str(tmp_path / f"shards{run}"),
+            weights_bp={f"src{i}": 500 for i in range(20)},
+            out_frac_pct=100,
+            seq_len=256,
+            n_shards=4,
+            broadcast_max=gate,
+        )
+        df = man.to_pandas().sort_values("shard").reset_index(drop=True)
+        manifests.append(df)
+        assert stats["input"] >= stats["kept"] >= stats["final_docs"] >= 0
+        assert stats["kept"] - stats["neardup_dropped"] >= stats["final_docs"]
+        assert stats["exported_rows"] == stats["final_docs"]
+        assert stats["final_docs"] > 0  # the chain keeps something
+    pd.testing.assert_frame_equal(manifests[0], manifests[1])
