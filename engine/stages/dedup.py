@@ -877,6 +877,13 @@ def connected_components(
         .materialize()
     )
 
+    # acero hash joins fail ("No match for FieldRef") when a partition gets
+    # zero rows on one side — even npart <= nodes can leave one empty via
+    # hash skew.  Require >= 32 expected nodes per partition (the
+    # graph.pagerank density guard); sparse pair sets (few near-dups in a
+    # clean corpus) then run single-partition.
+    num_partitions = max(1, min(num_partitions, labels.count() // 32))
+
     def _mix64(v: np.ndarray) -> np.ndarray:
         # splitmix64 finalizer, vectorized; uint64 arithmetic wraps mod 2^64
         v = v + np.uint64(0x9E3779B97F4A7C15)
