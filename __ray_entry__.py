@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_users": q.q_approx_users,
         "approx_quantiles": q.q_approx_quantiles,
         "pagerank": q.q_pagerank,
+        "corpus_build": q.q_corpus_build,
     }
 
 

@@ -395,6 +395,28 @@ def q_chunk_docs(sf_dir: str):
     return tx.chunk_docs(ds, id_col="doc_id", text_col="text", seq_len=64, overlap=16)
 
 
+def q_corpus_build(sf_dir: str):
+    """The full corpus-build composition (filter -> near-dup drop ->
+    mixture -> pack -> sharded export) returning the shard manifest.
+    Rows-only: the chain includes MinHash near-dup dropping
+    (approximate-by-design, no SQL analog); every component stage is
+    individually oracle-verified, and the composition is pinned
+    byte-deterministic across key-path choices in
+    tests/test_pipeline_e2e.py::test_build_corpus_end_to_end."""
+    from engine.pipelines.corpus_pipeline import build_corpus
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"], num_blocks=_cpus())
+    manifest, _ = build_corpus(
+        docs,
+        out_dir="/tmp/bench_out/corpus_build",
+        weights_bp={f"src{i}": 500 for i in range(20)},
+        out_frac_pct=100,
+        seq_len=2048,
+        n_shards=8,
+    )
+    return manifest
+
+
 def q_export_shards(sf_dir: str):
     """Training-ready sharded export: hash-assigned parquet shards written
     to disk, manifest (shard, n_rows, sum_idh) derived by READING THE

@@ -105,6 +105,7 @@ ROWS_ONLY = [
     ("approx_users", 1),
     ("approx_quantiles", 1),
     ("pagerank", 1),
+    ("corpus_build", 1),
 ]
 
 
