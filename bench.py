@@ -14,6 +14,10 @@ on its own; the adjacent in-child kernel probes are kept for diagnosis.
 
 --extract-only (internal): child mode that runs just the warmup +
 extraction measurement + probe — the fast pair body for --scaling.
+--wait-healthy: before measuring, poll the zero-Ray extraction-kernel
+probe (8-wide) every 90 s for up to ~1 h and start only once it reaches
+95% of the healthy-window reference — scaling efficiency is meaningless
+in a window where the bare hardware doesn't scale (BASELINE.md r4).
 """
 
 from __future__ import annotations
@@ -479,6 +483,23 @@ if __name__ == "__main__":
     faulthandler.dump_traceback_later(1500, exit=True)
     # kill -USR1 <pid> dumps all thread stacks to stderr (hang forensics)
     faulthandler.register(signal.SIGUSR1, all_threads=True)
+    if "--wait-healthy" in sys.argv:
+        # scaling efficiency is only meaningful in a window where the
+        # hardware itself scales (BASELINE.md round-4 diagnosis: the host
+        # swings 2x within minutes).  Probe the bare extraction kernel at
+        # 8-wide every 90 s (up to ~1 h) and start only once it reaches
+        # 95% of the healthy-window reference — otherwise proceed anyway
+        # and let the per-pair probes annotate the throttling.
+        target = 0.95 * _probe_ref(8)
+        for _ in range(40):
+            rate = _probe_extract(8)
+            print(
+                f"# wait-healthy: probe8={rate:.0f} target={target:.0f}",
+                file=sys.stderr,
+            )
+            if rate >= target:
+                break
+            time.sleep(90)
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
