@@ -295,7 +295,28 @@ _BURN_PAGES = None
 
 
 def _extract_burn_setup():
-    """Pool initializer: synthesize the probe corpus once per process."""
+    """Pool initializer: synthesize the probe corpus once per process.
+
+    Installs an ORPHAN WATCHDOG first: if the parent dies (e.g. the bench
+    is timeout-killed mid-probe), the spawn workers would otherwise
+    outlive it and keep burning CPU — measured 2026-08-18: leaked probe
+    workers from a killed diagnostic depressed every probe and pipeline
+    measurement on the node for hours (PERF.md #27).
+    """
+    import os
+    import threading
+    import time as _t
+
+    ppid = os.getppid()
+
+    def _watch():
+        while True:
+            if os.getppid() != ppid:
+                os._exit(0)
+            _t.sleep(2.0)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
     global _BURN_PAGES
     import pyarrow.parquet as pq
 
