@@ -695,14 +695,19 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": _corpus_filter_sql(),
         # overlapping token-window chunking: stride 48 (= 64 - 16);
         # chunk k covers tokens [48k, 48k+64); list_slice is 1-based
-        # inclusive and clamps at the list end, matching Python slicing
+        # inclusive and clamps at the list end, matching Python slicing.
+        # Chunk count = max(1, ceil((n - overlap)/stride)) = (n + 31) // 48:
+        # chunking stops once a window reaches the document end (no
+        # redundant tail chunks), matching engine.stages.text.chunk_docs
         "chunk_docs": r"""
             WITH d AS (SELECT doc_id,
                               regexp_extract_all(coalesce(text, ''),
                                                  '[^\t\n\v\f\r ]+') AS w
                        FROM documents),
             c AS (SELECT doc_id, w,
-                         unnest(range((len(w) + 47) // 48)) AS chunk_id
+                         unnest(range(CASE WHEN len(w) = 0 THEN 0
+                                      ELSE greatest(1, (len(w) + 31) // 48)
+                                      END)) AS chunk_id
                   FROM d)
             SELECT doc_id,
                    CAST(chunk_id AS BIGINT) AS chunk_id,

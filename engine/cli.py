@@ -47,11 +47,13 @@ def _ray_session(num_cpus: int | None):
     return ray
 
 
-def _shutdown(ray) -> None:
+def _shutdown(ray=None) -> None:
     """Shut down only a session this CLI started — never a caller's (e.g.
     the pytest session fixture's)."""
     global _OWNS_SESSION
     if _OWNS_SESSION:
+        if ray is None:
+            import ray
         ray.shutdown()
         _OWNS_SESSION = False
 
@@ -185,7 +187,10 @@ def cmd_build_corpus(args) -> int:
 
     from engine.pipelines.corpus_pipeline import build_corpus
 
-    weights = json.load(open(args.weights)) if args.weights else None
+    weights = None
+    if args.weights:
+        with open(args.weights) as fh:
+            weights = json.load(fh)
     t0 = time.monotonic()
     cols = [args.id_col, args.text_col] + (
         [args.domain_col] if weights is not None else []
@@ -220,7 +225,8 @@ def cmd_crawl(args) -> int:
     # flags.  CLI flags default to None so "explicitly passed" is knowable.
     cfg = CrawlConfig()
     if args.config:
-        overrides = json.load(open(args.config))
+        with open(args.config) as fh:
+            overrides = json.load(fh)
         valid = set(CrawlConfig.__dataclass_fields__)
         unknown = set(overrides) - valid
         if unknown:
@@ -339,7 +345,11 @@ def main(argv=None) -> int:
     e.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    finally:
+        # a command that raises must still release a CLI-owned Ray session
+        _shutdown()
 
 
 if __name__ == "__main__":

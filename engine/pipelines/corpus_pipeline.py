@@ -79,8 +79,18 @@ def build_corpus(
     ).materialize()
 
     # 2. near-dup drop: LSH pairs -> components -> drop non-canonical members
-    pairs = dd.minhash_lsh_pairs(kept, threshold=minhash_threshold)
+    pairs = dd.minhash_lsh_pairs(
+        kept, id_col=id_col, text_col=text_col, threshold=minhash_threshold
+    )
     clusters = dd.connected_components(pairs)
+    # connected_components emits hard-coded (doc_id, cluster_id); realign
+    # with the caller's id column name
+    if id_col != "doc_id":
+        clusters = clusters.map_batches(
+            lambda t: t.rename_columns([id_col, "cluster_id"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     drop_keys = clusters.map_batches(
         lambda t: t.filter(
             pc.not_equal(t.column(id_col), t.column("cluster_id"))

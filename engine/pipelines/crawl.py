@@ -744,12 +744,17 @@ class CrawlRun:
                 # broadcast anti-join: carryover = frontier \\ selected.
                 # Stays a Dataset — the carryover frontier never touches
                 # the driver on the large-wave path.
-                sel_set_ref = ray.put(set(selected_t.column("url").to_pylist()))
+                sel_arr = pa.array(
+                    selected_t.column("url").to_pylist(), pa.string()
+                )
+                sel_set_ref = ray.put(sel_arr)
 
                 def drop_selected(t: pa.Table, ref=sel_set_ref) -> pa.Table:
                     sel = ray.get(ref)
-                    keep = [u not in sel for u in t.column("url").to_pylist()]
-                    return t.filter(pa.array(keep)).select(
+                    keep = pc.invert(
+                        pc.is_in(t.column("url"), value_set=sel)
+                    )
+                    return t.filter(keep).select(
                         ["url", "host", "depth", "priority"]
                     )
 

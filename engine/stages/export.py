@@ -79,9 +79,12 @@ def export_shards(
             "shard",
             pc.cast(t.column("shard"), pa.int64()),
         )
+        # select by NAME before renaming: aggregate()'s key/aggregate column
+        # order is pyarrow-version-specific (keys-first in 16.x)
         return (
             t.group_by("shard")
             .aggregate([("idh", "sum"), ("shard", "count")])
+            .select(["shard", "idh_sum", "shard_count"])
             .rename_columns(["shard", "sum_idh", "n_rows"])
         )
 

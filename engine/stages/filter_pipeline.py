@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -87,24 +88,23 @@ def corpus_filter(
         )
 
     def verdict(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized first-match rule chain (np.select evaluates conditions
+        # in order) — a degenerate content hash (e.g. empty text) makes one
+        # hot group, so this must not be a per-row Python loop
         keep_id = df[id_col].min()
-        status = []
-        for row in df.itertuples(index=False):
-            rid = getattr(row, id_col)
-            if rid != keep_id:
-                status.append("duplicate")
-            elif row.n_pii > MAX_PII:
-                status.append("pii")
-            elif row.lang_pred == "unknown":
-                status.append("lang")
-            elif row.n_chars < MIN_CHARS or row.n_words < MIN_WORDS:
-                status.append("short")
-            elif row.dup_word_ppm > MAX_DUP_WORD_PPM:
-                status.append("repetition")
-            elif row.alpha_ppm < MIN_ALPHA_PPM:
-                status.append("quality")
-            else:
-                status.append("kept")
+        status = np.select(
+            [
+                df[id_col].to_numpy() != keep_id,
+                df["n_pii"].to_numpy() > MAX_PII,
+                df["lang_pred"].to_numpy() == "unknown",
+                (df["n_chars"].to_numpy() < MIN_CHARS)
+                | (df["n_words"].to_numpy() < MIN_WORDS),
+                df["dup_word_ppm"].to_numpy() > MAX_DUP_WORD_PPM,
+                df["alpha_ppm"].to_numpy() < MIN_ALPHA_PPM,
+            ],
+            ["duplicate", "pii", "lang", "short", "repetition", "quality"],
+            default="kept",
+        )
         return pd.DataFrame(
             {
                 id_col: df[id_col].astype("int64")

@@ -73,16 +73,44 @@ def term_stats(
         .groupby("token")
         .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
     )
-    # deterministic head: cf desc, token asc
-    return (
-        agg.sort(key=["cf", "token"], descending=[True, False])
-        .limit(top_n)
-        .map_batches(
-            lambda t: t.select(["token", "df", "cf"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+
+    _KEYS = [("cf", "descending"), ("token", "ascending")]
+
+    def head_partial(t: pa.Table) -> pa.Table:
+        # per-block partial top-n by the SAME total order the driver merge
+        # uses (cf desc, token asc); the groupby puts each token in exactly
+        # one block, so per-block winners are a superset of the global head
+        # — no vocab-wide AllToAll sort needed (ann._PartialTopK pattern).
+        t = t.select(["token", "df", "cf"])
+        if t.num_rows <= top_n:
+            return t
+        import pyarrow.compute as pc
+
+        return t.take(pc.sort_indices(t, sort_keys=_KEYS)[:top_n])
+
+    cand = [
+        t
+        for t in ray.get(
+            agg.map_batches(
+                head_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
         )
-    )
+        if isinstance(t, pa.Table) and t.num_rows and "token" in t.column_names
+    ]
+    if not cand:
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "cf": pa.array([], pa.int64()),
+            }
+        )
+        return ray.data.from_arrow(empty)
+    import pyarrow.compute as pc
+
+    allc = pa.concat_tables(cand, promote_options="default")
+    head = allc.take(pc.sort_indices(allc, sort_keys=_KEYS)[:top_n])
+    return ray.data.from_arrow(head)
 
 
 def postings(

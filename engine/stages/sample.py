@@ -114,9 +114,12 @@ def mixture_sample(
         sub = t.select([domain_col]).filter(
             pc.is_in(dom, value_set=pa.array(sorted(weighted), dom.type))
         )
+        # select by NAME before renaming: aggregate()'s key/aggregate column
+        # order is pyarrow-version-specific (keys-first in 16.x)
         part = (
             sub.group_by(domain_col)
             .aggregate([(domain_col, "count")])
+            .select([domain_col, f"{domain_col}_count"])
             .rename_columns([domain_col, "n"])
         )
         # one extra row carries this block's TOTAL count (domain null)

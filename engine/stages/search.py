@@ -12,8 +12,10 @@ scoring Ray-Data-first, so a reference user can run the same
    columns — never the text, never absent-term zeros.
 2. Corpus statistics (N, sum dl, df per term) ride along as one stats row
    per block from the SAME pass, collected to the driver.
-3. A scoring pass over the tf table (broadcast constants), then a
-   distributed sort by (score desc, id asc) + limit(k).
+3. A scoring pass over the tf table (broadcast constants) that emits a
+   PARTIAL top-k per block (score desc, id asc), merged by one tiny
+   driver-side sort over <= k * n_blocks candidates — no all-to-all
+   shuffle (same pattern as ann._PartialTopK).
 
 Output is RANK-ONLY (rank, doc_id): float scores are not bit-stable
 across engines (ln ULP), but the ordering is — same device as the
@@ -168,20 +170,44 @@ def bm25_topk(
                 acc += v
             s[g] = acc
         keep = s > 0
+        ids_k = ids[keep]
+        s_k = s[keep]
+        # partial top-k per block by the SAME total order the driver merge
+        # uses (score desc, id asc) — survivors are partitioning-independent
+        # and are a superset of the global top-k, so no AllToAll sort is
+        # needed: shuffle volume is O(k * n_blocks), not O(matched docs).
+        if len(ids_k) > k:
+            order = np.lexsort((ids_k, -s_k))[:k]
+            ids_k = ids_k[order]
+            s_k = s_k[order]
         return pa.table(
             {
-                id_col: pa.array(ids[keep], pa.int64()),
-                "score": pa.array(s[keep], pa.float64()),
+                id_col: pa.array(ids_k, pa.int64()),
+                "score": pa.array(s_k, pa.float64()),
             }
         )
 
     scored = tf_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-    top = scored.sort(key=["score", id_col], descending=[True, False]).limit(k)
-    rows = top.take_all()
+    # per-block candidates are k rows max each — the driver merge is tiny.
+    # Zero-row blocks bypass map_batches and surface with the tf schema;
+    # skip anything that is not a non-empty scored table.
+    cand = [
+        t
+        for t in ray.get(scored.to_arrow_refs())
+        if isinstance(t, pa.Table) and t.num_rows and "score" in t.column_names
+    ]
+    if not cand:
+        return pa.table(
+            {"rank": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())}
+        )
+    allc = pa.concat_tables(cand, promote_options="default")
+    a_ids = allc.column(id_col).to_numpy(zero_copy_only=False)
+    a_s = allc.column("score").to_numpy(zero_copy_only=False)
+    order = np.lexsort((a_ids, -a_s))[:k]
     return pa.table(
         {
-            "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
-            id_col: pa.array([r[id_col] for r in rows]),
+            "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+            id_col: pa.array(a_ids[order], pa.int64()),
         }
     )
 

@@ -265,7 +265,9 @@ def chunk_docs(
     and chunk_text re-joins the tokens with single spaces (whitespace-
     normalized, so the text is deterministic and SQL-reproducible via
     list_slice + array_to_string — oracle ``chunk_docs``).  Docs with zero
-    tokens emit zero chunks.
+    tokens emit zero chunks.  Chunking stops once a window reaches the
+    document end: a chunk whose tokens are entirely contained in the
+    previous window (redundant tail) is never emitted.
 
     Scale: stateless streaming flat expansion inside ``map_batches`` — no
     shuffle, no state; output volume ~ input x (1 + overlap/stride).
@@ -285,7 +287,10 @@ def chunk_docs(
             toks = _TOKEN.findall(txt or "")
             n = len(toks)
             k = 0
-            while k * stride < n:
+            # stop once the previous window already reached the document end
+            # (k*stride + overlap == (k-1)*stride + seq_len): a further chunk
+            # would be entirely contained in it, duplicating tail tokens
+            while n > 0 and (k == 0 or k * stride + overlap < n):
                 start = k * stride
                 piece = toks[start : start + seq_len]
                 out_id.append(d)

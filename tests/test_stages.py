@@ -1667,12 +1667,13 @@ def test_chunk_docs_windows(ray_session):
         .reset_index(drop=True)
     )
     d1 = got[got.doc_id == 1]
-    # stride 3: starts 0,3,6,9; last chunk is the 1-token tail
-    assert d1["start_tok"].tolist() == [0, 3, 6, 9]
+    # stride 3: starts 0,3,6 — chunk 2 reaches the end, so no redundant
+    # 1-token tail chunk 't9' (it is entirely contained in chunk 2)
+    assert d1["start_tok"].tolist() == [0, 3, 6]
     assert d1["chunk_text"].tolist() == [
-        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
     ]
-    assert d1["n_tok"].tolist() == [4, 4, 4, 1]
+    assert d1["n_tok"].tolist() == [4, 4, 4]
     d2 = got[got.doc_id == 2]
     assert d2["chunk_text"].tolist() == ["one two"]  # ws-normalized join
     assert (got.doc_id == 3).sum() == 0  # zero-token doc -> zero chunks
