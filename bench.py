@@ -224,9 +224,11 @@ def run_bench(extract_only: bool = False) -> dict:
         crawl_cfg,
         extract_docs=True,
         extract_pages_path=os.path.join(cache, "pages_bucketed"),
-        # close an extraction chunk per ~wave at bench scale so completed
-        # waves extract on the overlap thread while later waves crawl
-        extract_chunk_urls=2000,
+        # chunk size left at auto: 14k crawl URLs sit far below the
+        # pipeline-launch amortization point, so this coalesces to ONE
+        # deferred chunk (forcing 2000-URL chunks here cost ~7 underfilled
+        # pipeline launches and regressed crawl_extract 5.5 -> 10.0 s in
+        # round 4; overlap engages only at production wave sizes)
     )
     timings["crawl_extract"] = round(time.monotonic() - t0, 3)
 

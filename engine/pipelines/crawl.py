@@ -338,6 +338,15 @@ def _atomic_write_json(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
+# Extraction-chunk auto-sizing constants (measured; see PERF.md):
+# a fetch+extract pipeline launch costs ~2 s fixed regardless of chunk
+# size, and extraction throughput is ~0.4 ms/page/core.  A chunk below
+# amortize_sec * rate * cpus URLs costs more in launches than overlap
+# can ever recover.
+_EXTRACT_AMORTIZE_SEC = 2.0
+_EXTRACT_PAGES_PER_SEC_PER_CPU = 2500
+
+
 class CrawlRun:
     """Driver-side crawl orchestration with per-wave checkpointing."""
 
@@ -350,7 +359,7 @@ class CrawlRun:
         cfg: CrawlConfig = CrawlConfig(),
         extract_docs: bool = False,
         extract_pages_path: Optional[str] = None,
-        extract_chunk_urls: int = 500_000,
+        extract_chunk_urls: Optional[int] = None,
         overlap_extract: bool = True,
     ):
         self.pages_path = pages_path
@@ -401,6 +410,23 @@ class CrawlRun:
         self.fetched_count: Dict[str, int] = {}
         self.seq = 0
         self.start_wave = 0
+        # extract_chunk_urls=None (the default) auto-sizes chunks at the
+        # pipeline-LAUNCH AMORTIZATION point: each fetch+extract pipeline
+        # pays ~2 s of fixed launch cost (read plan + actor-pool spin-up +
+        # parquet write commit, measured — PERF.md #28), so a chunk must
+        # carry at least ~2 s of extraction work (~0.4 ms/page/core =>
+        # 2500 pages/s/core) or the launches dominate: round-4's bench
+        # forced 2000-URL chunks and regressed crawl_extract 5.5 -> 10.0 s
+        # from ~7 underfilled launches.  Small crawls therefore coalesce to
+        # ONE deferred chunk (overlap never engages — nothing closes early);
+        # production waves (10^6+ URLs at the 10^10-URL frontier) exceed the
+        # floor and overlap wave-by-wave.  An explicit value is honored
+        # verbatim (tests force tiny chunks to exercise the plan machinery).
+        if extract_chunk_urls is None:
+            cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+            extract_chunk_urls = int(
+                _EXTRACT_AMORTIZE_SEC * _EXTRACT_PAGES_PER_SEC_PER_CPU * cluster_cpus
+            )
         self.extract_chunk_urls = extract_chunk_urls
         self.overlap_extract = overlap_extract and extract_docs
         self._bg_pool = None  # lazy ThreadPoolExecutor(1) for overlap chunks
@@ -1159,7 +1185,7 @@ def run_crawl(
     cfg: CrawlConfig = CrawlConfig(),
     extract_docs: bool = False,
     extract_pages_path: Optional[str] = None,
-    extract_chunk_urls: int = 500_000,
+    extract_chunk_urls: Optional[int] = None,
     overlap_extract: bool = True,
 ) -> Tuple[pa.Table, pa.Table]:
     """Run (or resume) a crawl; returns (crawl_order, url_seen) tables.

@@ -178,8 +178,14 @@ def run_index_pipeline_resumable(
 
     if os.path.isdir(pages_path):
         files = sorted(_glob.glob(os.path.join(pages_path, "*.parquet")))
+        if not files:  # WARC container directory (third ingest format)
+            files = sorted(
+                _glob.glob(os.path.join(pages_path, "*.warc"))
+                + _glob.glob(os.path.join(pages_path, "*.warc.gz"))
+            )
     else:
         files = [pages_path]
+    warc_input = bool(files) and files[0].endswith((".warc", ".warc.gz"))
     parts = ckpt.partition_inputs(files, files_per_partition)
     pending = ckpt.pending_partitions(out_dir, parts)
     os.makedirs(out_dir, exist_ok=True)
@@ -190,7 +196,12 @@ def run_index_pipeline_resumable(
 
     for pid, fp, pfiles in pending:
         t0 = _time.monotonic()
-        pages = ray.data.read_parquet(pfiles)
+        if warc_input:
+            from engine.sources.warc import read_warc
+
+            pages = read_warc(pfiles)
+        else:
+            pages = ray.data.read_parquet(pfiles)
         extracted = pages.map_batches(
             ExtractPages,
             fn_constructor_kwargs=dict(
@@ -225,7 +236,13 @@ def run_index_pipeline_resumable(
             }
         else:
             skip_counts = {}
-        rows_in = sum(pq.read_metadata(f).num_rows for f in pfiles)
+        # WARC containers have no row-count footer; extraction is 1:1 per
+        # record, so the output row count IS the input record count
+        rows_in = (
+            int(sum(skip_counts.values()))
+            if warc_input
+            else sum(pq.read_metadata(f).num_rows for f in pfiles)
+        )
         rows_out = int(sum(skip_counts.values()))
         _shutil.rmtree(part_dir, ignore_errors=True)
         os.replace(tmp_dir, part_dir)

@@ -40,10 +40,31 @@ def read_pages(
     frontier seed loader needs just ``url``) — at 100 TB the ``html`` column
     dominates and must not leave storage unless extraction runs.
     """
+    if _is_warc_path(path):
+        from engine.sources.warc import read_warc
+
+        return read_warc(
+            path, columns=columns, override_num_blocks=override_num_blocks
+        )
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
     return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def _is_warc_path(path: str) -> bool:
+    """True when ``path`` is a WARC file or a directory of WARC files —
+    dispatches read_pages to the container reader (engine.sources.warc)."""
+    import os as _os
+
+    if str(path).endswith((".warc", ".warc.gz")):
+        return True
+    if _os.path.isdir(path):
+        names = _os.listdir(path)
+        return any(n.endswith((".warc", ".warc.gz")) for n in names) and not any(
+            n.endswith(".parquet") for n in names
+        )
+    return False
 
 
 def read_pages_jsonl(

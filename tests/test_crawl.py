@@ -462,6 +462,35 @@ def test_overlapped_extraction_identical_to_sequential(ray_session, fixture_dir,
     assert docs_of(wd_ovl).equals(docs_of(wd_seq))
 
 
+def test_extract_chunk_autosize_coalesces_small_crawl(ray_session, fixture_dir, tmp_path):
+    """Default (auto) chunk sizing floors the chunk at the pipeline-launch
+    amortization point (~2 s of extraction work), so a small crawl
+    coalesces to ONE deferred chunk — no underfilled pipeline launches
+    (the round-4 crawl_extract regression)."""
+    import glob as _glob
+
+    from engine.pipelines.crawl import (
+        _EXTRACT_AMORTIZE_SEC,
+        _EXTRACT_PAGES_PER_SEC_PER_CPU,
+        run_crawl,
+    )
+
+    wd = str(tmp_path / "auto")
+    order, _ = run_crawl(
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+        wd,
+        CFG,
+        extract_docs=True,  # extract_chunk_urls left at auto
+    )
+    # the fixture crawl is far below the floor (>= 2 s of work even at
+    # the test session's 4 CPUs)
+    assert order.num_rows < _EXTRACT_AMORTIZE_SEC * _EXTRACT_PAGES_PER_SEC_PER_CPU * 4
+    parts = _glob.glob(os.path.join(wd, "docs", "part-*"))
+    assert len(parts) == 1, f"expected one coalesced chunk, got {sorted(parts)}"
+
+
 def test_deferred_extraction_resume_with_more_waves(ray_session, fixture_dir, tmp_path):
     """A crawl resumed with a larger max_waves regrows the final chunk;
     the fingerprint guard must rebuild it (a bare exists-check would

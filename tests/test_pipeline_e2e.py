@@ -174,6 +174,84 @@ def test_jsonl_pages_source(ray_session, tmp_path):
     assert (ex["skip_reason"].isna()).sum() > 0
 
 
+def test_warc_source_roundtrip(ray_session, tmp_path):
+    """WARC container source: a .warc.gz written from the corpus rows
+    round-trips to the SAME rows as the Parquet path (url, warc_ts, html
+    all equal), and the extraction pipeline consumes it unchanged —
+    closing the reference's warcio.py:84-198 surface with a pure-Python
+    record parser (one gzip member per record, the Common Crawl layout)."""
+    from engine.pipelines.index_pipeline import extract_dataset
+    from engine.pipelines.testdata_pages import pages_dataset
+    from engine.sources.warc import iter_warc_records, read_warc, write_warc
+
+    pages = pages_dataset("/root/testdata/sf0.001").limit(64).to_pandas()
+    wf = tmp_path / "pages.warc.gz"
+    n = write_warc(
+        ((r["url"], r["warc_ts"].to_pydatetime(), bytes(r["html"]))
+         for _, r in pages.iterrows()),
+        str(wf),
+    )
+    assert n == len(pages)
+
+    got = read_warc(str(wf)).to_pandas().sort_values("url").reset_index(drop=True)
+    exp = pages.sort_values("url").reset_index(drop=True)
+    assert got["url"].tolist() == exp["url"].tolist()
+    assert [bytes(x) for x in got["html"]] == [bytes(x) for x in exp["html"]]
+    assert got["warc_ts"].tolist() == [
+        t.replace(microsecond=0) for t in exp["warc_ts"]  # WARC-Date is 1 s
+    ]
+
+    # extraction consumes the WARC source unchanged (same kept count as
+    # the equivalent Parquet-sourced extraction)
+    ex = extract_dataset(
+        read_warc(str(wf)), concurrency=(1, 2), batch_size=32
+    ).to_pandas()
+    assert len(ex) == len(exp)
+    assert (ex["skip_reason"].isna()).sum() > 0
+
+    # record-type filtering + overly-long payload stripping (reference
+    # overly_long_keep_meta: row kept, payload dropped)
+    import gzip as _gz
+
+    extra = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: http://x/\r\nContent-Length: 3\r\n\r\nGET\r\n\r\n"
+    )
+    blob = _gz.compress(extra) + wf.read_bytes()
+    recs = list(iter_warc_records(blob, max_content_length=10))
+    assert len(recs) == len(exp)  # request record skipped
+    assert all(h is None for _, _, h in recs)  # all payloads over 10 bytes
+
+
+def test_warc_resumable_index_pipeline(ray_session, tmp_path):
+    """The resumable index pipeline consumes a DIRECTORY of .warc.gz files
+    (third ingest format) with manifest accounting intact."""
+    from engine.pipelines.index_pipeline import (
+        extracted_parts_view,
+        run_index_pipeline_resumable,
+    )
+    from engine.pipelines.testdata_pages import pages_dataset
+    from engine.sources.warc import write_warc
+
+    pages = pages_dataset("/root/testdata/sf0.001").limit(48).to_pandas()
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    halves = [pages.iloc[:24], pages.iloc[24:]]
+    for i, half in enumerate(halves):
+        write_warc(
+            ((r["url"], r["warc_ts"].to_pydatetime(), bytes(r["html"]))
+             for _, r in half.iterrows()),
+            str(wdir / f"crawl-{i:02d}.warc.gz"),
+        )
+    out = run_index_pipeline_resumable(
+        str(wdir), str(tmp_path / "out"), files_per_partition=1,
+        concurrency=(1, 2), batch_size=32,
+    )
+    got = extracted_parts_view(out).to_pandas()
+    assert len(got) == len(pages)
+    assert sorted(got["warc_target_uri"]) == sorted(pages["url"])
+
+
 def test_jsonl_tz_offsets_normalize_to_utc(ray_session, tmp_path):
     """Identical instants written with different UTC offsets coerce to the
     SAME naive-UTC warc_ts (ADVICE r2: bare replace() kept local wall-clock)."""
