@@ -737,7 +737,12 @@ class CrawlRun:
                 # (the carryover never needs the unselected winners — it is
                 # recomputed from the FULL frontier below, because stage-1
                 # truncation removed non-winning candidates anyway).
-                marked = pre.groupby("host").map_groups(
+                # as_arrow: stage 1 emitted pandas blocks; the stage-2
+                # hash exchange over pandas blocks is ~20x slower than
+                # over Arrow blocks (PERF.md #31).
+                from engine.stages.common import as_arrow as _as_arrow
+
+                marked = _as_arrow(pre).groupby("host").map_groups(
                     _select_group_selected,
                     fn_args=(self.rules_ref, counts_ref, self.cfg),
                     batch_format="pandas",

@@ -116,9 +116,14 @@ def brute_force_topk(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    return partial.groupby("query_id").map_groups(
+    merged = partial.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pandas"
     )
+    # callers typically sort the result; Arrow-convert so that shuffle
+    # doesn't run over pandas blocks (~20x slower; PERF.md #31)
+    from engine.stages.common import as_arrow
+
+    return as_arrow(merged)
 
 
 def ivf_topk(
@@ -222,6 +227,9 @@ def ivf_topk(
         )
 
     partial = ds.map_batches(probe, batch_format="pyarrow")
-    return partial.groupby("query_id").map_groups(
+    merged = partial.groupby("query_id").map_groups(
         _merge_topk_factory(k), batch_format="pandas"
     )
+    from engine.stages.common import as_arrow
+
+    return as_arrow(merged)

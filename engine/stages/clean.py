@@ -51,7 +51,7 @@ from __future__ import annotations
 
 from collections import Counter
 from hashlib import md5
-from typing import Dict, List, Set, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -59,6 +59,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
+from engine.stages.common import as_arrow
 from engine.stages.text import _TOKEN, fnv1a_batch
 
 
@@ -749,6 +750,7 @@ def corpus_overlap(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    n_buckets: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Corpus-vs-corpus word n-gram overlap, fully distributed: for each
     document in corpus A, how many of its DISTINCT word ``n``-grams occur
@@ -759,18 +761,28 @@ def corpus_overlap(
     corpus-scale.  Here nothing is ever collected on the driver and
     nothing is broadcast: both sides emit 63-bit FNV-1a gram-hash rows
     (collision odds ~|grams|^2/2^63 — the SQL oracle groups the strings
-    themselves and agrees on the fixture), membership is resolved by ONE
-    union + groupby(h) semi-join (never the native acero join — empty
-    hash partitions lose their schema), and per-doc totals ride the same
-    shuffle as one sentinel row per document (h = -(doc_id+1): negative,
-    so it can never collide with a masked 63-bit gram hash, and unique
-    per doc, so sentinel groups are singletons — no hot group).  The
-    exchange carries 17-byte (hash, doc_id, flag) rows, never text; the
-    final per-doc reduce pre-aggregates per block.
+    themselves and agrees on the fixture), and membership is resolved by
+    ONE union + groupby semi-join (never the native acero join — empty
+    hash partitions lose their schema).  The groupby key is a HASH BUCKET
+    (h % n_buckets), not h itself: equal hashes still co-locate, but each
+    Python group call resolves thousands of hashes VECTORIZED (np.isin +
+    one pandas groupby) instead of paying per-group overhead per distinct
+    gram — measured 5x on the sf0.01 fixture, and the win grows with
+    gram count.  Buckets are uniform by construction (63-bit hash), so no
+    hot group; ``n_buckets`` auto-sizes from the doc counts so a bucket's
+    rows stay group-task sized at any corpus scale.  Per-doc totals ride
+    the same shuffle as one sentinel row per document (tot >= 0, passed
+    through).  The exchange carries ~25-byte (hash, bucket, doc_id, flag)
+    rows, never text; the final per-doc reduce pre-aggregates per block.
 
     Output: (id_col, n_grams, overlap_grams) per corpus-A document.
     """
     _MASK63 = (1 << 63) - 1
+    if n_buckets is None:
+        # ~512 distinct grams/doc is a generous estimate; target ~200k
+        # rows per bucket so a group task stays comfortably in memory
+        est_rows = (ds_a.count() + ds_b.count()) * 512
+        n_buckets = int(min(1 << 20, max(16, est_rows // 200_000)))
 
     def a_rows(t: pa.Table) -> pa.Table:
         out_h: List[int] = []
@@ -784,13 +796,15 @@ def corpus_overlap(
             out_h.extend((int(x) & _MASK63) for x in hv)
             out_id.extend([d] * len(grams))
             out_tot.extend([-1] * len(grams))
-            # the per-doc total rides the same shuffle as a singleton group
+            # the per-doc total rides the same shuffle (tot >= 0 marks it)
             out_h.append(-(d + 1))
             out_id.append(d)
             out_tot.append(len(grams))
+        hs = np.asarray(out_h, dtype=np.int64)
         return pa.table(
             {
-                "h": pa.array(out_h, pa.int64()),
+                "bk": pa.array(np.mod(hs, n_buckets), pa.int64()),
+                "h": pa.array(hs, pa.int64()),
                 id_col: pa.array(out_id, pa.int64()),
                 "tot": pa.array(out_tot, pa.int64()),
                 "_b": pa.array([False] * len(out_h), pa.bool_()),
@@ -803,11 +817,12 @@ def corpus_overlap(
             grams |= _word_ngrams(txt, n)
         gl = sorted(grams)
         hv = fnv1a_batch([g.encode("utf-8") for g in gl])
-        out_h = [int(x) & _MASK63 for x in hv]
-        m = len(out_h)
+        hs = np.asarray([int(x) & _MASK63 for x in hv], dtype=np.int64)
+        m = len(hs)
         return pa.table(
             {
-                "h": pa.array(out_h, pa.int64()),
+                "bk": pa.array(np.mod(hs, n_buckets), pa.int64()),
+                "h": pa.array(hs, pa.int64()),
                 id_col: pa.array([None] * m, pa.int64()),
                 "tot": pa.array([-1] * m, pa.int64()),
                 "_b": pa.array([True] * m, pa.bool_()),
@@ -818,23 +833,47 @@ def corpus_overlap(
         a_rows, batch_format="pyarrow", zero_copy_batch=True
     ).union(ds_b.map_batches(b_rows, batch_format="pyarrow", zero_copy_batch=True))
 
-    def resolve(df) -> "pd.DataFrame":
+    def resolve_bucket(df) -> "pd.DataFrame":
         import pandas as pd
 
-        tot_mask = df["tot"] >= 0
-        if tot_mask.any():
-            # sentinel group: exactly one row (negative h, unique per doc)
-            return pd.DataFrame(
-                {
-                    # null-id B rows promote ids to float64 in pandas
-                    id_col: df.loc[tot_mask, id_col].astype("int64"),
-                    "n_grams": df.loc[tot_mask, "tot"].astype("int64"),
-                    "overlap_grams": pd.Series(
-                        [0] * int(tot_mask.sum()), dtype="int64"
-                    ),
-                }
+        out = []
+        sent = df["tot"] >= 0
+        if sent.any():
+            # sentinel rows: unique per doc, pass totals through
+            out.append(
+                pd.DataFrame(
+                    {
+                        # null-id B rows promote ids to float64 in pandas
+                        id_col: df.loc[sent, id_col].astype("int64").to_numpy(),
+                        "n_grams": df.loc[sent, "tot"].astype("int64").to_numpy(),
+                        "overlap_grams": np.zeros(int(sent.sum()), dtype=np.int64),
+                    }
+                )
             )
-        if not df["_b"].any():
+        a_mask = (~sent) & (~df["_b"])
+        if a_mask.any():
+            bh = df.loc[df["_b"], "h"].to_numpy()
+            hit = np.isin(df.loc[a_mask, "h"].to_numpy(), bh).astype(np.int64)
+            agg = (
+                pd.DataFrame(
+                    {
+                        id_col: df.loc[a_mask, id_col].astype("int64").to_numpy(),
+                        "hit": hit,
+                    }
+                )
+                .groupby(id_col, as_index=False)["hit"]
+                .sum()
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        id_col: agg[id_col].astype("int64"),
+                        "n_grams": np.zeros(len(agg), dtype=np.int64),
+                        "overlap_grams": agg["hit"].astype("int64"),
+                    }
+                )
+            )
+        if not out:
             return pd.DataFrame(
                 {
                     id_col: pd.Series([], dtype="int64"),
@@ -842,22 +881,14 @@ def corpus_overlap(
                     "overlap_grams": pd.Series([], dtype="int64"),
                 }
             )
-        hits = df.loc[~df["_b"], id_col].astype("int64")
-        k = len(hits)
-        return pd.DataFrame(
-            {
-                id_col: hits,
-                "n_grams": pd.Series([0] * k, dtype="int64"),
-                "overlap_grams": pd.Series([1] * k, dtype="int64"),
-            }
-        )
+        return pd.concat(out, ignore_index=True)
 
-    return (
-        unioned.groupby("h")
-        .map_groups(resolve, batch_format="pandas")
-        .groupby(id_col)
-        .aggregate(
-            Sum("n_grams", alias_name="n_grams"),
-            Sum("overlap_grams", alias_name="overlap_grams"),
-        )
+    resolved = unioned.groupby("bk").map_groups(
+        resolve_bucket, batch_format="pandas"
+    )
+    # Arrow-convert before the second shuffle (pandas-block groupby is
+    # ~20x slower; PERF.md #31)
+    return as_arrow(resolved).groupby(id_col).aggregate(
+        Sum("n_grams", alias_name="n_grams"),
+        Sum("overlap_grams", alias_name="overlap_grams"),
     )

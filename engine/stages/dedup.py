@@ -21,6 +21,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+
+from engine.stages.common import as_arrow
 from ray.data.aggregate import Count, Min
 
 _TOKEN = re.compile(r"\S+")
@@ -367,7 +369,9 @@ def minhash_lsh_pairs(
     cand = colliding.groupby(["band", "band_hash"]).map_groups(
         partial(_bucket_pairs, max_bucket=max_bucket), batch_format="pandas"
     )
-    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(
+    # Arrow-convert the pandas map_groups blocks BEFORE the next shuffle
+    # (pandas-block groupby is ~20x slower; PERF.md #31)
+    uniq = as_arrow(cand).groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_bands")
     ).materialize()
 
@@ -397,8 +401,20 @@ def minhash_lsh_pairs(
 
     def _jaccard_rows(das, dbs, tas, tbs):
         ja, keep_a, keep_b = [], [], []
+        # per-batch shingle cache: candidate pairs share docs heavily
+        # (every pair re-derives both sides), so memoizing by doc id cuts
+        # shingle computations from 2x pairs to <= distinct docs per batch
+        cache: dict = {}
+
+        def sh(d, txt):
+            s = cache.get(d)
+            if s is None:
+                s = shingle_fn(txt, k)
+                cache[d] = s
+            return s
+
         for da, db, ta, tb in zip(das, dbs, tas, tbs):
-            sa, sb = shingle_fn(ta, k), shingle_fn(tb, k)
+            sa, sb = sh(da, ta), sh(db, tb)
             inter = len(np.intersect1d(sa, sb))
             union = len(sa) + len(sb) - inter
             j = inter / union if union else 0.0
@@ -671,7 +687,7 @@ def simhash_pairs(
     cand = bands.groupby(["band_no", "band_val"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+    return as_arrow(cand).groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
 
@@ -803,7 +819,52 @@ def embedding_nn_pairs(
     )
     from ray.data.aggregate import Max as _Max
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(_Max("cos", alias_name="cos"))
+    return as_arrow(pairs).groupby(["id_a", "id_b"]).aggregate(
+        _Max("cos", alias_name="cos")
+    )
+
+
+def _connected_components_driver(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Driver union-find over a gated-small symmetrized edge set; min-id
+    representative per component — identical output to the distributed
+    min-label propagation (both pinned to the union-find oracle test)."""
+    blocks = [
+        t
+        for t in ray.get(edges.to_arrow_refs())
+        if isinstance(t, pa.Table) and t.num_rows
+    ]
+    tbl = pa.concat_tables(blocks, promote_options="default")
+    id_type = tbl.schema.field("src").type
+    src = tbl.column("src").to_numpy(zero_copy_only=False)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = codes[: len(src)], codes[len(src) :]
+    parent = np.arange(len(nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(si.tolist(), di.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the MIN code as root: np.unique sorts, so min code
+            # == min node id — the distributed path's cluster_id
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([find(i) for i in range(len(nodes))])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(nodes.tolist(), id_type),
+                "cluster_id": pa.array(nodes[roots].tolist(), id_type),
+            }
+        )
+    )
 
 
 def connected_components(
@@ -813,6 +874,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iters: int = 20,
     num_partitions: int | None = None,
+    driver_max_edges: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Cluster near-duplicate pairs into components by iterative min-label
     propagation (the distributed-friendly alternative to driver union-find):
@@ -833,6 +895,14 @@ def connected_components(
 
     Output: (doc_id, cluster_id) where cluster_id is the component's
     minimum id, sorted by the caller.
+
+    Size-gated driver fast path: a pair set below ``driver_max_edges``
+    runs union-find on the driver — near-dup pair sets are duplicate-
+    multiplicity sized (a clean corpus yields FEW pairs even at 100 TB),
+    and each distributed propagation round costs seconds of join/groupby
+    launch overhead to move a handful of rows.  Both paths produce the
+    identical (doc_id, min-id cluster) output and are pinned against the
+    same union-find oracle in tests.
     """
     from ray.data.aggregate import Min as _Min
 
@@ -851,7 +921,8 @@ def connected_components(
         to_sym, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         # block-less empty datasets have no schema; joins would fail
         from engine.stages.join import _arrow_types
 
@@ -864,6 +935,8 @@ def connected_components(
                 }
             )
         )
+    if n_edges <= driver_max_edges:
+        return _connected_components_driver(edges)
 
     # initial labels: label(v) = v, one row per distinct node
     labels = (

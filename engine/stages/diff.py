@@ -358,7 +358,11 @@ def latest_events(
         )
         return df.groupby(key_col, sort=False, as_index=False).tail(1)
 
-    cand = ds.map_batches(partial, batch_format="pandas")
+    # Arrow-convert before the shuffle: a groupby over pandas-format
+    # blocks is ~20x slower than over Arrow blocks (PERF.md #31)
+    from engine.stages.common import as_arrow
+
+    cand = as_arrow(ds.map_batches(partial, batch_format="pandas"))
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([ts_col, tiebreak_col], kind="mergesort")

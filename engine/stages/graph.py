@@ -41,10 +41,18 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     num_partitions: Optional[int] = None,
+    driver_max_edges: int = 2_000_000,
 ) -> ray.data.Dataset:
     """PageRank over an edge list; returns (node, rank) after ``iters``
     rounds.  Duplicate edges contribute once each (multigraph semantics —
     match the oracle).  Ranks sum to exactly 1.0 up to float addition.
+
+    Size-gated driver fast path: an edge list below ``driver_max_edges``
+    (~32 MB of int64 pairs at the default) runs the numpy power iteration
+    on the driver — 10 distributed rounds of join+groupby cost ~10 s of
+    pure per-round launch overhead to move a few thousand rows (the
+    PERF.md #24 rationale).  Both paths implement the identical formula
+    and are pinned to the same oracle in tests (each forced explicitly).
     """
     edges = edges.map_batches(
         lambda t: pa.table(
@@ -53,6 +61,9 @@ def pagerank(
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
+
+    if edges.count() <= driver_max_edges:
+        return _pagerank_driver(edges, damping=damping, iters=iters)
 
     # node universe: distinct src UNION dst (groupby, no join)
     def both_ends(t: pa.Table) -> pa.Table:
@@ -180,3 +191,47 @@ def pagerank(
         ).materialize()
 
     return ranks
+
+
+def _pagerank_driver(
+    edges: ray.data.Dataset, *, damping: float, iters: int
+) -> ray.data.Dataset:
+    """Driver-side numpy power iteration (gated small-graph path).  Same
+    formula as the distributed rounds: multigraph contributions, exact
+    dangling-mass correction."""
+    blocks = [
+        t
+        for t in ray.get(edges.to_arrow_refs())
+        if isinstance(t, pa.Table) and t.num_rows
+    ]
+    if not blocks:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}
+            )
+        )
+    tbl = pa.concat_tables(blocks, promote_options="default")
+    node_type = tbl.schema.field("src").type
+    src = tbl.column("src").to_numpy(zero_copy_only=False)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = codes[: len(src)], codes[len(src) :]
+    n = len(nodes)
+    outdeg = np.zeros(n, dtype=np.float64)
+    np.add.at(outdeg, si, 1.0)
+    dangling_mask = outdeg == 0
+    safe_out = np.where(dangling_mask, 1.0, outdeg)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        np.add.at(contrib, di, r[si] / safe_out[si])
+        dangling = float(r[dangling_mask].sum())
+        r = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes.tolist(), node_type),
+                "rank": pa.array(r, pa.float64()),
+            }
+        )
+    )

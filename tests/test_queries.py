@@ -109,8 +109,12 @@ ROWS_ONLY = [
 ]
 
 
-def test_connected_components_matches_union_find(ray_session):
-    """Label propagation == union-find on a random pair set."""
+@pytest.mark.parametrize(
+    "gate", [2_000_000, 0], ids=["driver-path", "distributed-path"]
+)
+def test_connected_components_matches_union_find(ray_session, gate):
+    """BOTH paths (gated driver union-find, distributed label propagation)
+    == a reference union-find on a random pair set."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -127,7 +131,7 @@ def test_connected_components_matches_union_find(ray_session):
             }
         )
     )
-    got = connected_components(pairs).to_pandas()
+    got = connected_components(pairs, driver_max_edges=gate).to_pandas()
 
     parent = {}
 

@@ -1086,11 +1086,14 @@ def test_decontam_string_and_hash_paths_agree(ray_session):
         assert got.loc[3, "n_grams"] == 0 and got.loc[3, "contam_grams"] == 0
 
 
-def test_pagerank_matches_power_iteration(ray_session):
-    """Distributed PageRank == single-process numpy power iteration with
-    the identical formula (damping, dangling-mass correction, multigraph
-    edge semantics), on a graph with a dangling node, a sink-only node,
-    and a duplicate edge."""
+@pytest.mark.parametrize(
+    "gate", [2_000_000, 0], ids=["driver-path", "distributed-path"]
+)
+def test_pagerank_matches_power_iteration(ray_session, gate):
+    """Both PageRank paths (gated driver numpy, distributed join rounds)
+    == single-process numpy power iteration with the identical formula
+    (damping, dangling-mass correction, multigraph edge semantics), on a
+    graph with a dangling node, a sink-only node, and a duplicate edge."""
     import ray.data
 
     from engine.stages.graph import pagerank
@@ -1102,7 +1105,8 @@ def test_pagerank_matches_power_iteration(ray_session):
         "dst": pa.array([b for _, b in E], pa.int64()),
     })
     got = (
-        pagerank(ray.data.from_arrow(t).repartition(3), damping=0.85, iters=12)
+        pagerank(ray.data.from_arrow(t).repartition(3), damping=0.85, iters=12,
+                 driver_max_edges=gate)
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
@@ -1141,7 +1145,8 @@ def test_pagerank_sink_heavy_graph(ray_session):
         "dst": pa.array([b for _, b in E], pa.int64()),
     })
     got = (
-        pagerank(ray.data.from_arrow(t).repartition(4), damping=0.85, iters=5)
+        pagerank(ray.data.from_arrow(t).repartition(4), damping=0.85, iters=5,
+                 driver_max_edges=0)  # the test targets the DISTRIBUTED joins
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
