@@ -84,10 +84,14 @@ def build_corpus(
     )
     clusters = dd.connected_components(pairs)
     # connected_components emits hard-coded (doc_id, cluster_id); realign
-    # with the caller's id column name
+    # with the caller's id column name.  select() by name first so a
+    # changed/reordered upstream schema fails loudly instead of silently
+    # swapping ids with cluster ids.
     if id_col != "doc_id":
         clusters = clusters.map_batches(
-            lambda t: t.rename_columns([id_col, "cluster_id"]),
+            lambda t: t.select(["doc_id", "cluster_id"]).rename_columns(
+                [id_col, "cluster_id"]
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )

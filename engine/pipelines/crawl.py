@@ -775,9 +775,9 @@ class CrawlRun:
                 # broadcast anti-join: carryover = frontier \\ selected.
                 # Stays a Dataset — the carryover frontier never touches
                 # the driver on the large-wave path.
-                sel_arr = pa.array(
-                    selected_t.column("url").to_pylist(), pa.string()
-                )
+                # zero-copy: ship the Arrow column itself as the value set
+                # (no Python-object round trip on the driver)
+                sel_arr = selected_t.column("url").combine_chunks()
                 sel_set_ref = ray.put(sel_arr)
 
                 def drop_selected(t: pa.Table, ref=sel_set_ref) -> pa.Table:

@@ -185,7 +185,9 @@ def run_index_pipeline_resumable(
             )
     else:
         files = [pages_path]
-    warc_input = bool(files) and files[0].endswith((".warc", ".warc.gz"))
+    from engine.sources.pages import is_warc_path
+
+    warc_input = bool(files) and is_warc_path(files[0])
     parts = ckpt.partition_inputs(files, files_per_partition)
     pending = ckpt.pending_partitions(out_dir, parts)
     os.makedirs(out_dir, exist_ok=True)
@@ -236,13 +238,16 @@ def run_index_pipeline_resumable(
             }
         else:
             skip_counts = {}
-        # WARC containers have no row-count footer; extraction is 1:1 per
-        # record, so the output row count IS the input record count
-        rows_in = (
-            int(sum(skip_counts.values()))
-            if warc_input
-            else sum(pq.read_metadata(f).num_rows for f in pfiles)
-        )
+        # WARC containers have no row-count footer; measure rows_in with an
+        # INDEPENDENT header-walk pass over the input files (payloads
+        # skipped) so the manifest's in-vs-out check can actually reveal
+        # lost rows, same as the Parquet path's footer counts do
+        if warc_input:
+            from engine.sources.warc import count_page_records
+
+            rows_in = count_page_records(pfiles)
+        else:
+            rows_in = sum(pq.read_metadata(f).num_rows for f in pfiles)
         rows_out = int(sum(skip_counts.values()))
         _shutil.rmtree(part_dir, ignore_errors=True)
         os.replace(tmp_dir, part_dir)

@@ -994,7 +994,14 @@ def q_corpus_overlap(sf_dir: str):
             f, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    return corpus_overlap(side(0), side(1), id_col="doc_id", text_col="text", n=5)
+    # est_docs from the parquet footer: sizing buckets must not execute
+    # the lazy filtered pipelines (they'd run twice — clean.py)
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return corpus_overlap(
+        side(0), side(1), id_col="doc_id", text_col="text", n=5, est_docs=n_docs
+    )
 
 
 def q_pagerank(sf_dir: str):

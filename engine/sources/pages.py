@@ -40,7 +40,7 @@ def read_pages(
     frontier seed loader needs just ``url``) — at 100 TB the ``html`` column
     dominates and must not leave storage unless extraction runs.
     """
-    if _is_warc_path(path):
+    if is_warc_path(path):
         from engine.sources.warc import read_warc
 
         return read_warc(
@@ -52,18 +52,30 @@ def read_pages(
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
-def _is_warc_path(path: str) -> bool:
+def is_warc_path(path: str) -> bool:
     """True when ``path`` is a WARC file or a directory of WARC files —
-    dispatches read_pages to the container reader (engine.sources.warc)."""
+    dispatches read_pages to the container reader (engine.sources.warc).
+    The SINGLE format sniffer: the resumable index pipeline reuses it so
+    the two dispatch points cannot drift.  A directory holding BOTH
+    parquet and WARC files is treated as parquet (with a warning) —
+    mixed-format page dirs are a layout error, not a supported input."""
     import os as _os
 
     if str(path).endswith((".warc", ".warc.gz")):
         return True
     if _os.path.isdir(path):
         names = _os.listdir(path)
-        return any(n.endswith((".warc", ".warc.gz")) for n in names) and not any(
-            n.endswith(".parquet") for n in names
-        )
+        has_warc = any(n.endswith((".warc", ".warc.gz")) for n in names)
+        has_parquet = any(n.endswith(".parquet") for n in names)
+        if has_warc and has_parquet:
+            import warnings
+
+            warnings.warn(
+                f"pages dir {path!r} mixes .parquet and .warc files; "
+                "reading the parquet files only",
+                stacklevel=2,
+            )
+        return has_warc and not has_parquet
     return False
 
 

@@ -64,6 +64,7 @@ def _read_headers(stream) -> Optional[Tuple[bytes, Dict[bytes, bytes]]]:
         return None
     if not line.startswith(b"WARC/"):
         raise ValueError(f"not a WARC record header: {line[:40]!r}")
+    version = line.strip()
     headers: Dict[bytes, bytes] = {}
     last = None
     while True:
@@ -76,7 +77,7 @@ def _read_headers(stream) -> Optional[Tuple[bytes, Dict[bytes, bytes]]]:
         name, _, value = line.partition(b":")
         last = name.strip().lower()
         headers[last] = value.strip()
-    return line, headers
+    return version, headers
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -103,10 +104,21 @@ def _dechunk(body: bytes) -> bytes:
     return b"".join(out)
 
 
+def _http_header_value(head: bytes, name: bytes) -> Optional[bytes]:
+    """Value of the named HTTP header (lowercased), or None.  Parses
+    header LINES — a substring scan would false-positive on unrelated
+    headers whose value happens to contain the probed word."""
+    for line in head.split(b"\n"):
+        n, sep, v = line.partition(b":")
+        if sep and n.strip().lower() == name:
+            return v.strip().lower()
+    return None
+
+
 def _http_body(payload: bytes) -> bytes:
     """Split a captured HTTP response at the first blank line; de-chunk if
-    the headers say so.  Payloads without an HTTP status line (rare
-    non-HTTP captures) pass through unchanged."""
+    the Transfer-Encoding header says so.  Payloads without an HTTP status
+    line (rare non-HTTP captures) pass through unchanged."""
     if not payload.startswith(b"HTTP/"):
         return payload
     sep = payload.find(b"\r\n\r\n")
@@ -117,7 +129,8 @@ def _http_body(payload: bytes) -> bytes:
         head, body = payload[:sep], payload[sep + 2 :]
     else:
         head, body = payload[:sep], payload[sep + 4 :]
-    if b"chunked" in head.lower() and b"transfer-encoding" in head.lower():
+    te = _http_header_value(head, b"transfer-encoding")
+    if te is not None and b"chunked" in te:
         body = _dechunk(body)
     return body
 
@@ -169,6 +182,81 @@ def iter_warc_records(
         yield url.decode("utf-8", "replace"), _parse_warc_date(
             headers.get(b"warc-date")
         ), _http_body(payload) if rtype == b"response" else payload
+
+
+def _skip_payload(stream, length: int) -> int:
+    """Discard ``length`` payload bytes in bounded chunks; returns bytes
+    actually consumed (< length at a truncated final record)."""
+    remaining = length
+    while remaining > 0:
+        chunk = stream.read(min(1 << 20, remaining))
+        if not chunk:
+            break
+        remaining -= len(chunk)
+    return length - remaining
+
+
+def count_page_records_bytes(
+    raw: bytes, *, max_content_length: Optional[int] = None
+) -> int:
+    """Count the page-bearing records in one WARC file's bytes WITHOUT
+    materializing payloads — the independent input-side count for the
+    resume manifest's rows_in/rows_out accounting (WARC files have no
+    Parquet-style row-count footer).  Mirrors ``iter_warc_records``'s
+    record policy exactly: response/resource/conversion records with a
+    target URI count; overly-long records count even when truncated
+    (their metadata row is yielded regardless); a truncated final normal
+    record does not."""
+    if raw[:2] == b"\x1f\x8b":
+        stream = gzip.GzipFile(fileobj=io.BytesIO(raw))
+    else:
+        stream = io.BytesIO(raw)
+    n = 0
+    while True:
+        head = _read_headers(stream)
+        if head is None:
+            return n
+        _, headers = head
+        length = int(headers.get(b"content-length", b"0"))
+        wanted = (
+            headers.get(b"warc-type", b"") in _PAGE_TYPES
+            and headers.get(b"warc-target-uri") is not None
+        )
+        overlong = max_content_length is not None and length > max_content_length
+        full = _skip_payload(stream, length) == length
+        if wanted and (full or overlong):
+            n += 1
+        elif wanted and not full:
+            return n  # truncated final normal record: not yielded, not counted
+        elif not full:
+            return n  # truncated unwanted record ends the stream
+
+
+def count_page_records(paths, *, max_content_length: Optional[int] = None) -> int:
+    """Distributed page-record count over WARC file(s): one decompress +
+    header-walk pass per file (payloads skipped), per-file parallel.  Used
+    by the resumable index pipeline so a WARC partition's manifest rows_in
+    is measured INDEPENDENTLY of the extraction output (the same integrity
+    check the Parquet path gets from row-count footers)."""
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [str(paths)]
+    raw = ray.data.read_binary_files(list(paths))
+
+    def cnt(t: pa.Table) -> pa.Table:
+        total = sum(
+            count_page_records_bytes(b, max_content_length=max_content_length)
+            for b in t.column("bytes").to_pylist()
+        )
+        return pa.table({"n": pa.array([total], pa.int64())})
+
+    counts = raw.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
+    return int(
+        sum(
+            t.column("n").to_pylist()[0]
+            for t in ray.get(counts.to_arrow_refs())
+            if isinstance(t, pa.Table) and t.num_rows and "n" in t.column_names
+        )
+    )
 
 
 def read_warc(

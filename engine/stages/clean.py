@@ -751,6 +751,7 @@ def corpus_overlap(
     text_col: str = "text",
     n: int = 5,
     n_buckets: Optional[int] = None,
+    est_docs: Optional[int] = None,
 ) -> ray.data.Dataset:
     """Corpus-vs-corpus word n-gram overlap, fully distributed: for each
     document in corpus A, how many of its DISTINCT word ``n``-grams occur
@@ -780,8 +781,15 @@ def corpus_overlap(
     _MASK63 = (1 << 63) - 1
     if n_buckets is None:
         # ~512 distinct grams/doc is a generous estimate; target ~200k
-        # rows per bucket so a group task stays comfortably in memory
-        est_rows = (ds_a.count() + ds_b.count()) * 512
+        # rows per bucket so a group task stays comfortably in memory.
+        # Prefer the caller's est_docs (e.g. from parquet footers): a
+        # count() here EXECUTES both lazy input pipelines once just to
+        # size buckets, then the union re-executes them for the gram rows
+        # — double input I/O.  Any same-order estimate works; buckets are
+        # uniform by construction.
+        if est_docs is None:
+            est_docs = ds_a.count() + ds_b.count()
+        est_rows = est_docs * 512
         n_buckets = int(min(1 << 20, max(16, est_rows // 200_000)))
 
     def a_rows(t: pa.Table) -> pa.Table:

@@ -828,11 +828,9 @@ def _connected_components_driver(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Driver union-find over a gated-small symmetrized edge set; min-id
     representative per component — identical output to the distributed
     min-label propagation (both pinned to the union-find oracle test)."""
-    blocks = [
-        t
-        for t in ray.get(edges.to_arrow_refs())
-        if isinstance(t, pa.Table) and t.num_rows
-    ]
+    from engine.stages.common import collect_arrow_blocks
+
+    blocks = collect_arrow_blocks(edges)
     tbl = pa.concat_tables(blocks, promote_options="default")
     id_type = tbl.schema.field("src").type
     src = tbl.column("src").to_numpy(zero_copy_only=False)

@@ -199,11 +199,9 @@ def _pagerank_driver(
     """Driver-side numpy power iteration (gated small-graph path).  Same
     formula as the distributed rounds: multigraph contributions, exact
     dangling-mass correction."""
-    blocks = [
-        t
-        for t in ray.get(edges.to_arrow_refs())
-        if isinstance(t, pa.Table) and t.num_rows
-    ]
+    from engine.stages.common import collect_arrow_blocks
+
+    blocks = collect_arrow_blocks(edges)
     if not blocks:
         return ray.data.from_arrow(
             pa.table(

@@ -88,15 +88,14 @@ def term_stats(
 
         return t.take(pc.sort_indices(t, sort_keys=_KEYS)[:top_n])
 
-    cand = [
-        t
-        for t in ray.get(
-            agg.map_batches(
-                head_partial, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
-        )
-        if isinstance(t, pa.Table) and t.num_rows and "token" in t.column_names
-    ]
+    from engine.stages.common import collect_arrow_blocks
+
+    cand = collect_arrow_blocks(
+        agg.map_batches(
+            head_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        required_col="token",
+    )
     if not cand:
         empty = pa.table(
             {

@@ -189,13 +189,9 @@ def bm25_topk(
 
     scored = tf_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     # per-block candidates are k rows max each — the driver merge is tiny.
-    # Zero-row blocks bypass map_batches and surface with the tf schema;
-    # skip anything that is not a non-empty scored table.
-    cand = [
-        t
-        for t in ray.get(scored.to_arrow_refs())
-        if isinstance(t, pa.Table) and t.num_rows and "score" in t.column_names
-    ]
+    from engine.stages.common import collect_arrow_blocks
+
+    cand = collect_arrow_blocks(scored, required_col="score")
     if not cand:
         return pa.table(
             {"rank": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())}

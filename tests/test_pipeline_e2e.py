@@ -251,6 +251,82 @@ def test_warc_resumable_index_pipeline(ray_session, tmp_path):
     assert len(got) == len(pages)
     assert sorted(got["warc_target_uri"]) == sorted(pages["url"])
 
+    # manifest rows_in is an INDEPENDENT input-side record count (a
+    # header-walk pass over the .warc.gz), not an echo of rows_out
+    from engine.state.checkpoint import load_manifest
+
+    man = load_manifest(out).to_pandas()
+    assert sorted(man["rows_in"]) == [24, 24]
+    assert (man["rows_in"] == man["rows_out"]).all()
+
+
+def test_warc_record_count_and_http_parsing(tmp_path):
+    """count_page_records_bytes mirrors iter_warc_records' record policy,
+    and chunked-transfer detection parses the Transfer-Encoding header
+    line (a substring scan would false-positive on e.g. an 'X-Cache:
+    chunked-proxy' header)."""
+    import gzip as _gz
+
+    from engine.sources.warc import (
+        _http_body,
+        count_page_records_bytes,
+        iter_warc_records,
+    )
+
+    def rec(rtype: bytes, url: bytes, payload: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: " + rtype + b"\r\n"
+            b"WARC-Target-URI: " + url + b"\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(payload) + payload + b"\r\n\r\n"
+        )
+
+    body = b"<html>hello</html>"
+    resp = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    blob = (
+        _gz.compress(rec(b"request", b"http://a/", b"GET"))
+        + _gz.compress(rec(b"response", b"http://a/", resp))
+        + _gz.compress(rec(b"metadata", b"http://a/", b"x"))
+        + _gz.compress(rec(b"resource", b"http://b/", body))
+    )
+    assert count_page_records_bytes(blob) == 2
+    assert count_page_records_bytes(blob) == len(list(iter_warc_records(blob)))
+    # truncated final record: neither yielded nor counted
+    trunc = blob + _gz.compress(rec(b"response", b"http://c/", resp)[:-30])
+    assert count_page_records_bytes(trunc) == 2
+    assert len(list(iter_warc_records(trunc))) == 2
+
+    # chunked body decodes through the real Transfer-Encoding header ...
+    chunked = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    real = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    assert _http_body(real) == b"hello world"
+    # ... but an unrelated header containing the word does NOT trigger it
+    decoy = (
+        b"HTTP/1.1 200 OK\r\nX-Cache: chunked-proxy\r\n"
+        b"Transfer-Encoding: identity\r\n\r\n" + chunked
+    )
+    assert _http_body(decoy) == chunked
+
+
+def test_mixed_pages_dir_warns_and_reads_parquet(tmp_path):
+    """A directory mixing .parquet and .warc files is a layout error:
+    the sniffer warns and treats it as parquet-only."""
+    import warnings
+
+    import pyarrow as pa
+
+    from engine.sources.pages import is_warc_path
+
+    pq.write_table(pa.table({"url": pa.array(["http://a/"])}),
+                   str(tmp_path / "p.parquet"))
+    (tmp_path / "c.warc.gz").write_bytes(b"\x1f\x8b")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert is_warc_path(str(tmp_path)) is False
+    assert any("mixes" in str(x.message) for x in w)
+
 
 def test_jsonl_tz_offsets_normalize_to_utc(ray_session, tmp_path):
     """Identical instants written with different UTC offsets coerce to the
