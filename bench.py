@@ -503,7 +503,6 @@ if __name__ == "__main__":
     import faulthandler
     import signal
 
-    faulthandler.dump_traceback_later(1500, exit=True)
     # kill -USR1 <pid> dumps all thread stacks to stderr (hang forensics)
     faulthandler.register(signal.SIGUSR1, all_threads=True)
     if "--wait-healthy" in sys.argv:
@@ -533,6 +532,12 @@ if __name__ == "__main__":
             if r32 >= target32 and ratio >= 0.85:
                 break
             time.sleep(90)
+    # hang safety AFTER any gate loop (the gate can legitimately poll for
+    # up to an hour — arming the watchdog before it killed a gated scaling
+    # run mid-measurement); budget sized to the mode's real runtime
+    faulthandler.dump_traceback_later(
+        1800 if "--scaling" in sys.argv else 1500, exit=True
+    )
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

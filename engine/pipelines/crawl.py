@@ -747,8 +747,13 @@ class CrawlRun:
                     fn_args=(self.rules_ref, counts_ref, self.cfg),
                     batch_format="pandas",
                 )
-                selected_t = pa.concat_tables(
-                    ray.get(marked.to_arrow_refs()), promote_options="default"
+                from engine.stages.common import collect_arrow_blocks
+
+                sel_blocks = collect_arrow_blocks(marked, required_col="url")
+                selected_t = (
+                    pa.concat_tables(sel_blocks, promote_options="default")
+                    if sel_blocks
+                    else _EMPTY_FRONTIER
                 )
                 salted_selection = True
             else:
