@@ -1,0 +1,121 @@
+"""Resilient remote-file fetching — the S3 streaming hardening layer.
+
+The reference opens S3 WARC streams through a custom boto3 client with
+``connect_timeout=60`` / ``read_timeout=240`` and a 64 KiB buffered
+downloader, and on a mid-file failure records the resume position so the
+next attempt continues instead of restarting
+(/root/reference/warc_indexer/indexer/warcio.py:179-230 ``_open_s3_stream``
+/ ``Boto3Client``; 164-175 resume-position bookkeeping).
+
+This module provides the same semantics on top of any pyarrow-style
+filesystem (``open_input_file`` returning a seekable stream):
+
+- ``fetch_bytes``: whole-file read with bounded retries, exponential
+  backoff, and BYTE-OFFSET RESUME — a failure mid-stream re-opens and
+  seeks to the bytes already fetched rather than rereading them (the
+  transport-level analog of the reference's Redis resume positions).
+  Failures that made progress since the previous failure REFILL the
+  attempt budget, so a long intermittently-flaky stream completes while a
+  hard-down host still fails fast after ``attempts`` consecutive errors.
+- ``resolve_filesystem``: scheme dispatch; ``s3://`` gets a pyarrow
+  S3FileSystem constructed with the reference's timeout pair.
+
+No network exists in this sandbox, so the retry/resume machinery is
+verified by fault injection (tests/test_resilient.py: a flaky local
+filesystem that fails scheduled opens/reads) — the S3 constructor path is
+exercised via dispatch tests only.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Tuple
+
+# Mirrors the reference Boto3Client settings (warcio.py:212-214).
+S3_CONNECT_TIMEOUT = 60.0
+S3_REQUEST_TIMEOUT = 240.0
+
+
+def resolve_filesystem(path: str) -> Tuple[object, str]:
+    """(filesystem, relative-path) for ``path``.
+
+    ``s3://`` → pyarrow ``S3FileSystem`` with the reference's timeouts;
+    other ``scheme://`` URIs → ``pyarrow.fs.FileSystem.from_uri``; bare
+    paths → ``LocalFileSystem``.
+    """
+    from pyarrow import fs as pafs
+
+    p = str(path)
+    if p.startswith("s3://"):
+        fs = pafs.S3FileSystem(
+            connect_timeout=S3_CONNECT_TIMEOUT,
+            request_timeout=S3_REQUEST_TIMEOUT,
+        )
+        return fs, p[len("s3://"):]
+    if "://" in p:
+        return pafs.FileSystem.from_uri(p)
+    return pafs.LocalFileSystem(), p
+
+
+def fetch_bytes(
+    path: str,
+    filesystem: Optional[object] = None,
+    *,
+    attempts: int = 5,
+    base_backoff: float = 0.1,
+    max_backoff: float = 30.0,
+    chunk_size: int = 1 << 20,
+    sleep: Callable[[float], None] = time.sleep,
+) -> bytes:
+    """Read one file fully, surviving transient open/read failures.
+
+    On any exception while opening or reading, waits
+    ``base_backoff * 2**(consecutive_failures-1)`` (capped at
+    ``max_backoff``), re-opens, seeks to the bytes already fetched, and
+    continues.  ``attempts`` bounds CONSECUTIVE failures without progress;
+    any chunk successfully read resets the budget.  ``sleep`` is
+    injectable so fault-injection tests run without wall-clock delay.
+    """
+    if attempts < 1:
+        raise ValueError("attempts must be >= 1")
+    if filesystem is None:
+        filesystem, path = resolve_filesystem(path)
+    got = bytearray()
+    consecutive = 0
+    last_exc: Optional[BaseException] = None
+    while True:
+        try:
+            f = filesystem.open_input_file(path)
+        except Exception as e:  # noqa: BLE001 — transport errors vary by fs
+            consecutive += 1
+            last_exc = e
+            if consecutive >= attempts:
+                raise OSError(
+                    f"fetch_bytes: giving up opening {path!r} after "
+                    f"{consecutive} consecutive failures"
+                ) from e
+            sleep(min(max_backoff, base_backoff * 2 ** (consecutive - 1)))
+            continue
+        try:
+            if got:
+                f.seek(len(got))
+            while True:
+                chunk = f.read(chunk_size)
+                if not chunk:
+                    return bytes(got)
+                got += chunk
+                consecutive = 0  # progress refills the attempt budget
+        except Exception as e:  # noqa: BLE001
+            consecutive += 1
+            last_exc = e
+            if consecutive >= attempts:
+                raise OSError(
+                    f"fetch_bytes: giving up on {path!r} at offset "
+                    f"{len(got)} after {consecutive} consecutive failures"
+                ) from last_exc
+            sleep(min(max_backoff, base_backoff * 2 ** (consecutive - 1)))
+        finally:
+            try:
+                f.close()
+            except Exception:  # noqa: BLE001 — close failure is not data loss
+                pass

@@ -265,16 +265,29 @@ def read_warc(
     columns: Optional[List[str]] = None,
     max_content_length: Optional[int] = None,
     override_num_blocks: Optional[int] = None,
+    filesystem=None,
+    retry_attempts: int = 5,
 ) -> ray.data.Dataset:
     """Read ``.warc`` / ``.warc.gz`` file(s) into the canonical PAGES
     schema (url, warc_ts, html, text, lang) — text/lang are null (the
     extraction stage computes them).  ``paths`` is a file, directory, or
-    list thereof; parallelism is per file (module docstring)."""
+    list thereof; parallelism is per file (module docstring).
+
+    Remote paths (``s3://…``) — or any call passing ``filesystem`` — fetch
+    through ``engine.sources.resilient.fetch_bytes``: bounded retries with
+    exponential backoff and byte-offset resume on mid-stream failures,
+    mirroring the reference's S3 downloader + resume-position semantics
+    (warcio.py:164-230).  ``retry_attempts`` bounds CONSECUTIVE
+    no-progress failures per file.  Local paths without an explicit
+    filesystem use ``read_binary_files`` (Ray's own task retries suffice
+    when re-reading a local file is cheap).  Remote directories are not
+    listed here — pass explicit file lists (or a manifest) for ``s3://``
+    prefixes."""
     if isinstance(paths, (str, os.PathLike)):
         paths = [str(paths)]
     files: List[str] = []
     for p in paths:
-        if os.path.isdir(p):
+        if "://" not in str(p) and os.path.isdir(p):
             files.extend(
                 os.path.join(p, f)
                 for f in sorted(os.listdir(p))
@@ -288,7 +301,26 @@ def read_warc(
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
-    raw = ray.data.read_binary_files(files, **kwargs)
+    if filesystem is not None or any("://" in f for f in files):
+        from engine.sources.resilient import fetch_bytes
+
+        paths_ds = ray.data.from_items(
+            [{"path": f} for f in files],
+            override_num_blocks=override_num_blocks or len(files),
+        )
+
+        def fetch(t: pa.Table) -> pa.Table:
+            blobs = [
+                fetch_bytes(p, filesystem=filesystem, attempts=retry_attempts)
+                for p in t.column("path").to_pylist()
+            ]
+            return pa.table({"bytes": pa.array(blobs, pa.binary())})
+
+        raw = paths_ds.map_batches(
+            fetch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        raw = ray.data.read_binary_files(files, **kwargs)
 
     def parse(t: pa.Table) -> pa.Table:
         urls: List[str] = []

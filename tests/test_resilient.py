@@ -1,0 +1,125 @@
+"""Fault-injection tests for the resilient remote-fetch layer
+(engine/sources/resilient.py) — the sandbox-testable stand-in for the
+reference's S3 retry/resume semantics (warcio.py:164-230).  No network
+exists here, so a flaky LOCAL filesystem injects the failures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from engine.sources.faults import FlakyFS
+from engine.sources.resilient import fetch_bytes, resolve_filesystem
+from engine.sources.warc import read_warc, write_warc
+
+
+@pytest.fixture()
+def payload_file(tmp_path):
+    p = tmp_path / "blob.bin"
+    data = bytes(range(256)) * 1000  # 256 000 bytes, several 4 KiB chunks
+    p.write_bytes(data)
+    return str(p), data
+
+
+def test_fetch_clean_path(payload_file):
+    path, data = payload_file
+    fs = FlakyFS()
+    assert fetch_bytes(path, fs, chunk_size=4096) == data
+    assert fs.log[0]["opens"] == 1
+
+
+def test_fetch_retries_failed_opens(payload_file):
+    path, data = payload_file
+    fs = FlakyFS(fail_opens=2)
+    waits = []
+    out = fetch_bytes(
+        path, fs, attempts=4, base_backoff=0.5, sleep=waits.append
+    )
+    assert out == data
+    assert fs.log[0]["opens"] == 3
+    assert waits == [0.5, 1.0]  # exponential backoff, no real sleeping
+
+
+def test_fetch_resumes_mid_stream_at_offset(payload_file):
+    path, data = payload_file
+    # chunk_size 4096 → read #0..#62 return data; fail read #3 and #40.
+    fs = FlakyFS(fail_reads={3, 40})
+    out = fetch_bytes(path, fs, chunk_size=4096, sleep=lambda s: None)
+    assert out == data
+    # Each failure re-opened and RESUMED at the already-fetched offset —
+    # never a seek back to zero after progress.
+    seeks = [pos for op, pos in fs.log[1:] if op == "seek"]
+    assert seeks == [3 * 4096, 39 * 4096]  # read idx 40 = 39 data chunks in
+    assert fs.log[0]["opens"] == 3
+
+
+def test_fetch_gives_up_after_consecutive_failures(payload_file):
+    path, _ = payload_file
+    fs = FlakyFS(fail_opens=10**9)
+    with pytest.raises(OSError, match="giving up opening"):
+        fetch_bytes(path, fs, attempts=3, sleep=lambda s: None)
+    assert fs.log[0]["opens"] == 3
+
+
+def test_progress_refills_attempt_budget(payload_file):
+    path, data = payload_file
+    # Fail EVERY OTHER read: 63 failures total but never 2 consecutive —
+    # attempts=2 must still complete (the reference's resume semantics:
+    # a flaky-but-progressing stream is not a dead host).
+    fs = FlakyFS(fail_reads=frozenset(range(1, 200, 2)))
+    out = fetch_bytes(path, fs, attempts=2, chunk_size=4096, sleep=lambda s: None)
+    assert out == data
+
+
+def test_fetch_mid_stream_give_up_names_offset(payload_file):
+    path, _ = payload_file
+    fs = FlakyFS(fail_reads=frozenset(range(2, 10**6)))
+    with pytest.raises(OSError, match="at offset 8192"):
+        fetch_bytes(path, fs, attempts=3, chunk_size=4096, sleep=lambda s: None)
+
+
+def test_resolve_filesystem_local(tmp_path):
+    fs, rel = resolve_filesystem(str(tmp_path / "x"))
+    from pyarrow import fs as pafs
+
+    assert isinstance(fs, pafs.LocalFileSystem)
+    assert rel == str(tmp_path / "x")
+
+
+def test_resolve_filesystem_s3_dispatch(monkeypatch):
+    """s3:// paths construct an S3FileSystem with the reference's timeout
+    pair (warcio.py:212-214) — constructor intercepted; no network here."""
+    from pyarrow import fs as pafs
+
+    seen = {}
+
+    class FakeS3:
+        def __init__(self, **kw):
+            seen.update(kw)
+
+    monkeypatch.setattr(pafs, "S3FileSystem", FakeS3)
+    fs, rel = resolve_filesystem("s3://bucket/key/file.warc.gz")
+    assert isinstance(fs, FakeS3)
+    assert rel == "bucket/key/file.warc.gz"
+    assert seen == {"connect_timeout": 60.0, "request_timeout": 240.0}
+
+
+def test_read_warc_through_flaky_filesystem(tmp_path, ray_session):
+    """End-to-end: read_warc with an injected-failure filesystem yields the
+    same rows as the clean local path — the retry layer is transparent."""
+    rows = [
+        (f"https://ex.com/{i}", dt.datetime(2024, 1, 1, 0, 0, i),
+         f"<html><body>doc {i}</body></html>".encode())
+        for i in range(20)
+    ]
+    warc = str(tmp_path / "pages.warc.gz")
+    write_warc(iter(rows), warc)
+
+    clean = read_warc(warc).take_all()
+    flaky = read_warc(
+        warc, filesystem=FlakyFS(fail_opens=1, fail_reads={2})
+    ).take_all()
+    assert flaky == clean
+    assert len(flaky) == 20
+    assert flaky[0]["url"] == "https://ex.com/0"
