@@ -259,6 +259,26 @@ def count_page_records(paths, *, max_content_length: Optional[int] = None) -> in
     )
 
 
+def _list_remote_warcs(prefix: str) -> List[str]:
+    """Recursively list ``.warc``/``.warc.gz`` files under a URI prefix
+    (``s3://bucket/path/``, ``file:///dir`` …) through the scheme's
+    pyarrow filesystem, returning full scheme-qualified URIs in sorted
+    (deterministic shard) order."""
+    from pyarrow import fs as pafs
+
+    from engine.sources.resilient import resolve_filesystem
+
+    scheme = prefix.split("://", 1)[0]
+    fs, rel = resolve_filesystem(prefix)
+    infos = fs.get_file_info(pafs.FileSelector(rel.rstrip("/"), recursive=True))
+    return sorted(
+        f"{scheme}://{i.path}"
+        for i in infos
+        if i.type == pafs.FileType.File
+        and i.path.endswith((".warc", ".warc.gz"))
+    )
+
+
 def read_warc(
     paths,
     *,
@@ -280,21 +300,24 @@ def read_warc(
     (warcio.py:164-230).  ``retry_attempts`` bounds CONSECUTIVE
     no-progress failures per file.  Local paths without an explicit
     filesystem use ``read_binary_files`` (Ray's own task retries suffice
-    when re-reading a local file is cheap).  Remote directories are not
-    listed here — pass explicit file lists (or a manifest) for ``s3://``
-    prefixes."""
+    when re-reading a local file is cheap).  A remote PREFIX (``s3://b/p/``
+    — any URI not ending in .warc/.warc.gz) is listed recursively through
+    the scheme's filesystem before reading."""
     if isinstance(paths, (str, os.PathLike)):
         paths = [str(paths)]
     files: List[str] = []
     for p in paths:
-        if "://" not in str(p) and os.path.isdir(p):
+        p = str(p)
+        if "://" in p and not p.endswith((".warc", ".warc.gz")):
+            files.extend(_list_remote_warcs(p))
+        elif "://" not in p and os.path.isdir(p):
             files.extend(
                 os.path.join(p, f)
                 for f in sorted(os.listdir(p))
                 if f.endswith((".warc", ".warc.gz"))
             )
         else:
-            files.append(str(p))
+            files.append(p)
     if not files:
         return ray.data.from_arrow(PAGES.empty_table())
 

@@ -105,6 +105,29 @@ def test_resolve_filesystem_s3_dispatch(monkeypatch):
     assert seen == {"connect_timeout": 60.0, "request_timeout": 240.0}
 
 
+def test_read_warc_remote_prefix_listing(tmp_path, ray_session):
+    """A URI prefix (here file://, standing in for s3://) is listed
+    recursively through the scheme's filesystem and every .warc.gz under
+    it is read via the resilient fetch path."""
+    d = tmp_path / "corpus" / "shard0"
+    d.mkdir(parents=True)
+    for fi, n in (("a", 3), ("b", 4)):
+        write_warc(
+            iter(
+                (f"https://{fi}.com/{i}", dt.datetime(2024, 1, 2),
+                 f"<html>{fi}{i}</html>".encode())
+                for i in range(n)
+            ),
+            str(d / f"{fi}.warc.gz"),
+        )
+    (d / "ignore.txt").write_text("not a warc")
+
+    ds = read_warc(f"file://{tmp_path / 'corpus'}")
+    rows = ds.take_all()
+    assert len(rows) == 7
+    assert sorted(r["url"] for r in rows)[0] == "https://a.com/0"
+
+
 def test_read_warc_through_flaky_filesystem(tmp_path, ray_session):
     """End-to-end: read_warc with an injected-failure filesystem yields the
     same rows as the clean local path — the retry layer is transparent."""
