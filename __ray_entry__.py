@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
+        "bpe_merges": q.q_bpe_merges,
         "minhash_dedup": q.q_minhash_dedup,
         "ngram_dedup": q.q_ngram_dedup,
         "simhash": q.q_simhash,

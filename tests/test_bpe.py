@@ -1,0 +1,169 @@
+"""BPE trainer/encoder conformance vs an independent naive oracle.
+
+The oracle recounts every pair from scratch each merge step (the direct
+transcription of Sennrich et al. 2016's algorithm); the engine maintains
+incremental pair counts with a pair→word index — same answer required,
+exact merge sequence, counts included."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+import ray.data
+
+from engine.stages.bpe import (
+    _EOW,
+    apply_bpe,
+    encode_word,
+    train_bpe,
+    word_counts,
+)
+from engine.stages.text import _BPE
+
+
+def _naive_train(word_freqs, num_merges, min_pair_count=2):
+    words = [[list(w) + [_EOW], f] for w, f in word_freqs.items()]
+    merges = []
+    for _ in range(num_merges):
+        pc: Counter = Counter()
+        for syms, f in words:
+            for p in zip(syms, syms[1:]):
+                pc[p] += f
+        if not pc:
+            break
+        best_n = max(pc.values())
+        if best_n < min_pair_count:
+            break
+        best = min(p for p, c in pc.items() if c == best_n)
+        merges.append((best[0], best[1], best_n))
+        for entry in words:
+            syms = entry[0]
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            entry[0] = out
+    return merges
+
+
+TEXTS = [
+    "low low low low low",
+    "lower lower newest widest",
+    "newest newest newest newest newest",
+    "the newest gadget is the widest gadget",
+    "",
+]
+
+
+def _docs_ds():
+    return ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(TEXTS)]
+    )
+
+
+def _oracle_word_freqs():
+    cnt: Counter = Counter()
+    for t in TEXTS:
+        cnt.update(_BPE.findall(t))
+    return dict(cnt)
+
+
+def test_train_bpe_matches_naive_oracle(ray_session):
+    got = train_bpe(_docs_ds(), num_merges=40)
+    exp = _naive_train(_oracle_word_freqs(), 40)
+    rows = list(
+        zip(
+            got.column("left").to_pylist(),
+            got.column("right").to_pylist(),
+            got.column("n").to_pylist(),
+        )
+    )
+    assert rows == exp
+    assert got.column("rank").to_pylist() == list(range(len(exp)))
+    assert len(exp) > 5  # the fixture really trains something
+
+
+def test_train_bpe_first_merge_is_most_frequent_pair(ray_session):
+    got = train_bpe(_docs_ds(), num_merges=3)
+    # "newest"/" newest" dominate: 'e','s' appears in newest(7)+widest(2)
+    # — verify against the oracle's own first pick rather than hand-count
+    exp = _naive_train(_oracle_word_freqs(), 3)
+    assert (
+        got.column("left").to_pylist()[0],
+        got.column("right").to_pylist()[0],
+    ) == (exp[0][0], exp[0][1])
+
+
+def test_word_counts_cap_is_deterministic(ray_session):
+    full = word_counts(_docs_ds())
+    capped = word_counts(_docs_ds(), max_words=3)
+    pairs = sorted(
+        zip(
+            full.column("word").to_pylist(),
+            full.column("n").to_pylist(),
+        ),
+        key=lambda wn: (-wn[1], wn[0]),
+    )
+    assert list(
+        zip(
+            capped.column("word").to_pylist(),
+            capped.column("n").to_pylist(),
+        )
+    ) == pairs[:3]
+
+
+def test_encode_word_greedy_rank_order():
+    merges = train_bpe(_docs_ds(), num_merges=40)
+    rank_of = {
+        (l, r): i
+        for i, (l, r) in enumerate(
+            zip(merges.column("left").to_pylist(),
+                merges.column("right").to_pylist())
+        )
+    }
+    # a training word encodes to few symbols; an unseen word falls back
+    # toward characters but still uses applicable merges
+    assert len(encode_word("newest", rank_of)) <= 3
+    assert encode_word("zzz", rank_of) == ("z", "z", "z", _EOW)
+
+
+def test_apply_bpe_counts(ray_session):
+    merges = train_bpe(_docs_ds(), num_merges=40)
+    out = (
+        apply_bpe(_docs_ds(), merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rank_of = {
+        (l, r): i
+        for i, (l, r) in enumerate(
+            zip(merges.column("left").to_pylist(),
+                merges.column("right").to_pylist())
+        )
+    }
+    exp = [
+        sum(len(encode_word(w, rank_of)) for w in _BPE.findall(t))
+        for t in TEXTS
+    ]
+    assert out["n_bpe_tokens"].tolist() == exp
+    assert out.loc[4, "n_bpe_tokens"] == 0  # empty doc
+
+
+def test_train_bpe_empty_corpus(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    merges = train_bpe(ds, num_merges=10)
+    assert merges.num_rows == 0
+    assert merges.column_names == ["rank", "left", "right", "n"]

@@ -101,6 +101,7 @@ ROWS_ONLY = [
     ("extract_enriched", 1),
     ("media_features", 1),
     ("bpe_tokens", 1),
+    ("bpe_merges", 10),
     ("dedup_clusters", 0),
     ("approx_users", 1),
     ("approx_quantiles", 1),
