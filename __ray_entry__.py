@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q.q_fingerprint,
         "dedup_corpus": q.q_dedup_corpus,
         "sample_stratified": q.q_sample_stratified,
+        "shuffle_corpus": q.q_shuffle_corpus,
         "pack_sequences": q.q_pack_sequences,
         "sink_status": q.q_sink_status,
         "bm25_topk": q.q_bm25_topk,
@@ -794,6 +795,16 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) % 100 AS b
                   FROM documents)
             WHERE b < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
+        """,
+        # seeded deterministic shuffle: the permutation itself is checked —
+        # pos is ROW_NUMBER over the identical (md5 key, id) total order
+        "shuffle_corpus": """
+            SELECT doc_id,
+                   md5('42:' || CAST(doc_id AS VARCHAR)) AS shuf_key,
+                   CAST(ROW_NUMBER() OVER (
+                        ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) - 1 AS BIGINT) AS pos
+            FROM documents
         """,
         "lang_agg": """
             SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -311,6 +311,16 @@ def q_sample_stratified(sf_dir: str):
     )
 
 
+def q_shuffle_corpus(sf_dir: str):
+    """Seeded deterministic global shuffle: md5-keyed sort + global rank
+    (the pre-packing example shuffle).  SQL-verified incl. the full
+    permutation (pos = ROW_NUMBER over the same key order)."""
+    from engine.stages.sample import shuffle_corpus
+
+    ds = _docs(sf_dir, ["doc_id"])
+    return shuffle_corpus(ds, seed=42, id_col="doc_id")
+
+
 def q_mixture_sample(sf_dir: str):
     """Deterministic data-mixing (Pile/Dolma-style source weighting):
     two-pass integer-arithmetic mixture sampling — tiny per-domain count

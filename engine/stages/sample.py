@@ -171,3 +171,88 @@ def mixture_sample(
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def shuffle_corpus(
+    ds: ray.data.Dataset,
+    *,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Seeded DETERMINISTIC global shuffle: every row gets ``shuf_key =
+    md5(f"{seed}:{id}")`` and ``pos``, its 0-based rank in (shuf_key, id)
+    order — the pre-packing example shuffle of an LLM training pipeline,
+    reproducible across runs/engines/partitionings (``random_shuffle`` is
+    none of those; a different ``seed`` is a fresh permutation).
+
+    Shape: one keyed global sort (a shuffle by nature) over (id, key)
+    rows only — call it BEFORE attaching text/payload columns and join
+    the permutation back by id, so the wide columns never enter the
+    exchange.  Global positions use pack.py's two-phase pattern: one tiny
+    (block_key, count) row per block to the driver, prefix sum, broadcast
+    offsets, per-block arange.  SQL-verifiable (md5 + ROW_NUMBER — oracle
+    ``shuffle_corpus``)."""
+    pre = f"{seed}:"
+
+    def key(t: pa.Table) -> pa.Table:
+        keys = [
+            md5((pre + str(v)).encode()).hexdigest()
+            for v in t.column(id_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "shuf_key": pa.array(keys, pa.string()),
+            }
+        )
+
+    s = (
+        ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["shuf_key", id_col])
+        .materialize()
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = t.num_rows == 0
+        return pa.table(
+            {
+                "block_key": pa.array(
+                    [] if empty else [t.column("shuf_key")[0].as_py()],
+                    pa.string(),
+                ),
+                "block_n": pa.array(
+                    [] if empty else [t.num_rows], pa.int64()
+                ),
+            }
+        )
+
+    parts = s.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    parts.sort(key=lambda r: r["block_key"])
+    offsets = {}
+    acc = 0
+    for r in parts:
+        offsets[r["block_key"]] = acc
+        acc += r["block_n"]
+    off_ref = ray.put(offsets)
+
+    def assign(t: pa.Table, ref=off_ref) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], t.column(id_col).type),
+                    "shuf_key": pa.array([], pa.string()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        base = ray.get(ref)[t.column("shuf_key")[0].as_py()]
+        return t.append_column(
+            "pos", pa.array(base + np.arange(t.num_rows), pa.int64())
+        )
+
+    return s.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -1682,3 +1682,30 @@ def test_chunk_docs_windows(ray_session):
     d2 = got[got.doc_id == 2]
     assert d2["chunk_text"].tolist() == ["one two"]  # ws-normalized join
     assert (got.doc_id == 3).sum() == 0  # zero-token doc -> zero chunks
+
+
+def test_shuffle_corpus_permutation_invariant_to_partitioning(ray_session):
+    """shuffle_corpus: pos is a 0..n-1 permutation, identical whatever the
+    input partitioning (the determinism random_shuffle lacks), keyed only
+    by (seed, id); a different seed is a different permutation."""
+    import ray.data
+    from hashlib import md5 as _md5
+
+    from engine.stages.sample import shuffle_corpus
+
+    ids = list(range(97))
+    one_block = ray.data.from_items([{"doc_id": i} for i in ids])
+    many_blocks = one_block.repartition(7)
+
+    a = shuffle_corpus(one_block, seed=42).to_pandas().sort_values("doc_id")
+    b = shuffle_corpus(many_blocks, seed=42).to_pandas().sort_values("doc_id")
+    assert a["pos"].tolist() == b["pos"].tolist()
+    assert sorted(a["pos"]) == ids  # exact permutation, no gaps/dupes
+
+    # matches the definition directly: rank of md5("42:{id}")
+    exp_order = sorted(ids, key=lambda i: (_md5(f"42:{i}".encode()).hexdigest(), i))
+    exp_pos = {i: p for p, i in enumerate(exp_order)}
+    assert a.set_index("doc_id")["pos"].to_dict() == exp_pos
+
+    c = shuffle_corpus(one_block, seed=7).to_pandas().sort_values("doc_id")
+    assert c["pos"].tolist() != a["pos"].tolist()
