@@ -205,6 +205,7 @@ def cmd_build_corpus(args) -> int:
         out_frac_pct=args.out_frac_pct,
         seq_len=args.seq_len,
         n_shards=args.n_shards,
+        shuffle_seed=args.shuffle_seed,
     )
     for k, v in stats.items():
         print(f"{k:16s} {v}")
@@ -332,6 +333,8 @@ def main(argv=None) -> int:
                    help="JSON file: domain -> basis-point weight")
     b.add_argument("--out-frac-pct", type=int, default=100)
     b.add_argument("--seq-len", type=int, default=2048)
+    b.add_argument("--shuffle-seed", type=int, default=None,
+                   help="seeded deterministic pre-pack shuffle (default: id order)")
     b.add_argument("--n-shards", type=int, default=64)
     b.add_argument("--num-cpus", type=int, default=None)
     b.set_defaults(fn=cmd_build_corpus)

@@ -52,10 +52,17 @@ def build_corpus(
     seq_len: int = 2048,
     n_shards: int = 16,
     broadcast_max: int = 5_000_000,
+    shuffle_seed: Optional[int] = None,
 ) -> Tuple[ray.data.Dataset, Dict[str, int]]:
     """Run the whole corpus build (module docstring).  ``docs`` must carry
     (id_col, text_col[, domain_col if weights_bp]).  Returns
-    (shard manifest dataset, per-stage row counts)."""
+    (shard manifest dataset, per-stage row counts).
+
+    ``shuffle_seed`` packs in a seeded-deterministic SHUFFLED stream order
+    (sample.shuffle_corpus's md5 key, derived per batch as a column — no
+    join, text never re-shuffles beyond the pack sort it already pays):
+    shard MEMBERSHIP is unchanged (export assigns shards by id hash),
+    only stream_offset/pack_id reorder.  None (default) keeps id order."""
     stats: Dict[str, int] = {"input": docs.count()}
 
     # 1. cleaning chain -> kept doc ids
@@ -121,15 +128,41 @@ def build_corpus(
     final = surviving.materialize()
     stats["final_docs"] = final.count()
 
-    # 4. sequence packing (adds n_tokens / stream_offset / pack_id)
-    packed = pack_sequences(
-        final.map_batches(
-            lambda t: t.select([id_col, text_col]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ),
-        seq_len=seq_len,
+    # 4. sequence packing (adds n_tokens / stream_offset / pack_id),
+    #    optionally in seeded-shuffled stream order
+    pack_in = final.map_batches(
+        lambda t: t.select([id_col, text_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    if shuffle_seed is not None:
+        from hashlib import md5 as _md5
+
+        pre = f"{shuffle_seed}:"
+
+        def add_key(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "shuf_key",
+                pa.array(
+                    [
+                        _md5((pre + str(v)).encode()).hexdigest()
+                        for v in t.column(id_col).to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            )
+
+        pack_in = pack_in.map_batches(
+            add_key, batch_format="pyarrow", zero_copy_batch=True
+        )
+        packed = pack_sequences(
+            pack_in, id_col=id_col, text_col=text_col,
+            seq_len=seq_len, sort_col="shuf_key",
+        )
+    else:
+        packed = pack_sequences(
+            pack_in, id_col=id_col, text_col=text_col, seq_len=seq_len
+        )
 
     # 5. sharded export + round-trip manifest
     manifest = export_shards(

@@ -48,16 +48,25 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     seq_len: int = 2048,
+    sort_col: str | None = None,
 ) -> ray.data.Dataset:
     """(id, text) -> (id, n_tokens, stream_offset, pack_id), ordered by id.
 
     ``stream_offset`` is the document's first-token position in the packed
     stream; ``pack_id = stream_offset // seq_len``.
+
+    ``sort_col`` overrides the STREAM ORDER (default: id order) — pass a
+    seeded shuffle key (sample.shuffle_corpus's ``md5(f"{seed}:{id}")``)
+    to pack in shuffled order without any join.  The column's values must
+    be unique (block offsets are keyed by each block's first value; ids
+    are unique by contract, md5 keys collide with negligible 2^-64
+    probability) and it is consumed here, not emitted.
     """
-    s = ds.sort(id_col).materialize()
+    order_col = sort_col or id_col
+    s = ds.sort(order_col).materialize()
 
     def partial(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col)
+        ids = t.column(order_col)
         n = _count_tokens_arr(t.column(text_col))
         return pa.table(
             {
@@ -91,7 +100,7 @@ def pack_sequences(
         offs = ray.get(ref)
         ids = t.column(id_col)
         n = _count_tokens_arr(t.column(text_col))
-        base = offs[ids[0].as_py()]
+        base = offs[t.column(order_col)[0].as_py()]
         cum_before = base + np.concatenate(([0], np.cumsum(n)[:-1]))
         return pa.table(
             {

@@ -382,3 +382,47 @@ def test_build_corpus_end_to_end(ray_session, tmp_path):
         assert stats["exported_rows"] == stats["final_docs"]
         assert stats["final_docs"] > 0  # the chain keeps something
     pd.testing.assert_frame_equal(manifests[0], manifests[1])
+
+
+def test_build_corpus_shuffled_pack_order(ray_session, tmp_path):
+    """shuffle_seed packs in seeded-shuffled stream order: shard MEMBERSHIP
+    (id-hash assignment) is unchanged vs the unshuffled build, the
+    permutation actually reorders the stream, and the shuffled build is
+    itself deterministic across runs."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from engine.pipelines.corpus_pipeline import build_corpus
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+
+    def run(out, seed):
+        man, stats = build_corpus(
+            docs, out_dir=str(out), seq_len=256, n_shards=4,
+            shuffle_seed=seed,
+        )
+        rows = (
+            pq.read_table(str(out), columns=["doc_id", "stream_offset", "pack_id"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return man.to_pandas().sort_values("shard").reset_index(drop=True), rows
+
+    man_plain, rows_plain = run(tmp_path / "plain", None)
+    man_a, rows_a = run(tmp_path / "shuf_a", 42)
+    man_b, rows_b = run(tmp_path / "shuf_b", 42)
+
+    # membership identical (manifest counts are id-hash based, order-free)
+    pd.testing.assert_frame_equal(man_plain, man_a)
+    assert rows_plain["doc_id"].tolist() == rows_a["doc_id"].tolist()
+    # the stream really is permuted, deterministically
+    assert rows_a["stream_offset"].tolist() != rows_plain["stream_offset"].tolist()
+    pd.testing.assert_frame_equal(rows_a, rows_b)
+    # same token stream, different order: total stream length matches
+    last_plain = rows_plain["stream_offset"].max()
+    assert rows_a["stream_offset"].max() <= last_plain + rows_plain["stream_offset"].diff().max()
