@@ -207,7 +207,9 @@ def encode_word(
     """Encode one pre-token with trained merges: repeatedly merge the
     LOWEST-RANK adjacent pair present (the standard BPE encode order —
     ties inside one word cannot disagree because each rank names one
-    pair)."""
+    pair).  O(len(word)^2) worst case, amortized away by apply_bpe's
+    per-task word cache (the GPT-2 pre-tokenizer bounds word length in
+    practice: runs break at letter/digit/punct boundaries)."""
     syms = list(_word_symbols(word))
     while len(syms) > 1:
         best_rank, best_i = None, -1
