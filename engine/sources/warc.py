@@ -232,15 +232,28 @@ def count_page_records_bytes(
             return n  # truncated unwanted record ends the stream
 
 
-def count_page_records(paths, *, max_content_length: Optional[int] = None) -> int:
+def count_page_records(
+    paths,
+    *,
+    max_content_length: Optional[int] = None,
+    filesystem=None,
+    retry_attempts: int = 5,
+) -> int:
     """Distributed page-record count over WARC file(s): one decompress +
     header-walk pass per file (payloads skipped), per-file parallel.  Used
     by the resumable index pipeline so a WARC partition's manifest rows_in
     is measured INDEPENDENTLY of the extraction output (the same integrity
-    check the Parquet path gets from row-count footers)."""
-    if isinstance(paths, (str, os.PathLike)):
-        paths = [str(paths)]
-    raw = ray.data.read_binary_files(list(paths))
+    check the Parquet path gets from row-count footers).  Remote paths /
+    explicit filesystems fetch through the same resilient layer as
+    ``read_warc`` (retries + offset resume), so manifest accounting and
+    data reads share one transport policy."""
+    files = _expand_warc_paths(paths)
+    if not files:
+        return 0
+    raw = _raw_bytes(
+        files, filesystem=filesystem, retry_attempts=retry_attempts,
+        override_num_blocks=None,
+    )
 
     def cnt(t: pa.Table) -> pa.Table:
         total = sum(
@@ -257,6 +270,63 @@ def count_page_records(paths, *, max_content_length: Optional[int] = None) -> in
             if isinstance(t, pa.Table) and t.num_rows and "n" in t.column_names
         )
     )
+
+
+def _expand_warc_paths(paths) -> List[str]:
+    """File / local-dir / remote-prefix / list → explicit WARC file list
+    (the single expansion rule shared by read_warc and
+    count_page_records)."""
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [str(paths)]
+    files: List[str] = []
+    for p in paths:
+        p = str(p)
+        if "://" in p and not p.endswith((".warc", ".warc.gz")):
+            files.extend(_list_remote_warcs(p))
+        elif "://" not in p and os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.endswith((".warc", ".warc.gz"))
+            )
+        else:
+            files.append(p)
+    return files
+
+
+def _raw_bytes(
+    files: List[str],
+    *,
+    filesystem,
+    retry_attempts: int,
+    override_num_blocks: Optional[int],
+) -> ray.data.Dataset:
+    """Dataset with one ``bytes`` row per file.  Remote paths or an
+    explicit filesystem go through the resilient fetch layer; plain local
+    files use ``read_binary_files`` (Ray's task retries suffice when
+    re-reading a local file is cheap)."""
+    if filesystem is not None or any("://" in f for f in files):
+        from engine.sources.resilient import fetch_bytes
+
+        paths_ds = ray.data.from_items(
+            [{"path": f} for f in files],
+            override_num_blocks=override_num_blocks or len(files),
+        )
+
+        def fetch(t: pa.Table) -> pa.Table:
+            blobs = [
+                fetch_bytes(p, filesystem=filesystem, attempts=retry_attempts)
+                for p in t.column("path").to_pylist()
+            ]
+            return pa.table({"bytes": pa.array(blobs, pa.binary())})
+
+        return paths_ds.map_batches(
+            fetch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    return ray.data.read_binary_files(files, **kwargs)
 
 
 def _list_remote_warcs(prefix: str) -> List[str]:
@@ -303,47 +373,13 @@ def read_warc(
     when re-reading a local file is cheap).  A remote PREFIX (``s3://b/p/``
     — any URI not ending in .warc/.warc.gz) is listed recursively through
     the scheme's filesystem before reading."""
-    if isinstance(paths, (str, os.PathLike)):
-        paths = [str(paths)]
-    files: List[str] = []
-    for p in paths:
-        p = str(p)
-        if "://" in p and not p.endswith((".warc", ".warc.gz")):
-            files.extend(_list_remote_warcs(p))
-        elif "://" not in p and os.path.isdir(p):
-            files.extend(
-                os.path.join(p, f)
-                for f in sorted(os.listdir(p))
-                if f.endswith((".warc", ".warc.gz"))
-            )
-        else:
-            files.append(p)
+    files = _expand_warc_paths(paths)
     if not files:
         return ray.data.from_arrow(PAGES.empty_table())
-
-    kwargs = {}
-    if override_num_blocks is not None:
-        kwargs["override_num_blocks"] = override_num_blocks
-    if filesystem is not None or any("://" in f for f in files):
-        from engine.sources.resilient import fetch_bytes
-
-        paths_ds = ray.data.from_items(
-            [{"path": f} for f in files],
-            override_num_blocks=override_num_blocks or len(files),
-        )
-
-        def fetch(t: pa.Table) -> pa.Table:
-            blobs = [
-                fetch_bytes(p, filesystem=filesystem, attempts=retry_attempts)
-                for p in t.column("path").to_pylist()
-            ]
-            return pa.table({"bytes": pa.array(blobs, pa.binary())})
-
-        raw = paths_ds.map_batches(
-            fetch, batch_format="pyarrow", zero_copy_batch=True
-        )
-    else:
-        raw = ray.data.read_binary_files(files, **kwargs)
+    raw = _raw_bytes(
+        files, filesystem=filesystem, retry_attempts=retry_attempts,
+        override_num_blocks=override_num_blocks,
+    )
 
     def parse(t: pa.Table) -> pa.Table:
         urls: List[str] = []
