@@ -167,3 +167,32 @@ def test_train_bpe_empty_corpus(ray_session):
     merges = train_bpe(ds, num_merges=10)
     assert merges.num_rows == 0
     assert merges.column_names == ["rank", "left", "right", "n"]
+
+
+def test_train_bpe_matches_naive_on_real_corpus(ray_session):
+    """Same conformance on the sf0.001 documents table — a real Zipf
+    vocabulary (thousands of words), not the toy fixture."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = train_bpe(docs, num_merges=60, max_words=50_000)
+
+    cnt: Counter = Counter()
+    for t in pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    ).column("text").to_pylist():
+        cnt.update(_BPE.findall(t or ""))
+    exp = _naive_train(dict(cnt), 60)
+
+    rows = list(
+        zip(
+            got.column("left").to_pylist(),
+            got.column("right").to_pylist(),
+            got.column("n").to_pylist(),
+        )
+    )
+    assert rows == exp
+    assert len(rows) == 60  # a real corpus sustains 60 merges

@@ -146,3 +146,56 @@ def test_read_warc_through_flaky_filesystem(tmp_path, ray_session):
     assert flaky == clean
     assert len(flaky) == 20
     assert flaky[0]["url"] == "https://ex.com/0"
+
+
+def test_fetch_bytes_random_failure_schedules(tmp_path):
+    """Property: ANY failure schedule without `attempts` consecutive
+    no-progress errors yields exactly the file's bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    p = tmp_path / "h.bin"
+    data = bytes(range(256)) * 40  # 10240 bytes → 10 chunks of 1024
+    p.write_bytes(data)
+
+    def _gives_up(fail_reads, fail_opens, attempts):
+        # Simulate the engine's consumed read-index prefix: the failure
+        # run can MIX the initial open failures (FlakyFS fails the first
+        # `fail_opens` opens — a consecutive run at the start) with read
+        # failures, and reading STOPS at the terminating empty read
+        # (10 data chunks + 1 EOF success) — failures scheduled beyond
+        # that prefix are never reached.
+        if fail_opens >= attempts:
+            return True
+        run = fail_opens  # reads start with this many consecutive fails
+        succ, i = 0, 0
+        while succ < 11:  # 10 × 1024-byte chunks + the empty EOF read
+            if i in fail_reads:
+                run += 1
+                if run >= attempts:
+                    return True
+            else:
+                run = 0
+                succ += 1
+            i += 1
+        return False
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        fail_reads=st.sets(st.integers(min_value=0, max_value=60), max_size=20),
+        fail_opens=st.integers(min_value=0, max_value=2),
+    )
+    def prop(fail_reads, fail_opens):
+        fs = FlakyFS(fail_opens=fail_opens, fail_reads=fail_reads)
+        try:
+            out = fetch_bytes(
+                str(p), fs, attempts=3, chunk_size=1024, sleep=lambda s: None
+            )
+        except OSError:
+            # give-up is only legal after 3 consecutive no-progress errors
+            assert _gives_up(fail_reads, fail_opens, 3)
+            return
+        assert out == data
+        assert not _gives_up(fail_reads, fail_opens, 3)
+
+    prop()
