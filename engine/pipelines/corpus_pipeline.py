@@ -136,18 +136,13 @@ def build_corpus(
         zero_copy_batch=True,
     )
     if shuffle_seed is not None:
-        from hashlib import md5 as _md5
-
-        pre = f"{shuffle_seed}:"
+        from engine.stages.sample import shuffle_keys
 
         def add_key(t: pa.Table) -> pa.Table:
             return t.append_column(
                 "shuf_key",
                 pa.array(
-                    [
-                        _md5((pre + str(v)).encode()).hexdigest()
-                        for v in t.column(id_col).to_pylist()
-                    ],
+                    shuffle_keys(t.column(id_col).to_pylist(), shuffle_seed),
                     pa.string(),
                 ),
             )

@@ -501,19 +501,22 @@ def q_bpe_tokens(sf_dir: str):
 
 
 def q_bpe_merges(sf_dir: str):
-    """BPE tokenizer training over the documents corpus: the learned merge
-    table (rank, left, right, n) plus per-doc encoded token counts folded
-    into a single result row count guard.
+    """BPE tokenizer training over the documents corpus: returns the
+    learned merge table (rank, left, right, n).
 
     Rows-only BY NECESSITY: BPE training is an iterative argmax loop
     (merge k's input depends on merges 0..k-1) — not expressible in SQL.
     Exact-conformance oracle: tests/test_bpe.py pins the full merge
-    sequence against a recount-from-scratch naive implementation."""
+    sequence against a recount-from-scratch naive implementation (toy +
+    real-corpus); the distributed encoder (apply_bpe) is unit-tested
+    there too."""
     import ray.data as rd
 
     from engine.stages.bpe import train_bpe
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    # pre-tokenization (regex findall per doc) is the CPU-heavy stage —
+    # spread the single-file read over ~session CPUs (CLAUDE.md rule)
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     merges = train_bpe(ds, num_merges=150, max_words=20_000)
     return rd.from_arrow(merges)
 

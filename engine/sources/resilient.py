@@ -82,13 +82,11 @@ def fetch_bytes(
         filesystem, path = resolve_filesystem(path)
     got = bytearray()
     consecutive = 0
-    last_exc: Optional[BaseException] = None
     while True:
         try:
             f = filesystem.open_input_file(path)
         except Exception as e:  # noqa: BLE001 — transport errors vary by fs
             consecutive += 1
-            last_exc = e
             if consecutive >= attempts:
                 raise OSError(
                     f"fetch_bytes: giving up opening {path!r} after "
@@ -107,12 +105,11 @@ def fetch_bytes(
                 consecutive = 0  # progress refills the attempt budget
         except Exception as e:  # noqa: BLE001
             consecutive += 1
-            last_exc = e
             if consecutive >= attempts:
                 raise OSError(
                     f"fetch_bytes: giving up on {path!r} at offset "
                     f"{len(got)} after {consecutive} consecutive failures"
-                ) from last_exc
+                ) from e
             sleep(min(max_backoff, base_backoff * 2 ** (consecutive - 1)))
         finally:
             try:

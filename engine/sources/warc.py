@@ -247,11 +247,11 @@ def count_page_records(
     explicit filesystems fetch through the same resilient layer as
     ``read_warc`` (retries + offset resume), so manifest accounting and
     data reads share one transport policy."""
-    files = _expand_warc_paths(paths)
+    fs, files = _expand_warc_paths(paths, filesystem)
     if not files:
         return 0
     raw = _raw_bytes(
-        files, filesystem=filesystem, retry_attempts=retry_attempts,
+        files, filesystem=fs, retry_attempts=retry_attempts,
         override_num_blocks=None,
     )
 
@@ -272,26 +272,88 @@ def count_page_records(
     )
 
 
-def _expand_warc_paths(paths) -> List[str]:
-    """File / local-dir / remote-prefix / list → explicit WARC file list
-    (the single expansion rule shared by read_warc and
-    count_page_records)."""
+def _list_fs_warcs(fs, root: str) -> List[str]:
+    """Recursively list ``.warc``/``.warc.gz`` files under ``root`` on a
+    pyarrow-style filesystem, as fs-native paths in sorted (deterministic
+    shard) order."""
+    from pyarrow import fs as pafs
+
+    infos = fs.get_file_info(
+        pafs.FileSelector(root.rstrip("/"), recursive=True)
+    )
+    return sorted(
+        i.path
+        for i in infos
+        if i.type == pafs.FileType.File
+        and i.path.endswith((".warc", ".warc.gz"))
+    )
+
+
+def _expand_warc_paths(paths, filesystem=None):
+    """File / dir / remote-prefix / list → (filesystem-or-None, explicit
+    WARC file list) — the single expansion rule shared by read_warc and
+    count_page_records.
+
+    - explicit ``filesystem``: every path is fs-native; non-``.warc``
+      paths are listed RECURSIVELY through that same filesystem (listing
+      and fetching can never use different stores/credentials);
+    - ``scheme://`` paths: resolved ONCE to (filesystem, native path) via
+      ``resolve_filesystem`` — prefixes are listed through it and the
+      returned fs is reused for every fetch, so URI authorities
+      (``hdfs://namenode/…``) survive (no URI reconstruction).  One call
+      addresses ONE remote store; mixing schemes/stores or remote+local
+      in a single call raises — call per store and ``union``;
+    - bare local paths: directories expand recursively (same rule as
+      remote prefixes), fs stays None (read_binary_files fast path).
+    """
+    from engine.sources.resilient import resolve_filesystem
+
     if isinstance(paths, (str, os.PathLike)):
         paths = [str(paths)]
+    paths = [str(p) for p in paths]
     files: List[str] = []
+    if filesystem is not None:
+        for p in paths:
+            if p.endswith((".warc", ".warc.gz")):
+                files.append(p)
+            else:
+                files.extend(_list_fs_warcs(filesystem, p))
+        return filesystem, files
+    remote = [p for p in paths if "://" in p]
+    if remote and len(remote) != len(paths):
+        raise ValueError(
+            "read_warc: mixing remote and local paths in one call is not "
+            "supported — call once per store and union the datasets"
+        )
+    if remote:
+        fs = None
+        for p in paths:
+            p_fs, rel = resolve_filesystem(p)
+            if fs is None:
+                fs = p_fs
+            elif type(p_fs) is not type(fs):
+                raise ValueError(
+                    "read_warc: one call addresses one remote store; got "
+                    f"mixed filesystems {type(fs).__name__} / "
+                    f"{type(p_fs).__name__}"
+                )
+            if rel.endswith((".warc", ".warc.gz")):
+                files.append(rel)
+            else:
+                files.extend(_list_fs_warcs(fs, rel))
+        return fs, files
     for p in paths:
-        p = str(p)
-        if "://" in p and not p.endswith((".warc", ".warc.gz")):
-            files.extend(_list_remote_warcs(p))
-        elif "://" not in p and os.path.isdir(p):
-            files.extend(
-                os.path.join(p, f)
-                for f in sorted(os.listdir(p))
-                if f.endswith((".warc", ".warc.gz"))
-            )
+        if os.path.isdir(p):
+            for root, dirs, names in sorted(os.walk(p)):
+                dirs.sort()
+                files.extend(
+                    os.path.join(root, f)
+                    for f in sorted(names)
+                    if f.endswith((".warc", ".warc.gz"))
+                )
         else:
             files.append(p)
-    return files
+    return None, files
 
 
 def _raw_bytes(
@@ -301,11 +363,12 @@ def _raw_bytes(
     retry_attempts: int,
     override_num_blocks: Optional[int],
 ) -> ray.data.Dataset:
-    """Dataset with one ``bytes`` row per file.  Remote paths or an
-    explicit filesystem go through the resilient fetch layer; plain local
-    files use ``read_binary_files`` (Ray's task retries suffice when
-    re-reading a local file is cheap)."""
-    if filesystem is not None or any("://" in f for f in files):
+    """Dataset with one ``bytes`` row per file.  An explicit filesystem
+    (incl. one resolved from remote URIs by _expand_warc_paths) goes
+    through the resilient fetch layer; plain local files use
+    ``read_binary_files`` (Ray's task retries suffice when re-reading a
+    local file is cheap)."""
+    if filesystem is not None:
         from engine.sources.resilient import fetch_bytes
 
         paths_ds = ray.data.from_items(
@@ -329,26 +392,6 @@ def _raw_bytes(
     return ray.data.read_binary_files(files, **kwargs)
 
 
-def _list_remote_warcs(prefix: str) -> List[str]:
-    """Recursively list ``.warc``/``.warc.gz`` files under a URI prefix
-    (``s3://bucket/path/``, ``file:///dir`` …) through the scheme's
-    pyarrow filesystem, returning full scheme-qualified URIs in sorted
-    (deterministic shard) order."""
-    from pyarrow import fs as pafs
-
-    from engine.sources.resilient import resolve_filesystem
-
-    scheme = prefix.split("://", 1)[0]
-    fs, rel = resolve_filesystem(prefix)
-    infos = fs.get_file_info(pafs.FileSelector(rel.rstrip("/"), recursive=True))
-    return sorted(
-        f"{scheme}://{i.path}"
-        for i in infos
-        if i.type == pafs.FileType.File
-        and i.path.endswith((".warc", ".warc.gz"))
-    )
-
-
 def read_warc(
     paths,
     *,
@@ -370,14 +413,16 @@ def read_warc(
     (warcio.py:164-230).  ``retry_attempts`` bounds CONSECUTIVE
     no-progress failures per file.  Local paths without an explicit
     filesystem use ``read_binary_files`` (Ray's own task retries suffice
-    when re-reading a local file is cheap).  A remote PREFIX (``s3://b/p/``
-    — any URI not ending in .warc/.warc.gz) is listed recursively through
-    the scheme's filesystem before reading."""
-    files = _expand_warc_paths(paths)
+    when re-reading a local file is cheap).  Directories and remote
+    PREFIXES (any path not ending in .warc/.warc.gz) expand RECURSIVELY —
+    through the explicit/resolved filesystem when there is one, else
+    ``os.walk`` — with one consistent rule across local and remote
+    spellings (see _expand_warc_paths)."""
+    fs, files = _expand_warc_paths(paths, filesystem)
     if not files:
         return ray.data.from_arrow(PAGES.empty_table())
     raw = _raw_bytes(
-        files, filesystem=filesystem, retry_attempts=retry_attempts,
+        files, filesystem=fs, retry_attempts=retry_attempts,
         override_num_blocks=override_num_blocks,
     )
 

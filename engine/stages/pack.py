@@ -50,7 +50,8 @@ def pack_sequences(
     seq_len: int = 2048,
     sort_col: str | None = None,
 ) -> ray.data.Dataset:
-    """(id, text) -> (id, n_tokens, stream_offset, pack_id), ordered by id.
+    """(id, text) -> (id, n_tokens, stream_offset, pack_id), in stream
+    order (id order by default; ``sort_col`` order when given).
 
     ``stream_offset`` is the document's first-token position in the packed
     stream; ``pack_id = stream_offset // seq_len``.

@@ -173,6 +173,14 @@ def mixture_sample(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def shuffle_keys(ids, seed: int) -> list:
+    """``md5(f"{seed}:{id}")`` hex key per id — THE shuffle-key formula.
+    Single source of truth for shuffle_corpus, build_corpus's shuffled
+    packing, and the ``shuffle_corpus`` SQL oracle (md5('SEED:' || id))."""
+    pre = f"{seed}:"
+    return [md5((pre + str(v)).encode()).hexdigest() for v in ids]
+
+
 def shuffle_corpus(
     ds: ray.data.Dataset,
     *,
@@ -192,17 +200,14 @@ def shuffle_corpus(
     (block_key, count) row per block to the driver, prefix sum, broadcast
     offsets, per-block arange.  SQL-verifiable (md5 + ROW_NUMBER — oracle
     ``shuffle_corpus``)."""
-    pre = f"{seed}:"
-
     def key(t: pa.Table) -> pa.Table:
-        keys = [
-            md5((pre + str(v)).encode()).hexdigest()
-            for v in t.column(id_col).to_pylist()
-        ]
         return pa.table(
             {
                 id_col: t.column(id_col),
-                "shuf_key": pa.array(keys, pa.string()),
+                "shuf_key": pa.array(
+                    shuffle_keys(t.column(id_col).to_pylist(), seed),
+                    pa.string(),
+                ),
             }
         )
 

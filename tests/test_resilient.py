@@ -127,6 +127,26 @@ def test_read_warc_remote_prefix_listing(tmp_path, ray_session):
     assert len(rows) == 7
     assert sorted(r["url"] for r in rows)[0] == "https://a.com/0"
 
+    # the BARE local spelling of the same tree expands identically
+    # (recursive os.walk — one rule across local and remote spellings)
+    local_rows = read_warc(str(tmp_path / "corpus")).take_all()
+    assert sorted(r["url"] for r in local_rows) == sorted(
+        r["url"] for r in rows
+    )
+
+    # an EXPLICIT filesystem lists directories through that same
+    # filesystem (listing and fetching can't use different stores)
+    from pyarrow import fs as pafs
+
+    fs_rows = read_warc(
+        str(tmp_path / "corpus"), filesystem=pafs.LocalFileSystem()
+    ).take_all()
+    assert sorted(r["url"] for r in fs_rows) == sorted(r["url"] for r in rows)
+
+    # one call = one store: remote + local mixes are a loud error
+    with pytest.raises(ValueError, match="mixing remote and local"):
+        read_warc([f"file://{tmp_path}/corpus", str(tmp_path / "corpus")])
+
 
 def test_read_warc_through_flaky_filesystem(tmp_path, ray_session):
     """End-to-end: read_warc with an injected-failure filesystem yields the
