@@ -171,7 +171,7 @@ def test_rows_only_runs(contract, name, min_rows):
     assert len(df) >= min_rows, f"{name}: empty result"
     assert len(df.columns) > 0
     # determinism: second run must be identical
-    if name in ("webis_ids", "simhash", "fingerprint", "ann_topk"):
+    if name in ("webis_ids", "simhash", "fingerprint", "ann_topk", "bpe_merges"):
         df2 = _to_pandas(queries[name](SF_FAST))
         pd.testing.assert_frame_equal(_normalize(df), _normalize(df2))
 
