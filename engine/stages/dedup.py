@@ -318,6 +318,27 @@ def minhash_lsh_pairs(
     # derived keys (docs x bands), never raw text
     bands = bands.materialize()
 
+    if bands.count() == 0:
+        # empty/too-short corpus: a block-less materialized dataset has no
+        # schema, so the band groupby below would KeyError — typed early
+        # exit (CLAUDE.md zero-row rule).  The input may itself be
+        # schema-less (e.g. a filter kept nothing), hence the fallback.
+        try:
+            from engine.stages.join import _arrow_types
+
+            id_type = _arrow_types(ds).get(id_col, pa.int64())
+        except Exception:
+            id_type = pa.int64()
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], id_type),
+                    "doc_b": pa.array([], id_type),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+
     # Almost every LSH bucket is a singleton; running a Python map_groups
     # call per bucket dominates wall time.  Find colliding buckets with a
     # vectorized hash aggregate first, filter n >= 2 DISTRIBUTED.

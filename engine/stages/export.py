@@ -25,6 +25,7 @@ aggregation moves one partial row per (block, shard).
 
 from __future__ import annotations
 
+import os
 import shutil
 from hashlib import md5
 
@@ -67,7 +68,20 @@ def export_shards(
         .write_parquet(out_dir, partition_cols=["shard"])
     )
 
-    # manifest FROM THE WRITTEN FILES: verifies the full write+read loop
+    # manifest FROM THE WRITTEN FILES: verifies the full write+read loop.
+    # Zero input rows write NO parquet files (the known gotcha) — return a
+    # typed empty manifest instead of read_parquet's FileNotFoundError,
+    # so an all-filtered corpus build finishes cleanly with 0 shards.
+    if not os.path.isdir(out_dir) or not any(os.scandir(out_dir)):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "sum_idh": pa.array([], pa.int64()),
+                }
+            )
+        )
     back = ray.data.read_parquet(out_dir, columns=["shard", "idh"])
 
     def partial(t: pa.Table) -> pa.Table:

@@ -426,3 +426,43 @@ def test_build_corpus_shuffled_pack_order(ray_session, tmp_path):
     # same token stream, different order: total stream length matches
     last_plain = rows_plain["stream_offset"].max()
     assert rows_a["stream_offset"].max() <= last_plain + rows_plain["stream_offset"].diff().max()
+
+
+def test_build_corpus_all_filtered_is_clean(ray_session, tmp_path):
+    """A corpus where the filter keeps NOTHING finishes with 0 shards and
+    a typed empty manifest — no schema-less KeyError in the dedup stage,
+    no FileNotFoundError reading back an unwritten shard dir (both were
+    real crashes: zero-row blocks lose their schema, and zero-row writes
+    produce no files)."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.pipelines.corpus_pipeline import build_corpus
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["", "x", ""], pa.string()),
+            }
+        )
+    )
+    for run, seed in enumerate((None, 42)):
+        man, stats = build_corpus(
+            docs, out_dir=str(tmp_path / f"s{run}"), seq_len=64,
+            n_shards=2, shuffle_seed=seed,
+        )
+        assert stats == {
+            "input": 3, "kept": 0, "neardup_dropped": 0,
+            "final_docs": 0, "shards": 0, "exported_rows": 0,
+        }
+        t = pa.concat_tables(
+            [b for b in __import__("ray").get(man.to_arrow_refs())
+             if isinstance(b, pa.Table)] or
+            [pa.table({"shard": pa.array([], pa.int64()),
+                       "n_rows": pa.array([], pa.int64()),
+                       "sum_idh": pa.array([], pa.int64())})],
+            promote_options="default",
+        )
+        assert t.num_rows == 0
+        assert set(t.column_names) == {"shard", "n_rows", "sum_idh"}
