@@ -110,13 +110,20 @@ def bm25_topk(
             ["dl", "n", "df"]
         )
 
-    pt = pa.concat_tables(
-        ray.get(
-            tf_ds.map_batches(
-                stats_rows, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
+    from engine.stages.common import collect_arrow_blocks
+
+    # required_col guards the zero-row bypass: an EMPTY corpus never calls
+    # tf_extract, so the blocks here would be schema-less (no "n" column)
+    stats_blocks = collect_arrow_blocks(
+        tf_ds.map_batches(
+            stats_rows, batch_format="pyarrow", zero_copy_batch=True
         ),
-        promote_options="default",
+        required_col="n",
+    )
+    pt = (
+        pa.concat_tables(stats_blocks, promote_options="default")
+        if stats_blocks
+        else pa.table({"n": pa.array([], pa.int64())})
     )
     N = int(pa.compute.sum(pt.column("n")).as_py() or 0)
     if N == 0:

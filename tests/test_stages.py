@@ -1709,3 +1709,31 @@ def test_shuffle_corpus_permutation_invariant_to_partitioning(ray_session):
 
     c = shuffle_corpus(one_block, seed=7).to_pandas().sort_values("doc_id")
     assert c["pos"].tolist() != a["pos"].tolist()
+
+
+def test_stage_operators_survive_empty_corpus(ray_session):
+    """Every composable text operator takes an EMPTY typed corpus to a
+    typed empty result — zero-row blocks bypass map_batches and lose their
+    schema, which has produced real crashes (minhash band groupby,
+    export read-back, bm25 stats collect)."""
+    import ray.data
+
+    from engine.stages import clean, dedup, index_build, pack, sample, search
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert dedup.exact_dedup(empty).count() == 0
+    assert dedup.minhash_lsh_pairs(empty).count() == 0
+    assert clean.line_dedup(empty).count() == 0
+    assert clean.span_dedup(empty).count() == 0
+    assert pack.pack_sequences(empty).count() == 0
+    assert sample.shuffle_corpus(empty).count() == 0
+    assert index_build.term_stats(empty).count() == 0
+    bm = search.bm25_topk(empty, ["hello", "world"], k=5)
+    assert bm.num_rows == 0 and bm.column_names == ["rank", "doc_id"]
