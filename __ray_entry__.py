@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_corpus": q.q_dedup_corpus,
         "sample_stratified": q.q_sample_stratified,
         "shuffle_corpus": q.q_shuffle_corpus,
+        "tfidf": q.q_tfidf,
         "pack_sequences": q.q_pack_sequences,
         "sink_status": q.q_sink_status,
         "bm25_topk": q.q_bm25_topk,
@@ -795,6 +796,35 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) % 100 AS b
                   FROM documents)
             WHERE b < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
+        """,
+        # tf-idf vectors: scores verified via the fixed-point ln trick
+        # (floor(1e9 * tf * ln(n_docs/df)) — libm-double parity, see
+        # unigram_nll); vocab = top-500 by (cf desc, token), rank ties
+        # break (score desc, token asc) in both engines
+        "tfidf": """
+            WITH d AS (SELECT doc_id, regexp_extract_all(
+                              coalesce(text, ''), '[^\\t\\n\\v\\f\\r ]+') AS w
+                       FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS token FROM d),
+            stats AS (SELECT token,
+                             CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                             CAST(count(*) AS BIGINT) AS cf
+                      FROM tok GROUP BY token),
+            vocab AS (SELECT token, df FROM stats
+                      ORDER BY cf DESC, token LIMIT 500),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            scored AS (SELECT tf.doc_id, tf.token, tf.tf,
+                              CAST(floor(1e9 * tf.tf * ln(
+                                   CAST(n.n_docs AS DOUBLE) / vocab.df))
+                                   AS BIGINT) AS tfidf_nano
+                       FROM tf JOIN vocab USING (token), n),
+            rk AS (SELECT scored.*, row_number() OVER (
+                          PARTITION BY doc_id
+                          ORDER BY tfidf_nano DESC, token) AS r
+                   FROM scored)
+            SELECT doc_id, token, tf, tfidf_nano FROM rk WHERE r <= 5
         """,
         # seeded deterministic shuffle: the permutation itself is checked —
         # pos is ROW_NUMBER over the identical (md5 key, id) total order

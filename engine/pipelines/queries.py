@@ -311,6 +311,17 @@ def q_sample_stratified(sf_dir: str):
     )
 
 
+def q_tfidf(sf_dir: str):
+    """Sparse tf-idf document vectors over a 500-term frequency-capped
+    vocabulary, top-5 terms per doc.  SQL-verified INCLUDING the scores —
+    tfidf_nano is the fixed-point quantization of tf * ln(n_docs/df),
+    the same libm-double parity unigram_nll established."""
+    from engine.stages.index_build import tfidf_topk
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return tfidf_topk(ds, vocab_size=500, top_m=5)
+
+
 def q_shuffle_corpus(sf_dir: str):
     """Seeded deterministic global shuffle: md5-keyed sort + global rank
     (the pre-packing example shuffle).  SQL-verified incl. the full

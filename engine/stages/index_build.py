@@ -151,3 +151,101 @@ def postings(
     return ds.map_batches(
         extract, batch_format="pyarrow", zero_copy_batch=True
     ).sort(key=["token", id_col])
+
+
+def tfidf_topk(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 500,
+    top_m: int = 5,
+) -> ray.data.Dataset:
+    """Sparse tf-idf document vectors: for each doc, its ``top_m`` terms
+    by tf-idf over a frequency-capped vocabulary — (id, token, tf,
+    tfidf_nano), the sklearn ``max_features`` construction.
+
+    ``tfidf_nano = floor(1e9 * tf * ln(n_docs / df))`` — the fixed-point
+    quantization lm.py's unigram_nll proved hash-reproducible against
+    DuckDB's ``ln`` (same libm doubles on both sides), so the whole vector
+    set is SQL-verifiable including the scores.  Ties rank (tfidf_nano
+    desc, token asc), matching the oracle's ROW_NUMBER order exactly.
+
+    Shape at scale: one (token, df, cf) partial-count shuffle (term_stats)
+    caps the vocabulary at ``vocab_size`` on the driver; the df map
+    broadcasts once via ``ray.put`` and scoring is a stateless second
+    pass — no per-doc shuffle, output ≤ top_m rows per doc.
+    """
+    import math
+
+    vocab_t = _as_table(term_stats(ds, id_col=id_col, text_col=text_col,
+                                   top_n=vocab_size))
+    n_docs = ds.count()
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "tfidf_nano": pa.array([], pa.int64()),
+        }
+    )
+    if n_docs == 0 or vocab_t.num_rows == 0:
+        return ray.data.from_arrow(empty)
+    # idf precomputed per vocab term (vocab-sized dict, shipped once)
+    idf = {
+        tok: math.log(float(n_docs) / float(df))
+        for tok, df in zip(
+            vocab_t.column("token").to_pylist(),
+            vocab_t.column("df").to_pylist(),
+        )
+    }
+    idf_ref = ray.put(idf)
+
+    def score(t: pa.Table, ref=idf_ref) -> pa.Table:
+        idf_map = ray.get(ref)
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_pylist()
+        out_id: List[int] = []
+        out_tok: List[str] = []
+        out_tf: List[int] = []
+        out_sc: List[int] = []
+        for i, txt in enumerate(texts):
+            cnt = Counter(_TOKEN.findall(txt or ""))
+            scored = [
+                # eval order matches the oracle: (1e9 * tf) * ln(...)
+                (math.floor(1e9 * c * idf_map[tok]), tok, c)
+                for tok, c in cnt.items()
+                if tok in idf_map
+            ]
+            scored.sort(key=lambda s: (-s[0], s[1]))
+            for sc, tok, c in scored[:top_m]:
+                out_id.append(ids[i])
+                out_tok.append(tok)
+                out_tf.append(c)
+                out_sc.append(sc)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "token": pa.array(out_tok, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+                "tfidf_nano": pa.array(out_sc, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _as_table(ds_or_table) -> pa.Table:
+    """Driver-side Arrow table from a (small) Dataset or Table."""
+    if isinstance(ds_or_table, pa.Table):
+        return ds_or_table
+    blocks = [
+        t
+        for t in ray.get(ds_or_table.to_arrow_refs())
+        if isinstance(t, pa.Table) and t.num_rows
+    ]
+    if not blocks:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64()),
+                         "cf": pa.array([], pa.int64())})
+    return pa.concat_tables(blocks, promote_options="default")

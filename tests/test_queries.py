@@ -59,7 +59,7 @@ SQL_NAMES = [
     "events_window", "topk_orders", "pricing_summary", "surt_hosts",
     "distinct_users", "sessions", "hash_join", "asof_join", "range_join",
     "quantiles", "quality", "extract_pages", "ann_topk", "lang_id",
-    "shuffle_corpus",
+    "shuffle_corpus", "tfidf",
     "crawl_order", "fingerprint", "dedup_corpus", "sample_stratified",
     "pack_sequences", "events_hopping", "sink_status",
     "rep_stats", "line_dedup", "span_dedup", "decontam", "corpus_overlap",

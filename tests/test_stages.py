@@ -1735,5 +1735,6 @@ def test_stage_operators_survive_empty_corpus(ray_session):
     assert pack.pack_sequences(empty).count() == 0
     assert sample.shuffle_corpus(empty).count() == 0
     assert index_build.term_stats(empty).count() == 0
+    assert index_build.tfidf_topk(empty).count() == 0
     bm = search.bm25_topk(empty, ["hello", "world"], k=5)
     assert bm.num_rows == 0 and bm.column_names == ["rank", "doc_id"]
