@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": q.q_term_stats,
         "postings": q.q_postings,
         "unigram_nll": q.q_unigram_nll,
+        "ppl_buckets": q.q_ppl_buckets,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -669,6 +670,44 @@ def oracle_sql() -> dict[str, str]:
                              THEN floor(-1000000000.0 * s.lp / s.dl)
                              ELSE 0 END AS BIGINT) AS nll_nanonat
             FROM (SELECT doc_id FROM documents) d2 LEFT JOIN s USING (doc_id)
+        """,
+        # CCNet-style per-language perplexity bucketing: the unigram_nll
+        # CTE chain verbatim, then per-lang discrete quartile thresholds
+        # (quantile_disc == the engine's grouped_quantiles_disc convention,
+        # already pinned by the `quantiles` query) and a CASE bucket.
+        # Low nll = fluent = 'head'.
+        "ppl_buckets": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(
+                              coalesce(text, ''), '[^\t\n\v\f\r ]+') AS w
+                       FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS token FROM d),
+            cf AS (SELECT token, CAST(count(*) AS BIGINT) AS cf
+                   FROM tok GROUP BY token),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tok),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            comp AS (SELECT tf.doc_id, tf.token, tf.tf,
+                            tf.tf * ln(CAST(cf.cf AS DOUBLE) / n.nn) AS c
+                     FROM tf JOIN cf USING (token), n),
+            s AS (SELECT doc_id,
+                         list_reduce(list(c ORDER BY token), (a, b) -> a + b) AS lp,
+                         CAST(sum(tf) AS BIGINT) AS dl
+                  FROM comp GROUP BY doc_id),
+            nll AS (SELECT d2.doc_id, d2.lang,
+                           CAST(CASE WHEN coalesce(s.dl, 0) > 0
+                                     THEN floor(-1000000000.0 * s.lp / s.dl)
+                                     ELSE 0 END AS BIGINT) AS nll_nanonat
+                    FROM (SELECT doc_id, lang FROM documents) d2
+                    LEFT JOIN s USING (doc_id)),
+            th AS (SELECT lang,
+                          CAST(quantile_disc(nll_nanonat, 0.25) AS BIGINT) AS t_lo,
+                          CAST(quantile_disc(nll_nanonat, 0.75) AS BIGINT) AS t_hi
+                   FROM nll GROUP BY lang)
+            SELECT nll.doc_id, nll.lang, nll.nll_nanonat,
+                   CASE WHEN nll.nll_nanonat <= th.t_lo THEN 'head'
+                        WHEN nll.nll_nanonat >  th.t_hi THEN 'tail'
+                        ELSE 'middle' END AS bucket
+            FROM nll JOIN th USING (lang)
         """,
         # corpus-vs-corpus 5-gram overlap: even-doc_id corpus A vs
         # odd-doc_id corpus B.  The engine semi-joins 63-bit FNV gram

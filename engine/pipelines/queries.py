@@ -1131,6 +1131,19 @@ def q_unigram_nll(sf_dir: str):
     return unigram_nll(ds, id_col="doc_id", text_col="text")
 
 
+def q_ppl_buckets(sf_dir: str):
+    """CCNet per-language perplexity bucketing (arXiv:1911.00359 §4.3):
+    head/middle/tail by the language's own discrete nll quartiles.  The
+    lang column rides the scoring pass join-free (unigram_nll keep_cols);
+    thresholds are one broadcast row per language; the bucket label is a
+    stateless vectorized map — integer fixed-point nll end-to-end keeps
+    every value SQL-verifiable."""
+    from engine.stages.lm import ppl_buckets
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"], num_blocks=_cpus())
+    return ppl_buckets(ds, id_col="doc_id", text_col="text", lang_col="lang")
+
+
 def _inject_pii(t):
     """Deterministic PII fixture synthesis (the corpus is word salad with
     no natural PII): append an email / phone / IPv4 derived from doc_id.

@@ -100,9 +100,15 @@ def unigram_nll(
     id_col: str = "doc_id",
     text_col: str = "text",
     head_max: int = 5_000_000,
+    keep_cols: tuple = (),
 ) -> ray.data.Dataset:
     """Mean negative log-likelihood under the corpus's own unigram LM:
-    (id_col, n_tokens, nll_nanonat) per document (module docstring)."""
+    (id_col, n_tokens, nll_nanonat[, *keep_cols]) per document (module
+    docstring).  ``keep_cols`` carries per-doc metadata (e.g. a language
+    column) through the scoring pass join-free: on the broadcast head
+    path they ride the same batch; on the hybrid scale path they travel
+    on the per-doc dl sentinel row, so the downstream bucketing join the
+    composition would otherwise need never happens."""
     cf_ds = _cf_table(ds, text_col)
     vocab = cf_ds.count()
     n_total = int(cf_ds.sum("cf") or 0)
@@ -138,7 +144,10 @@ def unigram_nll(
                     acc += cnt[tok] * lpm[tok]  # oracle's list_reduce order
                 dls.append(dl)
                 nlls.append(_fixed_point(acc, dl))
-            return _out_table(t.column(id_col), dls, nlls)
+            out = _out_table(t.column(id_col), dls, nlls)
+            for c in keep_cols:
+                out = out.append_column(c, t.column(c))
+            return out
 
         return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -162,36 +171,46 @@ def unigram_nll(
     href = ray.put(_lp_map(head_tbl))
     from engine.stages.join import _arrow_types
 
-    id_type = _arrow_types(ds).get(id_col, pa.int64())
+    src_types = _arrow_types(ds)
+    id_type = src_types.get(id_col, pa.int64())
+    kc_types = {c: src_types.get(c, pa.string()) for c in keep_cols}
 
     def comp_rows(t: pa.Table) -> pa.Table:
         """Per (doc, distinct token): resolved comp rows for head tokens,
         pending (comp=NaN) rows for tail tokens, plus one dl sentinel row
-        per doc (token '', comp 0.0 — sorts first, adds an exact 0)."""
+        per doc (token '', comp 0.0 — sorts first, adds an exact 0).
+        keep_cols values ride ONLY the sentinel row (None elsewhere)."""
         lpm = ray.get(href)
         out_id, out_tok, out_tf, out_comp = [], [], [], []
-        for d, txt in zip(
-            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        out_kc: Dict[str, list] = {c: [] for c in keep_cols}
+        kc_src = {c: t.column(c).to_pylist() for c in keep_cols}
+        for i, (d, txt) in enumerate(
+            zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist())
         ):
             cnt = Counter(_TOKEN.findall(txt or ""))
             out_id.append(d)
             out_tok.append("")
             out_tf.append(sum(cnt.values()))  # dl sentinel
             out_comp.append(0.0)
+            for c in keep_cols:
+                out_kc[c].append(kc_src[c][i])
             for tok, c in cnt.items():
                 lp = lpm.get(tok)
                 out_id.append(d)
                 out_tok.append(tok)
                 out_tf.append(c)
                 out_comp.append(c * lp if lp is not None else math.nan)
-        return pa.table(
-            {
-                id_col: pa.array(out_id, id_type),
-                "token": pa.array(out_tok, pa.string()),
-                "tf": pa.array(out_tf, pa.int64()),
-                "comp": pa.array(out_comp, pa.float64()),
-            }
-        )
+                for kc in keep_cols:
+                    out_kc[kc].append(None)
+        cols = {
+            id_col: pa.array(out_id, id_type),
+            "token": pa.array(out_tok, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+            "comp": pa.array(out_comp, pa.float64()),
+        }
+        for c in keep_cols:
+            cols[c] = pa.array(out_kc[c], kc_types[c])
+        return pa.table(cols)
 
     rows = ds.map_batches(comp_rows, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -215,14 +234,15 @@ def unigram_nll(
         mask = pc.is_in(t.column("token"), value_set=head_tokens)
         tail = t.filter(pc.invert(mask))
         n = tail.num_rows
-        return pa.table(
-            {
-                id_col: pa.array([None] * n, id_type),
-                "token": tail.column("token"),
-                "tf": tail.column("cf"),
-                "comp": pa.array([math.nan] * n, pa.float64()),
-            }
-        )
+        cols = {
+            id_col: pa.array([None] * n, id_type),
+            "token": tail.column("token"),
+            "tf": tail.column("cf"),
+            "comp": pa.array([math.nan] * n, pa.float64()),
+        }
+        for c in keep_cols:
+            cols[c] = pa.array([None] * n, kc_types[c])
+        return pa.table(cols)
 
     # tail model rows ride the same union; tail groups are small by
     # construction (cf < the head threshold), so no hot token keys
@@ -236,29 +256,31 @@ def unigram_nll(
         model = df[df[id_col].isna()]
         lp = math.log(int(model["tf"].iloc[0]) / n_total)
         occ = df[df[id_col].notna()]
-        return pd.DataFrame(
-            {
-                id_col: occ[id_col].astype("int64")
-                if pa.types.is_integer(id_type)
-                else occ[id_col],
-                "token": occ["token"],
-                "tf": occ["tf"].astype("int64"),
-                "comp": occ["tf"].astype("int64") * lp,
-            }
-        )
+        out = {
+            id_col: occ[id_col].astype("int64")
+            if pa.types.is_integer(id_type)
+            else occ[id_col],
+            "token": occ["token"],
+            "tf": occ["tf"].astype("int64"),
+            "comp": occ["tf"].astype("int64") * lp,
+        }
+        for c in keep_cols:  # pending rows never carry keep values
+            out[c] = pd.Series([None] * len(occ), index=occ.index, dtype="object")
+        return pd.DataFrame(out)
 
     def to_arrow(df) -> pa.Table:
         # the final groupby sorts; its input blocks must all be Arrow
         # (mixing pandas map_groups blocks with Arrow blocks trips the
         # sort boundary sampler's block-type assertion)
-        return pa.table(
-            {
-                id_col: pa.array(df[id_col], id_type),
-                "token": pa.array(df["token"], pa.string()),
-                "tf": pa.array(df["tf"], pa.int64()),
-                "comp": pa.array(df["comp"], pa.float64()),
-            }
-        )
+        cols = {
+            id_col: pa.array(df[id_col], id_type),
+            "token": pa.array(df["token"], pa.string()),
+            "tf": pa.array(df["tf"], pa.int64()),
+            "comp": pa.array(df["comp"], pa.float64()),
+        }
+        for c in keep_cols:
+            cols[c] = pa.array(df[c], kc_types[c])
+        return pa.table(cols)
 
     tail_resolved = (
         pending.union(tail_model)
@@ -271,21 +293,94 @@ def unigram_nll(
         import pandas as pd
 
         df = df.sort_values("token", kind="mergesort")
-        dl = int(df.loc[df["token"] == "", "tf"].iloc[0])
+        sentinel = df[df["token"] == ""]
+        dl = int(sentinel["tf"].iloc[0])
         acc = 0.0
         for v in df.loc[df["token"] != "", "comp"].tolist():
             acc += v
         d = df[id_col].iloc[0]
-        return pd.DataFrame(
-            {
-                id_col: pd.Series([d], dtype=df[id_col].dtype),
-                "n_tokens": pd.Series([dl], dtype="int64"),
-                "nll_nanonat": pd.Series([_fixed_point(acc, dl)], dtype="int64"),
-            }
-        )
+        out = {
+            id_col: pd.Series([d], dtype=df[id_col].dtype),
+            "n_tokens": pd.Series([dl], dtype="int64"),
+            "nll_nanonat": pd.Series([_fixed_point(acc, dl)], dtype="int64"),
+        }
+        for c in keep_cols:  # metadata rides the sentinel row only
+            out[c] = pd.Series([sentinel[c].iloc[0]], dtype="object")
+        return pd.DataFrame(out)
 
     return (
         resolved.union(tail_resolved)
         .groupby(id_col)
         .map_groups(doc_sum, batch_format="pandas")
     )
+
+
+def ppl_buckets(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    q_low: float = 0.25,
+    q_high: float = 0.75,
+    head_max: int = 5_000_000,
+) -> ray.data.Dataset:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.,
+    arXiv:1911.00359 §4.3: split each language's documents into
+    head/middle/tail by LM perplexity; reference pipelines feed exactly
+    such buckets downstream of the indexer's corpus).
+
+    Output: (id_col, lang_col, nll_nanonat, bucket) — bucket is 'head'
+    when nll <= the language's q_low discrete quantile (low nll = fluent),
+    'tail' when nll > the q_high quantile, else 'middle'.  Integer
+    fixed-point nll + discrete quantiles keep it bit-verifiable in SQL.
+
+    Shape at 100 TB: unigram_nll carries lang join-free (keep_cols);
+    the skinny (id, lang, 2×int64) signal table is checkpointed once
+    because it has two consumers (threshold scan + bucket map) — ~40
+    bytes/doc, not the text corpus.  Thresholds are one row per language
+    (driver-sized) and broadcast; bucket assignment is a stateless
+    vectorized map — no further shuffle.
+    """
+    import numpy as np
+
+    scored = unigram_nll(
+        ds, id_col=id_col, text_col=text_col, head_max=head_max,
+        keep_cols=(lang_col,),
+    ).materialize()  # two consumers; skinny signal table, never text
+
+    from engine.stages.quantiles import grouped_quantiles_disc
+
+    th = grouped_quantiles_disc(
+        scored, group_col=lang_col, value_col="nll_nanonat", qs=(q_low, q_high)
+    )
+    # (lang, q<lo>, q<hi>, n_rows) — select threshold columns by NAME
+    # (grouped_quantiles_disc labels them q{float}); quantile_disc picks
+    # stored values, so the float->int64 cast below is exact
+    thr = {
+        g: (int(lo), int(hi))
+        for g, lo, hi in zip(
+            th.column(lang_col).to_pylist(),
+            th.column(f"q{q_low}").to_pylist(),
+            th.column(f"q{q_high}").to_pylist(),
+        )
+    }
+    tref = ray.put(thr)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        tm = ray.get(tref)
+        langs = t.column(lang_col).to_pylist()
+        nll = np.asarray(t.column("nll_nanonat").to_pylist(), dtype=np.int64)
+        lo = np.array([tm[g][0] for g in langs], dtype=np.int64)
+        hi = np.array([tm[g][1] for g in langs], dtype=np.int64)
+        lab = np.select([nll <= lo, nll > hi], ["head", "tail"], default="middle")
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                lang_col: pa.array(langs, pa.string()),
+                "nll_nanonat": pa.array(nll, pa.int64()),
+                "bucket": pa.array(lab.tolist(), pa.string()),
+            }
+        )
+
+    return scored.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)

@@ -1344,6 +1344,56 @@ def test_unigram_nll_matches_math_oracle(ray_session):
         )
         assert fb[cols].astype("int64").equals(got[cols].astype("int64")), hm
 
+    # keep_cols carries metadata through BOTH paths join-free
+    t2 = t.append_column(
+        "lang", pa.array([f"l{d % 2}" for d, _ in docs], pa.string())
+    )
+    for hm in (5_000_000, 2, 0):
+        kc = (
+            unigram_nll(
+                ray.data.from_arrow(t2).repartition(3),
+                head_max=hm,
+                keep_cols=("lang",),
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert kc[cols].astype("int64").equals(got[cols].astype("int64")), hm
+        assert kc["lang"].tolist() == [f"l{d % 2}" for d, _ in docs], hm
+
+
+def test_ppl_buckets_semantics(ray_session):
+    """Per-language quartile bucketing: low nll (fluent) -> 'head', high ->
+    'tail'; thresholds are per-LANGUAGE so a language whose docs are all
+    alike still splits 25/50/25 by its own distribution."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.lm import ppl_buckets
+
+    # lang 'a': 8 docs of graded rarity; lang 'b': 4 identical docs
+    docs = [(i, "the " * 8 + "rareword%d " % i * i, "a") for i in range(1, 9)]
+    docs += [(10 + j, "the cat sat", "b") for j in range(4)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x, _ in docs], pa.string()),
+            "lang": pa.array([l for _, _, l in docs], pa.string()),
+        }
+    )
+    out = (
+        ppl_buckets(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    a = out[out["lang"] == "a"].sort_values("nll_nanonat")
+    # quartile split of 8: 2 head / 4 middle / 2 tail, ordered by nll
+    assert a["bucket"].tolist() == ["head"] * 2 + ["middle"] * 4 + ["tail"] * 2
+    # identical docs: all at the threshold -> all 'head' (nll <= t_lo)
+    assert (out[out["lang"] == "b"]["bucket"] == "head").all()
+
 
 def test_pii_scrub_redacts_and_counts(ray_session):
     """RE2 scrub kernels: emails first (their parts contain digits/dots),
