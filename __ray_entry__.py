@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q.q_simhash,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_dedup": q.q_embedding_dedup,
+        "semdedup": q.q_semdedup,
         "ann_ivf": q.q_ann_ivf,
         "extract_enriched": q.q_extract_enriched,
         "media_features": q.q_media_features,

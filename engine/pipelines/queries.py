@@ -580,6 +580,19 @@ def q_embedding_dedup(sf_dir: str):
     return dd.embedding_nn_pairs(ds, threshold=0.35).sort(["id_a", "id_b"])
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means clusters + within-cluster
+    cosine near-dup drop, keep-lowest-id.  Rows-only (iterative Lloyd
+    training has no SQL analog); the greedy kernel is oracle-tested in
+    test_stages (numpy single-process conformance, both gate paths)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    # the synthetic embeddings' cosine mass sits low (embedding_dedup uses
+    # 0.35 for the same reason) — 0.35 makes the drop path actually fire
+    return dd.semdedup(ds, n_clusters=8, threshold=0.35).sort("vec_id")
+
+
 def _query_vectors(sf_dir: str, n: int = 5):
     """First n vectors by vec_id ascending (deterministic; matches the
     oracle's ``WHERE vec_id < n`` given sequential ids)."""

@@ -126,33 +126,26 @@ def brute_force_topk(
     return as_arrow(merged)
 
 
-def ivf_topk(
+def train_centroids(
     ds: ray.data.Dataset,
-    query_ids: List,
-    query_matrix: np.ndarray,
+    n_lists: int,
     *,
-    k: int = 10,
-    n_lists: int = 16,
-    n_probe: int = 4,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 2,
     seed: int = 20240817,
-) -> ray.data.Dataset:
-    """IVF ANN: coarse-quantize the corpus into ``n_lists`` inverted lists,
-    probe the ``n_probe`` nearest lists per query.
-
-    Centroid training runs as Ray Data aggregations (per-batch partial sums
-    -> tiny driver reduce) — the corpus is never materialized.  Recall is
-    approximate; compare against brute_force_topk for quality checks.
-    """
+) -> np.ndarray:
+    """Deterministic spherical k-means: seeded init from a bounded sample,
+    then ``lloyd_iters`` distributed assignment passes (per-batch partial
+    (sum, count) rows -> tiny driver reduce — the corpus never
+    materializes).  Shared by ivf_topk's coarse quantizer and semdedup's
+    cluster stage.  Returns (<=n_lists, dim) L2-normalized centroids."""
     rs = np.random.RandomState(seed)
 
     # init centroids from a deterministic sample (first batch is fine for
     # synthetic data; at scale use ds.random_sample with fixed seed)
     sample = ds.limit(max(n_lists * 8, 256)).to_pandas()
     if len(sample) == 0:
-        raise ValueError("ivf_topk: empty corpus")
+        raise ValueError("train_centroids: empty corpus")
     sm = _normalize(np.array(sample[vec_col].tolist(), dtype=np.float64))
     # corpora (or limit() samples) smaller than n_lists: clamp so the
     # no-replacement centroid draw cannot raise
@@ -186,6 +179,33 @@ def ivf_topk(
             counts[row["list_id"]] += row["n"]
         nz = counts > 0
         cent[nz] = _normalize(sums[nz] / counts[nz, None])
+
+    return cent
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query_ids: List,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+    seed: int = 20240817,
+) -> ray.data.Dataset:
+    """IVF ANN: coarse-quantize the corpus into ``n_lists`` inverted lists,
+    probe the ``n_probe`` nearest lists per query.
+
+    Centroid training runs as Ray Data aggregations (per-batch partial sums
+    -> tiny driver reduce) — the corpus is never materialized.  Recall is
+    approximate; compare against brute_force_topk for quality checks.
+    """
+    cent = train_centroids(
+        ds, n_lists, vec_col=vec_col, lloyd_iters=lloyd_iters, seed=seed
+    )
 
     cref = ray.put(cent)
     qn = _normalize(np.asarray(query_matrix, dtype=np.float64))

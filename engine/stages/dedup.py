@@ -845,6 +845,84 @@ def embedding_nn_pairs(
     )
 
 
+def semdedup(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    lloyd_iters: int = 2,
+    seed: int = 20240817,
+    max_cluster: int = 100_000,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): k-means-cluster the
+    embedding space, then drop near-duplicate members WITHIN each cluster
+    by pairwise cosine — cross-cluster pairs are never scored, which is
+    what makes the O(n^2) semantic-dedup idea tractable at corpus scale.
+
+    Deviation from the paper's keep-farthest-from-centroid rule: keeps the
+    LOWEST id of each near-dup set (greedy keep-first in id order) — the
+    same deterministic tie-break every other dedup family here uses, so
+    outputs are stable under any partitioning.
+
+    Output: (id_col, cluster_id, kept) for every input row; filter
+    kept==True for the surviving corpus.
+
+    100-TB shape: centroids train via ann.train_centroids (per-batch
+    partial sums, driver reduce over n_clusters rows); assignment is one
+    stateless map; the only shuffle is groupby(cluster_id) carrying
+    (id, vector) — pick n_clusters ~ n/target so a cluster (the paper
+    uses n/10k..n/100k) fits one task; a cluster above ``max_cluster``
+    degrades to star-vs-first scoring (the _STAR_GATE device) instead of
+    the full gram matrix, keeping worst-case memory O(m*d)."""
+    from engine.stages.ann import _normalize, train_centroids
+
+    cent = train_centroids(
+        ds, n_clusters, vec_col=vec_col, lloyd_iters=lloyd_iters, seed=seed
+    )
+    cref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        v = _normalize(np.array(t.column(vec_col).to_pylist(), dtype=np.float64))
+        a = np.argmax(v @ c.T, axis=1) if len(v) else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
+                vec_col: t.column(vec_col),
+            }
+        )
+
+    def greedy(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col).reset_index(drop=True)
+        m = len(df)
+        vn = _normalize(np.array(df[vec_col].tolist(), dtype=np.float64))
+        kept = np.zeros(m, dtype=bool)
+        if m > max_cluster:
+            # star gate: score everyone against the first (kept) member
+            # only — recall loss bounded the same way _bucket_pairs' is
+            kept[0] = True
+            kept[1:] = vn[1:] @ vn[0] < threshold
+        else:
+            sims = vn @ vn.T
+            for i in range(m):
+                prior = kept[:i]
+                kept[i] = not bool((sims[:i][prior, i] >= threshold).any())
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "cluster_id": df["cluster_id"].astype("int64"),
+                "kept": pd.Series(kept, dtype="bool"),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    out = assigned.groupby("cluster_id").map_groups(greedy, batch_format="pandas")
+    return as_arrow(out)
+
+
 def _connected_components_driver(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Driver union-find over a gated-small symmetrized edge set; min-id
     representative per component — identical output to the distributed

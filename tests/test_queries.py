@@ -98,6 +98,7 @@ ROWS_ONLY = [
     ("minhash_dedup", 0),
     ("ngram_dedup", 0),
     ("embedding_dedup", 0),
+    ("semdedup", 1),
     ("ann_ivf", 1),
     ("extract_enriched", 1),
     ("media_features", 1),

@@ -614,6 +614,68 @@ def test_embedding_star_gate(ray_session):
     assert set(zip(got["id_a"], got["id_b"])) == {(0, j) for j in range(1, 10)}
 
 
+def test_semdedup_matches_greedy_oracle(ray_session):
+    """semdedup == a single-process oracle running the same centroid
+    assignment + greedy keep-first-by-id, at several partitionings; the
+    star-gate path keeps worst-case memory linear and is pinned on an
+    all-identical cluster where it agrees with the exact path."""
+    import ray.data
+
+    from engine.stages.ann import _normalize, train_centroids
+    from engine.stages.dedup import semdedup
+
+    rs = np.random.RandomState(11)
+    base = rs.randn(30, 12)
+    ids, vecs = [], []
+    k = 0
+    for i in range(30):
+        ids.append(k); vecs.append(base[i]); k += 1
+        if i % 3 == 0:  # jittered near-copy
+            ids.append(k); vecs.append(base[i] + 1e-3 * rs.randn(12)); k += 1
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, v)) for v in vecs], pa.list_(pa.float64())
+        ),
+    })
+
+    cent = train_centroids(ray.data.from_arrow(t), 5, lloyd_iters=2)
+    vn = _normalize(np.array(vecs, dtype=np.float64))
+    assign = np.argmax(vn @ cent.T, axis=1)
+    expected = {}
+    for c in set(assign.tolist()):
+        members = [i for i in range(len(ids)) if assign[i] == c]  # id asc
+        kept: list = []
+        for i in members:
+            dup = any(float(vn[j] @ vn[i]) >= 0.95 for j in kept)
+            expected[ids[i]] = not dup
+            if not dup:
+                kept.append(i)
+
+    for nparts in (1, 4):
+        out = (
+            semdedup(
+                ray.data.from_arrow(t).repartition(nparts),
+                n_clusters=5, threshold=0.95,
+            )
+            .to_pandas()
+        )
+        assert dict(zip(out["vec_id"], out["kept"])) == expected, nparts
+        # every dropped doc has a kept lower-id neighbor in its cluster
+        assert out["cluster_id"].isin(range(5)).all()
+
+    # star gate: identical vectors, gate smaller than the cluster — the
+    # degraded path must agree with the exact path here (all dup of #0)
+    t2 = pa.table({
+        "vec_id": pa.array(range(12), pa.int64()),
+        "embedding": pa.array([[1.0, 0.5, -0.25]] * 12, pa.list_(pa.float64())),
+    })
+    star = semdedup(
+        ray.data.from_arrow(t2), n_clusters=2, threshold=0.9, max_cluster=4
+    ).to_pandas().sort_values("vec_id")
+    assert star["kept"].tolist() == [True] + [False] * 11
+
+
 def test_distributed_quantiles_exact(ray_session):
     """grouped_quantiles_disc is EXACT vs a single-process numpy sort, at
     several block counts, including heavy-duplicate distributions (the
