@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": q.q_postings,
         "unigram_nll": q.q_unigram_nll,
         "ppl_buckets": q.q_ppl_buckets,
+        "heavy_hitters": q.q_heavy_hitters,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -633,6 +634,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS cf
             FROM tok GROUP BY token
             ORDER BY cf DESC, token LIMIT 200
+        """,
+        # phi-heavy-hitter tokens (count/N >= 2000 ppm): the engine runs a
+        # Misra-Gries sketch pass + an exact confirm pass over the sketch's
+        # candidate superset, so despite the sketch the counts are EXACT
+        # and SQL-verifiable
+        "heavy_hitters": r"""
+            WITH tok AS (SELECT unnest(regexp_extract_all(
+                                coalesce(text, ''), '[^\t\n\v\f\r ]+')) AS token
+                         FROM documents),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tok)
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok, n
+            GROUP BY token, n.nn
+            HAVING CAST(count(*) AS BIGINT) * 1000000 >= 2000 * n.nn
         """,
         # postings lists for a fixed term set: (token, doc_id, tf)
         "postings": r"""

@@ -787,6 +787,18 @@ def q_dedup_clusters(sf_dir: str):
     return dd.connected_components(pairs).sort("doc_id")
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact phi-heavy-hitter tokens via a Misra-Gries sketch pass + an
+    exact confirm pass restricted to the sketch's candidate superset —
+    the full (token, cf) table never shuffles (unlike term_stats), yet
+    the output counts are exact, so the sketch operator is SQL-verified
+    end-to-end."""
+    from engine.stages.sketch import heavy_hitters
+
+    ds = _docs(sf_dir, ["text"], num_blocks=_cpus())
+    return heavy_hitters(ds, text_col="text", phi_ppm=2000).sort("token")
+
+
 def q_approx_users(sf_dir: str):
     """Approximate distinct users per event_type via mergeable HLL sketches
     (rows-only: estimates are algorithm-specific; accuracy is asserted

@@ -109,3 +109,136 @@ def approx_distinct(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: sketch pass + exact confirm pass
+# ---------------------------------------------------------------------------
+
+def _mg_compress(counts: dict, k: int) -> dict:
+    """Compress a counter to <= k entries with Misra-Gries semantics:
+    subtract the (k+1)-th largest count from everything and drop the
+    non-positive remainder (Agarwal et al., Mergeable Summaries, PODS'12
+    — this is the mergeable formulation; each surviving estimate
+    underestimates the true count by at most total_weight/(k+1))."""
+    if len(counts) <= k:
+        return dict(counts)
+    vals = sorted(counts.values(), reverse=True)
+    cut = vals[k]  # (k+1)-th largest
+    return {t: c - cut for t, c in counts.items() if c > cut}
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    phi_ppm: int = 2000,
+    safety: int = 4,
+) -> ray.data.Dataset:
+    """EXACT phi-heavy hitters — tokens whose corpus frequency satisfies
+    ``count * 1_000_000 >= phi_ppm * N`` — without ever shuffling the full
+    (token, cf) table (the scale advantage over term_stats' groupby):
+
+    1. Sketch pass: one Misra-Gries summary of k = safety/phi entries per
+       batch (vectorized Counter + _mg_compress), merged on the DRIVER —
+       the summaries are k-sized, the merge is dict addition + one final
+       compress.  The MG bound guarantees every true heavy hitter
+       survives with estimate >= true - N/(k+1); with k >= safety/phi the
+       candidate filter ``est*1e6 >= phi_ppm*N - ppm(N/(k+1))`` keeps a
+       small superset of the answer.
+    2. Confirm pass: broadcast the candidate set, count ONLY candidate
+       tokens per batch (map-side filter), groupby(token).Sum — the
+       shuffle carries O(candidates x blocks) rows.  Output counts are
+       exact, so the whole operator is SQL-verifiable despite the sketch.
+
+    Output: (token, cnt) — every token with cnt/N >= phi_ppm ppm, exact.
+    Integer threshold math end-to-end (no float ratios).
+    """
+    from collections import Counter
+
+    from engine.stages.text import _TOKEN
+
+    k = max(8, (safety * 1_000_000) // max(phi_ppm, 1))
+
+    def sketch(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        n = 0
+        for txt in t.column(text_col).to_pylist():
+            toks = _TOKEN.findall(txt or "")
+            n += len(toks)
+            cnt.update(toks)
+        mg = _mg_compress(cnt, k)
+        # sentinel row ('' token, est 0) carries this batch's token total N
+        toks = [""] + list(mg.keys())
+        ests = [0] + [mg[t_] for t_ in mg]
+        n_part = [n] + [0] * len(mg)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "est": pa.array(ests, pa.int64()),
+                "n_part": pa.array(n_part, pa.int64()),
+            }
+        )
+
+    # driver merge: summaries are k-sized per block — tiny
+    from engine.stages.common import collect_arrow_blocks
+
+    merged: dict = {}
+    n_total = 0
+    for blk in collect_arrow_blocks(
+        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+    ):
+        n_total += int(
+            np.asarray(blk.column("n_part").to_numpy(zero_copy_only=False)).sum()
+        )
+        for tok, est in zip(
+            blk.column("token").to_pylist(), blk.column("est").to_pylist()
+        ):
+            if tok:
+                merged[tok] = merged.get(tok, 0) + est
+    merged = _mg_compress(merged, k)
+
+    # candidate superset: MG estimate can undercount by N/(k+1)
+    slack = n_total // (k + 1)
+    thresh_num = phi_ppm * n_total  # compare count*1e6 >= thresh_num
+    cands = [
+        t for t, est in merged.items() if (est + slack) * 1_000_000 >= thresh_num
+    ]
+    if not cands or n_total == 0:
+        return ray.data.from_arrow(
+            pa.table({"token": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+        )
+    cand_set = pa.array(sorted(cands), pa.string())
+
+    def confirm(t: pa.Table) -> pa.Table:
+        cset = set(cand_set.to_pylist())
+        cnt: Counter = Counter()
+        for txt in t.column(text_col).to_pylist():
+            cnt.update(_TOKEN.findall(txt or ""))  # C-speed count, then
+        toks = sorted(set(cnt) & cset)  # keep candidates only
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "cnt": pa.array([cnt[t_] for t_ in toks], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    exact = (
+        ds.map_batches(confirm, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater_equal(
+            pc.multiply(pc.cast(t.column("cnt"), pa.int64()), pa.scalar(1_000_000, pa.int64())),
+            pa.scalar(thresh_num, pa.int64()),
+        )
+        return t.filter(keep)
+
+    return exact.map_batches(final_filter, batch_format="pyarrow", zero_copy_batch=True)
