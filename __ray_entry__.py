@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_nll": q.q_unigram_nll,
         "ppl_buckets": q.q_ppl_buckets,
         "heavy_hitters": q.q_heavy_hitters,
+        "dsir": q.q_dsir,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -325,39 +326,95 @@ def _bm25_sql() -> str:
     """
 
 
-def _fingerprint_sql() -> str:
-    """Generate the fingerprint oracle: exact 64-bit FNV-1a in SQL.
-
+def _sql_utf8_bytes(s: str) -> str:
+    """SQL expression: exact UTF-8 byte list of string expression ``s``.
     DuckDB has no byte-level string access, but codepoints
     (unicode(substring(...))) + arithmetic UTF-8 expansion give the exact
-    byte sequence, and ``list_reduce`` over HUGEINT implements the FNV-1a
-    fold — ``f(a,b) = (xor(a,b) * prime) mod 2^64`` reduced over
-    ``[offset, b0, b1, ...]``.  The winnowing min-window fingerprint is
-    sliding-window list_min + list_distinct + xor-reduce, mirroring
+    byte sequence."""
+    return f"""flatten(list_transform(
+        list_transform(range(length({s})), i -> unicode(substring({s}, i+1, 1))),
+        cp -> CASE
+            WHEN cp < 128 THEN [cp]
+            WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+            WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64,
+                                  128 + cp % 64]
+            ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+                  128 + (cp // 64) % 64, 128 + cp % 64]
+        END))"""
+
+
+def _sql_fnv(s: str) -> str:
+    """SQL expression: exact 64-bit FNV-1a of string expression ``s`` —
+    ``list_reduce`` over HUGEINT implements the fold
+    ``f(a,b) = (xor(a,b) * prime) mod 2^64`` reduced over
+    ``[offset, b0, b1, ...]`` (bit-identical to text.fnv1a_batch)."""
+    return f"""list_reduce(
+        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                     list_transform({_sql_utf8_bytes(s)}, b -> CAST(b AS HUGEINT))),
+        (a, b) -> (xor(a, b) * 1099511628211) % 18446744073709551616)"""
+
+
+def _dsir_sql() -> str:
+    """Generate the DSIR oracle: hashed unigram+bigram importance weights
+    (engine.stages.dsir) replayed exactly in SQL.  Grams are tokens plus
+    space-joined adjacent pairs; bucket = FNV-1a(gram) % 1024 (_sql_fnv);
+    target = the lang='en' subset; lambda_b is the add-one-smoothed
+    log-ratio (integer / integer division -> DOUBLE, same correctly-rounded
+    value as Python int/int); the per-document accumulation is an explicit
+    bucket-ascending list_reduce `+` chain mirroring the engine's Python
+    loop, so the floored nanonat weights match bit-for-bit."""
+    fnv = _sql_fnv
+
+    return f"""
+        WITH d AS (SELECT doc_id, lang,
+                          regexp_extract_all(coalesce(text, ''),
+                                             '[^\t\n\v\f\r ]+') AS w
+                   FROM documents),
+        g AS (SELECT doc_id, lang,
+                     unnest(list_concat(
+                         w, list_transform(range(len(w) - 1),
+                                           i -> w[i+1] || ' ' || w[i+2])
+                     )) AS gram
+              FROM d),
+        hb AS (SELECT doc_id, lang,
+                      CAST({fnv('gram')} % 1024 AS BIGINT) AS bucket
+               FROM g),
+        nt AS (SELECT count(*) AS n FROM hb WHERE lang = 'en'),
+        nr AS (SELECT count(*) AS n FROM hb),
+        ct AS (SELECT bucket, count(*) AS c FROM hb WHERE lang = 'en'
+               GROUP BY bucket),
+        cr AS (SELECT bucket, count(*) AS c FROM hb GROUP BY bucket),
+        lam AS (SELECT cr.bucket,
+                       ln((coalesce(ct.c, 0) + 1) / (nt.n + 1024))
+                     - ln((cr.c + 1) / (nr.n + 1024)) AS lam
+                FROM cr LEFT JOIN ct USING (bucket), nt, nr),
+        docb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+                 FROM hb GROUP BY doc_id, bucket),
+        comp AS (SELECT docb.doc_id, docb.c, docb.c * lam.lam AS x,
+                        docb.bucket
+                 FROM docb JOIN lam USING (bucket)),
+        s AS (SELECT doc_id,
+                     list_reduce(list(x ORDER BY bucket),
+                                 (a, b) -> a + b) AS acc,
+                     CAST(sum(c) AS BIGINT) AS ng
+              FROM comp GROUP BY doc_id)
+        SELECT d2.doc_id,
+               CAST(coalesce(s.ng, 0) AS BIGINT) AS n_grams,
+               CAST(CASE WHEN s.acc IS NOT NULL
+                         THEN floor(1000000000.0 * s.acc)
+                         ELSE 0 END AS BIGINT) AS w_nanonat
+        FROM (SELECT doc_id FROM documents) d2 LEFT JOIN s USING (doc_id)
+    """
+
+
+def _fingerprint_sql() -> str:
+    """Generate the fingerprint oracle: exact 64-bit FNV-1a in SQL
+    (_sql_fnv).  The winnowing min-window fingerprint is sliding-window
+    list_min + list_distinct + xor-reduce, mirroring
     engine.stages.text.fingerprint (window=8).  Verified 0 mismatches on
     the testdata at sf0.001/sf0.01."""
-    FNV_OFF = "14695981039346656037"
-    FNV_PRIME = "1099511628211"
-    M64 = "18446744073709551616"
     TOK = r"'[^\t\n\v\f\r ]+'"
-
-    def utf8_bytes(s: str) -> str:
-        return f"""flatten(list_transform(
-            list_transform(range(length({s})), i -> unicode(substring({s}, i+1, 1))),
-            cp -> CASE
-                WHEN cp < 128 THEN [cp]
-                WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
-                WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64,
-                                      128 + cp % 64]
-                ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
-                      128 + (cp // 64) % 64, 128 + cp % 64]
-            END))"""
-
-    def fnv(s: str) -> str:
-        return f"""list_reduce(
-            list_prepend(CAST({FNV_OFF} AS HUGEINT),
-                         list_transform({utf8_bytes(s)}, b -> CAST(b AS HUGEINT))),
-            (a, b) -> (xor(a, b) * {FNV_PRIME}) % {M64})"""
+    fnv = _sql_fnv
 
     return f"""
         WITH t AS (
@@ -394,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
         "fingerprint": _fingerprint_sql(),
+        "dsir": _dsir_sql(),
         "bm25_topk": _bm25_sql(),
         "pii_scrub": _pii_sql(),
         # crawl-snapshot diff: the mutated second snapshot is re-derived

@@ -799,6 +799,17 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds, text_col="text", phi_ppm=2000).sort("token")
 
 
+def q_dsir(sf_dir: str):
+    """DSIR importance weights (arXiv:2302.03169) of every document vs the
+    English-subset target distribution — hashed unigram+bigram LM
+    log-ratio, fixed-point nanonats, SQL-verified bit-for-bit."""
+    from engine.stages.dsir import dsir_weights
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"], num_blocks=_cpus())
+    target = ds.filter(expr="lang == 'en'")
+    return dsir_weights(ds, target, n_buckets=1024).sort("doc_id")
+
+
 def q_approx_users(sf_dir: str):
     """Approximate distinct users per event_type via mergeable HLL sketches
     (rows-only: estimates are algorithm-specific; accuracy is asserted

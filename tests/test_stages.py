@@ -1850,3 +1850,82 @@ def test_stage_operators_survive_empty_corpus(ray_session):
     assert index_build.tfidf_topk(empty).count() == 0
     bm = search.bm25_topk(empty, ["hello", "world"], k=5)
     assert bm.num_rows == 0 and bm.column_names == ["rank", "doc_id"]
+
+
+def test_dsir_matches_math_oracle(ray_session):
+    """DSIR importance weights == a single-process math oracle (hashed
+    unigram+bigram buckets, add-one log-ratio, bucket-asc left-to-right
+    accumulation), partition-invariant, and English docs outscore German
+    ones when English is the target."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.dsir import _bucket_ids, _grams, dsir_weights
+
+    docs = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog ate the cat and the mat", "en"),
+        (3, "der hund frisst die katze", "de"),
+        (4, "", "en"),  # empty: (0, 0)
+        (5, "die katze sitzt auf der matte", "de"),
+        (6, "the cat and the dog sat", "en"),
+    ]
+    B = 64
+    t = pa.table({
+        "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+        "text": pa.array([x for _, x, _ in docs], pa.string()),
+        "lang": pa.array([l for _, _, l in docs], pa.string()),
+    })
+
+    ct = np.zeros(B, dtype=np.int64)
+    cr = np.zeros(B, dtype=np.int64)
+    for _, txt, lang in docs:
+        b = _bucket_ids(_grams(txt), B)
+        if b.size:
+            cr += np.bincount(b, minlength=B)
+            if lang == "en":
+                ct += np.bincount(b, minlength=B)
+    nt, nr = int(ct.sum()), int(cr.sum())
+    lam = [
+        math.log((int(ct[b]) + 1) / (nt + B))
+        - math.log((int(cr[b]) + 1) / (nr + B))
+        for b in range(B)
+    ]
+
+    def oracle(txt):
+        grams = _grams(txt)
+        uniq, cnts = np.unique(_bucket_ids(grams, B), return_counts=True)
+        acc = 0.0
+        for bb, c in zip(uniq.tolist(), cnts.tolist()):
+            acc += c * lam[bb]
+        return len(grams), math.floor(1e9 * acc)
+
+    ds = ray.data.from_arrow(t).repartition(3)
+    target = ds.filter(expr="lang == 'en'")
+    got = (
+        dsir_weights(ds, target, n_buckets=B)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["doc_id", "n_grams", "w_nanonat"]
+    txt_by_id = {d: x for d, x, _ in docs}
+    for _, r in got.iterrows():
+        ng, w = oracle(txt_by_id[r["doc_id"]])
+        assert (r["n_grams"], r["w_nanonat"]) == (ng, w), r["doc_id"]
+    by_id = got.set_index("doc_id")["w_nanonat"]
+    assert by_id[4] == 0  # empty doc scores exactly 0
+    # every English doc outscores every German doc under the en target
+    assert min(by_id[1], by_id[2], by_id[6]) > max(by_id[3], by_id[5])
+
+    # partition-invariance: 1 block vs 3 blocks, bit-identical
+    got1 = (
+        dsir_weights(ray.data.from_arrow(t), target, n_buckets=B)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(got1)
