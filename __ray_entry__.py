@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppl_buckets": q.q_ppl_buckets,
         "heavy_hitters": q.q_heavy_hitters,
         "dsir": q.q_dsir,
+        "redirects": q.q_redirects,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -452,6 +453,36 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "fingerprint": _fingerprint_sql(),
         "dsir": _dsir_sql(),
+        # redirect-chain resolution: the engine runs log-many pointer-
+        # doubling joins; the oracle walks the same deterministic
+        # functional graph one hop at a time with a recursive CTE
+        # (acyclic by construction: every edge strictly decreases u)
+        "redirects": """
+            WITH RECURSIVE e AS (
+              SELECT doc_id AS src,
+                     CASE WHEN doc_id % 3 = 0 THEN doc_id // 2
+                          ELSE doc_id - 1 END AS dst
+              FROM documents WHERE doc_id % 17 <> 0 AND doc_id > 0
+            ),
+            -- DISTINCT over UNION ALL, not bare UNION: inside a WITH
+            -- RECURSIVE block DuckDB parses a UNION CTE as an
+            -- anchor/recursive pair and skips the dedup
+            nodes AS (SELECT DISTINCT node FROM (
+                      SELECT src AS node FROM e
+                      UNION ALL SELECT dst FROM e)),
+            walk AS (
+              SELECT src AS node, dst AS ptr, 1 AS hops FROM e
+              UNION ALL
+              SELECT w.node, e.dst, w.hops + 1
+              FROM walk w JOIN e ON w.ptr = e.src
+            ),
+            fin AS (SELECT node, ptr AS final, hops FROM walk w
+                    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.ptr))
+            SELECT n.node,
+                   CAST(coalesce(f.final, n.node) AS BIGINT) AS final,
+                   CAST(coalesce(f.hops, 0) AS BIGINT) AS hops
+            FROM nodes n LEFT JOIN fin f USING (node)
+        """,
         "bm25_topk": _bm25_sql(),
         "pii_scrub": _pii_sql(),
         # crawl-snapshot diff: the mutated second snapshot is re-derived

@@ -810,6 +810,30 @@ def q_dsir(sf_dir: str):
     return dsir_weights(ds, target, n_buckets=1024).sort("doc_id")
 
 
+def q_redirects(sf_dir: str):
+    """Redirect-chain resolution (pointer doubling) over a deterministic
+    functional graph derived from doc_ids: u redirects to u//2 when
+    u % 3 == 0 else to u-1; multiples of 17 (and 0) are terminal.  The
+    oracle replays the walk with a recursive CTE."""
+    from engine.stages.redirects import resolve_redirects
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("doc_id").to_numpy(zero_copy_only=False)
+        u = u[(u % 17 != 0) & (u > 0)]
+        dst = np.where(u % 3 == 0, u // 2, u - 1)
+        return pa.table(
+            {
+                "src": pa.array(u, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    edges = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return resolve_redirects(edges).sort("node")
+
+
 def q_approx_users(sf_dir: str):
     """Approximate distinct users per event_type via mergeable HLL sketches
     (rows-only: estimates are algorithm-specific; accuracy is asserted

@@ -1929,3 +1929,53 @@ def test_dsir_matches_math_oracle(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(got1)
+
+
+def test_resolve_redirects_paths_and_cycles(ray_session):
+    """Redirect resolution: driver and distributed pointer-doubling paths
+    are bit-identical on chains, trees, duplicate out-edges, and cycles;
+    cycle members and nodes behind them flag (-1, -1)."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.redirects import resolve_redirects
+
+    #  10 -> 11 -> 12 -> 13 (terminal); 20 -> 12 (joins the chain);
+    #  30 -> 31 -> 30 (cycle); 40 -> 30 (behind the cycle);
+    #  50 has duplicate out-edges (52 and 51) -> canonical min 51
+    #  (terminal); 52 leaves the node universe with the dropped edge
+    edges = [
+        (10, 11), (11, 12), (12, 13), (20, 12),
+        (30, 31), (31, 30), (40, 30),
+        (50, 52), (50, 51),
+    ]
+    t = pa.table({
+        "src": pa.array([s for s, _ in edges], pa.int64()),
+        "dst": pa.array([d for _, d in edges], pa.int64()),
+    })
+    expect = {
+        10: (13, 3), 11: (13, 2), 12: (13, 1), 13: (13, 0), 20: (13, 2),
+        30: (-1, -1), 31: (-1, -1), 40: (-1, -1),
+        50: (51, 1), 51: (51, 0),
+    }
+    for force_distributed in (False, True):
+        got = (
+            resolve_redirects(
+                ray.data.from_arrow(t).repartition(3),
+                driver_max_edges=0 if force_distributed else 2_000_000,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert list(got.columns) == ["node", "final", "hops"]
+        assert {
+            int(r["node"]): (int(r["final"]), int(r["hops"]))
+            for _, r in got.iterrows()
+        } == expect, f"distributed={force_distributed}"
+
+    # empty edge set -> typed empty result
+    empty = ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+    }))
+    assert resolve_redirects(empty).count() == 0
