@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q.q_heavy_hitters,
         "dsir": q.q_dsir,
         "redirects": q.q_redirects,
+        "source_kl": q.q_source_kl,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -752,6 +753,33 @@ def oracle_sql() -> dict[str, str]:
         # tf * ln(cf/N) summed in token-asc order by an explicit
         # list_reduce `+` chain — exactly the engine's Python loop —
         # so the doubles (and the floored nanonats) match bit-for-bit
+        # per-source KL divergence vs the corpus unigram distribution:
+        # each (source, token) contribution is floored to integer
+        # nanonats INDIVIDUALLY, so the per-source total is an
+        # order-independent integer sum — no list_reduce ordering
+        # contract needed, exact in both engines
+        "source_kl": r"""
+            WITH tok AS (SELECT source, unnest(regexp_extract_all(
+                                coalesce(text, ''), '[^\t\n\v\f\r ]+')) AS token
+                         FROM documents),
+            cst AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+                    FROM tok GROUP BY source, token),
+            ctt AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct
+                    FROM cst GROUP BY token),
+            ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+                   FROM cst GROUP BY source),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cst),
+            comp AS (SELECT cst.source,
+                            CAST(floor(1000000000.0 * (cst.c / ns.n)
+                                 * (ln(cst.c / ns.n) - ln(ctt.ct / n.nn)))
+                                 AS BIGINT) AS k
+                     FROM cst JOIN ctt USING (token)
+                              JOIN ns USING (source), n)
+            SELECT ns.source, ns.n AS n_tokens,
+                   CAST(coalesce(s.k, 0) AS BIGINT) AS kl_nanonat
+            FROM ns LEFT JOIN (SELECT source, CAST(sum(k) AS BIGINT) AS k
+                               FROM comp GROUP BY source) s USING (source)
+        """,
         "unigram_nll": r"""
             WITH d AS (SELECT doc_id, regexp_extract_all(
                               coalesce(text, ''), '[^\t\n\v\f\r ]+') AS w

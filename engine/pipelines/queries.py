@@ -834,6 +834,16 @@ def q_redirects(sf_dir: str):
     return resolve_redirects(edges).sort("node")
 
 
+def q_source_kl(sf_dir: str):
+    """Per-source corpus drift: KL(p_source || p_corpus) over unigram
+    distributions, integer-floored per-(source,token) nanonat
+    contributions so the sum is order-free and SQL-exact."""
+    from engine.stages.lm import source_kl
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"], num_blocks=_cpus())
+    return source_kl(ds)
+
+
 def q_approx_users(sf_dir: str):
     """Approximate distinct users per event_type via mergeable HLL sketches
     (rows-only: estimates are algorithm-specific; accuracy is asserted

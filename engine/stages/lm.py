@@ -384,3 +384,134 @@ def ppl_buckets(
         )
 
     return scored.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_kl(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-slice corpus drift: KL(p_slice || p_corpus) over unigram
+    distributions, one row ``(group_col, n_tokens, kl_nanonat)`` per
+    slice with at least one token.  The monitoring signal behind mixture
+    rebalancing (which sources diverge from the corpus-wide token
+    distribution).
+
+    Fixed-point convention (STRONGER than the unigram_nll ordering
+    device): each (slice, token) contribution
+
+        floor(1e9 * (c_st/N_s) * (ln(c_st/N_s) - ln(c_t/N)))
+
+    is floored to integer nanonats INDIVIDUALLY, so the per-slice total
+    is an integer sum — order-independent, shuffle-friendly, and exactly
+    SQL-expressible with no list_reduce ordering contract.
+
+    Scale shape: per-batch Counter partials (slice, token, cnt) — the
+    shuffle never carries text or positions; ONE groupby keyed on a
+    COARSE token-hash bucket (fnv % n_buckets, the PERF.md #31 device:
+    per-group Python overhead paid n_buckets times, not vocab times)
+    resolves global c_st and c_t vectorized within the bucket (every row
+    of a token lands in one bucket by construction); per-slice totals
+    N_s are driver-sized (slices are a handful) and reduce on the driver
+    (PERF.md #24).  Bucket outputs are <= n_slices rows each and merge
+    on the driver."""
+    import numpy as np
+
+    from engine.stages.common import collect_arrow_blocks
+    from engine.stages.text import fnv1a_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for g, txt in zip(
+            t.column(group_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            for tok in _TOKEN.findall(txt or ""):
+                c[(g, tok)] += 1
+        items = list(c.items())
+        return pa.table(
+            {
+                group_col: pa.array([g for (g, _), _ in items], pa.string()),
+                "token": pa.array([tok for (_, tok), _ in items], pa.string()),
+                "cnt": pa.array([n for _, n in items], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # N_s: slices are driver-sized — per-block pyarrow group_by partials,
+    # reduced on the driver
+    n_s: Dict[str, int] = {}
+    for blk in collect_arrow_blocks(
+        partials.map_batches(
+            lambda t: t.group_by(group_col).aggregate([("cnt", "sum")]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        required_col="cnt_sum",
+    ):
+        for g, n in zip(
+            blk.column(group_col).to_pylist(), blk.column("cnt_sum").to_pylist()
+        ):
+            n_s[g] = n_s.get(g, 0) + int(n)
+    if not n_s:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "kl_nanonat": pa.array([], pa.int64()),
+                }
+            )
+        )
+    n_total = sum(n_s.values())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = fnv1a_batch([s.encode("utf-8") for s in t.column("token").to_pylist()])
+        tb = (h % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("tb", pa.array(tb, pa.int64()))
+
+    def resolve(df, n_s=n_s, n_total=n_total):
+        import pandas as pd
+
+        cst = (
+            df.groupby([group_col, "token"], sort=False)["cnt"].sum().reset_index()
+        )
+        ctt = cst.groupby("token", sort=False)["cnt"].sum()
+        ct = cst["token"].map(ctt)
+        acc: Counter = Counter()
+        for g, c_st, c_t in zip(cst[group_col], cst["cnt"], ct):
+            c_st, c_t = int(c_st), int(c_t)
+            ns_g = n_s[g]
+            acc[g] += math.floor(
+                1000000000.0
+                * (c_st / ns_g)
+                * (math.log(c_st / ns_g) - math.log(c_t / n_total))
+            )
+        return pd.DataFrame(
+            {group_col: list(acc.keys()), "k": list(acc.values())}
+        )
+
+    kl: Dict[str, int] = {g: 0 for g in n_s}
+    bucketed = (
+        partials.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tb")
+        .map_groups(resolve, batch_format="pandas")
+    )
+    for blk in collect_arrow_blocks(bucketed, required_col="k"):
+        for g, k in zip(blk.column(group_col).to_pylist(), blk.column("k").to_pylist()):
+            kl[g] += int(k)
+
+    groups = sorted(n_s)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(groups, pa.string()),
+                "n_tokens": pa.array([n_s[g] for g in groups], pa.int64()),
+                "kl_nanonat": pa.array([kl[g] for g in groups], pa.int64()),
+            }
+        )
+    )

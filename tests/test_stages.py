@@ -1979,3 +1979,51 @@ def test_resolve_redirects_paths_and_cycles(ray_session):
         "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
     }))
     assert resolve_redirects(empty).count() == 0
+
+
+def test_source_kl_drift_semantics(ray_session):
+    """Per-source KL divergence: a source matching the corpus-wide token
+    mix scores near zero, a skewed source scores strictly higher; the
+    integer fixed-point sum is partition-invariant; empty corpus -> typed
+    empty."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.lm import source_kl
+
+    rows = []
+    # balanced: two sources with the same token distribution
+    for i in range(10):
+        rows.append((i, "alpha beta gamma delta", "bal_a"))
+        rows.append((100 + i, "alpha beta gamma delta", "bal_b"))
+    # skewed: one source of tokens rare in the rest of the corpus
+    for i in range(10):
+        rows.append((200 + i, "zeta zeta zeta eta", "skew"))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    got = (
+        source_kl(ray.data.from_arrow(t).repartition(4))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert list(got.columns) == ["n_tokens", "kl_nanonat"]
+    assert got.loc["bal_a", "n_tokens"] == 40
+    assert got.loc["skew", "n_tokens"] == 40
+    # skew's exclusive tokens give KL = ln(3) nats (its mass is 1/3 of the
+    # corpus); balanced sources see only the dilution term ln(3/2)
+    assert got.loc["skew", "kl_nanonat"] > 2 * got.loc["bal_a", "kl_nanonat"]
+    assert abs(got.loc["skew", "kl_nanonat"] - 1_098_612_288) < 10
+    assert got.loc["bal_a", "kl_nanonat"] == got.loc["bal_b", "kl_nanonat"]
+
+    got1 = source_kl(ray.data.from_arrow(t)).to_pandas().set_index("source")
+    assert got.equals(got1)  # partition-invariant, bit-for-bit
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+    }))
+    assert source_kl(empty).count() == 0
