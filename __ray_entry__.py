@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.q_media_features,
         "dedup_clusters": q.q_dedup_clusters,
         "approx_users": q.q_approx_users,
+        "bloom_dedup": q.q_bloom_dedup,
         "approx_quantiles": q.q_approx_quantiles,
         "pagerank": q.q_pagerank,
         "corpus_build": q.q_corpus_build,

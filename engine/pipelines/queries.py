@@ -844,6 +844,33 @@ def q_source_kl(sf_dir: str):
     return source_kl(ds)
 
 
+def q_bloom_dedup(sf_dir: str):
+    """Bloom-filter incremental dedup: docs definitely NOT already in the
+    'seen' third of the corpus (doc_id % 3 == 0) survive.  Rows-only: the
+    drop set depends on Bloom bit collisions (no SQL analog); the
+    no-false-negative guarantee and FP bound are pinned in
+    tests/test_stages.py::test_bloom_filter_new_no_false_negatives."""
+    from engine.stages.sketch import bloom_filter_new
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    seen = ds.map_batches(
+        lambda t: t.filter(
+            pa.array(t.column("doc_id").to_numpy(zero_copy_only=False) % 3 == 0)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        bloom_filter_new(ds, seen)
+        .map_batches(
+            lambda t: t.select(["doc_id"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort("doc_id")
+    )
+
+
 def q_approx_users(sf_dir: str):
     """Approximate distinct users per event_type via mergeable HLL sketches
     (rows-only: estimates are algorithm-specific; accuracy is asserted

@@ -109,6 +109,7 @@ ROWS_ONLY = [
     ("dedup_clusters", 0),
     ("approx_users", 1),
     ("approx_quantiles", 1),
+    ("bloom_dedup", 1),
     ("pagerank", 1),
     ("corpus_build", 1),
 ]

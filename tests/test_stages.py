@@ -2027,3 +2027,44 @@ def test_source_kl_drift_semantics(ray_session):
         "source": pa.array([], pa.string()),
     }))
     assert source_kl(empty).count() == 0
+
+
+def test_bloom_filter_new_no_false_negatives(ray_session):
+    """Bloom incremental dedup: every text present in the seen corpus is
+    dropped (no false negatives, the Bloom guarantee); the false-positive
+    drop rate on genuinely-new texts stays within the analytic bound; the
+    result is deterministic across partitionings."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.sketch import bloom_filter_new
+
+    seen_texts = [f"seen document number {i} body" for i in range(2000)]
+    new_texts = [f"fresh document number {i} body" for i in range(2000)]
+    seen = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(2000), pa.int64()),
+        "text": pa.array(seen_texts, pa.string()),
+    })).repartition(4)
+    # incoming wave: half re-crawled (seen), half fresh
+    inc = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(4000), pa.int64()),
+        "text": pa.array(seen_texts + new_texts, pa.string()),
+    })).repartition(5)
+
+    m_bits, k = 1 << 16, 4  # deliberately small so FPs are observable
+    kept = bloom_filter_new(inc, seen, m_bits=m_bits, k=k).to_pandas()
+    kept_ids = set(kept["doc_id"])
+    assert not (kept_ids & set(range(2000))), "a seen doc survived the filter"
+    # FP bound: (1 - e^{-kn/m})^k for n=2000, m=2^16, k=4 -> ~0.0003;
+    # allow 10x slack
+    import math
+    fp_bound = (1 - math.exp(-k * 2000 / m_bits)) ** k
+    n_new_kept = len(kept_ids & set(range(2000, 4000)))
+    assert 2000 - n_new_kept <= max(10, 10 * fp_bound * 2000), (
+        f"dropped {2000 - n_new_kept} fresh docs (bound {fp_bound:.5f})"
+    )
+
+    kept1 = bloom_filter_new(
+        inc.repartition(1), seen.repartition(1), m_bits=m_bits, k=k
+    ).to_pandas()
+    assert sorted(kept1["doc_id"]) == sorted(kept["doc_id"])
