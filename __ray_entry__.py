@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir": q.q_dsir,
         "redirects": q.q_redirects,
         "source_kl": q.q_source_kl,
+        "source_overlap": q.q_source_overlap,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -780,6 +781,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(s.k, 0) AS BIGINT) AS kl_nanonat
             FROM ns LEFT JOIN (SELECT source, CAST(sum(k) AS BIGINT) AS k
                                FROM comp GROUP BY source) s USING (source)
+        """,
+        # all-pairs slice Jaccard: the oracle takes the naive quadratic
+        # path (distinct (source,token) self-join); the engine computes
+        # the same integers via the per-token bitmask device, no join
+        "source_overlap": r"""
+            WITH st AS (SELECT DISTINCT source, token FROM (
+                        SELECT source, unnest(regexp_extract_all(
+                               coalesce(text, ''), '[^\t\n\v\f\r ]+')) AS token
+                        FROM documents)),
+            sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                      FROM st GROUP BY source),
+            inter AS (SELECT a.source AS sa, b.source AS sb,
+                             CAST(count(*) AS BIGINT) AS inter
+                      FROM st a JOIN st b USING (token)
+                      WHERE a.source < b.source GROUP BY 1, 2)
+            SELECT x.source AS src_a, y.source AS src_b,
+                   CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+                   x.n + y.n - coalesce(i.inter, 0) AS uni,
+                   (coalesce(i.inter, 0) * 1000000)
+                     // (x.n + y.n - coalesce(i.inter, 0)) AS jacc_ppm
+            FROM sizes x JOIN sizes y ON x.source < y.source
+            LEFT JOIN inter i ON i.sa = x.source AND i.sb = y.source
         """,
         "unigram_nll": r"""
             WITH d AS (SELECT doc_id, regexp_extract_all(

@@ -844,6 +844,16 @@ def q_source_kl(sf_dir: str):
     return source_kl(ds)
 
 
+def q_source_overlap(sf_dir: str):
+    """Exact all-pairs Jaccard overlap between source slices (distinct
+    token sets) via the per-token slice-bitmask device — one token-keyed
+    shuffle, no pair joins, all-integer output."""
+    from engine.stages.clean import source_overlap
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"], num_blocks=_cpus())
+    return source_overlap(ds)
+
+
 def q_bloom_dedup(sf_dir: str):
     """Bloom-filter incremental dedup: docs definitely NOT already in the
     'seen' third of the corpus (doc_id % 3 == 0) survive.  Rows-only: the

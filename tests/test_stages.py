@@ -2068,3 +2068,50 @@ def test_bloom_filter_new_no_false_negatives(ray_session):
         inc.repartition(1), seen.repartition(1), m_bits=m_bits, k=k
     ).to_pandas()
     assert sorted(kept1["doc_id"]) == sorted(kept["doc_id"])
+
+
+def test_source_overlap_bitmask_exact(ray_session):
+    """All-pairs slice Jaccard via the bitmask device == hand-computed
+    set arithmetic; pair order is lexicographic; degenerate slice counts
+    behave (one slice -> empty, >63 slices -> explicit refusal)."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from engine.stages.clean import source_overlap
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b c d",      # s1 {a,b,c,d}
+            "c d e",        # s2 {c,d,e}
+            "x y",          # s3 {x,y}
+            "d e",          # s2 again (dup tokens collapse)
+        ], pa.string()),
+        "source": pa.array(["s1", "s2", "s3", "s2"], pa.string()),
+    })
+    got = (
+        source_overlap(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index(["src_a", "src_b"])
+    )
+    # s1={a,b,c,d} s2={c,d,e} s3={x,y}
+    assert got.loc[("s1", "s2")].tolist() == [2, 5, 400000]
+    assert got.loc[("s1", "s3")].tolist() == [0, 6, 0]
+    assert got.loc[("s2", "s3")].tolist() == [0, 5, 0]
+    assert len(got) == 3
+
+    one = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a"], pa.string()),
+        "source": pa.array(["only"], pa.string()),
+    }))
+    assert source_overlap(one).count() == 0
+
+    wide = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(64), pa.int64()),
+        "text": pa.array(["tok"] * 64, pa.string()),
+        "source": pa.array([f"g{i:02d}" for i in range(64)], pa.string()),
+    }))
+    with _pytest.raises(NotImplementedError):
+        source_overlap(wide)
