@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirects": q.q_redirects,
         "source_kl": q.q_source_kl,
         "source_overlap": q.q_source_overlap,
+        "suffix_array": q.q_suffix_array,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -781,6 +782,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(s.k, 0) AS BIGINT) AS kl_nanonat
             FROM ns LEFT JOIN (SELECT source, CAST(sum(k) AS BIGINT) AS k
                                FROM comp GROUP BY source) s USING (source)
+        """,
+        # corpus-wide suffix array: the engine runs log-round prefix
+        # doubling (distributed sorts + doc-bucket shifts); the oracle
+        # simply ORDERS THE SUFFIX LISTS (DuckDB list comparison ==
+        # token-sequence comparison incl. the prefix rule) and dense_rank
+        # replays the equal-suffix tie semantics
+        "suffix_array": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(
+                              coalesce(text, ''), '[^\t\n\v\f\r ]+') AS w
+                       FROM documents),
+            pos AS (SELECT doc_id, unnest(range(len(w))) AS pos, w FROM d)
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                   CAST(dense_rank() OVER (ORDER BY w[pos+1:]) - 1
+                        AS BIGINT) AS rank
+            FROM pos
         """,
         # all-pairs slice Jaccard: the oracle takes the naive quadratic
         # path (distinct (source,token) self-join); the engine computes

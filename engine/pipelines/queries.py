@@ -854,6 +854,17 @@ def q_source_overlap(sf_dir: str):
     return source_overlap(ds)
 
 
+def q_suffix_array(sf_dir: str):
+    """Corpus-wide token-level suffix array by distributed prefix
+    doubling (the Lee et al. exact-substring-dedup structure); dense
+    ranks so exactly-equal suffixes tie.  Oracle: DuckDB orders the
+    suffix lists directly and replays tie semantics with dense_rank."""
+    from engine.stages.suffix import suffix_array
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return suffix_array(ds).sort(["doc_id", "pos"])
+
+
 def q_bloom_dedup(sf_dir: str):
     """Bloom-filter incremental dedup: docs definitely NOT already in the
     'seen' third of the corpus (doc_id % 3 == 0) survive.  Rows-only: the

@@ -1,0 +1,225 @@
+"""Distributed suffix array over the corpus token stream (prefix
+doubling / Manber-Myers, the parallel formulation of Larsson-Sadakane).
+
+Lee et al. (arXiv:2107.06499) deduplicate training data by EXACT
+substring match over a corpus-wide suffix array; ``clean.span_dedup``
+implements the window-hash approximation, and this module provides the
+exact structure itself: every (doc, token-position) ranked in the global
+lexicographic order of token-level suffixes (suffixes do not cross
+document boundaries).  Equal suffixes share a rank (dense-rank
+semantics), which is exactly what substring-dedup consumes — a shared
+rank at full comparison depth IS an exact duplicate suffix.
+
+Algorithm (log-round, all-vectorized):
+
+  r_0   = dense rank of each position's token (one string sort)
+  round: r_{k+1} = dense rank of the pair (r_k(i), r_k(i + 2^k)),
+         with rank -1 when i + 2^k passes the document end (the
+         prefix rule: a shorter suffix sorts first)
+  stop when every rank is distinct or 2^k covers the longest document.
+
+Each round costs ONE corpus-wide sort (Ray Data's distributed sort)
+plus ONE coarse doc-bucket groupby for the shift — the shift never
+joins: positions are contiguous per document, so ``r(i + gap)`` is an
+index offset inside the bucket after a vectorized doc-major sort.
+Dense ranks come from the sort via a per-block scan with an
+O(num_blocks) driver boundary exchange (`_dense_rank`) — raw Ray tasks
+are used ONLY there, because a cross-block order-sensitive scan is the
+one thing ``map_batches`` cannot express (blocks carry no global
+position).  ceil(log2(max_doc_len)) rounds total: a 100 TB corpus of
+<=64k-token documents costs 17 sorts of (int64,int64) keys — heavy but
+the honest price of the exact structure, and every sort is Ray's
+streaming shuffle, nothing corpus-sized on the driver.
+
+SQL-verified bit-for-bit: DuckDB orders the suffix LISTS directly
+(list comparison is exactly token-sequence comparison incl. the prefix
+rule) and dense_rank() replays the tie semantics.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from engine.stages.common import as_arrow
+from engine.stages.text import _TOKEN
+
+_EMPTY = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "pos": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+    }
+)
+
+
+@ray.remote
+def _block_summary(blk: pa.Table, keys: Tuple[str, ...]):
+    """(n_rows, n_starts, first_key, last_key) of one sorted block; a
+    'start' is a row whose key differs from its predecessor (the first
+    row counts — the driver cancels it when the previous block ends on
+    the same key)."""
+    if blk.num_rows == 0:
+        return (0, 0, None, None)
+    cols = [blk.column(k) for k in keys]
+    starts = 1
+    if blk.num_rows > 1:
+        neq = np.zeros(blk.num_rows - 1, dtype=bool)
+        for c in cols:
+            v = c.to_numpy(zero_copy_only=False)
+            neq |= v[1:] != v[:-1]
+        starts += int(neq.sum())
+    first = tuple(c[0].as_py() for c in cols)
+    last = tuple(c[-1].as_py() for c in cols)
+    return (blk.num_rows, starts, first, last)
+
+
+@ray.remote
+def _block_rank(
+    blk: pa.Table, keys: Tuple[str, ...], n_starts_before: int, first_continues: bool
+) -> pa.Table:
+    """Attach the global dense rank to one sorted block.
+    ``n_starts_before`` = classes that start strictly before this block;
+    rank(row) = n_starts_before + (class starts within the block up to
+    and including the row) - 1.  A first row continuing the previous
+    block's class contributes no start, landing on rank
+    ``n_starts_before - 1`` — that class's own index."""
+    if blk.num_rows == 0:
+        return blk.append_column("r", pa.array([], pa.int64()))
+    flags = np.zeros(blk.num_rows, dtype=np.int64)
+    flags[0] = 0 if first_continues else 1
+    if blk.num_rows > 1:
+        neq = np.zeros(blk.num_rows - 1, dtype=bool)
+        for k in keys:
+            v = blk.column(k).to_numpy(zero_copy_only=False)
+            neq |= v[1:] != v[:-1]
+        flags[1:] = neq
+    r = (n_starts_before - 1) + np.cumsum(flags)
+    return blk.append_column("r", pa.array(r, pa.int64()))
+
+
+def _dense_rank(
+    ds: ray.data.Dataset, keys: List[str]
+) -> Tuple[ray.data.Dataset, int]:
+    """Globally sort by ``keys`` and attach the dense rank as column
+    ``r``; returns (ranked dataset, number of distinct keys).  One
+    distributed sort + an O(num_blocks) driver exchange."""
+    kt = tuple(keys)
+    sorted_ds = ds.sort(keys).materialize()
+    refs = sorted_ds.to_arrow_refs()  # block order == sort order
+    summaries = ray.get([_block_summary.remote(r, kt) for r in refs])
+
+    out_refs = []
+    offset = 0
+    prev_last = None
+    for ref, (n_rows, n_starts, first, last) in zip(refs, summaries):
+        if n_rows == 0:
+            continue
+        cont = prev_last is not None and first == prev_last
+        if cont:
+            n_starts -= 1
+        out_refs.append(_block_rank.remote(ref, kt, offset, cont))
+        offset += n_starts
+        prev_last = last
+    if not out_refs:
+        return ds, 0
+    return ray.data.from_arrow_refs(out_refs), offset
+
+
+def suffix_array(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Corpus-wide token-level suffix array: one row ``(doc_id, pos,
+    rank)`` per token position, ``rank`` the dense rank of the suffix
+    ``tokens[pos:]`` in global lexicographic order (ties = exact equal
+    suffixes share a rank)."""
+
+    def positions(t: pa.Table) -> pa.Table:
+        ids, poss, toks = [], [], []
+        for d, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            tt = _TOKEN.findall(txt or "")
+            ids.extend([d] * len(tt))
+            poss.extend(range(len(tt)))
+            toks.extend(tt)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+            }
+        )
+
+    pos_ds = ds.map_batches(
+        positions, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_total = pos_ds.count()
+    if n_total == 0:
+        return ray.data.from_arrow(_EMPTY)
+    max_len = int(pos_ds.max("pos")) + 1
+
+    # round 0: rank by first token (drop the string column immediately —
+    # later rounds shuffle int64 triples only)
+    ranked, n_classes = _dense_rank(pos_ds, ["token"])
+    state = ranked.map_batches(
+        lambda t: t.select(["doc_id", "pos", "r"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    gap = 1
+    while n_classes < n_total and gap < max_len:
+
+        def shift(df, gap=gap):
+            # doc-major order; positions are contiguous per doc, so the
+            # rank `gap` ahead is an index offset within the doc segment
+            df = df.sort_values(["doc_id", "pos"], kind="stable")
+            r = df["r"].to_numpy()
+            doc = df["doc_id"].to_numpy()
+            n = len(df)
+            r2 = np.full(n, -1, dtype=np.int64)
+            if n > gap:
+                same_doc = doc[gap:] == doc[:-gap]
+                idx = np.flatnonzero(same_doc)
+                r2[idx] = r[idx + gap]
+            return df.rename(columns={"r": "r1"}).assign(r2=r2)[
+                ["doc_id", "pos", "r1", "r2"]
+            ]
+
+        def bucket(t: pa.Table) -> pa.Table:
+            db = t.column("doc_id").to_numpy(zero_copy_only=False) % n_buckets
+            return t.append_column("db", pa.array(db, pa.int64()))
+
+        paired = as_arrow(
+            state.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("db")
+            .map_groups(shift, batch_format="pandas")
+        )
+        ranked, n_classes = _dense_rank(paired, ["r1", "r2"])
+        state = ranked.map_batches(
+            lambda t: t.select(["doc_id", "pos", "r"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        gap *= 2
+
+    return state.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "pos": t.column("pos"),
+                "rank": t.column("r"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -2115,3 +2115,51 @@ def test_source_overlap_bitmask_exact(ray_session):
     }))
     with _pytest.raises(NotImplementedError):
         source_overlap(wide)
+
+
+def test_suffix_array_prefix_doubling(ray_session):
+    """Distributed prefix-doubling suffix array == a single-process
+    sorted-suffix oracle: prefix rule (shorter suffix first), cross-doc
+    EQUAL suffixes share a dense rank, empty docs contribute nothing,
+    and the result is partition-invariant (exercises the cross-block
+    dense-rank boundary exchange)."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.suffix import suffix_array
+    from engine.stages.text import _TOKEN
+
+    docs = [
+        (1, "b a n a n a"),
+        (2, "a n a"),          # suffixes tie with doc 1's tail
+        (3, ""),               # no positions
+        (4, "b a n a n a"),    # exact duplicate: every suffix ties
+        (5, "z z y"),
+    ]
+    sufs = []
+    for d, txt in docs:
+        toks = _TOKEN.findall(txt)
+        for p in range(len(toks)):
+            sufs.append((tuple(toks[p:]), d, p))
+    rank_of = {s: i for i, s in enumerate(sorted({s for s, _, _ in sufs}))}
+    expect = {(d, p): rank_of[s] for s, d, p in sufs}
+
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([x for _, x in docs], pa.string()),
+    })
+    for parts in (1, 4):
+        df = suffix_array(ray.data.from_arrow(t).repartition(parts)).to_pandas()
+        got = {
+            (int(a), int(b)): int(c)
+            for a, b, c in zip(df["doc_id"], df["pos"], df["rank"])
+        }
+        assert got == expect, f"parts={parts}"
+    # equal-suffix tie pinned explicitly: doc1 and doc4 identical
+    assert expect[(1, 0)] == got[(4, 0)] and got[(1, 0)] == got[(4, 0)]
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert suffix_array(empty).count() == 0
