@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl": q.q_source_kl,
         "source_overlap": q.q_source_overlap,
         "suffix_array": q.q_suffix_array,
+        "dup_spans": q.q_dup_spans,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -797,6 +798,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dense_rank() OVER (ORDER BY w[pos+1:]) - 1
                         AS BIGINT) AS rank
             FROM pos
+        """,
+        # exact duplicated 8-token windows: the engine ranks windows via
+        # suffix-rank pairs (sparse-table overlap); the oracle counts the
+        # literal window strings (space-joined == token-sequence equality
+        # since tokens contain no spaces)
+        "dup_spans": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(
+                              coalesce(text, ''), '[^\t\n\v\f\r ]+') AS w
+                       FROM documents),
+            pos AS (SELECT doc_id, unnest(range(len(w))) AS pos, w FROM d),
+            g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                         array_to_string(w[pos+1:pos+8], ' ') AS gram
+                  FROM pos WHERE pos + 8 <= len(w)),
+            c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_occ
+                  FROM g GROUP BY gram)
+            SELECT doc_id, pos, n_occ FROM g JOIN c USING (gram)
         """,
         # all-pairs slice Jaccard: the oracle takes the naive quadratic
         # path (distinct (source,token) self-join); the engine computes

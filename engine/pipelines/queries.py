@@ -865,6 +865,16 @@ def q_suffix_array(sf_dir: str):
     return suffix_array(ds).sort(["doc_id", "pos"])
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact duplicated 8-token-window detection via the suffix-rank
+    sparse-table device (collision-free counterpart of span_dedup's
+    window hashes): (doc_id, pos, n_occ) for every full window."""
+    from engine.stages.suffix import dup_spans
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return dup_spans(ds, span_len=8).sort(["doc_id", "pos"])
+
+
 def q_bloom_dedup(sf_dir: str):
     """Bloom-filter incremental dedup: docs definitely NOT already in the
     'seen' third of the corpus (doc_id % 3 == 0) survive.  Rows-only: the

@@ -141,6 +141,26 @@ def suffix_array(
     rank)`` per token position, ``rank`` the dense rank of the suffix
     ``tokens[pos:]`` in global lexicographic order (ties = exact equal
     suffixes share a rank)."""
+    pos_ds, n_total, max_len = _token_positions(ds, id_col, text_col)
+    if n_total == 0:
+        return ray.data.from_arrow(_EMPTY)
+    state, _, _ = _rank_to_gap(pos_ds, n_total, max_len, n_buckets)
+    return state.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "pos": t.column("pos"),
+                "rank": t.column("r"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _token_positions(ds, id_col: str, text_col: str):
+    """Flatten the corpus to one row per token position; returns
+    (positions dataset, total positions, longest document)."""
 
     def positions(t: pa.Table) -> pa.Table:
         ids, poss, toks = [], [], []
@@ -163,47 +183,64 @@ def suffix_array(
         positions, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     n_total = pos_ds.count()
-    if n_total == 0:
-        return ray.data.from_arrow(_EMPTY)
-    max_len = int(pos_ds.max("pos")) + 1
+    max_len = (int(pos_ds.max("pos")) + 1) if n_total else 0
+    return pos_ds, n_total, max_len
 
-    # round 0: rank by first token (drop the string column immediately —
-    # later rounds shuffle int64 triples only)
+
+def _shift_pairs(state, gap: int, n_buckets: int, keep_dl: bool = False):
+    """One coarse doc-bucket pass turning (doc_id, pos, r) into
+    (doc_id, pos, r1, r2[, dl]): r2 = rank ``gap`` positions ahead in
+    the SAME document (-1 past the end — the prefix-rule sentinel),
+    dl = document token length.  No join: positions are contiguous per
+    document, so the lookup is an index offset after a doc-major sort
+    inside the bucket."""
+
+    def shift(df, gap=gap):
+        df = df.sort_values(["doc_id", "pos"], kind="stable")
+        r = df["r"].to_numpy()
+        doc = df["doc_id"].to_numpy()
+        n = len(df)
+        r2 = np.full(n, -1, dtype=np.int64)
+        if 0 < gap < n:
+            same_doc = doc[gap:] == doc[:-gap]
+            idx = np.flatnonzero(same_doc)
+            r2[idx] = r[idx + gap]
+        elif gap == 0:
+            r2 = r.copy()
+        cols = ["doc_id", "pos", "r1", "r2"]
+        df = df.rename(columns={"r": "r1"}).assign(r2=r2)
+        if keep_dl:
+            # positions are 0..len-1 per doc: length = group size
+            df = df.assign(
+                dl=df.groupby("doc_id")["pos"].transform("size").to_numpy()
+            )
+            cols.append("dl")
+        return df[cols]
+
+    def bucket(t: pa.Table) -> pa.Table:
+        db = t.column("doc_id").to_numpy(zero_copy_only=False) % n_buckets
+        return t.append_column("db", pa.array(db, pa.int64()))
+
+    return as_arrow(
+        state.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("db")
+        .map_groups(shift, batch_format="pandas")
+    )
+
+
+def _rank_to_gap(pos_ds, n_total: int, target_gap: int, n_buckets: int):
+    """Prefix-doubling rounds until the rank prefix length reaches
+    ``target_gap`` (or every rank is already distinct).  Returns
+    (state ``(doc_id, pos, r)``, reached gap, distinct classes)."""
     ranked, n_classes = _dense_rank(pos_ds, ["token"])
     state = ranked.map_batches(
         lambda t: t.select(["doc_id", "pos", "r"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
-
     gap = 1
-    while n_classes < n_total and gap < max_len:
-
-        def shift(df, gap=gap):
-            # doc-major order; positions are contiguous per doc, so the
-            # rank `gap` ahead is an index offset within the doc segment
-            df = df.sort_values(["doc_id", "pos"], kind="stable")
-            r = df["r"].to_numpy()
-            doc = df["doc_id"].to_numpy()
-            n = len(df)
-            r2 = np.full(n, -1, dtype=np.int64)
-            if n > gap:
-                same_doc = doc[gap:] == doc[:-gap]
-                idx = np.flatnonzero(same_doc)
-                r2[idx] = r[idx + gap]
-            return df.rename(columns={"r": "r1"}).assign(r2=r2)[
-                ["doc_id", "pos", "r1", "r2"]
-            ]
-
-        def bucket(t: pa.Table) -> pa.Table:
-            db = t.column("doc_id").to_numpy(zero_copy_only=False) % n_buckets
-            return t.append_column("db", pa.array(db, pa.int64()))
-
-        paired = as_arrow(
-            state.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("db")
-            .map_groups(shift, batch_format="pandas")
-        )
+    while n_classes < n_total and gap < target_gap:
+        paired = _shift_pairs(state, gap, n_buckets)
         ranked, n_classes = _dense_rank(paired, ["r1", "r2"])
         state = ranked.map_batches(
             lambda t: t.select(["doc_id", "pos", "r"]),
@@ -211,15 +248,76 @@ def suffix_array(
             zero_copy_batch=True,
         ).materialize()
         gap *= 2
+    return state, gap, n_classes
 
-    return state.map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "pos": t.column("pos"),
-                "rank": t.column("r"),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+
+def dup_spans(
+    ds: ray.data.Dataset,
+    *,
+    span_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT duplicated-window detection (the Lee et al. detection step,
+    collision-free where ``clean.span_dedup`` trusts window hashes):
+    for every position with a full ``span_len``-token window, how many
+    times that exact window occurs corpus-wide — ``(doc_id, pos,
+    n_occ)``; duplicated spans are the rows with ``n_occ >= 2``.
+
+    Sparse-table device: after doubling to ``g = 2^floor(log2 L)``, the
+    L-window at ``i`` equals the one at ``j`` iff the rank PAIRS
+    ``(r_g(i), r_g(i + L - g))`` match — the two g-blocks overlap and
+    cover [i, i+L).  So duplicates need only ceil(log2 L) doubling
+    rounds (not log of the document length), one final pair ranking,
+    and ONE coarse rank-bucket groupby to attach class sizes — never a
+    join, never the window text."""
+    assert span_len >= 1
+    pos_ds, n_total, max_len = _token_positions(ds, id_col, text_col)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "n_occ": pa.array([], pa.int64()),
+        }
+    )
+    if n_total == 0 or max_len < span_len:
+        return ray.data.from_arrow(empty)
+
+    g = 1
+    while g * 2 <= span_len:
+        g *= 2
+    state, _, _ = _rank_to_gap(pos_ds, n_total, g, n_buckets)
+
+    # final combine: rank pairs (r_g(i), r_g(i + L - g)) on positions
+    # whose full window exists (pos + L <= doclen)
+    paired = _shift_pairs(state, span_len - g, n_buckets, keep_dl=True)
+
+    def valid(t: pa.Table) -> pa.Table:
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        dl = t.column("dl").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(pos + span_len <= dl)).select(
+            ["doc_id", "pos", "r1", "r2"]
+        )
+
+    windows = paired.map_batches(
+        valid, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ranked, _ = _dense_rank(windows, ["r1", "r2"])
+
+    # class sizes without a join: coarse rank-bucket groupby, sizes
+    # resolved vectorized inside the bucket (every row of a class lands
+    # in one bucket)
+    def rbucket(t: pa.Table) -> pa.Table:
+        rb = t.column("r").to_numpy(zero_copy_only=False) % n_buckets
+        return t.append_column("rb", pa.array(rb, pa.int64()))
+
+    def attach(df):
+        n = df.groupby("r")["r"].transform("size").to_numpy()
+        return df.assign(n_occ=n.astype(np.int64))[["doc_id", "pos", "n_occ"]]
+
+    return as_arrow(
+        ranked.map_batches(rbucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("rb")
+        .map_groups(attach, batch_format="pandas")
     )

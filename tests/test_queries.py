@@ -64,7 +64,8 @@ SQL_NAMES = [
     "pack_sequences", "events_hopping", "sink_status",
     "rep_stats", "line_dedup", "span_dedup", "decontam", "corpus_overlap",
     "bm25_topk", "term_stats", "heavy_hitters", "dsir", "redirects",
-    "source_kl", "source_overlap", "suffix_array", "postings", "unigram_nll",
+    "source_kl", "source_overlap", "suffix_array", "dup_spans",
+    "postings", "unigram_nll",
     "ppl_buckets", "pii_scrub",
     "snapshot_diff", "latest_events", "json_props",
     "mixture_sample", "domain_terms", "corpus_filter", "incremental_index",

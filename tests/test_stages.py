@@ -2163,3 +2163,46 @@ def test_suffix_array_prefix_doubling(ray_session):
         "text": pa.array([], pa.string()),
     }))
     assert suffix_array(empty).count() == 0
+
+
+def test_dup_spans_exact_windows(ray_session):
+    """Sparse-table duplicated-window detection == literal window-string
+    counting, including a non-power-of-two span length (exercises the
+    (r_g(i), r_g(i+L-g)) overlap combine) and cross-document duplicates."""
+    from collections import Counter as _Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.suffix import dup_spans
+    from engine.stages.text import _TOKEN
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "said the quick brown fox jumps over the lazy dog"),  # shares a long run
+        (3, "completely different words here with no overlap at all"),
+        (4, ""),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([x for _, x in docs], pa.string()),
+    })
+    for L in (3, 5):  # 5 is not a power of two: g=4, shift=1
+        grams = _Counter()
+        per_pos = {}
+        for d, txt in docs:
+            toks = _TOKEN.findall(txt)
+            for p in range(len(toks) - L + 1):
+                gram = tuple(toks[p : p + L])
+                grams[gram] += 1
+                per_pos[(d, p)] = gram
+        expect = {k: grams[v] for k, v in per_pos.items()}
+        df = dup_spans(
+            ray.data.from_arrow(t).repartition(3), span_len=L
+        ).to_pandas()
+        got = {
+            (int(a), int(b)): int(c)
+            for a, b, c in zip(df["doc_id"], df["pos"], df["n_occ"])
+        }
+        assert got == expect, f"L={L}"
+        assert max(expect.values()) == 2  # the shared run is detected
