@@ -968,6 +968,9 @@ def source_overlap(
     bit = {g: i for i, g in enumerate(names)}
 
     def partial(t: pa.Table, bit=bit) -> pa.Table:
+        # one fused pass: (token, mask, bucket) — fusing keeps the
+        # zero-row-block bypass surface to a single stage (empty input
+        # blocks skip map fns and keep their upstream schema, CLAUDE.md)
         m: Dict[str, int] = {}
         for g, txt in zip(
             t.column(group_col).to_pylist(), t.column(text_col).to_pylist()
@@ -977,17 +980,18 @@ def source_overlap(
             b = 1 << bit[g]
             for tok in set(_TOKEN.findall(txt or "")):
                 m[tok] = m.get(tok, 0) | b
+        toks = list(m.keys())
+        tb = (
+            fnv1a_batch([s.encode("utf-8") for s in toks])
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
         return pa.table(
             {
-                "token": pa.array(list(m.keys()), pa.string()),
-                "mask": pa.array(list(m.values()), pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "mask": pa.array([m[k] for k in toks], pa.int64()),
+                "tb": pa.array(tb, pa.int64()),
             }
         )
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        h = fnv1a_batch([s.encode("utf-8") for s in t.column("token").to_pylist()])
-        tb = (h % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("tb", pa.array(tb, pa.int64()))
 
     def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
         codes, _ = pd.factorize(df["token"], sort=False)
@@ -1001,7 +1005,6 @@ def source_overlap(
     counts: Counter = Counter()
     bucketed = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("tb")
         .map_groups(resolve, batch_format="pandas")
     )
