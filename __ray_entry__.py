@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": q.q_source_overlap,
         "suffix_array": q.q_suffix_array,
         "dup_spans": q.q_dup_spans,
+        "lcp": q.q_lcp,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -798,6 +799,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dense_rank() OVER (ORDER BY w[pos+1:]) - 1
                         AS BIGINT) AS rank
             FROM pos
+        """,
+        # LCP array: the engine answers each adjacent-pair query by
+        # descending the doubling-round rank tables (sparse table); the
+        # oracle sorts the literal suffix lists, lags, and finds the
+        # first element mismatch (nullif: list_position returns 0, not
+        # NULL, on no-match)
+        "lcp": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(
+                              coalesce(text, ''), '[^\t\n\v\f\r ]+') AS w
+                       FROM documents),
+            pos AS (SELECT doc_id, unnest(range(len(w))) AS pos, w FROM d),
+            suf AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                           w[pos+1:] AS s
+                    FROM pos),
+            o AS (SELECT doc_id, pos, s,
+                         lag(s) OVER (ORDER BY s, doc_id, pos) AS p
+                  FROM suf)
+            SELECT doc_id, pos,
+                   CAST(CASE
+                     WHEN p IS NULL OR least(len(s), len(p)) = 0 THEN 0
+                     ELSE coalesce(
+                       nullif(list_position(
+                         list_transform(range(least(len(s), len(p))),
+                                        i -> s[i+1] = p[i+1]), false), 0) - 1,
+                       least(len(s), len(p)))
+                   END AS BIGINT) AS lcp
+            FROM o
         """,
         # exact duplicated 8-token windows: the engine ranks windows via
         # suffix-rank pairs (sparse-table overlap); the oracle counts the

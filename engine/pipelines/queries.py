@@ -875,6 +875,16 @@ def q_dup_spans(sf_dir: str):
     return dup_spans(ds, span_len=8).sort(["doc_id", "pos"])
 
 
+def q_lcp(sf_dir: str):
+    """LCP array over the corpus suffix order (SA + LCP = the complete
+    Lee et al. repeat-analysis structure): per position, the common
+    prefix length with the previous suffix in global order."""
+    from engine.stages.suffix import lcp_adjacent
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return lcp_adjacent(ds).sort(["doc_id", "pos"])
+
+
 def q_bloom_dedup(sf_dir: str):
     """Bloom-filter incremental dedup: docs definitely NOT already in the
     'seen' third of the corpus (doc_id % 3 == 0) survive.  Rows-only: the

@@ -42,6 +42,7 @@ from typing import List, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -228,10 +229,15 @@ def _shift_pairs(state, gap: int, n_buckets: int, keep_dl: bool = False):
     )
 
 
-def _rank_to_gap(pos_ds, n_total: int, target_gap: int, n_buckets: int):
+def _rank_to_gap(
+    pos_ds, n_total: int, target_gap: int, n_buckets: int, collect: bool = False
+):
     """Prefix-doubling rounds until the rank prefix length reaches
     ``target_gap`` (or every rank is already distinct).  Returns
-    (state ``(doc_id, pos, r)``, reached gap, distinct classes)."""
+    (state ``(doc_id, pos, r)``, reached gap, distinct classes[,
+    rounds]) — ``rounds`` (with ``collect=True``) is the list of
+    (prefix_length, state) per level, the sparse table LCP queries
+    descend."""
     ranked, n_classes = _dense_rank(pos_ds, ["token"])
     state = ranked.map_batches(
         lambda t: t.select(["doc_id", "pos", "r"]),
@@ -239,6 +245,7 @@ def _rank_to_gap(pos_ds, n_total: int, target_gap: int, n_buckets: int):
         zero_copy_batch=True,
     ).materialize()
     gap = 1
+    rounds = [(1, state)]
     while n_classes < n_total and gap < target_gap:
         paired = _shift_pairs(state, gap, n_buckets)
         ranked, n_classes = _dense_rank(paired, ["r1", "r2"])
@@ -248,6 +255,10 @@ def _rank_to_gap(pos_ds, n_total: int, target_gap: int, n_buckets: int):
             zero_copy_batch=True,
         ).materialize()
         gap *= 2
+        if collect:
+            rounds.append((gap, state))
+    if collect:
+        return state, gap, n_classes, rounds
     return state, gap, n_classes
 
 
@@ -321,3 +332,249 @@ def dup_spans(
         .groupby("rb")
         .map_groups(attach, batch_format="pandas")
     )
+
+
+@ray.remote
+def _block_last_row(blk: pa.Table):
+    if blk.num_rows == 0:
+        return None
+    return (
+        blk.num_rows,
+        tuple(blk.column(c)[-1].as_py() for c in ("doc_id", "pos", "dl")),
+    )
+
+
+@ray.remote
+def _block_nrows(blk: pa.Table) -> int:
+    return blk.num_rows
+
+
+@ray.remote
+def _block_pairs(blk: pa.Table, prev_row) -> pa.Table:
+    """Adjacent (row, predecessor) pairs of one sorted block; the first
+    row pairs with the previous block's last row (``prev_row``), or is
+    OMITTED when there is none (the global first suffix, emitted by the
+    caller with lcp 0)."""
+    empty = pa.table(
+        {
+            "di": pa.array([], pa.int64()),
+            "pi": pa.array([], pa.int64()),
+            "li": pa.array([], pa.int64()),
+            "dj": pa.array([], pa.int64()),
+            "pj": pa.array([], pa.int64()),
+            "lj": pa.array([], pa.int64()),
+        }
+    )
+    n = blk.num_rows
+    if n == 0 or (n == 1 and prev_row is None):
+        return empty
+    doc = blk.column("doc_id").to_numpy(zero_copy_only=False)
+    pos = blk.column("pos").to_numpy(zero_copy_only=False)
+    dl = blk.column("dl").to_numpy(zero_copy_only=False)
+    if prev_row is None:
+        di, pi, ln = doc[1:], pos[1:], (dl - pos)[1:]
+        dj, pj, lp = doc[:-1], pos[:-1], (dl - pos)[:-1]
+    else:
+        pd_, pp, pdl = prev_row
+        di, pi, ln = doc, pos, dl - pos
+        dj = np.concatenate([[pd_], doc[:-1]])
+        pj = np.concatenate([[pp], pos[:-1]])
+        lp = np.concatenate([[pdl - pp], (dl - pos)[:-1]])
+    return pa.table(
+        {
+            "di": pa.array(di, pa.int64()),
+            "pi": pa.array(pi, pa.int64()),
+            "li": pa.array(ln, pa.int64()),
+            "dj": pa.array(dj, pa.int64()),
+            "pj": pa.array(pj, pa.int64()),
+            "lj": pa.array(lp, pa.int64()),
+            "acc": pa.array(np.zeros(len(di), dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def lcp_adjacent(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """LCP array over the corpus suffix order: for every token position,
+    the longest common prefix (in tokens) between its suffix and the
+    PREVIOUS suffix in global lexicographic order — ``(doc_id, pos,
+    lcp)``; the first suffix gets 0.  SA + LCP is the complete Lee et
+    al. repeat-analysis structure: a maximal duplicated span of length
+    >= L exists iff some lcp >= L, and the offending positions are the
+    rows themselves.
+
+    Sparse-table queries over the doubling rounds: LCP(i, j) greedily
+    descends the per-round rank tables — if ranks at level g match,
+    the suffixes share g more tokens and both cursors advance by g
+    (binary decomposition, so ceil(log2 n) levels answer any pair).
+    Each level costs TWO position-keyed lookups implemented as native
+    hash joins of the still-active pairs against that level's rank
+    table; candidate rows always match (a cursor never leaves its
+    document while ``acc < remaining``), so the joins stay inner —
+    no outer-join schema hazards.  Rank equality at a TRUNCATED window
+    means the remainders are entirely equal (prefix-rule ranks encode
+    length), which can overshoot ``acc`` by at most that level — the
+    final ``min(acc, len_i, len_j)`` clamp restores exactness (proved
+    case-by-case in the tests against a literal-suffix oracle)."""
+    from engine.stages.dedup import _join_partitions
+
+    pos_ds, n_total, max_len = _token_positions(ds, id_col, text_col)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "lcp": pa.array([], pa.int64()),
+        }
+    )
+    if n_total == 0:
+        return ray.data.from_arrow(empty)
+    _, _, _, rounds = _rank_to_gap(pos_ds, n_total, max_len, n_buckets, collect=True)
+
+    # final suffix order with doc lengths along: (doc_id, pos, r, dl)
+    withdl = _shift_pairs(rounds[-1][1], 0, n_buckets, keep_dl=True).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "pos": t.column("pos"),
+                "r": t.column("r1"),
+                "dl": t.column("dl"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ordered = withdl.sort(["r", "doc_id", "pos"]).materialize()
+    refs = ordered.to_arrow_refs()
+    lasts = ray.get([_block_last_row.remote(b) for b in refs])
+    pair_refs = []
+    prev = None
+    first_identity = None
+    for ref, info in zip(refs, lasts):
+        if info is None:  # empty block
+            continue
+        n_rows, last = info
+        if prev is None:
+            first_identity = ray.get(ref).slice(0, 1)
+            if n_rows > 1:  # the global-first row has no predecessor
+                pair_refs.append(_block_pairs.remote(ref, None))
+        else:
+            pair_refs.append(_block_pairs.remote(ref, prev))
+        prev = last
+    if not pair_refs:  # single suffix in the whole corpus
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": first_identity.column("doc_id"),
+                    "pos": first_identity.column("pos"),
+                    "lcp": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    pairs = ray.data.from_arrow_refs(pair_refs).materialize()
+
+    npart = max(1, min(_join_partitions(), n_total // 64 + 1))
+    for g, st in sorted(rounds, key=lambda x: -x[0]):
+        def _active_mask(t: pa.Table) -> pa.Array:
+            return pc.and_(
+                pc.less(t.column("acc"), t.column("li")),
+                pc.less(t.column("acc"), t.column("lj")),
+            )
+
+        active = pairs.map_batches(
+            lambda t: t.filter(_active_mask(t)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        if active.count() == 0:
+            break
+        rest = pairs.map_batches(
+            lambda t: t.filter(pc.invert(_active_mask(t))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+        def keyed(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "ki", pc.add(t.column("pi"), t.column("acc"))
+            ).append_column("kj", pc.add(t.column("pj"), t.column("acc")))
+
+        looked = (
+            active.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+            .join(
+                st,
+                join_type="inner",
+                num_partitions=npart,
+                on=("di", "ki"),
+                right_on=("doc_id", "pos"),
+                right_suffix="_a",
+            )
+            .join(
+                st,
+                join_type="inner",
+                num_partitions=npart,
+                on=("dj", "kj"),
+                right_on=("doc_id", "pos"),
+                right_suffix="_b",
+            )
+        )
+
+        def update(t: pa.Table, g=g) -> pa.Table:
+            ra = t.column("r").to_numpy(zero_copy_only=False)
+            rb = t.column("r_b").to_numpy(zero_copy_only=False)
+            acc = t.column("acc").to_numpy(zero_copy_only=False).copy()
+            acc[ra == rb] += g
+            out = {
+                c: t.column(c) for c in ("di", "pi", "li", "dj", "pj", "lj")
+            }
+            out["acc"] = pa.array(acc, pa.int64())
+            return pa.table(out)
+
+        stepped = looked.map_batches(
+            update, batch_format="pyarrow", zero_copy_batch=True
+        )
+        pairs = stepped.union(rest).materialize()
+
+    # drop zero-row blocks before the final projection: they BYPASS the
+    # map fns (CLAUDE.md) and would leak loop-internal schemas (join key
+    # columns) into the output union, corrupting a downstream sort
+    p_refs = pairs.to_arrow_refs()
+    p_counts = ray.get([_block_nrows.remote(r) for r in p_refs])
+    pairs = ray.data.from_arrow_refs(
+        [r for r, c in zip(p_refs, p_counts) if c]
+    )
+
+    result = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("di"),
+                "pos": t.column("pi"),
+                "lcp": pa.array(
+                    np.minimum(
+                        t.column("acc").to_numpy(zero_copy_only=False),
+                        np.minimum(
+                            t.column("li").to_numpy(zero_copy_only=False),
+                            t.column("lj").to_numpy(zero_copy_only=False),
+                        ),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    first = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": first_identity.column("doc_id"),
+                "pos": first_identity.column("pos"),
+                "lcp": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    return result.union(first)

@@ -2206,3 +2206,65 @@ def test_dup_spans_exact_windows(ray_session):
         }
         assert got == expect, f"L={L}"
         assert max(expect.values()) == 2  # the shared run is detected
+
+
+def test_lcp_adjacent_matches_literal_oracle(ray_session):
+    """Sparse-table LCP over the suffix order == a literal
+    compare-adjacent-suffixes oracle, covering the truncation-overshoot
+    clamp (equal full suffixes), cross-doc ties, the global first row,
+    and a single-suffix corpus."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.suffix import lcp_adjacent
+    from engine.stages.text import _TOKEN
+
+    docs = [
+        (1, "b a n a n a"),
+        (2, "a n a"),          # suffix 'a n a' EQUALS doc1 pos3 (clamp path)
+        (3, ""),
+        (4, "b a n a n a"),    # full duplicate: every suffix ties
+        (5, "z z y a n"),
+        (6, "n a n a b"),
+    ]
+    sufs = []
+    for d, txt in docs:
+        toks = _TOKEN.findall(txt)
+        for p in range(len(toks)):
+            sufs.append((tuple(toks[p:]), d, p))
+    sufs.sort()
+    expect = {}
+    for i, (s, d, p) in enumerate(sufs):
+        if i == 0:
+            expect[(d, p)] = 0
+        else:
+            prev = sufs[i - 1][0]
+            n = 0
+            while n < min(len(s), len(prev)) and s[n] == prev[n]:
+                n += 1
+            expect[(d, p)] = n
+
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([x for _, x in docs], pa.string()),
+    })
+    df = lcp_adjacent(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    got = {
+        (int(a), int(b)): int(c)
+        for a, b, c in zip(df["doc_id"], df["pos"], df["lcp"])
+    }
+    assert got == expect
+    # the duplicate doc pair produces a full-length lcp somewhere
+    assert max(got.values()) == 6
+
+    one = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array(["solo"], pa.string()),
+    }))
+    assert lcp_adjacent(one).to_pandas().values.tolist() == [[9, 0, 0]]
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert lcp_adjacent(empty).count() == 0
