@@ -249,6 +249,7 @@ def run_bench(extract_only: bool = False) -> dict:
     timed("events_window", q.q_events_window)
     timed("surt_hosts", q.q_surt_hosts)
     timed("corpus_filter", q.q_corpus_filter)
+    timed("dup_spans", q.q_dup_spans)
 
     headline = extract_sec + crawl_sec
     result = {
