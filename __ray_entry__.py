@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suffix_array": q.q_suffix_array,
         "dup_spans": q.q_dup_spans,
         "lcp": q.q_lcp,
+        "bigram_nll": q.q_bigram_nll,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -758,6 +759,35 @@ def oracle_sql() -> dict[str, str]:
         # tf * ln(cf/N) summed in token-asc order by an explicit
         # list_reduce `+` chain — exactly the engine's Python loop —
         # so the doubles (and the floored nanonats) match bit-for-bit
+        # conditional bigram NLL: per-(doc, bigram) contributions floor
+        # to integer nanonats individually (order-free integer sums, no
+        # list_reduce ordering contract); docs with < 2 tokens get (0,0)
+        "bigram_nll": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(
+                              coalesce(text, ''), '[^\t\n\v\f\r ]+') AS w
+                       FROM documents),
+            pos AS (SELECT doc_id, unnest(range(len(w) - 1)) AS i, w
+                    FROM d WHERE len(w) >= 2),
+            big AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2 FROM pos),
+            tf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+                   FROM big GROUP BY doc_id, w1, w2),
+            c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c
+                    FROM tf GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cs
+                   FROM c12 GROUP BY w1),
+            comp AS (SELECT tf.doc_id,
+                            CAST(floor((-1000000000.0 * tf.tf)
+                                 * ln(c12.c / c1.cs)) AS BIGINT) AS k,
+                            tf.tf
+                     FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+            s AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS k,
+                         CAST(sum(tf) AS BIGINT) AS np
+                  FROM comp GROUP BY doc_id)
+            SELECT d2.doc_id,
+                   CAST(coalesce(s.np, 0) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(s.k, 0) AS BIGINT) AS nll2_sum_nanonat
+            FROM (SELECT doc_id FROM documents) d2 LEFT JOIN s USING (doc_id)
+        """,
         # per-source KL divergence vs the corpus unigram distribution:
         # each (source, token) contribution is floored to integer
         # nanonats INDIVIDUALLY, so the per-source total is an

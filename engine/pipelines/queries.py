@@ -885,6 +885,15 @@ def q_lcp(sf_dir: str):
     return lcp_adjacent(ds).sort(["doc_id", "pos"])
 
 
+def q_bigram_nll(sf_dir: str):
+    """Conditional bigram NLL per document (CCNet-direction LM signal):
+    order-free integer fixed point, exact in SQL."""
+    from engine.stages.lm import bigram_nll
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return bigram_nll(ds).sort("doc_id")
+
+
 def q_bloom_dedup(sf_dir: str):
     """Bloom-filter incremental dedup: docs definitely NOT already in the
     'seen' third of the corpus (doc_id % 3 == 0) survive.  Rows-only: the

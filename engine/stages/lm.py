@@ -515,3 +515,133 @@ def source_kl(
             }
         )
     )
+
+
+def bigram_nll(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Conditional bigram negative log-likelihood (one step from the
+    unigram signal toward CCNet's KenLM): per document,
+
+        nll2_sum = -sum_{(w1,w2) in d} tf * ln( c(w1,w2) / c(w1,*) )
+
+    as ``(doc_id, n_pairs, nll2_sum_nanonat)`` — each (doc, bigram)
+    contribution floors to integer nanonats INDIVIDUALLY (the source_kl
+    device), so all sums are order-free integer sums, exact in SQL.
+    Documents with < 2 tokens score (0, 0); n_pairs = token count - 1.
+
+    Shape: per-batch (doc, w1, w2, tf) Counter partials (text never
+    shuffles), ONE groupby keyed on hash(w1) % n_buckets — every row of
+    a given w1 lands in one bucket, so the bucket resolves BOTH model
+    counts (c12 by (w1,w2), c1* by w1) and the per-row contributions
+    vectorized (math.log loop for libm/DuckDB ln parity) — then ONE
+    doc-keyed groupby sums the integers.  A Zipf-hot w1 concentrates its
+    distinct (doc, w1, w2) rows in one bucket: bounded by docs x
+    distinct-successors, the standard inverted-index exchange volume."""
+    import numpy as np
+
+    from engine.stages.text import fnv1a_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        zero_ids = []
+        for d, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            toks = _TOKEN.findall(txt or "")
+            if len(toks) < 2:
+                zero_ids.append(d)
+                continue
+            for a, b in zip(toks, toks[1:]):
+                c[(d, a, b)] += 1
+        items = list(c.items())
+        # sentinel rows (w1 = None) keep zero-pair docs in the final
+        # doc groupby without touching model counts
+        return pa.table(
+            {
+                id_col: pa.array(
+                    [d for (d, _, _), _ in items] + zero_ids, pa.int64()
+                ),
+                "w1": pa.array(
+                    [a for (_, a, _), _ in items] + [None] * len(zero_ids),
+                    pa.string(),
+                ),
+                "w2": pa.array(
+                    [b for (_, _, b), _ in items] + [None] * len(zero_ids),
+                    pa.string(),
+                ),
+                "tf": pa.array(
+                    [n for _, n in items] + [0] * len(zero_ids), pa.int64()
+                ),
+            }
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        w1 = t.column("w1").to_pylist()
+        h = fnv1a_batch([(s or "").encode("utf-8") for s in w1])
+        tb = (h % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("tb", pa.array(tb, pa.int64()))
+
+    def resolve(df):
+        import pandas as pd
+
+        zero = df[df["w1"].isna()]
+        df = df[~df["w1"].isna()]
+        out_frames = []
+        if len(df):
+            cc = df.groupby(["w1", "w2"], sort=False)["tf"].transform("sum").to_numpy()
+            cs = df.groupby("w1", sort=False)["tf"].transform("sum").to_numpy()
+            ks = [
+                math.floor(
+                    (-1000000000.0 * int(tf)) * math.log(int(a) / int(b))
+                )
+                for tf, a, b in zip(df["tf"], cc, cs)
+            ]
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: df[id_col].to_numpy(),
+                        "k": np.array(ks, dtype=np.int64),
+                        "tf": df["tf"].to_numpy(),
+                    }
+                )
+            )
+        if len(zero):
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: zero[id_col].to_numpy(),
+                        "k": np.zeros(len(zero), dtype=np.int64),
+                        "tf": np.zeros(len(zero), dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(out_frames, ignore_index=True)
+
+    from engine.stages.common import as_arrow
+
+    contrib = as_arrow(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tb")
+        .map_groups(resolve, batch_format="pandas")
+    )
+    return (
+        contrib.groupby(id_col)
+        .aggregate(Sum("tf", alias_name="n_pairs"), Sum("k", alias_name="_k"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "n_pairs": t.column("n_pairs").cast(pa.int64()),
+                    "nll2_sum_nanonat": t.column("_k").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )

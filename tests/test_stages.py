@@ -2268,3 +2268,47 @@ def test_lcp_adjacent_matches_literal_oracle(ray_session):
         "text": pa.array([], pa.string()),
     }))
     assert lcp_adjacent(empty).count() == 0
+
+
+def test_bigram_nll_conditional_semantics(ray_session):
+    """Bigram NLL: deterministic transitions score 0 (p(w2|w1)=1),
+    unpredictable transitions score higher, < 2-token docs get (0, 0),
+    and the integer sum is partition-invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.lm import bigram_nll
+
+    docs = [
+        (1, "a b a b a b a b"),   # only transitions a->b, b->a
+        (2, "a b a b a b a b"),
+        (3, "a c b d a e b f"),   # a and b fan out -> uncertain
+        (4, "x"),                 # no pairs
+        (5, ""),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([x for _, x in docs], pa.string()),
+    })
+    got = (
+        bigram_nll(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(got.columns) == ["n_pairs", "nll2_sum_nanonat"]
+    assert got.loc[4].tolist() == [0, 0]
+    assert got.loc[5].tolist() == [0, 0]
+    assert got.loc[1, "n_pairs"] == 7
+    # doc 3 makes a->b fan out, so docs 1/2 pay a small positive cost;
+    # doc 3's rare transitions cost far more per pair
+    assert 0 < got.loc[1, "nll2_sum_nanonat"] < got.loc[3, "nll2_sum_nanonat"]
+    assert got.loc[1, "nll2_sum_nanonat"] == got.loc[2, "nll2_sum_nanonat"]
+
+    got1 = (
+        bigram_nll(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.equals(got1)
