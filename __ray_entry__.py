@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam": q.q_decontam,
         "corpus_overlap": q.q_corpus_overlap,
         "mixture_sample": q.q_mixture_sample,
+        "corpus_split": q.q_corpus_split,
         "domain_terms": q.q_domain_terms,
         "corpus_filter": q.q_corpus_filter,
         "incremental_index": q.q_incremental_index,
@@ -1083,6 +1084,19 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) % 100 AS b
                   FROM documents)
             WHERE b < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
+        """,
+        # deterministic train/val/test split: one md5 bucket (salt
+        # 'split'), cumulative thresholds 90/95 — disjoint + exhaustive
+        "corpus_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, lang,
+                         CAST(('0x' || substring(
+                              md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) % 100 AS b
+                  FROM documents)
         """,
         # tf-idf vectors: scores verified via the fixed-point ln trick
         # (floor(1e9 * tf * ln(n_docs/df)) — libm-double parity, see

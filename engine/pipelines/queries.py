@@ -332,6 +332,16 @@ def q_shuffle_corpus(sf_dir: str):
     return shuffle_corpus(ds, seed=42, id_col="doc_id")
 
 
+def q_corpus_split(sf_dir: str):
+    """Deterministic train/val/test split: disjoint-and-exhaustive md5
+    hash gate, zero shuffle, reproducible under any partitioning.
+    SQL-verified (the full assignment, every row)."""
+    from engine.stages.sample import split_corpus
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    return split_corpus(ds, id_col="doc_id")
+
+
 def q_mixture_sample(sf_dir: str):
     """Deterministic data-mixing (Pile/Dolma-style source weighting):
     two-pass integer-arithmetic mixture sampling — tiny per-domain count

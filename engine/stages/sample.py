@@ -261,3 +261,38 @@ def shuffle_corpus(
     return s.map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def split_corpus(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    splits=(("train", 90), ("val", 5), ("test", 5)),
+    salt: str = "split",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: every row gains a
+    ``split`` column chosen by the md5 hash gate (``_bucket`` with a
+    dedicated salt so the split is independent of any sampling gate on
+    the same ids).  The splits are DISJOINT and EXHAUSTIVE by
+    construction — cumulative thresholds over one 0-99 bucket — and
+    reproducible across engines, runs and partitionings, which is the
+    property a 100 TB corpus split needs: re-running a failed shard
+    yields the same assignment, and no global shuffle or coordination
+    is involved (stateless vectorized map, zero shuffle).
+
+    ``splits`` is an ordered (name, pct) list summing to 100.
+    """
+    if sum(p for _, p in splits) != 100:
+        raise ValueError("split percentages must sum to 100")
+    bounds = []
+    acc = 0
+    for name, pct in splits:
+        acc += pct
+        bounds.append((acc, name))
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = _bucket(t.column(id_col).to_pylist(), salt)
+        names = [next(n for hi, n in bounds if x < hi) for x in b]
+        return t.append_column("split", pa.array(names, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

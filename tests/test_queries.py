@@ -68,7 +68,7 @@ SQL_NAMES = [
     "bigram_nll", "postings", "unigram_nll",
     "ppl_buckets", "pii_scrub",
     "snapshot_diff", "latest_events", "json_props",
-    "mixture_sample", "domain_terms", "corpus_filter", "incremental_index",
+    "mixture_sample", "corpus_split", "domain_terms", "corpus_filter", "incremental_index",
     "export_shards", "chunk_docs",
 ]
 

@@ -2312,3 +2312,44 @@ def test_bigram_nll_conditional_semantics(ray_session):
         .sort_index()
     )
     assert got.equals(got1)
+
+
+def test_split_corpus_disjoint_exhaustive_deterministic(ray_session):
+    """split_corpus assigns every row exactly one split, is
+    partitioning-independent, independent of the sampling gate's salt,
+    and tracks the requested fractions within hash noise."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.sample import split_corpus
+
+    n = 3000
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    got1 = (
+        split_corpus(ray.data.from_arrow(t))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got8 = (
+        split_corpus(ray.data.from_arrow(t).repartition(8))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got1.equals(got8)
+    assert len(got1) == n  # exhaustive: every row assigned exactly once
+    by = got1.groupby("split").size().to_dict()
+    assert set(by) == {"train", "val", "test"}
+    assert abs(by["train"] - 2700) < 90 and abs(by["val"] - 150) < 60, by
+    # the split gate is salted independently of deterministic_sample's
+    # default gate: sampling at 90% does not reproduce the train split
+    from engine.stages.sample import deterministic_sample
+
+    samp = set(
+        deterministic_sample(ray.data.from_arrow(t), rate_pct=90)
+        .to_pandas()["doc_id"]
+    )
+    train = set(got1[got1["split"] == "train"]["doc_id"])
+    assert samp != train
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_corpus(ray.data.from_arrow(t), splits=(("a", 50), ("b", 40)))
