@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": q.q_dup_spans,
         "lcp": q.q_lcp,
         "bigram_nll": q.q_bigram_nll,
+        "pmi_pairs": q.q_pmi_pairs,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -1084,6 +1085,37 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) % 100 AS b
                   FROM documents)
             WHERE b < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
+        """,
+        # PMI collocations: all-integer count inputs, one ln per pair
+        # (floor(1e9*ln((N*c12)/(c1*c2))) — libm parity, products < 2^53
+        # so int->double conversion is exact in both engines); marginals
+        # c1/c2 are the bigram-table sums, ties (pmi desc, w1, w2)
+        "pmi_pairs": r"""
+            WITH d AS (SELECT regexp_extract_all(
+                              coalesce(text, ''), '[^\t\n\v\f\r ]+') AS w
+                       FROM documents),
+            pos AS (SELECT unnest(range(len(w) - 1)) AS i, w
+                    FROM d WHERE len(w) >= 2),
+            big AS (SELECT w[i+1] AS w1, w[i+2] AS w2 FROM pos),
+            c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+                    FROM big GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cs1
+                   FROM c12 GROUP BY w1),
+            c2 AS (SELECT w2, CAST(sum(c) AS BIGINT) AS cs2
+                   FROM c12 GROUP BY w2),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM c12),
+            scored AS (SELECT w1, w2, c AS pair_count,
+                              CAST(floor(1000000000.0
+                                   * ln((n.nn * c) / (c1.cs1 * c2.cs2)))
+                                   AS BIGINT) AS pmi_nano
+                       FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
+                       WHERE c >= 5)
+            SELECT w1, w2, pair_count, pmi_nano,
+                   CAST(row_number() OVER (
+                       ORDER BY pmi_nano DESC, w1 ASC, w2 ASC
+                   ) AS BIGINT) AS rank
+            FROM scored
+            ORDER BY rank LIMIT 100
         """,
         # deterministic train/val/test split: one md5 bucket (salt
         # 'split'), cumulative thresholds 90/95 — disjoint + exhaustive

@@ -332,6 +332,16 @@ def q_shuffle_corpus(sf_dir: str):
     return shuffle_corpus(ds, seed=42, id_col="doc_id")
 
 
+def q_pmi_pairs(sf_dir: str):
+    """Top-100 bigram collocations by PMI (Church & Hanks) — two coarse
+    hash-bucket shuffles over distinct-bigram rows + per-block-candidate
+    top-k.  SQL-verified including the fixed-point scores."""
+    from engine.stages.lm import pmi_pairs
+
+    ds = _docs(sf_dir, ["text"], num_blocks=_cpus())
+    return pmi_pairs(ds, min_count=5, top_k=100)
+
+
 def q_corpus_split(sf_dir: str):
     """Deterministic train/val/test split: disjoint-and-exhaustive md5
     hash gate, zero shuffle, reproducible under any partitioning.

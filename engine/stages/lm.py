@@ -645,3 +645,125 @@ def bigram_nll(
             zero_copy_batch=True,
         )
     )
+
+
+def pmi_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Top-k adjacent-bigram collocations by pointwise mutual information
+
+        pmi(w1,w2) = ln( N * c12 / (c1 * c2) )
+
+    over the corpus bigram table (c12 = bigram count, c1/c2 = the bigram
+    first/second-element marginals, N = total bigrams) — the classic
+    collocation-discovery statistic (Church & Hanks 1990), a corpus
+    profiling signal alongside domain_terms/heavy_hitters.  Output:
+    ``(w1, w2, pair_count, pmi_nano, rank)`` for the ``top_k`` pairs with
+    ``pair_count >= min_count``, ranked by (pmi desc, w1 asc, w2 asc).
+
+    Fixed point: ``pmi_nano = floor(1e9 * ln((N*c12)/(c1*c2)))`` — all
+    inputs integers, one ln, libm/DuckDB double parity (the unigram_nll
+    device) — so the query is SQL-verified including scores.
+
+    Scale shape (no vocab-sized join, no all-to-all sort):
+    1. per-batch bigram Counter partials — (w1, w2, cnt) rows, never text;
+    2. ONE groupby on hash(w1) % n_buckets: all partials of a bigram land
+       in one bucket (key is a function of w1), so the bucket resolves
+       global c12 AND the w1-marginal c1 vectorized (PERF.md #31);
+    3. ONE groupby on hash(w2) % n_buckets attaches the w2-marginal c2
+       the same way — both passes move distinct-bigram rows only;
+    4. min_count filter, stateless scoring, then global_topk's
+       per-block-candidate pattern (<= top_k x blocks rows to the final
+       resolve; no AllToAll Sort of the bigram table).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from engine.stages.common import as_arrow
+    from engine.stages.text import fnv1a_batch
+    from engine.stages.topk import global_topk
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t.column(text_col).to_pylist():
+            toks = _TOKEN.findall(txt or "")
+            for a, b in zip(toks, toks[1:]):
+                c[(a, b)] += 1
+        items = list(c.items())
+        return pa.table(
+            {
+                "w1": pa.array([a for (a, _), _ in items], pa.string()),
+                "w2": pa.array([b for (_, b), _ in items], pa.string()),
+                "cnt": pa.array([n for _, n in items], pa.int64()),
+            }
+        )
+
+    def bucket_on(col):
+        def add(t: pa.Table) -> pa.Table:
+            h = fnv1a_batch([s.encode("utf-8") for s in t.column(col).to_pylist()])
+            tb = (h % np.uint64(n_buckets)).astype(np.int64)
+            return t.append_column("tb", pa.array(tb, pa.int64()))
+
+        return add
+
+    def resolve_c12_c1(df: pd.DataFrame) -> pd.DataFrame:
+        c12 = df.groupby(["w1", "w2"], sort=False)["cnt"].sum().reset_index()
+        c12 = c12.rename(columns={"cnt": "c12"})
+        c12["c1"] = c12.groupby("w1", sort=False)["c12"].transform("sum")
+        return c12
+
+    def attach_c2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["c2"] = df.groupby("w2", sort=False)["c12"].transform("sum")
+        return df
+
+    resolved = as_arrow(
+        as_arrow(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(bucket_on("w1"), batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("tb")
+            .map_groups(
+                lambda df: resolve_c12_c1(df.drop(columns=["tb"])),
+                batch_format="pandas",
+            )
+        )
+        .map_batches(bucket_on("w2"), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tb")
+        .map_groups(
+            lambda df: attach_c2(df.drop(columns=["tb"])), batch_format="pandas"
+        )
+    ).materialize()
+    n_total = int(resolved.sum("c12") or 0)
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("c12"), min_count))
+        pmi = [
+            math.floor(1000000000.0 * math.log((n_total * int(c)) / (int(a) * int(b))))
+            for c, a, b in zip(
+                t.column("c12").to_pylist(),
+                t.column("c1").to_pylist(),
+                t.column("c2").to_pylist(),
+            )
+        ]
+        return pa.table(
+            {
+                "w1": t.column("w1"),
+                "w2": t.column("w2"),
+                "pair_count": t.column("c12").cast(pa.int64()),
+                "pmi_nano": pa.array(pmi, pa.int64()),
+            }
+        )
+
+    scored = resolved.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return global_topk(
+        scored,
+        order_cols=["pmi_nano", "w1", "w2"],
+        descending=[True, False, False],
+        k=top_k,
+    )

@@ -112,3 +112,34 @@ def domain_terms(
         k=k,
         rank_col="term_rank",
     )
+
+
+def global_topk(
+    ds: ray.data.Dataset,
+    *,
+    order_cols: Sequence[str],
+    descending: Sequence[bool],
+    k: int,
+    rank_col: str = "rank",
+) -> ray.data.Dataset:
+    """Global top-k without an all-to-all sort: the grouped_topk candidate
+    pattern over one constant group — each block forwards only its own
+    top-k, the final resolve sees <= k x blocks rows."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_g"] = 0
+        return df
+
+    out = grouped_topk(
+        ds.map_batches(tag, batch_format="pandas"),
+        group_col="_g",
+        order_cols=order_cols,
+        descending=descending,
+        k=k,
+        rank_col=rank_col,
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["_g"]), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

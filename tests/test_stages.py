@@ -2353,3 +2353,37 @@ def test_split_corpus_disjoint_exhaustive_deterministic(ray_session):
 
     with pytest.raises(ValueError):
         split_corpus(ray.data.from_arrow(t), splits=(("a", 50), ("b", 40)))
+
+
+def test_pmi_pairs_semantics_and_partition_invariance(ray_session):
+    """pmi_pairs ranks a perfectly-bound pair above an independent pair,
+    applies min_count, and is block-layout independent."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.lm import pmi_pairs
+
+    # 'alpha beta' always bound (always adjacent); 'the' promiscuous.
+    docs = ["alpha beta the x the y", "alpha beta the z the w",
+            "alpha beta the q the r"]
+    t = pa.table({"text": pa.array(docs * 4, pa.string())})
+    got1 = (
+        pmi_pairs(ray.data.from_arrow(t), min_count=2, top_k=10)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    got8 = (
+        pmi_pairs(ray.data.from_arrow(t).repartition(8), min_count=2, top_k=10)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert got1.equals(got8)
+    top = (got1.iloc[0]["w1"], got1.iloc[0]["w2"])
+    assert top == ("alpha", "beta")
+    # every surviving pair meets min_count
+    assert (got1["pair_count"] >= 2).all()
+    # score check against the closed form on the top pair:
+    # c12('alpha','beta')=12, c1('alpha')=12, c2('beta')=12, N = 12*5 pairs
+    n_bigrams = 12 * 5
+    want = math.floor(1e9 * math.log((n_bigrams * 12) / (12 * 12)))
+    assert int(got1.iloc[0]["pmi_nano"]) == want
