@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lcp": q.q_lcp,
         "bigram_nll": q.q_bigram_nll,
         "pmi_pairs": q.q_pmi_pairs,
+        "sb_nll": q.q_sb_nll,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -1085,6 +1086,60 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) % 100 AS b
                   FROM documents)
             WHERE b < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
+        """,
+        # trigram Stupid Backoff (Brants et al. 2007): even ids train,
+        # odd ids score; per-(doc,trigram) contributions floor to integer
+        # nanonats individually (order-free sums); expression shapes
+        # mirror the engine exactly — (-1e9*tf) * ln(...), 0.4 literals,
+        # unseen-w3 floor via coalesce(c3, 1)
+        "sb_nll": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(
+                              coalesce(text, ''), '[^\t\n\v\f\r ]+') AS w
+                       FROM documents),
+            tr AS (SELECT doc_id, unnest(range(len(w) - 2)) AS i, w
+                   FROM d WHERE len(w) >= 3),
+            tri AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2, w[i+3] AS w3
+                    FROM tr),
+            train AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c
+                      FROM tri WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3),
+            c12 AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cs
+                    FROM train GROUP BY w1, w2),
+            c23 AS (SELECT w2, w3, CAST(sum(c) AS BIGINT) AS cs
+                    FROM train GROUP BY w2, w3),
+            c2 AS (SELECT w2, CAST(sum(c) AS BIGINT) AS cs
+                   FROM train GROUP BY w2),
+            c3 AS (SELECT w3, CAST(sum(c) AS BIGINT) AS cs
+                   FROM train GROUP BY w3),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM train),
+            sc AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS tf
+                   FROM tri WHERE doc_id % 2 = 1
+                   GROUP BY doc_id, w1, w2, w3),
+            comp AS (SELECT sc.doc_id, sc.tf,
+                            CASE
+                              WHEN t.c IS NOT NULL THEN
+                                CAST(floor((-1000000000.0 * sc.tf)
+                                     * ln(t.c / c12.cs)) AS BIGINT)
+                              WHEN c23.cs IS NOT NULL THEN
+                                CAST(floor((-1000000000.0 * sc.tf)
+                                     * ln(0.4 * c23.cs / c2.cs)) AS BIGINT)
+                              ELSE
+                                CAST(floor((-1000000000.0 * sc.tf)
+                                     * ln(0.4 * 0.4 * coalesce(c3.cs, 1) / n.nn))
+                                     AS BIGINT)
+                            END AS k
+                     FROM sc LEFT JOIN train t USING (w1, w2, w3)
+                             LEFT JOIN c12 USING (w1, w2)
+                             LEFT JOIN c23 USING (w2, w3)
+                             LEFT JOIN c2 USING (w2)
+                             LEFT JOIN c3 USING (w3), n),
+            s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS nt,
+                         CAST(sum(k) AS BIGINT) AS k
+                  FROM comp GROUP BY doc_id)
+            SELECT d2.doc_id,
+                   CAST(coalesce(s.nt, 0) AS BIGINT) AS n_tri,
+                   CAST(coalesce(s.k, 0) AS BIGINT) AS sb_nll_nanonat
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d2
+            LEFT JOIN s USING (doc_id)
         """,
         # PMI collocations: all-integer count inputs, one ln per pair
         # (floor(1e9*ln((N*c12)/(c1*c2))) — libm parity, products < 2^53

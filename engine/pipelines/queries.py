@@ -332,6 +332,17 @@ def q_shuffle_corpus(sf_dir: str):
     return shuffle_corpus(ds, seed=42, id_col="doc_id")
 
 
+def q_sb_nll(sf_dir: str):
+    """Trigram Stupid Backoff (Brants et al. 2007): even-id docs train the
+    count tables, odd-id docs score — all three backoff branches fire.
+    One hash(w2) bucket shuffle resolves trigram/bigram levels, a second
+    hash(w3) pass the unigram residue.  SQL-verified."""
+    from engine.stages.lm import stupid_backoff_nll
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return stupid_backoff_nll(ds, id_col="doc_id", text_col="text")
+
+
 def q_pmi_pairs(sf_dir: str):
     """Top-100 bigram collocations by PMI (Church & Hanks) — two coarse
     hash-bucket shuffles over distinct-bigram rows + per-block-candidate

@@ -767,3 +767,260 @@ def pmi_pairs(
         descending=[True, False, False],
         k=top_k,
     )
+
+
+def stupid_backoff_nll(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Trigram Stupid Backoff scoring (Brants et al., EMNLP 2007 — "Large
+    Language Models in Machine Translation", THE distributed-LM paper:
+    counts-only smoothing designed so the model is a pure MapReduce
+    artifact).  Documents with even ids train the count tables; odd-id
+    documents are scored (held-out, so backoff genuinely fires):
+
+        S(w3 | w1 w2) = c123/c12           if c123 > 0
+                      = 0.4 * c23/c2       elif c23 > 0        (backoff)
+                      = 0.4 * 0.4 * max(c3,1)/N                (unigram;
+                                           unseen w3 floors at count 1)
+
+    per-doc output ``(doc_id, n_tri, sb_nll_nanonat)`` over scored docs,
+    where each (doc, trigram) contribution floors to integer nanonats
+    INDIVIDUALLY (order-free integer sums — the source_kl device), so the
+    query is SQL-verified end to end including every backoff branch.
+
+    All model marginals are TRIGRAM-table sums (c12 = prefix, c23 =
+    suffix-pair, c2 = middle, c3 = last, N = total trigrams), which is
+    what makes the shuffle shape work: every count a trigram's first two
+    backoff levels need is a function of its MIDDLE word w2, so ONE
+    groupby on hash(w2) % n_buckets co-locates the train partials with
+    the score rows and resolves c123/c12/c23/c2 vectorized in-bucket
+    (PERF.md #31).  Only the unigram-level residue — score rows whose
+    trigram AND suffix-bigram are unseen, plus per-bucket (w3, cnt)
+    partials — takes a second, much smaller hash(w3) bucket pass.  Text
+    never shuffles; both exchanges carry distinct-n-gram rows.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from engine.stages.common import as_arrow
+    from engine.stages.text import fnv1a_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        train: Counter = Counter()
+        score: Counter = Counter()
+        zero_ids: List[int] = []
+        for d, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            toks = _TOKEN.findall(txt or "")
+            if d % 2 == 0:
+                for a, b, c in zip(toks, toks[1:], toks[2:]):
+                    train[(a, b, c)] += 1
+            elif len(toks) < 3:
+                zero_ids.append(d)
+            else:
+                for a, b, c in zip(toks, toks[1:], toks[2:]):
+                    score[(d, a, b, c)] += 1
+        roles, docs, w1s, w2s, w3s, cnts = [], [], [], [], [], []
+        for (a, b, c), n in train.items():
+            roles.append("t"); docs.append(-1)
+            w1s.append(a); w2s.append(b); w3s.append(c); cnts.append(n)
+        for (d, a, b, c), n in score.items():
+            roles.append("s"); docs.append(d)
+            w1s.append(a); w2s.append(b); w3s.append(c); cnts.append(n)
+        for d in zero_ids:
+            roles.append("z"); docs.append(d)
+            w1s.append(""); w2s.append(""); w3s.append(""); cnts.append(0)
+        return pa.table(
+            {
+                "role": pa.array(roles, pa.string()),
+                id_col: pa.array(docs, pa.int64()),
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+                "w3": pa.array(w3s, pa.string()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    def bucket_on(col):
+        def add(t: pa.Table) -> pa.Table:
+            h = fnv1a_batch(
+                [(s or "").encode("utf-8") for s in t.column(col).to_pylist()]
+            )
+            tb = (h % np.uint64(n_buckets)).astype(np.int64)
+            return t.append_column("tb", pa.array(tb, pa.int64()))
+
+        return add
+
+    OUT_COLS = ["role", id_col, "w3", "cnt", "k"]
+
+    def _out(role, docs, w3s, cnts, ks) -> pd.DataFrame:
+        # pd.StringDtype so EMPTY frames still convert to arrow string
+        # columns (object-dtype empties become null-typed, the CLAUDE.md
+        # empty-block schema hazard)
+        n = len(docs)
+        return pd.DataFrame(
+            {
+                "role": pd.Series([role] * n, dtype="string"),
+                id_col: np.asarray(docs, dtype=np.int64),
+                "w3": pd.Series(list(w3s), dtype="string"),
+                "cnt": np.asarray(cnts, dtype=np.int64),
+                "k": np.asarray(ks, dtype=np.int64),
+            }
+        )
+
+    def resolve_mid(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        tr = df[df["role"] == "t"]
+        c123 = (
+            tr.groupby(["w1", "w2", "w3"], sort=False)["cnt"].sum().reset_index()
+            if len(tr)
+            else pd.DataFrame(columns=["w1", "w2", "w3", "cnt"])
+        )
+        if len(c123):
+            # unigram-level partials for pass 2: per-bucket (w3, cnt)
+            u = c123.groupby("w3", sort=False)["cnt"].sum().reset_index()
+            out.append(_out("u", [-1] * len(u), u["w3"], u["cnt"], [0] * len(u)))
+        zero = df[df["role"] == "z"]
+        if len(zero):
+            out.append(
+                _out("k", zero[id_col], [""] * len(zero), [0] * len(zero),
+                     [0] * len(zero))
+            )
+        sc = df[df["role"] == "s"]
+        if len(sc):
+            sc = (
+                sc.groupby([id_col, "w1", "w2", "w3"], sort=False)["cnt"]
+                .sum().reset_index().rename(columns={"cnt": "tf"})
+            )
+            c12 = (
+                c123.groupby(["w1", "w2"], sort=False)["cnt"].sum()
+                .reset_index().rename(columns={"cnt": "c12"})
+            )
+            c23 = (
+                c123.groupby(["w2", "w3"], sort=False)["cnt"].sum()
+                .reset_index().rename(columns={"cnt": "c23"})
+            )
+            c2 = (
+                c123.groupby("w2", sort=False)["cnt"].sum()
+                .reset_index().rename(columns={"cnt": "c2"})
+            )
+            m = sc.merge(
+                c123.rename(columns={"cnt": "c123"}),
+                on=["w1", "w2", "w3"], how="left",
+            )
+            m = m.merge(c12, on=["w1", "w2"], how="left")
+            m = m.merge(c23, on=["w2", "w3"], how="left")
+            m = m.merge(c2, on="w2", how="left")
+            lvl1 = m["c123"].notna()
+            lvl2 = (~lvl1) & m["c23"].notna()
+            resid = ~(lvl1 | lvl2)
+            if lvl1.any():
+                g = m[lvl1]
+                ks = [
+                    math.floor((-1000000000.0 * int(tf)) * math.log(int(a) / int(b)))
+                    for tf, a, b in zip(g["tf"], g["c123"], g["c12"])
+                ]
+                out.append(_out("k", g[id_col], [""] * len(g), g["tf"], ks))
+            if lvl2.any():
+                g = m[lvl2]
+                ks = [
+                    math.floor(
+                        (-1000000000.0 * int(tf)) * math.log(0.4 * int(a) / int(b))
+                    )
+                    for tf, a, b in zip(g["tf"], g["c23"], g["c2"])
+                ]
+                out.append(_out("k", g[id_col], [""] * len(g), g["tf"], ks))
+            if resid.any():
+                g = m[resid]
+                out.append(_out("r", g[id_col], g["w3"], g["tf"], [0] * len(g)))
+        if not out:
+            return _out("k", [], [], [], [])
+        return pd.concat(out, ignore_index=True)
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    n_tri = int(
+        partials.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            pc.sum(
+                                pc.if_else(
+                                    pc.equal(t.column("role"), "t"),
+                                    t.column("cnt"),
+                                    pa.scalar(0, pa.int64()),
+                                )
+                            ).as_py()
+                            or 0
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("n")
+        or 0
+    )
+
+    mid = as_arrow(
+        partials.map_batches(
+            bucket_on("w2"), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("tb")
+        .map_groups(
+            lambda df: resolve_mid(df.drop(columns=["tb"])), batch_format="pandas"
+        )
+    ).materialize()
+
+    done = mid.filter(expr="role == 'k'")
+
+    def resolve_last(df: pd.DataFrame) -> pd.DataFrame:
+        c3 = df[df["role"] == "u"].groupby("w3", sort=False)["cnt"].sum()
+        g = df[df["role"] == "r"]
+        if not len(g):
+            return _out("k", [], [], [], [])
+        cs = g["w3"].map(c3)
+        ks = [
+            math.floor(
+                (-1000000000.0 * int(tf))
+                * math.log(0.4 * 0.4 * (int(c) if c == c else 1) / n_tri)
+            )
+            for tf, c in zip(g["cnt"], cs)
+        ]
+        return _out("k", g[id_col], [""] * len(g), g["cnt"], ks)
+
+    last = as_arrow(
+        mid.filter(expr="role != 'k'")
+        .map_batches(bucket_on("w3"), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tb")
+        .map_groups(
+            lambda df: resolve_last(df.drop(columns=["tb"])), batch_format="pandas"
+        )
+    )
+
+    return (
+        done.union(last)
+        .groupby(id_col)
+        .aggregate(Sum("cnt", alias_name="n_tri"), Sum("k", alias_name="_k"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "n_tri": t.column("n_tri").cast(pa.int64()),
+                    "sb_nll_nanonat": t.column("_k").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )

@@ -2387,3 +2387,93 @@ def test_pmi_pairs_semantics_and_partition_invariance(ray_session):
     n_bigrams = 12 * 5
     want = math.floor(1e9 * math.log((n_bigrams * 12) / (12 * 12)))
     assert int(got1.iloc[0]["pmi_nano"]) == want
+
+
+def test_stupid_backoff_all_levels_and_partition_invariance(ray_session):
+    """stupid_backoff_nll matches a single-process oracle on a corpus
+    engineered so every branch fires — seen trigram, bigram backoff,
+    unigram backoff, AND unseen-w3 OOV floor — zero-trigram scored docs
+    appear as (0, 0), and the result is block-layout independent."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.lm import stupid_backoff_nll
+    from engine.stages.text import _TOKEN
+
+    docs = {
+        0: "a b c a b c a b d",          # train
+        2: "x y z q r s",                # train
+        1: "z b c k k c",                # score: bi (z,b,c), uni (k,k,c)
+        3: "q r s novel",                # score: tri(q,r,s), OOV 'novel'
+        5: "hi there",                   # score: < 3 tokens -> (0, 0)
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+
+    # single-process oracle
+    train: Counter = Counter()
+    for d, txt in docs.items():
+        if d % 2 == 0:
+            toks = _TOKEN.findall(txt)
+            for g in zip(toks, toks[1:], toks[2:]):
+                train[g] += 1
+    c12, c23, c2, c3 = Counter(), Counter(), Counter(), Counter()
+    for (a, b, c), n in train.items():
+        c12[(a, b)] += n; c23[(b, c)] += n; c2[b] += n; c3[c] += n
+    n_tri = sum(train.values())
+    want = {}
+    for d, txt in docs.items():
+        if d % 2 == 0:
+            continue
+        toks = _TOKEN.findall(txt)
+        tf: Counter = Counter(zip(toks, toks[1:], toks[2:]))
+        acc = 0
+        for (a, b, c), f in tf.items():
+            if train[(a, b, c)]:
+                acc += math.floor(
+                    (-1e9 * f) * math.log(train[(a, b, c)] / c12[(a, b)])
+                )
+            elif c23[(b, c)]:
+                acc += math.floor(
+                    (-1e9 * f) * math.log(0.4 * c23[(b, c)] / c2[b])
+                )
+            else:
+                acc += math.floor(
+                    (-1e9 * f) * math.log(0.4 * 0.4 * max(c3[c], 1) / n_tri)
+                )
+        want[d] = (sum(tf.values()), acc)
+
+    for nparts in (1, 4):
+        ds = ray.data.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        got = (
+            stupid_backoff_nll(ds, n_buckets=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == [1, 3, 5]
+        for _, r in got.iterrows():
+            assert (int(r["n_tri"]), int(r["sb_nll_nanonat"])) == want[int(r["doc_id"])]
+    # sanity: the engineered corpus really exercises every branch
+    toks1 = _TOKEN.findall(docs[1]); toks3 = _TOKEN.findall(docs[3])
+    tris = list(zip(toks1, toks1[1:], toks1[2:])) + list(
+        zip(toks3, toks3[1:], toks3[2:])
+    )
+    lvls = set()
+    for g in tris:
+        if train[g]:
+            lvls.add("tri")
+        elif c23[(g[1], g[2])]:
+            lvls.add("bi")
+        elif c3[g[2]]:
+            lvls.add("uni")
+        else:
+            lvls.add("oov")
+    assert lvls == {"tri", "bi", "uni", "oov"}
