@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards": q.q_export_shards,
         "chunk_docs": q.q_chunk_docs,
         # rows-only (non-SQL-expressible)
+        "hits_scores": q.q_hits,
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
         "bpe_merges": q.q_bpe_merges,

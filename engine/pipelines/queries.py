@@ -1262,6 +1262,43 @@ def q_pagerank(sf_dir: str):
     return ranks.map_batches(to_ppb, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities over the same derived link graph as
+    q_pagerank.  Rows-only (L2-normalized floats are not bit-stable
+    across summation orders); exactness vs a numpy oracle is pinned in
+    tests/test_stages.py::test_hits_matches_numpy_oracle."""
+    from engine.pipelines.testdata_pages import build_link_maps
+    from engine.stages.graph import hits
+
+    lm, _ = build_link_maps(sf_dir)
+    src, dst = [], []
+    for s, targets in lm.items():
+        for t in targets:
+            if (s + t) % 3 == 0:
+                continue
+            src.append(s)
+            dst.append(t)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    out = hits(edges, iters=5)
+
+    def to_ppb(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "hub_ppb": pc.cast(
+                    pc.floor(pc.multiply(t.column("hub"), 1e9)), pa.int64()
+                ),
+                "auth_ppb": pc.cast(
+                    pc.floor(pc.multiply(t.column("authority"), 1e9)), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(to_ppb, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_bm25_topk(sf_dir: str):
     """Distributed BM25 top-50 retrieval (Lucene idf — the reference's ES
     relevance function) for a fixed query.  Rank-only output

@@ -21,6 +21,7 @@ tests/test_stages.py (same formula, same iteration count).
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import numpy as np
@@ -230,6 +231,214 @@ def _pagerank_driver(
             {
                 "node": pa.array(nodes.tolist(), node_type),
                 "rank": pa.array(r, pa.float64()),
+            }
+        )
+    )
+
+
+def hits(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 10,
+    num_partitions: Optional[int] = None,
+    driver_max_edges: int = 2_000_000,
+) -> ray.data.Dataset:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over an edge list;
+    returns ``(node, hub, authority)`` after ``iters`` rounds of the
+    L2-normalized power iteration
+
+        a(v) = sum_{u->v} h(u);  h(u) = sum_{u->v} a(v)
+
+    (each half-step divided by its L2 norm).  Multigraph semantics:
+    duplicate edges contribute once each, matching the numpy oracle.
+
+    Same distributed shape as ``pagerank`` — per round TWO native hash
+    joins (static edges x current hubs on src, then edges x new
+    authorities on dst), each followed by a union-with-zeros + groupby
+    Sum so in-only/out-only nodes keep rows (never an outer join: acero
+    loses schema on empty hash partitions); the L2 norms are tiny
+    sum-of-squares aggregates.  Join partitions are capped by BOTH
+    distinct-src and distinct-dst counts (each round hashes on each).
+    Size-gated driver fast path below ``driver_max_edges`` (PERF.md #24),
+    pinned to the same oracle as the distributed rounds in tests.
+    """
+    edges = edges.map_batches(
+        lambda t: pa.table(
+            {"src": t.column(src_col), "dst": t.column(dst_col)}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    if edges.count() <= driver_max_edges:
+        return _hits_driver(edges, iters=iters)
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        s, d = t.column("src").combine_chunks(), t.column("dst").combine_chunks()
+        return pa.table({"node": pa.chunked_array([s, d])})
+
+    nodes = (
+        edges.map_batches(both_ends, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: t.select(["node"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "hub": pa.array([], pa.float64()),
+            "authority": pa.array([], pa.float64()),
+        }
+    )
+    if n_nodes == 0:
+        return ray.data.from_arrow(empty)
+    n_src = edges.groupby("src").aggregate(Count(alias_name="_c")).count()
+    n_dst = edges.groupby("dst").aggregate(Count(alias_name="_c")).count()
+    npart = num_partitions or max(
+        1, min(_join_partitions(), n_nodes // 32, n_src, n_dst)
+    )
+
+    def const_col(name, val):
+        def mk(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    name: pa.array([val] * t.num_rows, pa.float64()),
+                }
+            )
+
+        return mk
+
+    zeros = nodes.map_batches(
+        const_col("v", 0.0), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    init = 1.0 / math.sqrt(n_nodes)
+    hubs = nodes.map_batches(
+        const_col("v", init), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    auths = hubs
+
+    def _propagate(vec: ray.data.Dataset, join_on: str, out_key: str):
+        """One half-step: edges x vec joined on ``join_on``, summed onto
+        the opposite endpoint, zero-unioned, then L2-normalized."""
+        raw = (
+            edges.join(
+                vec,
+                join_type="inner",
+                num_partitions=npart,
+                on=(join_on,),
+                right_on=("node",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t.column(out_key), "c": t.column("v")}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .union(
+                zeros.map_batches(
+                    lambda t: t.rename_columns(["node", "c"]),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"))
+            .materialize()
+        )
+        sq = raw.map_batches(
+            lambda t: pa.table(
+                {"s": [pa.compute.sum(
+                    pa.compute.multiply(t.column("c"), t.column("c"))
+                ).as_py() or 0.0]}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("s") or 0.0
+        norm = math.sqrt(sq) or 1.0
+        return raw.map_batches(
+            lambda t, _n=norm: pa.table(
+                {
+                    "node": t.column("node"),
+                    "v": pa.compute.divide(t.column("c"), pa.scalar(_n, pa.float64())),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+    for _ in range(iters):
+        auths = _propagate(hubs, "src", "dst")
+        hubs = _propagate(auths, "dst", "src")
+
+    return hubs.join(
+        auths,
+        join_type="inner",
+        num_partitions=npart,
+        on=("node",),
+        right_on=("node",),
+        left_suffix="_h",
+        right_suffix="_a",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "hub": t.column("v_h"),
+                "authority": t.column("v_a"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _hits_driver(edges: ray.data.Dataset, *, iters: int) -> ray.data.Dataset:
+    """Driver-side numpy HITS (gated small-graph path); identical formula
+    and normalization to the distributed rounds."""
+    from engine.stages.common import collect_arrow_blocks
+
+    blocks = collect_arrow_blocks(edges)
+    if not blocks:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "hub": pa.array([], pa.float64()),
+                    "authority": pa.array([], pa.float64()),
+                }
+            )
+        )
+    tbl = pa.concat_tables(blocks, promote_options="default")
+    node_type = tbl.schema.field("src").type
+    src = tbl.column("src").to_numpy(zero_copy_only=False)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = codes[: len(src)], codes[len(src) :]
+    n = len(nodes)
+    h = np.full(n, 1.0 / math.sqrt(n))
+    a = h.copy()
+    for _ in range(iters):
+        a = np.zeros(n)
+        np.add.at(a, di, h[si])
+        a /= np.sqrt((a * a).sum()) or 1.0
+        h = np.zeros(n)
+        np.add.at(h, si, a[di])
+        h /= np.sqrt((h * h).sum()) or 1.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes.tolist(), node_type),
+                "hub": pa.array(h, pa.float64()),
+                "authority": pa.array(a, pa.float64()),
             }
         )
     )

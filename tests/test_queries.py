@@ -112,6 +112,7 @@ ROWS_ONLY = [
     ("approx_quantiles", 1),
     ("bloom_dedup", 1),
     ("pagerank", 1),
+    ("hits_scores", 1),
     ("corpus_build", 1),
 ]
 

@@ -2477,3 +2477,48 @@ def test_stupid_backoff_all_levels_and_partition_invariance(ray_session):
         else:
             lvls.add("oov")
     assert lvls == {"tri", "bi", "uni", "oov"}
+
+
+@pytest.mark.parametrize("gate", [2_000_000, 0], ids=["driver", "distributed"])
+def test_hits_matches_numpy_oracle(ray_session, gate):
+    """Both HITS paths (gated driver numpy, distributed join rounds) ==
+    a single-process numpy oracle with identical L2 normalization, on a
+    graph with in-only and out-only nodes and a duplicate edge."""
+    import math
+
+    import ray.data
+
+    from engine.stages.graph import hits
+
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (0, 1), (4, 5)]
+    t = pa.table({
+        "src": pa.array([a for a, _ in E], pa.int64()),
+        "dst": pa.array([b for _, b in E], pa.int64()),
+    })
+    got = (
+        hits(ray.data.from_arrow(t).repartition(3), iters=8,
+             driver_max_edges=gate)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    nodes = sorted({x for e in E for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    h = np.full(N, 1.0 / math.sqrt(N))
+    for _ in range(8):
+        a = np.zeros(N)
+        for s, d in E:
+            a[idx[d]] += h[idx[s]]
+        a /= np.sqrt((a * a).sum()) or 1.0
+        h = np.zeros(N)
+        for s, d in E:
+            h[idx[s]] += a[idx[d]]
+        h /= np.sqrt((h * h).sum()) or 1.0
+    assert got["node"].tolist() == nodes
+    assert np.allclose(got["hub"].to_numpy(), h, atol=1e-9)
+    assert np.allclose(got["authority"].to_numpy(), a, atol=1e-9)
+    # structure sanity: winners agree with the oracle (the duplicate
+    # 0->1 edge makes node 1 the top authority), node 0 the strongest
+    # hub; sink 5 has zero hub score
+    assert got.loc[got["authority"].idxmax(), "node"] == nodes[int(np.argmax(a))]
+    assert got.loc[got["hub"].idxmax(), "node"] == 0
+    assert got.loc[got["node"] == 5, "hub"].iloc[0] == 0.0
