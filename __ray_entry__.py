@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_nll": q.q_bigram_nll,
         "pmi_pairs": q.q_pmi_pairs,
         "sb_nll": q.q_sb_nll,
+        "token_entropy": q.q_token_entropy,
+        "dedup_best": q.q_dedup_best,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -109,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q.q_chunk_docs,
         # rows-only (non-SQL-expressible)
         "hits_scores": q.q_hits,
+        "compress_ratio": q.q_compress_ratio,
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
         "bpe_merges": q.q_bpe_merges,
@@ -1087,6 +1090,41 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) % 100 AS b
                   FROM documents)
             WHERE b < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
+        """,
+        # per-doc token entropy: contributions floor individually
+        # (order-free integer sums); expression mirrors the engine —
+        # (-1e9 * (tf/dl)) * ln(tf/dl)
+        "token_entropy": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(
+                              coalesce(text, ''), '[^\t\n\v\f\r ]+') AS w
+                       FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS token FROM d),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                   FROM tf GROUP BY doc_id),
+            comp AS (SELECT tf.doc_id,
+                            CAST(floor((-1000000000.0 * (tf.tf / dl.dl))
+                                 * ln(tf.tf / dl.dl)) AS BIGINT) AS k
+                     FROM tf JOIN dl USING (doc_id))
+            SELECT d2.doc_id,
+                   CAST(coalesce(dl.dl, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(s.k, 0) AS BIGINT) AS entropy_nanonat
+            FROM (SELECT doc_id FROM documents) d2
+            LEFT JOIN dl USING (doc_id)
+            LEFT JOIN (SELECT doc_id, CAST(sum(k) AS BIGINT) AS k
+                       FROM comp GROUP BY doc_id) s USING (doc_id)
+        """,
+        # keep-best exact dedup: argmax per content hash under the total
+        # order (n_chars desc, doc_id asc)
+        "dedup_best": """
+            SELECT doc_id, n_chars, lang
+            FROM (SELECT doc_id, n_chars, lang,
+                         row_number() OVER (
+                             PARTITION BY md5(coalesce(text, ''))
+                             ORDER BY n_chars DESC, doc_id ASC) AS rn
+                  FROM documents)
+            WHERE rn = 1
         """,
         # trigram Stupid Backoff (Brants et al. 2007): even ids train,
         # odd ids score; per-(doc,trigram) contributions floor to integer

@@ -332,6 +332,39 @@ def q_shuffle_corpus(sf_dir: str):
     return shuffle_corpus(ds, seed=42, id_col="doc_id")
 
 
+def q_token_entropy(sf_dir: str):
+    """Per-doc token-distribution Shannon entropy (repetitiveness /
+    keyword-stuffing signal) — stateless map, zero shuffle, order-free
+    fixed point.  SQL-verified."""
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return ds.map_batches(
+        tx.token_entropy, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_compress_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (Gopher-style redundancy filter).
+    Rows-only: no SQL zlib; exactness vs a direct zlib call is pinned in
+    tests/test_stages.py::test_compress_ratio_exact."""
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return ds.map_batches(
+        tx.compress_ratio, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_dedup_best(sf_dir: str):
+    """Keep-best exact dedup: max n_chars per content hash, ties min id
+    (keep-most-complete policy) with a per-block argmax combiner.
+    SQL-verified."""
+    from engine.stages.dedup import dedup_keep_best
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+    return dedup_keep_best(
+        ds, id_col="doc_id", text_col="text", score_col="n_chars",
+        carry_cols=("lang",),
+    )
+
+
 def q_sb_nll(sf_dir: str):
     """Trigram Stupid Backoff (Brants et al. 2007): even-id docs train the
     count tables, odd-id docs score — all three backoff branches fire.

@@ -191,6 +191,63 @@ def dedup_keep_first(
     )
 
 
+def dedup_keep_best(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "n_chars",
+    carry_cols: Tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """Keep the BEST row per exact content hash — max ``score_col``,
+    ties broken by min id (a total order, so the winner is
+    partitioning-independent).  The keep-most-complete / keep-highest-
+    quality alternative to ``dedup_keep_first``: e.g. among mirrored
+    copies of a page, keep the one the quality model scores highest.
+
+    Same scale shape as keep-first (hash computed map-side, text dropped
+    at the stage boundary, the shuffle moves (hash, id, score, *carry)
+    rows), plus a per-BLOCK argmax pre-aggregation so each block forwards
+    at most one candidate per hash — the combiner the keep-first policy
+    doesn't need but an argmax does for hot hashes (one viral page
+    duplicated across the crawl).  Output: (id_col, score_col,
+    *carry_cols)."""
+
+    def hash_and_strip(t: pa.Table) -> pa.Table:
+        hs = [md5((x or "").encode()).hexdigest() for x in t.column(text_col).to_pylist()]
+        cols = {
+            "h": pa.array(hs, pa.string()),
+            id_col: t.column(id_col),
+            score_col: t.column(score_col),
+        }
+        for c in carry_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    def block_best(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values([score_col, id_col], ascending=[False, True],
+                           kind="mergesort")
+            .groupby("h", sort=False)
+            .head(1)
+        )
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values([score_col, id_col], ascending=[False, True],
+                           kind="mergesort")
+            .head(1)
+            .drop(columns=["h"])
+        )
+
+    return (
+        ds.map_batches(hash_and_strip, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(block_best, batch_format="pandas")
+        .groupby("h")
+        .map_groups(best, batch_format="pandas")
+    )
+
+
 class MinHashStage:
     """Per-doc MinHash -> flat (band, band_hash, doc_id) rows for LSH."""
 

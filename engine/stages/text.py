@@ -310,3 +310,67 @@ def chunk_docs(
         )
 
     return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_entropy(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-document token-distribution Shannon entropy — the
+    information-theoretic repetitiveness signal (a low-entropy doc is
+    dominated by few tokens: boilerplate, keyword stuffing, spam):
+
+        H(d) = -sum_{distinct t} (tf/dl) * ln(tf/dl)
+
+    Output ``(id_col, n_tokens, entropy_nanonat)``; each distinct-token
+    contribution floors to integer nanonats INDIVIDUALLY (order-free
+    integer sums, the source_kl device), so the query is SQL-verified.
+    Purely per-document — a stateless streaming map, zero shuffle."""
+    import math
+    from collections import Counter
+
+    dls, ents = [], []
+    for txt in batch.column(text_col).to_pylist():
+        cnt = Counter(_TOKEN.findall(txt or ""))
+        dl = sum(cnt.values())
+        acc = 0
+        for tf in cnt.values():
+            acc += math.floor((-1e9 * (tf / dl)) * math.log(tf / dl))
+        dls.append(dl)
+        ents.append(acc)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(dls, pa.int64()),
+            "entropy_nanonat": pa.array(ents, pa.int64()),
+        }
+    )
+
+
+def compress_ratio(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-document zlib compression ratio — the Gopher/FineWeb-style
+    redundancy filter (highly compressible text is repetitive
+    boilerplate; incompressible text is often binary junk or gibberish):
+
+        ratio_ppm = floor(1e6 * len(zlib(utf8(text), level=6)) / len(utf8(text)))
+
+    Output ``(id_col, n_bytes, zlib_ratio_ppm)``; empty docs score
+    (0, 0).  zlib level 6 is deterministic for a given input, so the
+    operator is exactly reproducible (unit-tested against a direct
+    zlib call); rows-only at the driver (no SQL analog).  Stateless
+    streaming map, zero shuffle."""
+    import zlib
+
+    nb, ratios = [], []
+    for txt in batch.column(text_col).to_pylist():
+        raw = (txt or "").encode("utf-8")
+        if not raw:
+            nb.append(0)
+            ratios.append(0)
+            continue
+        nb.append(len(raw))
+        ratios.append((1_000_000 * len(zlib.compress(raw, 6))) // len(raw))
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "zlib_ratio_ppm": pa.array(ratios, pa.int64()),
+        }
+    )

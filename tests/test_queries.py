@@ -65,7 +65,8 @@ SQL_NAMES = [
     "rep_stats", "line_dedup", "span_dedup", "decontam", "corpus_overlap",
     "bm25_topk", "term_stats", "heavy_hitters", "dsir", "redirects",
     "source_kl", "source_overlap", "suffix_array", "dup_spans", "lcp",
-    "bigram_nll", "pmi_pairs", "sb_nll", "postings", "unigram_nll",
+    "bigram_nll", "pmi_pairs", "sb_nll", "token_entropy", "dedup_best",
+    "postings", "unigram_nll",
     "ppl_buckets", "pii_scrub",
     "snapshot_diff", "latest_events", "json_props",
     "mixture_sample", "corpus_split", "domain_terms", "corpus_filter", "incremental_index",
@@ -113,6 +114,7 @@ ROWS_ONLY = [
     ("bloom_dedup", 1),
     ("pagerank", 1),
     ("hits_scores", 1),
+    ("compress_ratio", 1),
     ("corpus_build", 1),
 ]
 

@@ -2522,3 +2522,70 @@ def test_hits_matches_numpy_oracle(ray_session, gate):
     assert got.loc[got["authority"].idxmax(), "node"] == nodes[int(np.argmax(a))]
     assert got.loc[got["hub"].idxmax(), "node"] == 0
     assert got.loc[got["node"] == 5, "hub"].iloc[0] == 0.0
+
+
+def test_compress_ratio_exact(ray_session):
+    """compress_ratio == a direct zlib call per doc; empty docs score
+    (0, 0); repetitive text compresses below random-ish text; block
+    layout does not matter (stateless map)."""
+    import zlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.text import compress_ratio
+
+    docs = ["spam " * 200, "the quick brown fox jumps over the lazy dog", "",
+            "9f8e7d6c5b4a" * 3]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    got = (
+        ray.data.from_arrow(t).repartition(3)
+        .map_batches(compress_ratio, batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for i, txt in enumerate(docs):
+        raw = txt.encode("utf-8")
+        want = (1_000_000 * len(zlib.compress(raw, 6))) // len(raw) if raw else 0
+        assert int(got.loc[i, "zlib_ratio_ppm"]) == want
+        assert int(got.loc[i, "n_bytes"]) == len(raw)
+    assert got.loc[0, "zlib_ratio_ppm"] < got.loc[1, "zlib_ratio_ppm"]
+
+
+def test_dedup_keep_best_argmax_policy(ray_session):
+    """dedup_keep_best keeps the max-score row per content hash with
+    min-id tie-break, independent of block layout (the per-block argmax
+    combiner forwards one candidate per hash)."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.dedup import dedup_keep_best
+
+    rows = [
+        (1, "same text", 10, "en"),
+        (2, "same text", 30, "de"),   # winner: max score
+        (3, "same text", 30, "fr"),   # loses tie to id 2
+        (4, "other", 5, "en"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+            "lang": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    for nparts in (1, 4):
+        ds = ray.data.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        got = (
+            dedup_keep_best(ds, score_col="n_chars", carry_cols=("lang",))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == [2, 4]
+        assert got.loc[0, "lang"] == "de"
