@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "hits_scores": q.q_hits,
         "compress_ratio": q.q_compress_ratio,
+        "anchor_terms": q.q_anchor_terms,
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
         "bpe_merges": q.q_bpe_merges,

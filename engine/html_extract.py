@@ -647,3 +647,17 @@ def get_links(tree: HTMLTree) -> List[str]:
         if a.attrs.get("href", "").strip()
     ]
     return list(dict.fromkeys(hrefs))
+
+
+def get_anchors(tree: HTMLTree) -> List[tuple]:
+    """All (href, anchor_text) pairs in document order (anchor-text
+    aggregation support; ``get_links`` keeps its dedup-href contract for
+    crawl discovery).  Every occurrence counts — duplicate anchors are
+    the signal, not noise — so no dedup here; text is ws_collapsed."""
+    if tree.body is None:
+        return []
+    return [
+        (a.attrs["href"].strip(), ws_collapse(a.text_content()))
+        for a in tree.body.find_all(("a",))
+        if a.attrs.get("href", "").strip()
+    ]

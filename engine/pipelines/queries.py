@@ -1332,6 +1332,17 @@ def q_hits(sf_dir: str):
     return out.map_batches(to_ppb, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_anchor_terms(sf_dir: str):
+    """Anchor-text aggregation over the synthetic pages corpus: top-5
+    anchor terms per TARGET url (Brin & Page §2.2 — anchor text indexed
+    against the linked-to doc).  Rows-only (HTML parsing has no SQL
+    analog); single-process-oracle conformance is pinned in
+    tests/test_stages.py::test_anchor_terms_matches_oracle."""
+    from engine.stages.anchors import anchor_terms
+
+    return anchor_terms(pages_dataset(sf_dir), k=5)
+
+
 def q_bm25_topk(sf_dir: str):
     """Distributed BM25 top-50 retrieval (Lucene idf — the reference's ES
     relevance function) for a fixed query.  Rank-only output

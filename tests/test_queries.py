@@ -115,6 +115,7 @@ ROWS_ONLY = [
     ("pagerank", 1),
     ("hits_scores", 1),
     ("compress_ratio", 1),
+    ("anchor_terms", 1),
     ("corpus_build", 1),
 ]
 

@@ -2589,3 +2589,77 @@ def test_dedup_keep_best_argmax_policy(ray_session):
         )
         assert got["doc_id"].tolist() == [2, 4]
         assert got.loc[0, "lang"] == "de"
+
+
+def test_anchor_terms_matches_oracle(ray_session):
+    """anchor_terms == a single-process oracle built from the SAME parse
+    helpers (the conformance rule for extraction semantics): relative
+    hrefs resolve against the page url, every anchor occurrence counts,
+    non-canonicalizable targets drop, ranking is (count desc, token asc),
+    and block layout does not matter."""
+    from collections import Counter
+    from urllib.parse import urljoin
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.canonicalize import canonicalize_url
+    from engine.html_extract import HTMLTree, get_anchors
+    from engine.stages.anchors import anchor_terms
+    from engine.stages.text import _TOKEN
+
+    pages = {
+        "http://a.com/": (
+            '<html><body><a href="http://b.com/x">great data engine</a>'
+            '<a href="/self">home page</a>'
+            '<a href="http://b.com/x">great engine</a>'
+            '<a href="mailto:x@y.z">mail me</a>'
+            '<a href="">empty</a></body></html>'
+        ),
+        "http://c.com/": (
+            '<html><body><a href="http://b.com/x">fast engine</a>'
+            '<a href="http://a.com/self">another home</a></body></html>'
+        ),
+    }
+    t = pa.table(
+        {
+            "url": pa.array(list(pages), pa.string()),
+            "warc_ts": pa.array([None, None], pa.timestamp("us")),
+            "html": pa.array([v.encode() for v in pages.values()], pa.binary()),
+            "text": pa.array([None, None], pa.string()),
+            "lang": pa.array([None, None], pa.string()),
+        }
+    )
+
+    cnt = Counter()
+    for page_url, html in pages.items():
+        tree = HTMLTree.parse(html)
+        for href, text in get_anchors(tree):
+            target = canonicalize_url(urljoin(page_url, href))
+            if target is None:
+                continue
+            for tok in _TOKEN.findall(text):
+                cnt[(target, tok)] += 1
+    want = {}
+    by_url = {}
+    for (u, tok), n in cnt.items():
+        by_url.setdefault(u, []).append((-n, tok))
+    for u, items in by_url.items():
+        for r, (negn, tok) in enumerate(sorted(items)[:5], start=1):
+            want[(u, tok)] = (-negn, r)
+
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        got = anchor_terms(ds, k=5).to_pandas()
+        assert len(got) == len(want)
+        for _, r in got.iterrows():
+            assert want[(r["url"], r["token"])] == (
+                int(r["anchor_count"]), int(r["term_rank"])
+            ), (r["url"], r["token"])
+    # the duplicate-anchor target counts 'engine' twice from a.com + once
+    # from c.com
+    assert want[("http://b.com/x", "engine")][0] == 3
+    # mailto target never appears
+    assert not any(u.startswith("mailto") for (u, _) in want)
