@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_overlap": q.q_corpus_overlap,
         "mixture_sample": q.q_mixture_sample,
         "corpus_split": q.q_corpus_split,
+        "weighted_sample": q.q_weighted_sample,
         "domain_terms": q.q_domain_terms,
         "corpus_filter": q.q_corpus_filter,
         "incremental_index": q.q_incremental_index,
@@ -1211,6 +1212,22 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS rank
             FROM scored
             ORDER BY rank LIMIT 100
+        """,
+        # Efraimidis-Spirakis weighted sample: key = u^(1/w), u = the md5
+        # uniform (b+1)/2^32 in (0,1], w = max(n_chars,1); pow/division
+        # on identical doubles are identical libm calls, ties break on
+        # doc_id — selection AND rank verified
+        "weighted_sample": """
+            WITH s AS (SELECT doc_id, lang, n_chars,
+                              pow((CAST(('0x' || substring(
+                                       md5('ws' || CAST(doc_id AS VARCHAR)),
+                                       1, 8)) AS BIGINT) + 1) / 4294967296.0,
+                                  1.0 / greatest(n_chars, 1)) AS key
+                       FROM documents)
+            SELECT doc_id, lang, n_chars,
+                   CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC)
+                        AS BIGINT) AS sample_rank
+            FROM s ORDER BY key DESC, doc_id ASC LIMIT 100
         """,
         # deterministic train/val/test split: one md5 bucket (salt
         # 'split'), cumulative thresholds 90/95 — disjoint + exhaustive

@@ -396,6 +396,18 @@ def q_corpus_split(sf_dir: str):
     return split_corpus(ds, id_col="doc_id")
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES keys from hash-uniforms): 100 docs weight-proportional
+    to n_chars.  SQL-verified including the sample rank."""
+    from engine.stages.sample import weighted_sample
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    return weighted_sample(
+        ds, id_col="doc_id", weight_col="n_chars", k=100, carry_cols=("lang",)
+    )
+
+
 def q_mixture_sample(sf_dir: str):
     """Deterministic data-mixing (Pile/Dolma-style source weighting):
     two-pass integer-arithmetic mixture sampling — tiny per-domain count

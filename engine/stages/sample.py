@@ -296,3 +296,61 @@ def split_corpus(
         return t.append_column("split", pa.array(names, pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = 100,
+    salt: str = "ws",
+    carry_cols=(),
+    rank_col: str = "sample_rank",
+) -> ray.data.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row gets the key ``u ** (1/w)`` where u is
+    a hash-derived uniform in (0, 1] and w = max(weight, 1); the k rows
+    with the largest keys are exactly a weight-proportional sample
+    without replacement.  The hash replaces the RNG (the repo's sampling
+    convention), so the sample is reproducible across engines, runs and
+    partitionings — and SQL-verifiable, selection AND rank.
+
+    Shape: one stateless key pass + ``global_topk``'s per-block-candidate
+    selection (<= k x blocks rows to the final resolve — never an
+    all-to-all sort of the corpus).  Output: (id_col, weight_col,
+    *carry_cols, rank_col); the float key is internal only."""
+    import pyarrow.compute as pc
+
+    from engine.stages.topk import global_topk
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        ws = t.column(weight_col).to_pylist()
+        keys = [
+            ((int(md5((salt + str(i)).encode()).hexdigest()[:8], 16) + 1)
+             / 4294967296.0)
+            ** (1.0 / max(int(w or 0), 1))
+            for i, w in zip(ids, ws)
+        ]
+        cols = {
+            id_col: t.column(id_col),
+            weight_col: t.column(weight_col),
+            "_key": pa.array(keys, pa.float64()),
+        }
+        for c in carry_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    out = global_topk(
+        ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True),
+        order_cols=["_key", id_col],
+        descending=[True, False],
+        k=k,
+        rank_col=rank_col,
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["_key"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -69,7 +69,8 @@ SQL_NAMES = [
     "postings", "unigram_nll",
     "ppl_buckets", "pii_scrub",
     "snapshot_diff", "latest_events", "json_props",
-    "mixture_sample", "corpus_split", "domain_terms", "corpus_filter", "incremental_index",
+    "mixture_sample", "corpus_split", "weighted_sample", "domain_terms",
+    "corpus_filter", "incremental_index",
     "export_shards", "chunk_docs",
 ]
 

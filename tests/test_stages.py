@@ -2663,3 +2663,43 @@ def test_anchor_terms_matches_oracle(ray_session):
     assert want[("http://b.com/x", "engine")][0] == 3
     # mailto target never appears
     assert not any(u.startswith("mailto") for (u, _) in want)
+
+
+def test_weighted_sample_bias_and_partition_invariance(ray_session):
+    """weighted_sample is block-layout independent and actually
+    weight-biased: rows with 100x the weight are drawn far above their
+    population share (A-ES keys u^(1/w))."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.sample import weighted_sample
+
+    n = 2000
+    w = [100 if i < 100 else 1 for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "n_chars": pa.array(w, pa.int64()),
+        }
+    )
+    kw = dict(id_col="doc_id", weight_col="n_chars", k=200)
+    got1 = (
+        weighted_sample(ray.data.from_arrow(t), **kw)
+        .to_pandas().sort_values("sample_rank").reset_index(drop=True)
+    )
+    got8 = (
+        weighted_sample(ray.data.from_arrow(t).repartition(8), **kw)
+        .to_pandas().sort_values("sample_rank").reset_index(drop=True)
+    )
+    assert got1.equals(got8)
+    assert len(got1) == 200
+    heavy = int((got1["doc_id"] < 100).sum())
+    # heavy rows are 5% of the population but ~100x weighted: under
+    # uniform sampling E[heavy]=10; weighted they dominate (>60 of 200)
+    assert heavy > 60, heavy
+    # determinism: rerun identical
+    again = (
+        weighted_sample(ray.data.from_arrow(t), **kw)
+        .to_pandas().sort_values("sample_rank").reset_index(drop=True)
+    )
+    assert got1.equals(again)
