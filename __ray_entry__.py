@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": q.q_hits,
         "compress_ratio": q.q_compress_ratio,
         "anchor_terms": q.q_anchor_terms,
+        "cluster_topics": q.q_cluster_topics,
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
         "bpe_merges": q.q_bpe_merges,

@@ -1344,6 +1344,17 @@ def q_hits(sf_dir: str):
     return out.map_batches(to_ppb, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cluster_topics(sf_dir: str):
+    """Topic discovery: k-means over hashed bag-of-words vectors, top-5
+    label terms per cluster (cluster-based curation support).  Rows-only
+    (iterative float clustering); conformance vs a single-process oracle
+    is pinned in tests/test_stages.py::test_cluster_topics_matches_oracle."""
+    from engine.stages.cluster import cluster_topics
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return cluster_topics(ds, n_clusters=8, dim=128, top_k=5)
+
+
 def q_anchor_terms(sf_dir: str):
     """Anchor-text aggregation over the synthetic pages corpus: top-5
     anchor terms per TARGET url (Brin & Page §2.2 — anchor text indexed

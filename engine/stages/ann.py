@@ -137,13 +137,41 @@ def train_centroids(
     """Deterministic spherical k-means: seeded init from a bounded sample,
     then ``lloyd_iters`` distributed assignment passes (per-batch partial
     (sum, count) rows -> tiny driver reduce — the corpus never
-    materializes).  Shared by ivf_topk's coarse quantizer and semdedup's
-    cluster stage.  Returns (<=n_lists, dim) L2-normalized centroids."""
+    materializes).  Shared by ivf_topk's coarse quantizer, semdedup's
+    cluster stage and cluster_topics.  Returns (<=n_lists, dim)
+    L2-normalized centroids.
+
+    The init sample is PARTITIONING-INVARIANT: rows are ranked by a
+    64-bit FNV hash of the vector bytes and the lowest-hash rows win
+    (``global_topk``'s per-block-candidate selection — no all-to-all
+    sort), so repartitioning the input cannot change which rows seed the
+    draw (a plain ``limit()`` takes whatever rows the current block
+    layout yields first, which permuted clusters under repartition).
+    Hash ties only occur between bit-identical vectors, which seed the
+    same centroid either way."""
     rs = np.random.RandomState(seed)
 
-    # init centroids from a deterministic sample (first batch is fine for
-    # synthetic data; at scale use ds.random_sample with fixed seed)
-    sample = ds.limit(max(n_lists * 8, 256)).to_pandas()
+    from engine.stages.text import fnv1a_batch
+    from engine.stages.topk import global_topk
+
+    def add_key(t: pa.Table) -> pa.Table:
+        vs = t.column(vec_col).to_pylist()
+        keys = fnv1a_batch(
+            [np.asarray(v, dtype=np.float64).tobytes() for v in vs]
+        ) & np.uint64((1 << 63) - 1)
+        return t.append_column("_k", pa.array(keys.astype(np.int64), pa.int64()))
+
+    sample = (
+        global_topk(
+            ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True),
+            order_cols=["_k"],
+            descending=[False],
+            k=max(n_lists * 8, 256),
+        )
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
     if len(sample) == 0:
         raise ValueError("train_centroids: empty corpus")
     sm = _normalize(np.array(sample[vec_col].tolist(), dtype=np.float64))

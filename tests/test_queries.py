@@ -117,6 +117,7 @@ ROWS_ONLY = [
     ("hits_scores", 1),
     ("compress_ratio", 1),
     ("anchor_terms", 1),
+    ("cluster_topics", 1),
     ("corpus_build", 1),
 ]
 

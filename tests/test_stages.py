@@ -2703,3 +2703,76 @@ def test_weighted_sample_bias_and_partition_invariance(ray_session):
         .to_pandas().sort_values("sample_rank").reset_index(drop=True)
     )
     assert got1.equals(again)
+
+
+def test_cluster_topics_matches_oracle(ray_session):
+    """cluster_topics == a single-process oracle that reuses the engine's
+    own (deterministic, seeded) centroids and replays featurize + assign
+    + count + top-k in plain Python, at two partitionings; topical
+    corpora separate."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.ann import train_centroids
+    from engine.stages.cluster import (
+        _hash_vector,
+        cluster_topics,
+        hashed_tf_vectors,
+    )
+    from engine.stages.text import _TOKEN
+
+    cooking = ["stir the sauce then bake the bread", "bake sauce pans daily",
+               "bread sauce stir fry"]
+    racing = ["fast cars race the track", "track cars pit crew race",
+              "race track lap speed"]
+    docs = (cooking * 5) + (racing * 5)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    dim, k = 64, 4
+    base = ray.data.from_arrow(t)
+    cent = train_centroids(
+        hashed_tf_vectors(base, dim=dim), 4, lloyd_iters=2
+    )
+
+    cnt: Counter = Counter()
+    import numpy as np
+
+    for txt in docs:
+        toks = _TOKEN.findall(txt)
+        v = _hash_vector(toks, dim)
+        n = np.linalg.norm(v)
+        if n > 0:
+            v = v / n
+        a = int(np.argmax(v @ cent.T))
+        for tok in toks:
+            cnt[(a, tok)] += 1
+    by_cluster = {}
+    for (a, tok), n in cnt.items():
+        by_cluster.setdefault(a, []).append((-n, tok))
+    want = {}
+    for a, items in by_cluster.items():
+        for r, (negn, tok) in enumerate(sorted(items)[:k], start=1):
+            want[(a, tok)] = (-negn, r)
+
+    for nparts in (1, 4):
+        ds = ray.data.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        got = cluster_topics(
+            ds, n_clusters=4, dim=dim, top_k=k
+        ).to_pandas()
+        assert len(got) == len(want)
+        for _, r in got.iterrows():
+            assert want[(int(r["cluster_id"]), r["token"])] == (
+                int(r["term_count"]), int(r["term_rank"])
+            )
+    # topical separation: 'sauce' and 'race' label different clusters
+    sauce = {a for (a, tok) in want if tok == "sauce"}
+    race = {a for (a, tok) in want if tok == "race"}
+    assert sauce and race and sauce.isdisjoint(race)
