@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sb_nll": q.q_sb_nll,
         "token_entropy": q.q_token_entropy,
         "dedup_best": q.q_dedup_best,
+        "link_stats": q.q_link_stats,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -1117,6 +1118,55 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN dl USING (doc_id)
             LEFT JOIN (SELECT doc_id, CAST(sum(k) AS BIGINT) AS k
                        FROM comp GROUP BY doc_id) s USING (doc_id)
+        """,
+        # per-node degree + reciprocity: the oracle re-derives the
+        # synthetic ring+cross topology (testdata_pages.build_link_maps)
+        # with window functions — ring offsets 1..3 within each source's
+        # doc_id order, cross edge to all_sorted[(id*7+3) % N], self
+        # targets skipped, order-preserving dedup == DISTINCT, then the
+        # (src+dst)%3 drop q_pagerank/q_link_stats apply
+        "link_stats": """
+            WITH m AS (SELECT doc_id, source,
+                              CAST(row_number() OVER (
+                                  PARTITION BY source ORDER BY doc_id) - 1
+                                  AS BIGINT) AS pos,
+                              CAST(count(*) OVER (PARTITION BY source)
+                                  AS BIGINT) AS n
+                       FROM documents),
+            offs(d) AS (VALUES (1), (2), (3)),
+            ring AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                     FROM m a JOIN m b ON a.source = b.source
+                     CROSS JOIN offs
+                     WHERE b.pos = (a.pos + offs.d) % a.n
+                       AND b.doc_id != a.doc_id),
+            ord AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1
+                                   AS BIGINT) AS idx
+                    FROM documents),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+            crosse AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                       FROM documents a CROSS JOIN nn
+                       JOIN ord b ON b.idx = (a.doc_id * 7 + 3) % nn.c
+                       WHERE b.doc_id != a.doc_id),
+            edges AS (SELECT DISTINCT src, dst
+                      FROM (SELECT * FROM ring UNION ALL SELECT * FROM crosse)
+                      WHERE (src + dst) % 3 != 0),
+            outd AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg
+                     FROM edges GROUP BY src),
+            ind AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+                    FROM edges GROUP BY dst),
+            mut AS (SELECT e.src AS node, CAST(count(*) AS BIGINT) AS mutual_deg
+                    FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src
+                    GROUP BY e.src),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT src AS node FROM edges
+                       UNION ALL SELECT dst FROM edges))
+            SELECT nodes.node,
+                   CAST(coalesce(outd.out_deg, 0) AS BIGINT) AS out_deg,
+                   CAST(coalesce(ind.in_deg, 0) AS BIGINT) AS in_deg,
+                   CAST(coalesce(mut.mutual_deg, 0) AS BIGINT) AS mutual_deg
+            FROM nodes LEFT JOIN outd USING (node)
+                       LEFT JOIN ind USING (node)
+                       LEFT JOIN mut USING (node)
         """,
         # keep-best exact dedup: argmax per content hash under the total
         # order (n_chars desc, doc_id asc)

@@ -1274,25 +1274,12 @@ def q_pagerank(sf_dir: str):
     (iterative edges-join-ranks + groupby-sum with dangling correction).
     Rows-only: float ranks are not bit-stable across summation orders;
     exactness vs a numpy power iteration is pinned in
-    tests/test_stages.py::test_pagerank_matches_power_iteration."""
-    from engine.pipelines.testdata_pages import build_link_maps
+    tests/test_stages.py::test_pagerank_matches_power_iteration.  The
+    (s+t)%3 edge drop makes the near-regular synthetic graph's degrees
+    vary so the rank distribution is non-trivial."""
     from engine.stages.graph import pagerank
 
-    lm, _ = build_link_maps(sf_dir)
-    src, dst = [], []
-    for s, targets in lm.items():
-        for t in targets:
-            # the synthetic link graph is near-regular (uniform PageRank);
-            # drop a deterministic third of edges so degrees vary and the
-            # rank distribution is non-trivial
-            if (s + t) % 3 == 0:
-                continue
-            src.append(s)
-            dst.append(t)
-    edges = ray.data.from_arrow(
-        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
-    )
-    ranks = pagerank(edges, damping=0.85, iters=5)
+    ranks = pagerank(_derived_edges(sf_dir), damping=0.85, iters=5)
 
     def to_ppb(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1307,13 +1294,11 @@ def q_pagerank(sf_dir: str):
     return ranks.map_batches(to_ppb, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_hits(sf_dir: str):
-    """HITS hubs & authorities over the same derived link graph as
-    q_pagerank.  Rows-only (L2-normalized floats are not bit-stable
-    across summation orders); exactness vs a numpy oracle is pinned in
-    tests/test_stages.py::test_hits_matches_numpy_oracle."""
+def _derived_edges(sf_dir: str):
+    """The deterministic synthetic link graph (q_pagerank's derivation,
+    shared): ring links within each source + a cross edge, minus a
+    deterministic third — all reproducible in SQL via window functions."""
     from engine.pipelines.testdata_pages import build_link_maps
-    from engine.stages.graph import hits
 
     lm, _ = build_link_maps(sf_dir)
     src, dst = [], []
@@ -1323,10 +1308,30 @@ def q_hits(sf_dir: str):
                 continue
             src.append(s)
             dst.append(t)
-    edges = ray.data.from_arrow(
+    return ray.data.from_arrow(
         pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
     )
-    out = hits(edges, iters=5)
+
+
+def q_link_stats(sf_dir: str):
+    """Per-node degree + reciprocity over the derived link graph —
+    out/in degree via Count groupbys, mutual links via the canonical-pair
+    (lo, hi, dir) groupby, one final union + groupby(node) Sum; no joins.
+    SQL-verified (the oracle re-derives the same topology with window
+    functions)."""
+    from engine.stages.graph import degree_stats
+
+    return degree_stats(_derived_edges(sf_dir))
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities over the same derived link graph as
+    q_pagerank.  Rows-only (L2-normalized floats are not bit-stable
+    across summation orders); exactness vs a numpy oracle is pinned in
+    tests/test_stages.py::test_hits_matches_numpy_oracle."""
+    from engine.stages.graph import hits
+
+    out = hits(_derived_edges(sf_dir), iters=5)
 
     def to_ppb(t: pa.Table) -> pa.Table:
         return pa.table(

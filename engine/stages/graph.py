@@ -442,3 +442,115 @@ def _hits_driver(edges: ray.data.Dataset, *, iters: int) -> ray.data.Dataset:
             }
         )
     )
+
+
+def degree_stats(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> ray.data.Dataset:
+    """Per-node link-graph degree statistics: ``(node, out_deg, in_deg,
+    mutual_deg)`` — out/in degree plus reciprocity (how many of the
+    node's neighbors link back), the structural signals behind link-spam
+    and mirror detection.  Input edges are assumed distinct (the crawl's
+    link extraction dedups per page); self-loops are ignored for
+    mutual_deg.
+
+    All-shuffle-no-join shape: degrees are two Count groupbys; mutual
+    edges resolve by the canonical-pair device — each edge maps to
+    (lo, hi, dir) with dir 1 for lo->hi and 2 for hi->lo, ONE
+    groupby(lo,hi) with Min/Max(dir) marks pairs seeing both directions,
+    and the three per-node partial tables union into ONE final
+    groupby(node) Sum.  Nothing corpus-sized reaches the driver."""
+    from ray.data.aggregate import Max, Min
+
+    def to_pair(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s, d = t.column(src_col), t.column(dst_col)
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        direction = pc.if_else(
+            pc.less(s, d), pa.scalar(1, pa.int64()), pa.scalar(2, pa.int64())
+        )
+        return pa.table({"lo": lo, "hi": hi, "dir": direction})
+
+    mutual_pairs = (
+        edges.map_batches(to_pair, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lo", "hi"])
+        .aggregate(Min("dir", alias_name="dmin"), Max("dir", alias_name="dmax"))
+        .map_batches(
+            lambda t: (
+                lambda f: pa.table(
+                    {
+                        "node": pa.chunked_array(
+                            [
+                                f.column("lo").combine_chunks(),
+                                f.column("hi").combine_chunks(),
+                            ]
+                        ),
+                        "out_deg": pa.array([0] * (2 * f.num_rows), pa.int64()),
+                        "in_deg": pa.array([0] * (2 * f.num_rows), pa.int64()),
+                        "mutual_deg": pa.array([1] * (2 * f.num_rows), pa.int64()),
+                    }
+                )
+            )(
+                t.filter(
+                    pa.compute.and_(
+                        pa.compute.equal(t.column("dmin"), 1),
+                        pa.compute.equal(t.column("dmax"), 2),
+                    )
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    def part(col, out_name):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            zero = pa.array([0] * n, pa.int64())
+            one = pa.array([1] * n, pa.int64())
+            return pa.table(
+                {
+                    "node": t.column(col),
+                    "out_deg": one if out_name == "out_deg" else zero,
+                    "in_deg": one if out_name == "in_deg" else zero,
+                    "mutual_deg": zero,
+                }
+            )
+
+        return f
+
+    outs = edges.map_batches(
+        part(src_col, "out_deg"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    ins = edges.map_batches(
+        part(dst_col, "in_deg"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        outs.union(ins)
+        .union(mutual_pairs)
+        .groupby("node")
+        .aggregate(
+            Sum("out_deg", alias_name="out_deg"),
+            Sum("in_deg", alias_name="in_deg"),
+            Sum("mutual_deg", alias_name="mutual_deg"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "out_deg": t.column("out_deg").cast(pa.int64()),
+                    "in_deg": t.column("in_deg").cast(pa.int64()),
+                    "mutual_deg": t.column("mutual_deg").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )

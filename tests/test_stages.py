@@ -2776,3 +2776,38 @@ def test_cluster_topics_matches_oracle(ray_session):
     sauce = {a for (a, tok) in want if tok == "sauce"}
     race = {a for (a, tok) in want if tok == "race"}
     assert sauce and race and sauce.isdisjoint(race)
+
+
+def test_degree_stats_mutual_and_self_loops(ray_session):
+    """degree_stats: reciprocity counts mutual pairs once per endpoint,
+    self-loops count for in/out degree but never for mutual_deg, and the
+    result is block-layout independent."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.graph import degree_stats
+
+    E = [(1, 2), (2, 1), (1, 3), (3, 3), (4, 1)]
+    t = pa.table({
+        "src": pa.array([a for a, _ in E], pa.int64()),
+        "dst": pa.array([b for _, b in E], pa.int64()),
+    })
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        got = (
+            degree_stats(ds).to_pandas()
+            .sort_values("node").reset_index(drop=True)
+        )
+        rows = {
+            int(r["node"]): (int(r["out_deg"]), int(r["in_deg"]),
+                             int(r["mutual_deg"]))
+            for _, r in got.iterrows()
+        }
+        assert rows == {
+            1: (2, 2, 1),   # 1<->2 mutual
+            2: (1, 1, 1),
+            3: (1, 2, 0),   # self-loop 3->3 counts degrees, not mutual
+            4: (1, 0, 0),
+        }
