@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": q.q_token_entropy,
         "dedup_best": q.q_dedup_best,
         "link_stats": q.q_link_stats,
+        "triangles": q.q_triangles,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -1167,6 +1168,51 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes LEFT JOIN outd USING (node)
                        LEFT JOIN ind USING (node)
                        LEFT JOIN mut USING (node)
+        """,
+        # per-node triangle counts: same topology replay as link_stats,
+        # undirected (lo, hi) pairs joined three ways (a<b<c finds each
+        # triangle once), every triangle credits its three corners
+        "triangles": """
+            WITH m AS (SELECT doc_id, source,
+                              CAST(row_number() OVER (
+                                  PARTITION BY source ORDER BY doc_id) - 1
+                                  AS BIGINT) AS pos,
+                              CAST(count(*) OVER (PARTITION BY source)
+                                  AS BIGINT) AS n
+                       FROM documents),
+            offs(d) AS (VALUES (1), (2), (3)),
+            ring AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                     FROM m a JOIN m b ON a.source = b.source
+                     CROSS JOIN offs
+                     WHERE b.pos = (a.pos + offs.d) % a.n
+                       AND b.doc_id != a.doc_id),
+            ord AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1
+                                   AS BIGINT) AS idx
+                    FROM documents),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+            crosse AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                       FROM documents a CROSS JOIN nn
+                       JOIN ord b ON b.idx = (a.doc_id * 7 + 3) % nn.c
+                       WHERE b.doc_id != a.doc_id),
+            dedges AS (SELECT DISTINCT src, dst
+                       FROM (SELECT * FROM ring UNION ALL SELECT * FROM crosse)
+                       WHERE (src + dst) % 3 != 0),
+            ue AS (SELECT DISTINCT least(src, dst) AS lo,
+                                   greatest(src, dst) AS hi
+                   FROM dedges WHERE src != dst),
+            tri AS (SELECT x.lo AS a, x.hi AS b, y.hi AS c
+                    FROM ue x JOIN ue y ON y.lo = x.hi
+                              JOIN ue z ON z.lo = x.lo AND z.hi = y.hi),
+            credit AS (SELECT a AS node FROM tri
+                       UNION ALL SELECT b FROM tri
+                       UNION ALL SELECT c FROM tri),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT lo AS node FROM ue UNION ALL SELECT hi FROM ue)),
+            cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt
+                    FROM credit GROUP BY node)
+            SELECT nodes.node,
+                   CAST(coalesce(cnt.tri_cnt, 0) AS BIGINT) AS tri_cnt
+            FROM nodes LEFT JOIN cnt USING (node)
         """,
         # keep-best exact dedup: argmax per content hash under the total
         # order (n_chars desc, doc_id asc)

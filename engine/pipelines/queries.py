@@ -1324,6 +1324,16 @@ def q_link_stats(sf_dir: str):
     return degree_stats(_derived_edges(sf_dir))
 
 
+def q_triangles(sf_dir: str):
+    """Per-node triangle counts over the derived link graph (degree-
+    ordered node-iterator, wedge volume O(m^1.5)).  SQL-verified (the
+    oracle replays the topology and joins the undirected edge set three
+    ways)."""
+    from engine.stages.graph import triangle_counts
+
+    return triangle_counts(_derived_edges(sf_dir))
+
+
 def q_hits(sf_dir: str):
     """HITS hubs & authorities over the same derived link graph as
     q_pagerank.  Rows-only (L2-normalized floats are not bit-stable

@@ -66,7 +66,7 @@ SQL_NAMES = [
     "bm25_topk", "term_stats", "heavy_hitters", "dsir", "redirects",
     "source_kl", "source_overlap", "suffix_array", "dup_spans", "lcp",
     "bigram_nll", "pmi_pairs", "sb_nll", "token_entropy", "dedup_best",
-    "link_stats",
+    "link_stats", "triangles",
     "postings", "unigram_nll",
     "ppl_buckets", "pii_scrub",
     "snapshot_diff", "latest_events", "json_props",

@@ -2811,3 +2811,28 @@ def test_degree_stats_mutual_and_self_loops(ray_session):
             3: (1, 2, 0),   # self-loop 3->3 counts degrees, not mutual
             4: (1, 0, 0),
         }
+
+
+def test_triangle_counts_known_graph(ray_session):
+    """triangle_counts on a hand-checked graph: K4 minus one edge has two
+    triangles sharing an edge; direction of input edges is irrelevant;
+    degree ties orient consistently; block layout does not matter."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.graph import triangle_counts
+
+    # K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}.
+    # Node 5-6 pendant edge: no triangles.  Mixed edge directions.
+    E = [(1, 2), (3, 1), (2, 3), (1, 4), (4, 2), (5, 6)]
+    t = pa.table({
+        "src": pa.array([a for a, _ in E], pa.int64()),
+        "dst": pa.array([b for _, b in E], pa.int64()),
+    })
+    want = {1: 2, 2: 2, 3: 1, 4: 1, 5: 0, 6: 0}
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        got = triangle_counts(ds, n_buckets=4).to_pandas()
+        assert {int(r["node"]): int(r["tri_cnt"]) for _, r in got.iterrows()} == want
