@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_best": q.q_dedup_best,
         "link_stats": q.q_link_stats,
         "triangles": q.q_triangles,
+        "funnel": q.q_funnel,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -117,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compress_ratio": q.q_compress_ratio,
         "anchor_terms": q.q_anchor_terms,
         "cluster_topics": q.q_cluster_topics,
+        "cms_counts": q.q_cms_counts,
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
         "bpe_merges": q.q_bpe_merges,
@@ -1119,6 +1121,32 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN dl USING (doc_id)
             LEFT JOIN (SELECT doc_id, CAST(sum(k) AS BIGINT) AS k
                        FROM comp GROUP BY doc_id) s USING (doc_id)
+        """,
+        # ordered funnel: strictly-increasing min-ts chain per user,
+        # -1 for unreached stages; epoch_us for int64 parity
+        "funnel": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                        AND e.ts > s1.t1
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                        AND e.ts > s2.t2
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                             WHEN t2 IS NOT NULL THEN 2
+                             WHEN t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS reached,
+                   CAST(coalesce(epoch_us(t1), -1) AS BIGINT) AS t1_us,
+                   CAST(coalesce(epoch_us(t2), -1) AS BIGINT) AS t2_us,
+                   CAST(coalesce(epoch_us(t3), -1) AS BIGINT) AS t3_us
+            FROM u LEFT JOIN s1 USING (user_id)
+                   LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)
         """,
         # per-node degree + reciprocity: the oracle re-derives the
         # synthetic ring+cross topology (testdata_pages.build_link_maps)

@@ -1359,6 +1359,56 @@ def q_hits(sf_dir: str):
     return out.map_batches(to_ppb, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cms_counts(sf_dir: str):
+    """Count-Min sketch point queries for the postings term set —
+    constant-size mergeable sketch instead of a vocab shuffle.  Rows-only
+    (blake2b); one-sided-error/exactness bounds pinned in
+    tests/test_stages.py::test_cms_counts_bounds_and_exactness."""
+    from engine.stages.sketch import cms_counts
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return cms_counts(ds, ["join", "merge", "scan", "window"])
+
+
+def q_funnel(sf_dir: str):
+    """Ordered-funnel analysis over the events stream: per user, the
+    strictly-increasing min-timestamp chain view -> click -> purchase
+    (the standard product-analytics operator).  groupby(user) pandas
+    windowing like q_sessions.  SQL-verified."""
+    import pandas as _pd
+
+    STEPS = ["view", "click", "purchase"]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def user_funnel(df: _pd.DataFrame) -> _pd.DataFrame:
+        us = df["ts"].astype("int64").to_numpy()
+        et = df["event_type"].to_numpy()
+        prev = -(2**63)
+        ts_out = []
+        for step in STEPS:
+            mask = (et == step) & (us > prev)
+            if mask.any():
+                prev = int(us[mask].min())
+                ts_out.append(prev)
+            else:
+                break
+        reached = len(ts_out)
+        ts_out += [-1] * (len(STEPS) - reached)
+        return _pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "reached": [reached],
+                "t1_us": [ts_out[0]],
+                "t2_us": [ts_out[1]],
+                "t3_us": [ts_out[2]],
+            }
+        ).astype("int64")
+
+    return ds.groupby("user_id").map_groups(user_funnel, batch_format="pandas")
+
+
 def q_cluster_topics(sf_dir: str):
     """Topic discovery: k-means over hashed bag-of-words vectors, top-5
     label terms per cluster (cluster-based curation support).  Rows-only

@@ -338,3 +338,82 @@ def bloom_filter_new(
         return t.filter(pa.array(~maybe_seen))
 
     return ds.map_batches(keep_new, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cms_counts(
+    ds: ray.data.Dataset,
+    terms: List[str],
+    *,
+    text_col: str = "text",
+    width: int = 2048,
+    depth: int = 4,
+) -> ray.data.Dataset:
+    """Count-Min sketch point queries (Cormode & Muthukrishnan 2005):
+    estimated corpus frequencies for ``terms`` from a ``depth x width``
+    sketch — ``(token, cms_count)``, where cms_count >= the true count
+    always (one-sided error) and <= true + (e/width)*N with probability
+    1 - e^-depth per query.  The constant-size alternative to a full
+    (token, cf) shuffle when only a handful of point queries is needed.
+
+    Mergeable-partial shape (the module pattern): each batch counts into
+    its own local sketch and emits <= depth*width (slot, cnt) rows — the
+    nonzero cells only — so the shuffle volume is bounded by the SKETCH
+    size times blocks, independent of vocabulary or corpus size; one
+    groupby(slot) Sum merges (counter addition commutes), the merged
+    sketch (depth*width rows) collects on the driver, and estimates are
+    min over the depth rows.  Hashing: blake2b(token, salt=row index) —
+    deterministic, no Python hash().
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from engine.stages.text import _TOKEN
+
+    def _slot(tok: str, row: int) -> int:
+        h = int.from_bytes(
+            blake2b(tok.encode("utf-8"), digest_size=8,
+                    salt=row.to_bytes(4, "little") * 4).digest(),
+            "little",
+        )
+        return row * width + (h % width)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cf: Counter = Counter()
+        for txt in t.column(text_col).to_pylist():
+            cf.update(_TOKEN.findall(txt or ""))
+        cells: Counter = Counter()
+        for tok, n in cf.items():
+            for r in range(depth):
+                cells[_slot(tok, r)] += n
+        items = list(cells.items())
+        return pa.table(
+            {
+                "slot": pa.array([s for s, _ in items], pa.int64()),
+                "cnt": pa.array([n for _, n in items], pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("slot")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    sketch = np.zeros(depth * width, dtype=np.int64)
+    from engine.stages.common import collect_arrow_blocks
+
+    for blk in collect_arrow_blocks(merged, required_col="cnt"):
+        sl = blk.column("slot").to_numpy(zero_copy_only=False)
+        cn = blk.column("cnt").to_numpy(zero_copy_only=False)
+        sketch[sl] += cn
+    ests = [
+        int(min(sketch[_slot(tok, r)] for r in range(depth))) for tok in terms
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "token": pa.array(list(terms), pa.string()),
+                "cms_count": pa.array(ests, pa.int64()),
+            }
+        )
+    )

@@ -66,7 +66,7 @@ SQL_NAMES = [
     "bm25_topk", "term_stats", "heavy_hitters", "dsir", "redirects",
     "source_kl", "source_overlap", "suffix_array", "dup_spans", "lcp",
     "bigram_nll", "pmi_pairs", "sb_nll", "token_entropy", "dedup_best",
-    "link_stats", "triangles",
+    "link_stats", "triangles", "funnel",
     "postings", "unigram_nll",
     "ppl_buckets", "pii_scrub",
     "snapshot_diff", "latest_events", "json_props",
@@ -119,6 +119,7 @@ ROWS_ONLY = [
     ("compress_ratio", 1),
     ("anchor_terms", 1),
     ("cluster_topics", 1),
+    ("cms_counts", 1),
     ("corpus_build", 1),
 ]
 

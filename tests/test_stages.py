@@ -2836,3 +2836,45 @@ def test_triangle_counts_known_graph(ray_session):
             ds = ds.repartition(nparts)
         got = triangle_counts(ds, n_buckets=4).to_pandas()
         assert {int(r["node"]): int(r["tri_cnt"]) for _, r in got.iterrows()} == want
+
+
+def test_cms_counts_bounds_and_exactness(ray_session):
+    """Count-Min estimates are >= the true counts always (one-sided
+    error), exactly equal when the width dwarfs the vocabulary, within
+    the (e/width)*N analytic bound, and partitioning-independent."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.sketch import cms_counts
+    from engine.stages.text import _TOKEN
+
+    docs = ["the cat sat on the mat"] * 7 + ["dogs chase the red ball"] * 3
+    truth: Counter = Counter()
+    for d in docs:
+        truth.update(_TOKEN.findall(d))
+    terms = ["the", "cat", "ball", "unseen"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    n_total = sum(truth.values())
+    for nparts in (1, 4):
+        ds = ray.data.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        got = cms_counts(ds, terms, width=2048, depth=4).to_pandas()
+        est = dict(zip(got["token"], got["cms_count"]))
+        for tok in terms:
+            assert est[tok] >= truth[tok]
+            assert est[tok] <= truth[tok] + math.e / 2048 * n_total + 1
+        # width 2048 >> 11 distinct tokens: collision-free, so exact
+        assert est == {tok: truth[tok] for tok in terms}
+    # tiny width forces collisions: still an overestimate, never under
+    got = cms_counts(ray.data.from_arrow(t), terms, width=4, depth=2).to_pandas()
+    for tok, e_ in zip(got["token"], got["cms_count"]):
+        assert e_ >= truth[tok]
