@@ -1359,6 +1359,17 @@ def q_hits(sf_dir: str):
     return out.map_batches(to_ppb, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_tfidf_pairs(sf_dir: str):
+    """Exact sparse all-pairs tf-idf cosine join (inverted-index partial
+    products, posting-cap gate).  Rows-only (order-dependent float sums);
+    exactness vs a single-process oracle is pinned in
+    tests/test_stages.py::test_tfidf_pairs_matches_oracle."""
+    from engine.stages.dedup import tfidf_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return tfidf_pairs(ds, vocab_size=500, top_m=8, threshold=0.5)
+
+
 def q_cms_counts(sf_dir: str):
     """Count-Min sketch point queries for the postings term set —
     constant-size mergeable sketch instead of a vocab shuffle.  Rows-only

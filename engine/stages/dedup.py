@@ -1199,3 +1199,175 @@ def connected_components(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def tfidf_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 500,
+    top_m: int = 8,
+    threshold: float = 0.5,
+    max_posting: int = 10_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT sparse all-pairs similarity join (Bayardo et al., WWW 2007
+    family): every document pair whose tf-idf cosine over the capped
+    sparse vectors meets ``threshold`` — ``(doc_a, doc_b, cos_ppm)``,
+    doc_a < doc_b.  The exact counterpart of ``embedding_nn_pairs``'s
+    LSH recall: pairs are found through the inverted index, so any pair
+    sharing at least one indexed term is scored exactly (no hashing, no
+    candidates missed modulo the documented posting cap).
+
+    Vector: each doc's ``top_m`` tf-idf terms over the ``vocab_size``
+    frequency-capped vocabulary (the tfidf_topk construction),
+    L2-normalized over the KEPT terms, so the cosine is a plain dot
+    product of sparse weights.
+
+    Shape (no all-pairs scan, text never shuffles):
+    1. one (token, df) shuffle caps the vocab; the idf map broadcasts;
+    2. a stateless pass emits inverted-index rows (token, doc, weight) —
+       <= top_m rows per doc;
+    3. ONE coarse hash(token)-bucket groupby generates partial products
+       (lo, hi, w_a*w_b) per co-occurring pair WITHIN each posting
+       (vectorized outer products per token).  Posting lists longer than
+       ``max_posting`` are DROPPED with a logged count — the Bayardo
+       prefix-filtering insight degenerated to a df cap: ubiquitous
+       terms have tiny idf weights and contribute noise pairs
+       quadratically (the star-gate rationale);
+    4. ONE groupby (lo, hi) Sum accumulates the dot product; threshold
+       filter map-side after the sum.
+    """
+    import math
+    from collections import Counter
+
+    from engine.stages.common import collect_arrow_blocks
+    from engine.stages.index_build import term_stats
+    from engine.stages.text import _TOKEN, fnv1a_batch
+
+    vocab_rows = collect_arrow_blocks(
+        as_arrow(
+            term_stats(ds, id_col=id_col, text_col=text_col, top_n=vocab_size)
+        ),
+        required_col="df",
+    )
+    n_docs = ds.count()
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "cos_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if n_docs == 0 or not vocab_rows:
+        return ray.data.from_arrow(empty)
+    vocab_t = pa.concat_tables(vocab_rows, promote_options="default")
+    idf = {
+        tok: math.log(float(n_docs) / float(df))
+        for tok, df in zip(
+            vocab_t.column("token").to_pylist(), vocab_t.column("df").to_pylist()
+        )
+    }
+    idf_ref = ray.put(idf)
+
+    def index_rows(t: pa.Table, ref=idf_ref) -> pa.Table:
+        idf_map = ray.get(ref)
+        out_tok, out_id, out_w = [], [], []
+        for d, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            cnt = Counter(tok for tok in _TOKEN.findall(txt or "") if tok in idf_map)
+            scored = sorted(
+                ((c * idf_map[tok], tok) for tok, c in cnt.items()),
+                key=lambda x: (-x[0], x[1]),
+            )[:top_m]
+            norm = math.sqrt(sum(w * w for w, _ in scored))
+            if norm <= 0:
+                continue
+            for w, tok in scored:
+                out_tok.append(tok)
+                out_id.append(d)
+                out_w.append(w / norm)
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                id_col: pa.array(out_id, pa.int64()),
+                "w": pa.array(out_w, pa.float64()),
+            }
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = fnv1a_batch([s.encode("utf-8") for s in t.column("token").to_pylist()])
+        tb = (h % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("tb", pa.array(tb, pa.int64()))
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        dropped = 0
+        for _, g in df.groupby("token", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            if n > max_posting:
+                dropped += 1
+                continue
+            g = g.sort_values(id_col, kind="mergesort")
+            ids = g[id_col].to_numpy()
+            ws = g["w"].to_numpy()
+            iu, ju = np.triu_indices(n, k=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": ids[iu],
+                        "doc_b": ids[ju],
+                        "p": ws[iu] * ws[ju],
+                    }
+                )
+            )
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "tfidf_pairs: dropped %d postings over max_posting=%d",
+                dropped, max_posting,
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.asarray([], dtype=np.int64),
+                    "doc_b": np.asarray([], dtype=np.int64),
+                    "p": np.asarray([], dtype=np.float64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        as_arrow(
+            ds.map_batches(index_rows, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("tb")
+            .map_groups(
+                lambda df: pair_partials(df.drop(columns=["tb"])),
+                batch_format="pandas",
+            )
+        )
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("p", alias_name="cos"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater_equal(t.column("cos"), threshold))
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a").cast(pa.int64()),
+                "doc_b": t.column("doc_b").cast(pa.int64()),
+                "cos_ppm": pc.cast(
+                    pc.floor(pc.multiply(t.column("cos"), 1e6)), pa.int64()
+                ),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

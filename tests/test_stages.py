@@ -2878,3 +2878,92 @@ def test_cms_counts_bounds_and_exactness(ray_session):
     got = cms_counts(ray.data.from_arrow(t), terms, width=4, depth=2).to_pandas()
     for tok, e_ in zip(got["token"], got["cms_count"]):
         assert e_ >= truth[tok]
+
+
+def test_tfidf_pairs_matches_oracle(ray_session):
+    """tfidf_pairs == a single-process oracle building the same capped
+    tf-idf vectors and scoring every pair exactly: same pair set, cosine
+    within float-reassociation tolerance, near-dup docs found, unrelated
+    docs absent; block layout does not matter; the posting cap drops a
+    ubiquitous term without losing the pair that shares a rare term."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.dedup import tfidf_pairs
+    from engine.stages.text import _TOKEN
+
+    docs = {
+        0: "quantum flux capacitor runs the reactor",
+        1: "quantum flux capacitor powers the reactor",   # near-dup of 0
+        2: "recipe for sourdough bread and butter",
+        3: "sourdough bread recipe with butter and salt",  # near-dup of 2
+        4: "the annual report of unrelated finance topics",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    vocab_size, top_m, thr = 100, 8, 0.3
+
+    # oracle: same construction, exact all-pairs
+    n_docs = len(docs)
+    df: Counter = Counter()
+    toks = {d: _TOKEN.findall(txt) for d, txt in docs.items()}
+    for d, ts in toks.items():
+        df.update(set(ts))
+    vocab = dict(
+        sorted(df.items(), key=lambda x: (-x[1], x[0]))[:vocab_size]
+    )
+    vecs = {}
+    for d, ts in toks.items():
+        cnt = Counter(tok for tok in ts if tok in vocab)
+        scored = sorted(
+            ((c * math.log(n_docs / df[tok]), tok) for tok, c in cnt.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:top_m]
+        norm = math.sqrt(sum(w * w for w, _ in scored))
+        if norm > 0:
+            vecs[d] = {tok: w / norm for w, tok in scored}
+    want = {}
+    ids = sorted(vecs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            cos = sum(
+                w * vecs[b][tok] for tok, w in vecs[a].items() if tok in vecs[b]
+            )
+            if cos >= thr:
+                want[(a, b)] = cos
+
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        got = tfidf_pairs(
+            ds, vocab_size=vocab_size, top_m=top_m, threshold=thr, n_buckets=4
+        ).to_pandas()
+        pairs = {
+            (int(r["doc_a"]), int(r["doc_b"])): int(r["cos_ppm"])
+            for _, r in got.iterrows()
+        }
+        assert set(pairs) == set(want)
+        for k, ppm in pairs.items():
+            assert abs(ppm - math.floor(1e6 * want[k])) <= 1
+    assert (0, 1) in want and (2, 3) in want
+    assert not any(4 in k for k in want)
+
+    # posting cap: vocab term count for a cap-exceeding posting is dropped,
+    # pairs sharing only that term vanish, others survive
+    got_capped = tfidf_pairs(
+        ray.data.from_arrow(t), vocab_size=vocab_size, top_m=top_m,
+        threshold=0.0, max_posting=2, n_buckets=4,
+    ).to_pandas()
+    capped_pairs = {
+        (int(r["doc_a"]), int(r["doc_b"])) for _, r in got_capped.iterrows()
+    }
+    assert (0, 1) in capped_pairs  # rare shared terms have small postings
