@@ -1377,7 +1377,7 @@ def q_cms_counts(sf_dir: str):
     tests/test_stages.py::test_cms_counts_bounds_and_exactness."""
     from engine.stages.sketch import cms_counts
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return cms_counts(ds, ["join", "merge", "scan", "window"])
 
 

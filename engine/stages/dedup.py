@@ -241,8 +241,11 @@ def dedup_keep_best(
         )
 
     return (
-        ds.map_batches(hash_and_strip, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(block_best, batch_format="pandas")
+        as_arrow(
+            ds.map_batches(
+                hash_and_strip, batch_format="pyarrow", zero_copy_batch=True
+            ).map_batches(block_best, batch_format="pandas")
+        )
         .groupby("h")
         .map_groups(best, batch_format="pandas")
     )

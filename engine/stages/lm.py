@@ -420,7 +420,7 @@ def source_kl(
     import numpy as np
 
     from engine.stages.common import collect_arrow_blocks
-    from engine.stages.text import fnv1a_batch
+    from engine.stages.text import hash_bucket_column
 
     def partial(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -470,9 +470,7 @@ def source_kl(
     n_total = sum(n_s.values())
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = fnv1a_batch([s.encode("utf-8") for s in t.column("token").to_pylist()])
-        tb = (h % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("tb", pa.array(tb, pa.int64()))
+        return hash_bucket_column(t, "token", n_buckets)
 
     def resolve(df, n_s=n_s, n_total=n_total):
         import pandas as pd
@@ -544,7 +542,7 @@ def bigram_nll(
     distinct-successors, the standard inverted-index exchange volume."""
     import numpy as np
 
-    from engine.stages.text import fnv1a_batch
+    from engine.stages.text import hash_bucket_column
 
     def partial(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -581,10 +579,7 @@ def bigram_nll(
         )
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        w1 = t.column("w1").to_pylist()
-        h = fnv1a_batch([(s or "").encode("utf-8") for s in w1])
-        tb = (h % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("tb", pa.array(tb, pa.int64()))
+        return hash_bucket_column(t, "w1", n_buckets)
 
     def resolve(df):
         import pandas as pd
@@ -686,7 +681,7 @@ def pmi_pairs(
     import pyarrow.compute as pc
 
     from engine.stages.common import as_arrow
-    from engine.stages.text import fnv1a_batch
+    from engine.stages.text import hash_bucket_column
     from engine.stages.topk import global_topk
 
     def partial(t: pa.Table) -> pa.Table:
@@ -706,9 +701,7 @@ def pmi_pairs(
 
     def bucket_on(col):
         def add(t: pa.Table) -> pa.Table:
-            h = fnv1a_batch([s.encode("utf-8") for s in t.column(col).to_pylist()])
-            tb = (h % np.uint64(n_buckets)).astype(np.int64)
-            return t.append_column("tb", pa.array(tb, pa.int64()))
+            return hash_bucket_column(t, col, n_buckets)
 
         return add
 
@@ -808,7 +801,7 @@ def stupid_backoff_nll(
     import pyarrow.compute as pc
 
     from engine.stages.common import as_arrow
-    from engine.stages.text import fnv1a_batch
+    from engine.stages.text import hash_bucket_column
 
     def partial(t: pa.Table) -> pa.Table:
         train: Counter = Counter()
@@ -849,11 +842,7 @@ def stupid_backoff_nll(
 
     def bucket_on(col):
         def add(t: pa.Table) -> pa.Table:
-            h = fnv1a_batch(
-                [(s or "").encode("utf-8") for s in t.column(col).to_pylist()]
-            )
-            tb = (h % np.uint64(n_buckets)).astype(np.int64)
-            return t.append_column("tb", pa.array(tb, pa.int64()))
+            return hash_bucket_column(t, col, n_buckets)
 
         return add
 
@@ -990,13 +979,18 @@ def stupid_backoff_nll(
         if not len(g):
             return _out("k", [], [], [], [])
         cs = g["w3"].map(c3)
-        ks = [
-            math.floor(
-                (-1000000000.0 * int(tf))
-                * math.log(0.4 * 0.4 * (int(c) if c == c else 1) / n_tri)
-            )
-            for tf, c in zip(g["cnt"], cs)
-        ]
+        if n_tri == 0:
+            # empty model: the oracle's ln(.../NULL) nulls every component
+            # and coalesces the per-doc sum to 0 — mirror that exactly
+            ks = [0] * len(g)
+        else:
+            ks = [
+                math.floor(
+                    (-1000000000.0 * int(tf))
+                    * math.log(0.4 * 0.4 * (int(c) if c == c else 1) / n_tri)
+                )
+                for tf, c in zip(g["cnt"], cs)
+            ]
         return _out("k", g[id_col], [""] * len(g), g["cnt"], ks)
 
     last = as_arrow(

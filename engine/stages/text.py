@@ -214,6 +214,16 @@ def fnv1a_batch(items) -> np.ndarray:
     return h
 
 
+def hash_bucket_column(
+    t: "pa.Table", col: str, n_buckets: int, out: str = "tb"
+) -> "pa.Table":
+    """Append ``out`` = fnv1a(col) % n_buckets as int64 — THE coarse-bucket
+    groupby key (PERF.md #31).  Null cells hash as the empty string, so
+    sentinel rows land in a deterministic bucket instead of raising."""
+    h = fnv1a_batch([(s or "").encode("utf-8") for s in t.column(col).to_pylist()])
+    tb = (h % np.uint64(n_buckets)).astype(np.int64)
+    return t.append_column(out, pa.array(tb, pa.int64()))
+
 def fingerprint(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.Table:
     """Append doc_fp (FNV-1a of normalized text) and win_fp (winnowing min).
 

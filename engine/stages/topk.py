@@ -126,13 +126,11 @@ def global_topk(
     pattern over one constant group — each block forwards only its own
     top-k, the final resolve sees <= k x blocks rows."""
 
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_g"] = 0
-        return df
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_g", pa.array([0] * t.num_rows, pa.int64()))
 
     out = grouped_topk(
-        ds.map_batches(tag, batch_format="pandas"),
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
         group_col="_g",
         order_cols=order_cols,
         descending=descending,

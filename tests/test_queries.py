@@ -120,7 +120,7 @@ ROWS_ONLY = [
     ("anchor_terms", 1),
     ("cluster_topics", 1),
     ("cms_counts", 1),
-    ("tfidf_pairs", 0),
+    ("tfidf_pairs", 1),
     ("corpus_build", 1),
 ]
 

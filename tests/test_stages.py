@@ -2908,17 +2908,22 @@ def test_tfidf_pairs_matches_oracle(ray_session):
             "text": pa.array(list(docs.values()), pa.string()),
         }
     )
-    vocab_size, top_m, thr = 100, 8, 0.3
+    # vocab_size below the distinct-token count so the cap is actually
+    # exercised; term_stats caps by (cf desc, token asc) — mirror that
+    vocab_size, top_m, thr = 12, 8, 0.3
 
-    # oracle: same construction, exact all-pairs
     n_docs = len(docs)
     df: Counter = Counter()
+    cf: Counter = Counter()
     toks = {d: _TOKEN.findall(txt) for d, txt in docs.items()}
     for d, ts in toks.items():
         df.update(set(ts))
-    vocab = dict(
-        sorted(df.items(), key=lambda x: (-x[1], x[0]))[:vocab_size]
-    )
+        cf.update(ts)
+    assert len(cf) > vocab_size  # the cap is live
+    vocab = {
+        tok: df[tok]
+        for tok, _ in sorted(cf.items(), key=lambda x: (-x[1], x[0]))[:vocab_size]
+    }
     vecs = {}
     for d, ts in toks.items():
         cnt = Counter(tok for tok in ts if tok in vocab)
@@ -2967,3 +2972,26 @@ def test_tfidf_pairs_matches_oracle(ray_session):
         (int(r["doc_a"]), int(r["doc_b"])) for _, r in got_capped.iterrows()
     }
     assert (0, 1) in capped_pairs  # rare shared terms have small postings
+
+
+def test_stupid_backoff_empty_model(ray_session):
+    """No training doc has >= 3 tokens: scores are defined (0 nanonats,
+    matching the oracle's NULL-ln coalesce), not a ZeroDivisionError."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.lm import stupid_backoff_nll
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 2, 1], pa.int64()),
+            "text": pa.array(["hi there", "ok", "a b c d"], pa.string()),
+        }
+    )
+    got = (
+        stupid_backoff_nll(ray.data.from_arrow(t), n_buckets=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [1]
+    assert int(got.loc[0, "n_tri"]) == 2  # 4 tokens -> 2 trigrams
+    assert int(got.loc[0, "sb_nll_nanonat"]) == 0
