@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter": q.q_corpus_filter,
         "incremental_index": q.q_incremental_index,
         "export_shards": q.q_export_shards,
+        "export_jsonl": q.q_export_jsonl,
         "chunk_docs": q.q_chunk_docs,
         # rows-only (non-SQL-expressible)
         "hits_scores": q.q_hits,
@@ -1032,6 +1033,19 @@ def oracle_sql() -> dict[str, str]:
                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                       AS BIGINT) % 16 AS shard,
                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+                      AS BIGINT) AS idh
+               FROM documents)
+            SELECT shard, count(*) AS n_rows, CAST(sum(idh) AS BIGINT) AS sum_idh
+            FROM s GROUP BY shard
+        """,
+        # JSONL export manifest: same md5 routing device with the 'jsonl'
+        # salt; the engine derives its manifest by reading the written
+        # line-delimited files back
+        "export_jsonl": """
+            WITH s AS (SELECT
+                 CAST(('0x' || substring(md5('jsonl' || CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 8 AS shard,
+                 CAST(('0x' || substring(md5('jsonl' || CAST(doc_id AS VARCHAR)), 9, 8))
                       AS BIGINT) AS idh
                FROM documents)
             SELECT shard, count(*) AS n_rows, CAST(sum(idh) AS BIGINT) AS sum_idh

@@ -514,6 +514,18 @@ def q_corpus_build(sf_dir: str):
     return manifest
 
 
+def q_export_jsonl(sf_dir: str):
+    """JSONL interchange export (the loader-standard text format) with
+    the export_shards write+read-verified manifest device.  SQL-verified:
+    the oracle computes the expected manifest from the source table."""
+    from engine.stages.export import export_jsonl
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return export_jsonl(
+        ds, id_col="doc_id", out_dir="/tmp/bench_out/export_jsonl", n_shards=8
+    )
+
+
 def q_export_shards(sf_dir: str):
     """Training-ready sharded export: hash-assigned parquet shards written
     to disk, manifest (shard, n_rows, sum_idh) derived by READING THE

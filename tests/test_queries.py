@@ -72,7 +72,7 @@ SQL_NAMES = [
     "snapshot_diff", "latest_events", "json_props",
     "mixture_sample", "corpus_split", "weighted_sample", "domain_terms",
     "corpus_filter", "incremental_index",
-    "export_shards", "chunk_docs",
+    "export_shards", "export_jsonl", "chunk_docs",
 ]
 
 
