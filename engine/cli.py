@@ -9,6 +9,7 @@ guaranteed dependency here; the subcommand surface is preserved):
   clean            remove a checkpoint/output directory
   filter           composed C4/CCNet cleaning-chain verdicts
   export           sharded training export + round-trip manifest
+  stats            corpus profiling report (size/langs/quantiles/dedup/terms)
   build-corpus     full corpus build: filter -> dedup -> mixture -> pack -> shards
 
 Run under a Ray job:  ray job submit -- python -m engine.cli index ...
@@ -179,6 +180,65 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Corpus profiling report: size/language/quality/dedup overview in
+    one command (the 'what is in this crawl' question), composed from the
+    same operators the driver queries verify."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data
+
+    from ray.data.aggregate import Count
+
+    from engine.stages.dedup import exact_dedup
+    from engine.stages.quantiles import grouped_quantiles_disc
+    from engine.stages.topk import domain_terms
+
+    t0 = time.monotonic()
+    id_col, text_col = args.id_col, args.text_col
+    ds = ray.data.read_parquet(args.docs).materialize()
+    n = ds.count()
+    cols = set(ds.schema().names)
+    print(f"documents      {n}")
+    if n == 0:
+        _shutdown(ray)
+        return 0
+    if "lang" in cols:
+        langs = (
+            ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+            .sort_values("n", ascending=False)
+        )
+        print("languages      " + ", ".join(
+            f"{r['lang']}:{int(r['n'])}" for _, r in langs.iterrows()
+        ))
+    if "n_chars" in cols:
+        import pyarrow as pa
+
+        qt = grouped_quantiles_disc(
+            ds.map_batches(
+                lambda t: t.select(["n_chars"]).append_column(
+                    "g", pa.array([0] * t.num_rows, pa.int64())
+                ),
+                batch_format="pyarrow",
+            ),
+            group_col="g", value_col="n_chars", qs=(0.25, 0.5, 0.75),
+        )
+        vals = [int(qt.column(i)[0].as_py()) for i in (1, 2, 3)]
+        print("n_chars q25/50/75  " + "/".join(str(v) for v in vals))
+    dups = exact_dedup(ds, id_col=id_col, text_col=text_col)
+    n_distinct = dups.count()
+    print(f"exact-distinct {n_distinct}  (dup rows: {n - n_distinct})")
+    if "source" in cols:
+        top = domain_terms(
+            ds, group_col="source", text_col=text_col, k=args.top_terms
+        ).to_pandas()
+        for src, g in top.groupby("source"):
+            toks = ", ".join(g.sort_values("term_rank")["token"])
+            print(f"top-terms {src}: {toks}")
+    print(f"Time taken: {time.monotonic() - t0:.2f}s")
+    _shutdown(ray)
+    return 0
+
+
 def cmd_build_corpus(args) -> int:
     """The full corpus build: filter -> near-dup drop -> optional mixture
     -> pack -> sharded export (engine.pipelines.corpus_pipeline)."""
@@ -338,6 +398,14 @@ def main(argv=None) -> int:
     b.add_argument("--n-shards", type=int, default=64)
     b.add_argument("--num-cpus", type=int, default=None)
     b.set_defaults(fn=cmd_build_corpus)
+
+    st = sub.add_parser("stats", help="corpus profiling report")
+    st.add_argument("docs", help="documents parquet path/glob")
+    st.add_argument("--id-col", default="doc_id")
+    st.add_argument("--text-col", default="text")
+    st.add_argument("--top-terms", type=int, default=5)
+    st.add_argument("--num-cpus", type=int, default=None)
+    st.set_defaults(fn=cmd_stats)
 
     e = sub.add_parser("export", help="sharded training export + manifest")
     e.add_argument("docs", help="documents parquet path/glob")

@@ -86,3 +86,39 @@ def test_filter_and_export_cli(ray_session, tmp_path, capsys):
     assert ray.is_initialized()
     man = capsys.readouterr().out
     assert f"{n} rows in 4 shards" in man
+
+
+def test_stats_cli(ray_session, tmp_path, capsys):
+    """The stats subcommand profiles a documents parquet (counts, langs,
+    quantiles, dedup, top terms) and leaves the outer Ray session alive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    docs = tmp_path / "docs.parquet"
+    rows = [
+        (0, "alpha beta beta", "en", "s0"),
+        (1, "alpha beta beta", "en", "s0"),   # exact dup of 0
+        (2, "gamma delta words here", "de", "s1"),
+        (3, "more gamma content here now", "de", "s1"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        docs,
+    )
+    rc = main(["stats", str(docs), "--top-terms", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "documents      4" in out
+    assert "en:2" in out and "de:2" in out
+    assert "exact-distinct 3  (dup rows: 1)" in out
+    assert "top-terms s0: beta, alpha" in out
+    assert ray.is_initialized()  # session not ours to kill
