@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lcp": q.q_lcp,
         "bigram_nll": q.q_bigram_nll,
         "pmi_pairs": q.q_pmi_pairs,
+        "pmi_window": q.q_pmi_window,
         "sb_nll": q.q_sb_nll,
         "token_entropy": q.q_token_entropy,
         "dedup_best": q.q_dedup_best,
@@ -1368,6 +1369,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC)
                         AS BIGINT) AS sample_rank
             FROM s ORDER BY key DESC, doc_id ASC LIMIT 100
+        """,
+        # skip-gram PMI: ordered pairs at offsets 1..3; marginals and N
+        # are window-co-occurrence totals, scoring identical to pmi_pairs
+        "pmi_window": r"""
+            WITH d AS (SELECT regexp_extract_all(
+                              coalesce(text, ''), '[^\t\n\v\f\r ]+') AS w
+                       FROM documents),
+            pos AS (SELECT unnest(range(len(w))) AS i, w, len(w) AS n FROM d),
+            offs(k) AS (VALUES (1), (2), (3)),
+            big AS (SELECT w[i+1] AS w1, w[i+1+k] AS w2
+                    FROM pos CROSS JOIN offs WHERE i + k < n),
+            c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+                    FROM big GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cs1
+                   FROM c12 GROUP BY w1),
+            c2 AS (SELECT w2, CAST(sum(c) AS BIGINT) AS cs2
+                   FROM c12 GROUP BY w2),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM c12),
+            scored AS (SELECT w1, w2, c AS pair_count,
+                              CAST(floor(1000000000.0
+                                   * ln((n.nn * c) / (c1.cs1 * c2.cs2)))
+                                   AS BIGINT) AS pmi_nano
+                       FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
+                       WHERE c >= 5)
+            SELECT w1, w2, pair_count, pmi_nano,
+                   CAST(row_number() OVER (
+                       ORDER BY pmi_nano DESC, w1 ASC, w2 ASC
+                   ) AS BIGINT) AS rank
+            FROM scored
+            ORDER BY rank LIMIT 100
         """,
         # deterministic train/val/test split: one md5 bucket (salt
         # 'split'), cumulative thresholds 90/95 — disjoint + exhaustive

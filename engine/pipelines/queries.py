@@ -386,6 +386,16 @@ def q_pmi_pairs(sf_dir: str):
     return pmi_pairs(ds, min_count=5, top_k=100)
 
 
+def q_pmi_window(sf_dir: str):
+    """Skip-gram PMI collocations (ordered co-occurrence within a 3-token
+    window — the word2vec statistic); same two-bucket shape as pmi_pairs.
+    SQL-verified including the fixed-point scores."""
+    from engine.stages.lm import pmi_pairs
+
+    ds = _docs(sf_dir, ["text"], num_blocks=_cpus())
+    return pmi_pairs(ds, min_count=5, top_k=100, window=3)
+
+
 def q_corpus_split(sf_dir: str):
     """Deterministic train/val/test split: disjoint-and-exhaustive md5
     hash gate, zero shuffle, reproducible under any partitioning.

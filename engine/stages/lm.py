@@ -649,8 +649,9 @@ def pmi_pairs(
     min_count: int = 5,
     top_k: int = 100,
     n_buckets: int = 64,
+    window: int = 1,
 ) -> ray.data.Dataset:
-    """Top-k adjacent-bigram collocations by pointwise mutual information
+    """Top-k collocations by pointwise mutual information
 
         pmi(w1,w2) = ln( N * c12 / (c1 * c2) )
 
@@ -664,6 +665,12 @@ def pmi_pairs(
     Fixed point: ``pmi_nano = floor(1e9 * ln((N*c12)/(c1*c2)))`` — all
     inputs integers, one ln, libm/DuckDB double parity (the unigram_nll
     device) — so the query is SQL-verified including scores.
+
+    ``window`` widens the pair generator to the skip-gram statistic
+    (word2vec-style ordered co-occurrence within ``window`` positions;
+    window=1 is the classic adjacent bigram): pairs are emitted for every
+    offset 1..window, N and the marginals become window-co-occurrence
+    totals, and everything downstream is unchanged.
 
     Scale shape (no vocab-sized join, no all-to-all sort):
     1. per-batch bigram Counter partials — (w1, w2, cnt) rows, never text;
@@ -688,8 +695,9 @@ def pmi_pairs(
         c: Counter = Counter()
         for txt in t.column(text_col).to_pylist():
             toks = _TOKEN.findall(txt or "")
-            for a, b in zip(toks, toks[1:]):
-                c[(a, b)] += 1
+            for d in range(1, window + 1):
+                for a, b in zip(toks, toks[d:]):
+                    c[(a, b)] += 1
         items = list(c.items())
         return pa.table(
             {
