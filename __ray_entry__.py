@@ -91,12 +91,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_nll": q.q_bigram_nll,
         "pmi_pairs": q.q_pmi_pairs,
         "pmi_window": q.q_pmi_window,
+        "log_odds": q.q_log_odds,
         "sb_nll": q.q_sb_nll,
         "token_entropy": q.q_token_entropy,
         "dedup_best": q.q_dedup_best,
         "link_stats": q.q_link_stats,
         "triangles": q.q_triangles,
         "funnel": q.q_funnel,
+        "value_hist": q.q_value_hist,
         "pii_scrub": q.q_pii_scrub,
         "snapshot_diff": q.q_snapshot_diff,
         "latest_events": q.q_latest_events,
@@ -1138,6 +1140,16 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT doc_id, CAST(sum(k) AS BIGINT) AS k
                        FROM comp GROUP BY doc_id) s USING (doc_id)
         """,
+        # fixed-bin value histogram: identical double ops both sides —
+        # floor((value - 0.0) / 50.0) clamped to [0, 19]
+        "value_hist": """
+            SELECT event_type,
+                   LEAST(GREATEST(CAST(floor((value - 0.0) / 50.0) AS BIGINT),
+                                  0), 19) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY event_type, bin
+        """,
         # ordered funnel: strictly-increasing min-ts chain per user,
         # -1 for unreached stages; epoch_us for int64 parity
         "funnel": """
@@ -1369,6 +1381,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC)
                         AS BIGINT) AS sample_rank
             FROM s ORDER BY key DESC, doc_id ASC LIMIT 100
+        """,
+        # Fightin' Words log-odds z: alpha=1 Dirichlet prior, alpha0=|V|;
+        # expression shapes mirror the engine exactly (int adds first,
+        # then the 1.0 float ops; ln/sqrt libm parity)
+        "log_odds": r"""
+            WITH tok AS (SELECT lang AS side, unnest(regexp_extract_all(
+                                coalesce(text, ''), '[^\t\n\v\f\r ]+')) AS token
+                         FROM documents WHERE lang IN ('en', 'de')),
+            c AS (SELECT side, token, CAST(count(*) AS BIGINT) AS c
+                  FROM tok GROUP BY side, token),
+            v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM c),
+            na AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n
+                   FROM c WHERE side = 'en'),
+            nb AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n
+                   FROM c WHERE side = 'de'),
+            w AS (SELECT token,
+                         CAST(coalesce(max(CASE WHEN side = 'en' THEN c END), 0)
+                              AS BIGINT) AS cnt_a,
+                         CAST(coalesce(max(CASE WHEN side = 'de' THEN c END), 0)
+                              AS BIGINT) AS cnt_b
+                  FROM c GROUP BY token),
+            scored AS (SELECT token, cnt_a, cnt_b,
+                              CAST(floor(1000000000.0 * (
+                                  (ln((cnt_a + 1.0) / (na.n + v.v - cnt_a - 1.0))
+                                   - ln((cnt_b + 1.0) / (nb.n + v.v - cnt_b - 1.0)))
+                                  / sqrt(1.0 / (cnt_a + 1.0) + 1.0 / (cnt_b + 1.0))
+                              )) AS BIGINT) AS z_nano
+                       FROM w, na, nb, v)
+            SELECT token, cnt_a, cnt_b, z_nano,
+                   CAST(row_number() OVER (ORDER BY z_nano DESC, token ASC)
+                        AS BIGINT) AS rank
+            FROM scored ORDER BY rank LIMIT 50
         """,
         # skip-gram PMI: ordered pairs at offsets 1..3; marginals and N
         # are window-co-occurrence totals, scoring identical to pmi_pairs

@@ -396,6 +396,16 @@ def q_pmi_window(sf_dir: str):
     return pmi_pairs(ds, min_count=5, top_k=100, window=3)
 
 
+def q_log_odds(sf_dir: str):
+    """Fightin' Words corpus comparison: top-50 en-distinctive tokens vs
+    the de slice by prior-smoothed log-odds z-score.  SQL-verified
+    including the fixed-point scores (ln/sqrt libm parity)."""
+    from engine.stages.lm import log_odds
+
+    ds = _docs(sf_dir, ["text", "lang"], num_blocks=_cpus())
+    return log_odds(ds, group_a="en", group_b="de", top_k=50)
+
+
 def q_corpus_split(sf_dir: str):
     """Deterministic train/val/test split: disjoint-and-exhaustive md5
     hash gate, zero shuffle, reproducible under any partitioning.
@@ -1401,6 +1411,56 @@ def q_cms_counts(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return cms_counts(ds, ["join", "merge", "scan", "window"])
+
+
+def q_value_hist(sf_dir: str):
+    """Fixed-bin histogram of event values per event_type — the generic
+    distribution-profiling primitive.  Map-side vectorized bin assignment
+    (floor((v-lo)/width), clamped), per-batch pre-aggregation, one
+    (type, bin) groupby Sum.  SQL-verified (integer bins + counts)."""
+    import numpy as np
+
+    LO, WIDTH, NBINS = 0.0, 50.0, 20
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pylist()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.clip(np.floor((v - LO) / WIDTH), 0, NBINS - 1).astype(np.int64)
+        import pandas as pd
+
+        g = (
+            pd.DataFrame({"event_type": et, "bin": b})
+            .groupby(["event_type", "bin"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "bin": pa.array(g["bin"], pa.int64()),
+                "n": pa.array(g["n"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "bin": t.column("bin").cast(pa.int64()),
+                    "n": t.column("n").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
 
 
 def q_funnel(sf_dir: str):

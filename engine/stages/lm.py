@@ -1026,3 +1026,148 @@ def stupid_backoff_nll(
             zero_copy_batch=True,
         )
     )
+
+
+def log_odds(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "lang",
+    group_a: str = "en",
+    group_b: str = "de",
+    text_col: str = "text",
+    top_k: int = 50,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Corpus comparison by weighted log-odds ("Fightin' Words", Monroe
+    et al. 2008, uninformative Dirichlet prior alpha=1): which tokens are
+    DISTINCTIVE of slice A vs slice B — the statistic behind corpus-drift
+    and source-vocabulary diffs (raw count ratios overweight rare words;
+    the z-score corrects by the delta's variance):
+
+        delta_w = ln((c_aw+1)/(N_a+|V|-c_aw-1)) - ln((c_bw+1)/(N_b+|V|-c_bw-1))
+        z_w     = delta_w / sqrt(1/(c_aw+1) + 1/(c_bw+1))
+
+    Output ``(token, cnt_a, cnt_b, z_nano, rank)`` for the ``top_k``
+    tokens by (z desc, token asc) — A-distinctive head; swap the groups
+    for the B side.  Each token's z floors to nanounits INDIVIDUALLY
+    (order-free, libm ln/sqrt parity), so the query is SQL-verified
+    including scores.
+
+    Shape: per-batch (side, token, cnt) Counter partials (text never
+    shuffles); |V| and the side totals are a token-keyed count and a
+    driver-sized reduce; ONE hash(token)-bucket groupby co-locates both
+    sides' counts and scores vectorized; global_topk's per-block
+    candidates rank the head (no all-to-all sort)."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.stages.common import as_arrow, collect_arrow_blocks
+    from engine.stages.text import hash_bucket_column
+    from engine.stages.topk import global_topk
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for g, txt in zip(
+            t.column(group_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            if g == group_a:
+                side = "a"
+            elif g == group_b:
+                side = "b"
+            else:
+                continue
+            for tok in _TOKEN.findall(txt or ""):
+                c[(side, tok)] += 1
+        items = list(c.items())
+        return pa.table(
+            {
+                "side": pa.array([s for (s, _), _ in items], pa.string()),
+                "token": pa.array([tok for (_, tok), _ in items], pa.string()),
+                "cnt": pa.array([n for _, n in items], pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    empty = pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            "cnt_a": pa.array([], pa.int64()),
+            "cnt_b": pa.array([], pa.int64()),
+            "z_nano": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    # |V| over BOTH sides (one token-keyed count shuffle)
+    v = (
+        partials.groupby("token")
+        .aggregate(Sum("cnt", alias_name="_c"))
+        .count()
+    )
+    if v == 0:
+        return ray.data.from_arrow(empty)
+    # side totals: driver-sized reduce (two rows)
+    n_side = {"a": 0, "b": 0}
+    for blk in collect_arrow_blocks(
+        partials.map_batches(
+            lambda t: t.group_by("side").aggregate([("cnt", "sum")]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        required_col="cnt_sum",
+    ):
+        for s, n in zip(
+            blk.column("side").to_pylist(), blk.column("cnt_sum").to_pylist()
+        ):
+            n_side[s] += int(n)
+    na, nb = n_side["a"], n_side["b"]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.pivot_table(
+                index="token", columns="side", values="cnt",
+                aggfunc="sum", fill_value=0,
+            )
+            .reset_index()
+        )
+        ca = g["a"].astype("int64") if "a" in g else pd.Series(0, index=g.index)
+        cb = g["b"].astype("int64") if "b" in g else pd.Series(0, index=g.index)
+        zs = [
+            math.floor(
+                1000000000.0
+                * (
+                    (
+                        math.log((int(a) + 1.0) / (na + v - int(a) - 1.0))
+                        - math.log((int(b) + 1.0) / (nb + v - int(b) - 1.0))
+                    )
+                    / math.sqrt(1.0 / (int(a) + 1.0) + 1.0 / (int(b) + 1.0))
+                )
+            )
+            for a, b in zip(ca, cb)
+        ]
+        return pd.DataFrame(
+            {
+                "token": g["token"],
+                "cnt_a": ca.to_numpy(),
+                "cnt_b": cb.to_numpy(),
+                "z_nano": np.asarray(zs, dtype=np.int64),
+            }
+        )
+
+    scored = as_arrow(
+        partials.map_batches(
+            lambda t: hash_bucket_column(t, "token", n_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("tb")
+        .map_groups(lambda df: score(df.drop(columns=["tb"])), batch_format="pandas")
+    )
+    return global_topk(
+        scored,
+        order_cols=["z_nano", "token"],
+        descending=[True, False],
+        k=top_k,
+    )

@@ -65,9 +65,9 @@ SQL_NAMES = [
     "rep_stats", "line_dedup", "span_dedup", "decontam", "corpus_overlap",
     "bm25_topk", "term_stats", "heavy_hitters", "dsir", "redirects",
     "source_kl", "source_overlap", "suffix_array", "dup_spans", "lcp",
-    "bigram_nll", "pmi_pairs", "pmi_window", "sb_nll", "token_entropy",
+    "bigram_nll", "pmi_pairs", "pmi_window", "log_odds", "sb_nll", "token_entropy",
     "dedup_best",
-    "link_stats", "triangles", "funnel",
+    "link_stats", "triangles", "funnel", "value_hist",
     "postings", "unigram_nll",
     "ppl_buckets", "pii_scrub",
     "snapshot_diff", "latest_events", "json_props",

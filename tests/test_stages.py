@@ -2995,3 +2995,49 @@ def test_stupid_backoff_empty_model(ray_session):
     assert got["doc_id"].tolist() == [1]
     assert int(got.loc[0, "n_tri"]) == 2  # 4 tokens -> 2 trigrams
     assert int(got.loc[0, "sb_nll_nanonat"]) == 0
+
+
+def test_log_odds_distinctive_terms(ray_session):
+    """log_odds surfaces A-distinctive tokens at the head, shared tokens
+    near zero, and swapping the groups negates every z (the Fightin'
+    Words symmetry); block layout does not matter."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.lm import log_odds
+
+    a_docs = ["stir sauce bake bread shared"] * 6
+    b_docs = ["race track lap speed shared"] * 6
+    rows = [(i, t, "en") for i, t in enumerate(a_docs)] + [
+        (100 + i, t, "de") for i, t in enumerate(b_docs)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    kw = dict(group_a="en", group_b="de", top_k=20, n_buckets=4)
+    got1 = (
+        log_odds(ray.data.from_arrow(t), **kw)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    got4 = (
+        log_odds(ray.data.from_arrow(t).repartition(4), **kw)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert got1.equals(got4)
+    z = dict(zip(got1["token"], got1["z_nano"]))
+    assert set(got1.head(4)["token"]) == {"stir", "sauce", "bake", "bread"}
+    assert abs(z["shared"]) < min(z[tok] for tok in ("stir", "sauce"))
+    # symmetry: swapping groups negates z for every token
+    swapped = (
+        log_odds(ray.data.from_arrow(t), group_a="de", group_b="en",
+                 top_k=20, n_buckets=4)
+        .to_pandas()
+    )
+    zs = dict(zip(swapped["token"], swapped["z_nano"]))
+    for tok, val in z.items():
+        # floor() of the negated double: -z or -z-1
+        assert zs[tok] in (-val, -val - 1)
