@@ -89,3 +89,61 @@ def test_extract_page_total_on_bytes(b):
     r = extract_page("https://x.test/fuzz", b)
     assert isinstance(r, dict)
     assert (r["skip_reason"] is None) == (r["body"] is not None)
+
+
+@given(st.lists(st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=5),
+                max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_token_entropy_bounds_and_permutation_invariance(tokens):
+    """Entropy is non-negative, zero iff <= 1 distinct token, bounded by
+    ln(n_tokens), and invariant under token order (order-free sums)."""
+    import math
+
+    import pyarrow as pa
+
+    from engine.stages.text import token_entropy
+
+    def ent(toks):
+        t = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array([" ".join(toks)], pa.string()),
+            }
+        )
+        out = token_entropy(t)
+        return int(out.column("entropy_nanonat")[0].as_py()), int(
+            out.column("n_tokens")[0].as_py()
+        )
+
+    e, n = ent(tokens)
+    assert n == len(tokens)
+    assert e >= 0
+    if len(set(tokens)) <= 1:
+        assert e == 0
+    if n:
+        # max entropy ln(n); floor slack: one unit per distinct token
+        assert e <= math.floor(1e9 * math.log(max(n, 2))) + len(set(tokens))
+    e2, _ = ent(list(reversed(tokens)))
+    assert e == e2
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_compress_ratio_matches_zlib(text):
+    import zlib
+
+    import pyarrow as pa
+
+    from engine.stages.text import compress_ratio
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array([text], pa.string()),
+        }
+    )
+    out = compress_ratio(t)
+    raw = text.encode("utf-8")
+    want = (1_000_000 * len(zlib.compress(raw, 6))) // len(raw) if raw else 0
+    assert int(out.column("zlib_ratio_ppm")[0].as_py()) == want
+    assert int(out.column("n_bytes")[0].as_py()) == len(raw)
