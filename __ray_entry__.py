@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_topics": q.q_cluster_topics,
         "cms_counts": q.q_cms_counts,
         "tfidf_pairs": q.q_tfidf_pairs,
+        "textrank": q.q_textrank,
         "webis_ids": q.q_webis_ids,
         "bpe_tokens": q.q_bpe_tokens,
         "bpe_merges": q.q_bpe_merges,

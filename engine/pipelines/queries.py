@@ -1502,6 +1502,17 @@ def q_funnel(sf_dir: str):
     return ds.groupby("user_id").map_groups(user_funnel, batch_format="pandas")
 
 
+def q_textrank(sf_dir: str):
+    """TextRank corpus keywords (Mihalcea & Tarau 2004): PageRank over
+    the token co-occurrence graph, top-20 tokens.  Rows-only (float
+    ranks); hub-structure conformance pinned in
+    tests/test_stages.py::test_textrank_keywords_hub_graph."""
+    from engine.stages.graph import textrank_keywords
+
+    ds = _docs(sf_dir, ["text"], num_blocks=_cpus())
+    return textrank_keywords(ds, window=2, top_k=20, iters=5)
+
+
 def q_cluster_topics(sf_dir: str):
     """Topic discovery: k-means over hashed bag-of-words vectors, top-5
     label terms per cluster (cluster-based curation support).  Rows-only

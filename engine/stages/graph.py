@@ -761,3 +761,134 @@ def triangle_counts(
             batch_format="pyarrow", zero_copy_batch=True,
         )
     )
+
+
+def textrank_keywords(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    window: int = 2,
+    top_k: int = 20,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> ray.data.Dataset:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau,
+    EMNLP 2004): PageRank over the token co-occurrence graph — tokens
+    co-occurring within ``window`` positions get edges in BOTH
+    directions, one edge per occurrence, and ``pagerank``'s multigraph
+    semantics (each duplicate edge contributes) realize the classic
+    co-occurrence weighting without a weighted-graph variant.  Output:
+    ``(token, rank_ppb, kw_rank)`` for the ``top_k`` tokens.
+
+    Shape: tokens become 63-bit FNV node ids map-side (collisions are
+    2^-63 events; the id->token resolution at the end is a top_k-sized
+    broadcast filter, never a vocab shuffle); edges flow straight into
+    ``pagerank`` (driver numpy under the gate, join rounds above);
+    the final ranking is ``global_topk``'s per-block candidates."""
+    from engine.stages.text import _TOKEN, fnv1a_batch
+    from engine.stages.topk import global_topk
+
+    MASK = np.uint64((1 << 63) - 1)
+
+    def edges(t: pa.Table) -> pa.Table:
+        src: list = []
+        dst: list = []
+        for txt in t.column(text_col).to_pylist():
+            toks = _TOKEN.findall(txt or "")
+            if len(toks) < 2:
+                continue
+            hs = (fnv1a_batch([x.encode("utf-8") for x in toks]) & MASK).astype(
+                np.int64
+            )
+            for d in range(1, window + 1):
+                a, b = hs[:-d], hs[d:]
+                keep = a != b
+                src.extend(a[keep].tolist())
+                dst.extend(b[keep].tolist())
+        both = pa.table(
+            {
+                "src": pa.array(src + dst, pa.int64()),
+                "dst": pa.array(dst + src, pa.int64()),
+            }
+        )
+        return both
+
+    ranks = pagerank(
+        ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True),
+        damping=damping,
+        iters=iters,
+    )
+
+    def to_ppb(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "rank_ppb": pc.cast(
+                    pc.floor(pc.multiply(t.column("rank"), 1e9)), pa.int64()
+                ),
+            }
+        )
+
+    top = global_topk(
+        ranks.map_batches(to_ppb, batch_format="pyarrow", zero_copy_batch=True),
+        order_cols=["rank_ppb", "node"],
+        descending=[True, False],
+        k=top_k,
+        rank_col="kw_rank",
+    ).materialize()
+    top_rows = top.to_pandas()
+    if not len(top_rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "rank_ppb": pa.array([], pa.int64()),
+                    "kw_rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    want = ray.put(set(int(x) for x in top_rows["node"]))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        ws = ray.get(want)
+        out: dict = {}
+        for txt in t.column(text_col).to_pylist():
+            toks = _TOKEN.findall(txt or "")
+            if not toks:
+                continue
+            hs = (fnv1a_batch([x.encode("utf-8") for x in toks]) & MASK).astype(
+                np.int64
+            )
+            for tok, h in zip(toks, hs):
+                if int(h) in ws:
+                    out[int(h)] = tok
+        return pa.table(
+            {
+                "node": pa.array(list(out.keys()), pa.int64()),
+                "token": pa.array(list(out.values()), pa.string()),
+            }
+        )
+
+    import pandas as pd
+
+    name_blocks = (
+        ds.map_batches(resolve, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .map_groups(lambda df: df.head(1), batch_format="pandas")
+        .to_pandas()
+    )
+    merged = top_rows.merge(name_blocks, on="node", how="inner")
+    merged = merged.sort_values("kw_rank")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "token": pa.array(merged["token"], pa.string()),
+                "rank_ppb": pa.array(
+                    merged["rank_ppb"].astype("int64"), pa.int64()
+                ),
+                "kw_rank": pa.array(merged["kw_rank"].astype("int64"), pa.int64()),
+            }
+        )
+    )

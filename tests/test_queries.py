@@ -122,6 +122,7 @@ ROWS_ONLY = [
     ("cluster_topics", 1),
     ("cms_counts", 1),
     ("tfidf_pairs", 1),
+    ("textrank", 1),
     ("corpus_build", 1),
 ]
 

@@ -3041,3 +3041,29 @@ def test_log_odds_distinctive_terms(ray_session):
     for tok, val in z.items():
         # floor() of the negated double: -z or -z-1
         assert zs[tok] in (-val, -val - 1)
+
+
+def test_textrank_keywords_hub_graph(ray_session):
+    """TextRank surfaces the co-occurrence hub: a token adjacent to every
+    other token outranks the spokes; output tokens resolve back from the
+    hash ids correctly; block layout does not matter."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.graph import textrank_keywords
+
+    # 'data' co-occurs with everything (hub); spokes only with 'data'
+    docs = [f"data {w}" for w in
+            ["cats", "dogs", "fish", "birds", "mice", "ants"]] * 3
+    t = pa.table({"text": pa.array(docs, pa.string())})
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(t)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        got = (
+            textrank_keywords(ds, window=2, top_k=5, iters=8)
+            .to_pandas().sort_values("kw_rank").reset_index(drop=True)
+        )
+        assert got.iloc[0]["token"] == "data"
+        assert len(got) == 5
+        assert got["rank_ppb"].is_monotonic_decreasing
