@@ -1399,7 +1399,11 @@ def q_tfidf_pairs(sf_dir: str):
     from engine.stages.dedup import tfidf_pairs
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
-    return tfidf_pairs(ds, vocab_size=500, top_m=8, threshold=0.5)
+    # max_posting gates the synthetic corpus's ubiquitous-token postings
+    # (df^2 pair volume; such terms carry negligible idf weight anyway)
+    return tfidf_pairs(
+        ds, vocab_size=500, top_m=8, threshold=0.5, max_posting=150
+    )
 
 
 def q_cms_counts(sf_dir: str):
