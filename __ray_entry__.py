@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards": q.q_export_shards,
         "export_jsonl": q.q_export_jsonl,
         "chunk_docs": q.q_chunk_docs,
+        "url_filter": q.q_url_filter,
+        "normalize_text": q.q_normalize_text,
         # rows-only (non-SQL-expressible)
         "hits_scores": q.q_hits,
         "compress_ratio": q.q_compress_ratio,
@@ -1788,5 +1790,64 @@ def oracle_sql() -> dict[str, str]:
                        source || '.example.com', '.')), ',')
                        || ')/docs/' || CAST(doc_id AS VARCHAR) || '.html' AS surt
             FROM documents
+        """,
+        "url_filter": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 13 = 0 THEN 'ftp://'
+                             ELSE 'https://' END)
+                       || source || '.example.com'
+                       || (CASE WHEN doc_id % 17 = 0 THEN repeat('/x', 150)
+                                ELSE repeat('/d', CAST(doc_id % 12 AS INT))
+                           END)
+                       || '/doc' || CAST(doc_id AS VARCHAR) || '.html'
+                       || (CASE WHEN doc_id % 5 = 0
+                                    THEN '?PHPSESSID=' || CAST(doc_id AS VARCHAR)
+                                WHEN doc_id % 11 = 0
+                                    THEN '?a=1&b=2&c=3&d=4&e=5&f=6'
+                                ELSE '' END) AS url,
+                       source || '.example.com' AS host
+                FROM documents
+            )
+            SELECT doc_id, url,
+                   CASE
+                       WHEN NOT regexp_matches(url, '^https?://')
+                           THEN 'scheme'
+                       WHEN host IN ('src3.example.com', 'src7.example.com')
+                           THEN 'blocked_host'
+                       WHEN length(url) > 256 THEN 'too_long'
+                       WHEN length(url) - length(replace(url, '/', '')) > 10
+                           THEN 'too_deep'
+                       WHEN regexp_matches(url,
+                           '[?&](sid|sessionid|phpsessid|jsessionid|cfid|cftoken)=',
+                           'i') THEN 'session_id'
+                       WHEN length(url) - length(replace(url, '=', '')) > 4
+                           THEN 'param_blowup'
+                       ELSE 'ok'
+                   END AS status
+            FROM u
+        """,
+        "normalize_text": r"""
+            WITH raw AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 3 = 0 THEN chr(7) || '  '
+                             ELSE '' END)
+                       || (CASE WHEN doc_id % 7 = 0
+                                    THEN replace(text, 'e', 'e' || chr(769))
+                                ELSE text END) AS txt
+                FROM documents
+            ),
+            norm AS (
+                SELECT doc_id, txt,
+                       trim(regexp_replace(regexp_replace(
+                           nfc_normalize(txt),
+                           '[\x00-\x1f\x7f]', ' ', 'g'),
+                           '\s+', ' ', 'g')) AS norm_text
+                FROM raw
+            )
+            SELECT doc_id, norm_text,
+                   CASE WHEN norm_text <> txt THEN 1 ELSE 0 END AS changed,
+                   length(norm_text) AS n_chars
+            FROM norm
         """,
     }

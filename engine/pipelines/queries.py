@@ -1787,3 +1787,107 @@ def q_json_props(sf_dir: str):
     return parts.groupby("event_type").aggregate(
         Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n")
     )
+
+
+def q_url_filter(sf_dir: str):
+    """Frontier URL hygiene gate (engine.stages.urlfilter): scheme
+    allow-list, broadcast host blocklist, length / path-depth caps,
+    session-id and query-blowup trap rules — all Arrow RE2 / string
+    kernels, one stateless zero-copy pass, first-match-wins status.
+    URLs are synthesized deterministically from the documents table
+    (same expressions in the SQL oracle) so every rule fires at sf0.01.
+    SQL-verified including the full URL strings."""
+    from engine.stages.urlfilter import url_filter
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        if d.num_chunks != 1:
+            d = d.combine_chunks()
+        dn = d.to_numpy(zero_copy_only=False)
+        n = len(dn)
+        ds_str = pc.cast(d, pa.string())
+        scheme = pc.if_else(
+            pa.array(dn % 13 == 0),
+            pa.scalar("ftp://", pa.string()),
+            pa.scalar("https://", pa.string()),
+        )
+        deep = pc.binary_repeat(
+            pa.array(["/d"] * n, pa.string()), pa.array(dn % 12, pa.int32())
+        )
+        path = pc.if_else(
+            pa.array(dn % 17 == 0),
+            pa.scalar("/x" * 150, pa.string()),
+            deep,
+        )
+        qs = pc.if_else(
+            pa.array(dn % 5 == 0),
+            pc.binary_join_element_wise(
+                pa.array(["?PHPSESSID="] * n, pa.string()), ds_str, ""
+            ),
+            pc.if_else(
+                pa.array(dn % 11 == 0),
+                pa.scalar("?a=1&b=2&c=3&d=4&e=5&f=6", pa.string()),
+                pa.scalar("", pa.string()),
+            ),
+        )
+        url = pc.binary_join_element_wise(
+            scheme,
+            t.column("source"),
+            pa.array([".example.com"] * n, pa.string()),
+            path,
+            pa.array(["/doc"] * n, pa.string()),
+            ds_str,
+            pa.array([".html"] * n, pa.string()),
+            qs,
+            "",
+        )
+        return pa.table({"doc_id": d, "url": url})
+
+    urls = ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    return url_filter(
+        urls,
+        blocked_hosts=("src3.example.com", "src7.example.com"),
+        max_len=256,
+        max_depth=8,
+        max_params=4,
+    )
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode + whitespace normalization (clean.normalize_text): NFC,
+    control-char strip, whitespace collapse, trim — one stateless
+    zero-copy Arrow pass.  Combining sequences and control/space noise
+    are injected deterministically (doc_id % 7: e -> e+U+0301; doc_id
+    % 3: BEL + double-space prefix) so the normalizer provably FIRES;
+    the same injections run in the SQL oracle.  SQL-verified including
+    the full normalized text."""
+    from engine.stages.clean import normalize_text
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        if d.num_chunks != 1:
+            d = d.combine_chunks()
+        dn = d.to_numpy(zero_copy_only=False)
+        txt = t.column("text")
+        if txt.num_chunks != 1:
+            txt = txt.combine_chunks()
+        decomposed = pc.replace_substring(txt, pattern="e", replacement="e\u0301")
+        mixed = pc.if_else(pa.array(dn % 7 == 0), decomposed, txt)
+        noisy = pc.binary_join_element_wise(
+            pc.if_else(
+                pa.array(dn % 3 == 0),
+                pa.scalar("\x07  ", pa.string()),
+                pa.scalar("", pa.string()),
+            ),
+            mixed,
+            "",
+        )
+        return pa.table({"doc_id": d, "text": noisy})
+
+    return normalize_text(
+        ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -1037,3 +1037,63 @@ def source_overlap(
             }
         )
     )
+
+
+def normalize_text(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Unicode + whitespace normalization (the first stage of every web
+    cleaning chain: CCNet normalizes before hashing, arXiv:1911.00359 §3).
+
+    NFC-normalize, replace C0/DEL control characters with spaces, collapse
+    whitespace runs, trim.  ONE stateless map_batches with no shuffle and
+    no state; control/whitespace handling is Arrow RE2 kernels.
+
+    NFC composition: ``pc.utf8_normalize(form="NFC")`` in the installed
+    Arrow performs canonical DEcomposition+reorder but does NOT recompose
+    (measured: e+U+0301 stays two codepoints), which diverges from every
+    conformant normalizer.  So composition uses ``unicodedata.normalize``
+    (CPython's C implementation) on the NON-ASCII rows only — the ASCII
+    fast path is a vectorized ``binary_length != utf8_length`` mask, and
+    on web text the slow path is a single C call per non-ASCII row.
+
+    NFC (not NFKC) so the operator is SQL-verifiable bit-for-bit: DuckDB
+    ships only ``nfc_normalize``.  Emits ``norm_text``, ``changed``
+    (0/1 vs the input), ``n_chars`` (codepoints).
+    """
+
+    def norm(t: pa.Table) -> pa.Table:
+        import unicodedata
+
+        import pyarrow.compute as pc
+
+        txt = t.column(text_col)
+        if txt.num_chunks != 1:
+            txt = txt.combine_chunks()
+        nonascii = pc.fill_null(
+            pc.not_equal(pc.binary_length(txt), pc.utf8_length(txt)), False
+        )
+        if pc.any(nonascii).as_py():
+            vals = np.asarray(txt.to_pandas(), dtype=object)
+            for i in np.flatnonzero(nonascii.to_numpy(zero_copy_only=False)):
+                vals[i] = unicodedata.normalize("NFC", vals[i])
+            out = pa.array(vals, pa.string())
+        else:
+            out = txt
+        out = pc.replace_substring_regex(out, pattern=r"[\x00-\x1f\x7f]", replacement=" ")
+        out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+        out = pc.utf8_trim_whitespace(out)
+        changed = pc.cast(pc.invert(pc.equal(out, txt)), pa.int64())
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "norm_text": out,
+                "changed": changed,
+                "n_chars": pc.cast(pc.utf8_length(out), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,131 @@
+"""Unit tests: frontier URL hygiene (stages.urlfilter) and Unicode/ws
+normalization (clean.normalize_text) — rule precedence, each rule firing
+alone, NFC recomposition, idempotence, empty/degenerate inputs."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from engine.stages.clean import normalize_text
+from engine.stages.urlfilter import url_filter
+
+
+def _run_filter(urls, **kw):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(urls)), pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+    )
+    out = url_filter(ds, **kw).to_pandas()
+    if out.empty:  # zero-row blocks bypass map_batches (CLAUDE.md)
+        return []
+    return out.sort_values("doc_id")["status"].tolist()
+
+
+def test_url_filter_each_rule(ray_session):
+    statuses = _run_filter(
+        [
+            "https://ok.example.com/a/b.html",                      # ok
+            "ftp://ok.example.com/a.html",                          # scheme
+            "https://bad.example.com/a.html",                       # blocked_host
+            "https://ok.example.com/" + "x" * 300,                  # too_long
+            "https://ok.example.com" + "/d" * 9 + "/p.html",        # too_deep
+            "https://ok.example.com/p?JSESSIONID=42",               # session_id
+            "https://ok.example.com/p?a=1&b=2&c=3&d=4&e=5",         # param_blowup
+        ],
+        blocked_hosts=("bad.example.com",),
+        max_len=256,
+        max_depth=8,
+        max_params=4,
+    )
+    assert statuses == [
+        "ok", "scheme", "blocked_host", "too_long",
+        "too_deep", "session_id", "param_blowup",
+    ]
+
+
+def test_url_filter_first_match_wins(ray_session):
+    # scheme beats blocked_host beats too_long beats session_id
+    statuses = _run_filter(
+        [
+            "ftp://bad.example.com/" + "x" * 300 + "?sid=1",
+            "https://bad.example.com/" + "x" * 300 + "?sid=1",
+            "https://ok.example.com/" + "x" * 300 + "?sid=1",
+            "https://ok.example.com/p?sid=1&a=1&b=2&c=3&d=4&e=5",
+        ],
+        blocked_hosts=("bad.example.com",),
+        max_len=256,
+        max_depth=8,
+        max_params=4,
+    )
+    assert statuses == ["scheme", "blocked_host", "too_long", "session_id"]
+
+
+def test_url_filter_host_with_port_and_empty(ray_session):
+    # host extraction keeps the port (distinct origin) and an empty
+    # blocklist never matches; empty input survives
+    assert _run_filter(
+        ["https://bad.example.com:8080/x.html"],
+        blocked_hosts=("bad.example.com",),
+    ) == ["ok"]
+    assert _run_filter([], blocked_hosts=("b",)) == []
+
+
+def test_normalize_text_kernels(ray_session):
+    rows = {
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(
+            [
+                "plain ascii text",
+                "cafe\u0301 au lait",  # decomposed e + U+0301
+                "a\x07b\tc\nd  e",              # control chars + runs
+                "  padded  ",
+            ],
+            pa.string(),
+        ),
+    }
+    out = (
+        normalize_text(ray.data.from_arrow(pa.table(rows)))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["norm_text"].tolist() == [
+        "plain ascii text",
+        "caf\u00e9 au lait",  # recomposed
+        "a b c d e",
+        "padded",
+    ]
+    assert out["changed"].tolist() == [0, 1, 1, 1]
+    assert out["n_chars"].tolist() == [16, 12, 9, 6]
+
+
+def test_normalize_text_idempotent(ray_session):
+    src = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["  x \x1f y ", "étude"], pa.string()),
+            }
+        )
+    )
+    once = normalize_text(src).to_pandas().sort_values("doc_id")
+    again = (
+        normalize_text(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(once["doc_id"].tolist(), pa.int64()),
+                        "text": pa.array(once["norm_text"].tolist(), pa.string()),
+                    }
+                )
+            )
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert again["norm_text"].tolist() == once["norm_text"].tolist()
+    assert again["changed"].tolist() == [0, 0]
