@@ -1239,8 +1239,11 @@ def tfidf_pairs(
        prefix-filtering insight degenerated to a df cap: ubiquitous
        terms have tiny idf weights and contribute noise pairs
        quadratically (the star-gate rationale);
-    4. ONE groupby (lo, hi) Sum accumulates the dot product; threshold
-       filter map-side after the sum.
+    4. ONE coarse hash(doc_a, doc_b)-bucket groupby accumulates the dot
+       products (a pair's key fixes its bucket, so the reduce is a
+       vectorized in-bucket pandas sum — Ray's Aggregate operator's
+       per-task overhead dominated at this volume); threshold filter
+       inside the reduce.
     """
     import math
     from collections import Counter
@@ -1341,11 +1344,42 @@ def tfidf_pairs(
                     "p": np.asarray([], dtype=np.float64),
                 }
             )
-        return pd.concat(outs, ignore_index=True)
+        # in-bucket partial sum: co-similar docs share many tokens, so the
+        # same (doc_a, doc_b) appears once per shared token — combining here
+        # cuts the rows entering the global Sum shuffle (the float sum is
+        # already order-free across buckets, this only regroups it)
+        return (
+            pd.concat(outs, ignore_index=True)
+            .groupby(["doc_a", "doc_b"], sort=False, as_index=False)["p"]
+            .sum()
+        )
 
-    from ray.data.aggregate import Sum
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        # a pair's key determines its bucket, so ALL partial products of a
+        # (doc_a, doc_b) co-locate in one coarse bucket (PERF.md #31) — a
+        # vectorized in-bucket reduce replaces Ray's Aggregate operator,
+        # whose per-task overhead dominated at this row volume (measured
+        # 6 s mean aggregate task on a 500-doc corpus)
+        a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ b
+        pb = (h % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("pb", pa.array(pb, pa.int64()))
 
-    sums = (
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], sort=False, as_index=False)["p"].sum()
+        g = g[g["p"] >= threshold]
+        return pd.DataFrame(
+            {
+                "doc_a": g["doc_a"].to_numpy(np.int64),
+                "doc_b": g["doc_b"].to_numpy(np.int64),
+                "cos_ppm": np.floor(g["p"].to_numpy(np.float64) * 1e6).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return (
         as_arrow(
             ds.map_batches(index_rows, batch_format="pyarrow", zero_copy_batch=True)
             .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
@@ -1355,22 +1389,9 @@ def tfidf_pairs(
                 batch_format="pandas",
             )
         )
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("p", alias_name="cos"))
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = t.filter(pc.greater_equal(t.column("cos"), threshold))
-        return pa.table(
-            {
-                "doc_a": t.column("doc_a").cast(pa.int64()),
-                "doc_b": t.column("doc_b").cast(pa.int64()),
-                "cos_ppm": pc.cast(
-                    pc.floor(pc.multiply(t.column("cos"), 1e6)), pa.int64()
-                ),
-            }
+        .map_batches(pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pb")
+        .map_groups(
+            lambda df: reduce_pairs(df.drop(columns=["pb"])), batch_format="pandas"
         )
-
-    return sums.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
