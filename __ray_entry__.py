@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_filter": q.q_url_filter,
         "normalize_text": q.q_normalize_text,
         # rows-only (non-SQL-expressible)
+        "quality_classifier": q.q_quality_classifier,
         "hits_scores": q.q_hits,
         "compress_ratio": q.q_compress_ratio,
         "anchor_terms": q.q_anchor_terms,

@@ -1891,3 +1891,17 @@ def q_normalize_text(sf_dir: str):
     return normalize_text(
         ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def q_quality_classifier(sf_dir: str):
+    """CCNet/GPT-3-style linear quality filter (stages.classifier):
+    logistic regression over hashed unigram+bigram buckets, trained with
+    integer-quantized (order-free) gradient sums so driver and
+    distributed training paths are bit-identical, then one stateless
+    broadcast scoring pass.  Rows-only (iterative training has no SQL
+    analog); determinism + separation + path-equality pinned in
+    tests/test_classifier.py."""
+    from engine.stages.classifier import quality_classifier
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"], num_blocks=_cpus())
+    return quality_classifier(ds, positive="en")

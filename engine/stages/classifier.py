@@ -1,0 +1,265 @@
+"""Linear quality classifier over hashed bag-of-words features — the
+CCNet / GPT-3-style corpus quality filter (Wenzek et al. arXiv:1911.00359
+§4.4 train a classifier to separate target-like from raw text; Brown et
+al. arXiv:2005.14165 Appendix A use a logistic classifier over hashed
+features to score Common Crawl against a curated positive set).
+
+Model: logistic regression on L1-normalized hashed unigram+bigram bucket
+counts (the DSIR feature map, dsir._grams / dsir._bucket_ids), trained by
+full-batch gradient descent and applied as one stateless scoring pass.
+
+Determinism device (new here, extending the repo's fixed-point family):
+every per-document gradient contribution is quantized to int64 nano-units
+BEFORE accumulation — ``floor(1e9 * r * x_j)`` per (doc, bucket) — so the
+epoch gradient is an integer sum, order-free under ANY partitioning, and
+the driver fast path and the distributed path produce BIT-IDENTICAL
+weights (pinned by test).  Floats appear only in driver-sequenced places
+(the weight update, the sigmoid), which are identical in both paths.
+
+Scale shape (100 TB):
+- TRAINING runs on a hash-gated sample (``train_cap`` docs via the md5
+  gate idiom); below ``driver_max_train`` the sample's sparse features
+  collect to the driver and train in numpy (one pass over the corpus,
+  then zero Ray executions per epoch); above it each epoch is ONE
+  streaming map_batches pass emitting <= n_buckets+2 int64 partial rows
+  per block, reduced on the driver (driver-sized key space, PERF.md #24).
+  Text never shuffles; nothing corpus-sized reaches the driver.
+- SCORING is one stateless map_batches with the (n_buckets+1) weight
+  vector broadcast via ``ray.put`` — zero shuffle, zero state.
+"""
+
+from __future__ import annotations
+
+import math
+from hashlib import md5
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from engine.stages.common import collect_arrow_blocks
+from engine.stages.dsir import _bucket_ids, _grams
+
+_NANO = 1_000_000_000
+
+
+def _doc_features(txt: str, n_buckets: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Sparse L1-normalized features: (bucket ids, weights). Empty doc ->
+    empty arrays (bias-only contribution)."""
+    b = _bucket_ids(_grams(txt), n_buckets)
+    if not b.size:
+        return b, np.empty(0, dtype=np.float64)
+    ids, cnt = np.unique(b, return_counts=True)
+    return ids, cnt.astype(np.float64) / float(cnt.sum())
+
+
+def _grad_nano(
+    ids: np.ndarray, x: np.ndarray, y: int, w: np.ndarray, bias: float
+) -> Tuple[np.ndarray, int]:
+    """Per-doc integer gradient: (nano units per present bucket, bias)."""
+    z = bias + (w[ids] @ x if ids.size else 0.0)
+    r = 1.0 / (1.0 + math.exp(-z)) - float(y)
+    g = np.floor(r * x * _NANO).astype(np.int64)
+    return g, int(math.floor(r * _NANO))
+
+
+def _hash_gate(ids: np.ndarray, mod: int, keep: int) -> np.ndarray:
+    """Deterministic md5 sample gate over int64 ids (sample.py idiom)."""
+    out = np.empty(len(ids), dtype=bool)
+    for i, v in enumerate(ids):
+        out[i] = int.from_bytes(md5(str(int(v)).encode()).digest()[:8], "big") % mod < keep
+    return out
+
+
+def train_quality_classifier(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+    n_buckets: int = 1024,
+    epochs: int = 30,
+    lr: float = 25.0,
+    gate_mod: int = 1,
+    gate_keep: int = 1,
+    driver_max_train: int = 100_000,
+) -> Tuple[np.ndarray, float]:
+    """Train; returns (w[n_buckets] float64, bias). Deterministic under
+    any partitioning (integer gradient sums)."""
+
+    def featurize(t: pa.Table) -> pa.Table:
+        dids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if gate_mod > 1:
+            m = _hash_gate(dids, gate_mod, gate_keep)
+        else:
+            m = np.ones(len(dids), dtype=bool)
+        labels = t.column(label_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_d, out_y, out_b, out_x = [], [], [], []
+        for i in np.flatnonzero(m):
+            ids, x = _doc_features(texts[i], n_buckets)
+            out_d.append(int(dids[i]))
+            out_y.append(1 if labels[i] == positive else 0)
+            out_b.append(ids.tolist())
+            out_x.append(x.tolist())
+        return pa.table(
+            {
+                "did": pa.array(out_d, pa.int64()),
+                "y": pa.array(out_y, pa.int64()),
+                "b": pa.array(out_b, pa.list_(pa.int64())),
+                "x": pa.array(out_x, pa.list_(pa.float64())),
+            }
+        )
+
+    feats = ds.map_batches(
+        featurize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_train = feats.count()
+    w = np.zeros(n_buckets, dtype=np.float64)
+    bias = 0.0
+    if n_train == 0:
+        return w, bias
+
+    if n_train <= driver_max_train:
+        # driver fast path: collect the SAMPLE's sparse features once
+        rows = []
+        for blk in collect_arrow_blocks(feats, required_col="did"):
+            for y, b, x in zip(
+                blk.column("y").to_pylist(),
+                blk.column("b").to_pylist(),
+                blk.column("x").to_pylist(),
+            ):
+                rows.append(
+                    (int(y), np.asarray(b, np.int64), np.asarray(x, np.float64))
+                )
+        for _ in range(epochs):
+            acc = np.zeros(n_buckets, dtype=np.int64)
+            accb = 0
+            for y, b, x in rows:
+                g, gb = _grad_nano(b, x, y, w, bias)
+                np.add.at(acc, b, g)
+                accb += gb
+            w = w - lr * (acc.astype(np.float64) / _NANO) / n_train
+            bias = bias - lr * (accb / _NANO) / n_train
+        return w, bias
+
+    for _ in range(epochs):
+        w_ref = ray.put((w, bias))
+
+        def epoch_partial(t: pa.Table, ref=w_ref) -> pa.Table:
+            cw, cb = ray.get(ref)
+            acc = np.zeros(n_buckets, dtype=np.int64)
+            accb = 0
+            for y, b, x in zip(
+                t.column("y").to_pylist(),
+                t.column("b").to_pylist(),
+                t.column("x").to_pylist(),
+            ):
+                bi = np.asarray(b, np.int64)
+                g, gb = _grad_nano(bi, np.asarray(x, np.float64), int(y), cw, cb)
+                np.add.at(acc, bi, g)
+                accb += gb
+            nz = np.nonzero(acc)[0]
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        np.concatenate([nz, [-1]]).astype(np.int64), pa.int64()
+                    ),
+                    "g": pa.array(
+                        np.concatenate([acc[nz], [accb]]).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        acc = np.zeros(n_buckets, dtype=np.int64)
+        accb = 0
+        for blk in collect_arrow_blocks(
+            feats.map_batches(
+                epoch_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            required_col="bucket",
+        ):
+            bk = blk.column("bucket").to_numpy(zero_copy_only=False)
+            gv = blk.column("g").to_numpy(zero_copy_only=False)
+            bias_rows = bk == -1
+            accb += int(gv[bias_rows].sum())
+            acc[bk[~bias_rows]] += gv[~bias_rows]
+        w = w - lr * (acc.astype(np.float64) / _NANO) / n_train
+        bias = bias - lr * (accb / _NANO) / n_train
+    return w, bias
+
+
+def classifier_scores(
+    ds: ray.data.Dataset,
+    w: np.ndarray,
+    bias: float,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+    n_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Stateless scoring pass: (doc_id, label, prob_nano). prob_nano =
+    floor(1e9 * sigmoid(w.x + b)) — fixed point, partitioning-invariant."""
+    w_ref = ray.put((np.asarray(w, np.float64), float(bias)))
+
+    def score(t: pa.Table, ref=w_ref) -> pa.Table:
+        cw, cb = ray.get(ref)
+        probs = []
+        labels = t.column(label_col).to_pylist()
+        for txt in t.column(text_col).to_pylist():
+            ids, x = _doc_features(txt, n_buckets)
+            z = cb + (cw[ids] @ x if ids.size else 0.0)
+            probs.append(int(math.floor(_NANO / (1.0 + math.exp(-z)))))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "label": pa.array(
+                    [1 if l == positive else 0 for l in labels], pa.int64()
+                ),
+                "prob_nano": pa.array(probs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_classifier(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+    n_buckets: int = 1024,
+    epochs: int = 30,
+    lr: float = 25.0,
+    driver_max_train: int = 100_000,
+) -> ray.data.Dataset:
+    """Train on ds (hash-gate upstream for a sample at scale), score ds."""
+    w, bias = train_quality_classifier(
+        ds,
+        id_col=id_col,
+        text_col=text_col,
+        label_col=label_col,
+        positive=positive,
+        n_buckets=n_buckets,
+        epochs=epochs,
+        lr=lr,
+        driver_max_train=driver_max_train,
+    )
+    return classifier_scores(
+        ds,
+        w,
+        bias,
+        id_col=id_col,
+        text_col=text_col,
+        label_col=label_col,
+        positive=positive,
+        n_buckets=n_buckets,
+    )

@@ -125,6 +125,7 @@ ROWS_ONLY = [
     ("tfidf_pairs", 1),
     ("textrank", 1),
     ("corpus_build", 1),
+    ("quality_classifier", 1),
 ]
 
 
