@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q.q_chunk_docs,
         "url_filter": q.q_url_filter,
         "normalize_text": q.q_normalize_text,
+        "novelty": q.q_novelty,
         # rows-only (non-SQL-expressible)
         "quality_classifier": q.q_quality_classifier,
         "hits_scores": q.q_hits,
@@ -1827,6 +1828,29 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'ok'
                    END AS status
             FROM u
+        """,
+        "novelty": r"""
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(coalesce(text, ''),
+                                                   '[^\t\n\v\f\r ]+') AS w
+                         FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(w[p : p + 2], ' ') AS g
+                  FROM (SELECT doc_id, w,
+                               CAST(unnest(range(1, greatest(len(w) - 1, 1)))
+                                   AS BIGINT) AS p
+                        FROM tok)),
+            dfreq AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+            per AS (SELECT g.doc_id, count(*) AS tot,
+                           sum(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS uniq
+                    FROM g JOIN dfreq USING (g) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(per.tot, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(per.uniq, 0) AS BIGINT) AS uniq_grams,
+                   CAST(CASE WHEN coalesce(per.tot, 0) = 0 THEN 0
+                             ELSE coalesce(per.uniq, 0) * 1000000 // per.tot
+                        END AS BIGINT) AS novelty_ppm
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "normalize_text": r"""
             WITH raw AS (

@@ -1905,3 +1905,14 @@ def q_quality_classifier(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text", "lang"], num_blocks=_cpus())
     return quality_classifier(ds, positive="en")
+
+
+def q_novelty(sf_dir: str):
+    """Per-document 3-gram novelty (clean.ngram_novelty): fraction of a
+    doc's distinct grams occurring in no other document.  Two coarse
+    bucket groupbys (hash(gram) then doc), text never shuffles,
+    integer-exact.  SQL-verified."""
+    from engine.stages.clean import ngram_novelty
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return ngram_novelty(ds, n=3)

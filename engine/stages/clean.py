@@ -1097,3 +1097,137 @@ def normalize_text(
         )
 
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_novelty(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_buckets: int = 64,
+    doc_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per-document n-gram novelty: of a document's DISTINCT word n-grams,
+    the fraction that occur in NO other document — the inverse of the
+    repetition/boilerplate signals (a low-novelty doc is assembled from
+    corpus-common phrases; a high-novelty doc is fresh text).  Emits
+    (doc_id, n_grams, uniq_grams, novelty_ppm), integer-exact, SQL-green.
+
+    Shape (the corpus_overlap/bigram_nll device): each doc emits its
+    distinct 63-bit FNV gram hashes ONCE (one fnv1a_batch call per batch,
+    flattened); df resolves in ONE coarse hash(h)-bucket groupby (all
+    rows of an h co-locate; df == rows), per-doc bucket partials
+    (uniq_in_bucket, tot_in_bucket) are vectorized bincounts; a second
+    coarse doc-bucket groupby sums the <= docs x buckets partial rows.
+    Text never shuffles.  A negative-hash sentinel row per doc rides the
+    first shuffle so zero-gram docs stay in the output with tot=0
+    (mirrors the oracle's LEFT JOIN).
+    """
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        flat: List[bytes] = []
+        out_d: List[int] = []
+        sent_d: List[int] = []
+        for d, txt in zip(ids, texts):
+            grams = _word_ngrams(txt, n)
+            flat.extend(g.encode("utf-8") for g in grams)
+            out_d.extend([int(d)] * len(grams))
+            sent_d.append(int(d))
+        if flat:
+            h = (fnv1a_batch(flat) & np.uint64((1 << 63) - 1)).astype(np.int64)
+        else:
+            h = np.empty(0, dtype=np.int64)
+        hb = h % np.int64(n_buckets)
+        d_arr = np.asarray(out_d + sent_d, dtype=np.int64)
+        h_all = np.concatenate([h, np.full(len(sent_d), -1, dtype=np.int64)])
+        hb_all = np.concatenate(
+            [hb, np.asarray(sent_d, dtype=np.int64) % np.int64(n_buckets)]
+        )
+        return pa.table(
+            {
+                "hb": pa.array(hb_all, pa.int64()),
+                "h": pa.array(h_all, pa.int64()),
+                "d": pa.array(d_arr, pa.int64()),
+            }
+        )
+
+    def bucket_reduce(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        sent = df[df["h"] < 0]
+        real = df[df["h"] >= 0]
+        parts = []
+        if len(real):
+            hc, _ = pd.factorize(real["h"], sort=False)
+            df_per_h = np.bincount(hc)
+            uniq_row = df_per_h[hc] == 1
+            dc, dvals = pd.factorize(real["d"], sort=False)
+            tot = np.bincount(dc)
+            uniq = np.bincount(dc, weights=uniq_row).astype(np.int64)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "d": dvals.astype(np.int64),
+                        "uniq": uniq,
+                        "tot": tot.astype(np.int64),
+                    }
+                )
+            )
+        if len(sent):
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "d": sent["d"].to_numpy(np.int64),
+                        "uniq": np.zeros(len(sent), np.int64),
+                        "tot": np.zeros(len(sent), np.int64),
+                    }
+                )
+            )
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "d": np.asarray([], np.int64),
+                    "uniq": np.asarray([], np.int64),
+                    "tot": np.asarray([], np.int64),
+                }
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    def add_db(t: pa.Table) -> pa.Table:
+        db = t.column("d").to_numpy(zero_copy_only=False) % np.int64(doc_buckets)
+        return t.append_column("db", pa.array(db, pa.int64()))
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = df.groupby("d", sort=False, as_index=False)[["uniq", "tot"]].sum()
+        tot = g["tot"].to_numpy(np.int64)
+        uniq = g["uniq"].to_numpy(np.int64)
+        ppm = np.where(tot > 0, uniq * np.int64(1_000_000) // np.maximum(tot, 1), 0)
+        return pd.DataFrame(
+            {
+                "doc_id": g["d"].to_numpy(np.int64),
+                "n_grams": tot,
+                "uniq_grams": uniq,
+                "novelty_ppm": ppm.astype(np.int64),
+            }
+        )
+
+    return (
+        as_arrow(
+            ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("hb")
+            .map_groups(
+                lambda df: bucket_reduce(df.drop(columns=["hb"])),
+                batch_format="pandas",
+            )
+        )
+        .map_batches(add_db, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("db")
+        .map_groups(
+            lambda df: final(df.drop(columns=["db"])), batch_format="pandas"
+        )
+    )

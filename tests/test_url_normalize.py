@@ -129,3 +129,34 @@ def test_normalize_text_idempotent(ray_session):
     )
     assert again["norm_text"].tolist() == once["norm_text"].tolist()
     assert again["changed"].tolist() == [0, 0]
+
+
+def test_ngram_novelty_semantics(ray_session):
+    from engine.stages.clean import ngram_novelty
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e",          # shares 'a b c'/'b c d' with doc1
+                    "a b c d x",          # shares with doc0
+                    "totally fresh unique words here",  # all novel
+                    "tiny doc",           # < 3 tokens -> 0 grams
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out = (
+            ngram_novelty(ds, n=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_grams"].tolist() == [3, 3, 3, 0]
+        # doc0: 'a b c','b c d' shared; 'c d e' unique -> 1/3
+        assert out["uniq_grams"].tolist() == [1, 1, 3, 0]
+        assert out["novelty_ppm"].tolist() == [333333, 333333, 1000000, 0]
