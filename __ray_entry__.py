@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novelty": q.q_novelty,
         # rows-only (non-SQL-expressible)
         "quality_classifier": q.q_quality_classifier,
+        "neardup_incremental": q.q_neardup_incremental,
         "hits_scores": q.q_hits,
         "compress_ratio": q.q_compress_ratio,
         "anchor_terms": q.q_anchor_terms,

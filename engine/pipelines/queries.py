@@ -1916,3 +1916,23 @@ def q_novelty(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return ngram_novelty(ds, n=3)
+
+
+def q_neardup_incremental(sf_dir: str):
+    """Incremental near-dup gate (dedup.minhash_incremental): odd-id docs
+    screened against the even-id standing index by MinHash band
+    membership — zero broadcast, two coarse bucket groupbys.  Rows-only
+    (blake2b minhash); semantics pinned in
+    tests/test_url_normalize.py::test_minhash_incremental_semantics."""
+    from engine.stages.dedup import minhash_incremental
+
+    def side(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+
+        return _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus()).map_batches(
+            f, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    return minhash_incremental(side(0), side(1))

@@ -1395,3 +1395,132 @@ def tfidf_pairs(
             lambda df: reduce_pairs(df.drop(columns=["pb"])), batch_format="pandas"
         )
     )
+
+
+def minhash_incremental(
+    indexed: ray.data.Dataset,
+    incoming: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_buckets: int = 64,
+    doc_buckets: int = 64,
+    shingle_fn=None,
+) -> ray.data.Dataset:
+    """Incremental near-dup gate: flag INCOMING documents whose MinHash
+    LSH bands collide with the already-INDEXED corpus — the LSH analog of
+    ``sketch.bloom_dedup`` (exact membership) for the continuous-crawl
+    loop: a wave is screened against the standing index before ingest,
+    and no incoming-vs-incoming pair is ever flagged (that is
+    ``minhash_lsh_pairs``' job on the survivors).
+
+    Output: (id_col, n_hit_bands, is_dup) for EVERY incoming doc.
+
+    Shape (the corpus_overlap device — NO broadcast, NO driver funnel):
+    both sides emit (band, band_hash) keys folded to one int63; ONE
+    coarse hash(key)-bucket groupby resolves membership vectorized
+    (indexed keys present in the bucket mark incoming rows); per-doc
+    sentinel rows (negative key) ride the same shuffle so zero-hit docs
+    stay in the output; ONE coarse doc-bucket groupby sums the
+    <= docs x buckets partial rows.  Band signatures never broadcast;
+    text never shuffles.
+    """
+    stage_idx = MinHashStage(text_col=text_col, id_col=id_col, k=k, shingle_fn=shingle_fn)
+    stage_inc = MinHashStage(text_col=text_col, id_col=id_col, k=k, shingle_fn=shingle_fn)
+
+    def fold(t: pa.Table, side: int, sentinels: bool) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        key = ((bh.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+               ^ band.astype(np.uint64)) & np.uint64((1 << 63) - 1)
+        key = key.astype(np.int64)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        kb = key % np.int64(n_buckets)
+        if sentinels:
+            sd = np.unique(d)
+            key = np.concatenate([key, -sd - 1])
+            kb = np.concatenate([kb, sd % np.int64(n_buckets)])
+            d = np.concatenate([d, sd])
+        return pa.table(
+            {
+                "kb": pa.array(kb, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "d": pa.array(d, pa.int64()),
+                "side": pa.array(np.full(len(d), side, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    idx_keys = indexed.map_batches(
+        stage_idx, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: fold(t, 0, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    inc_keys = incoming.map_batches(
+        stage_inc, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: fold(t, 1, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_member(df: pd.DataFrame) -> pd.DataFrame:
+        sent = df[df["key"] < 0]
+        real = df[df["key"] >= 0]
+        parts = []
+        if len(real):
+            idx_set = real.loc[real["side"] == 0, "key"].unique()
+            inc = real[real["side"] == 1]
+            if len(inc):
+                hit = inc["key"].isin(idx_set).to_numpy()
+                g = (
+                    pd.DataFrame({"d": inc["d"].to_numpy(np.int64), "hit": hit.astype(np.int64)})
+                    .groupby("d", sort=False, as_index=False)["hit"]
+                    .sum()
+                )
+                parts.append(g.rename(columns={"hit": "n"}))
+        if len(sent):
+            sent_inc = sent[sent["side"] == 1]
+            if len(sent_inc):
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "d": sent_inc["d"].to_numpy(np.int64),
+                            "n": np.zeros(len(sent_inc), np.int64),
+                        }
+                    )
+                )
+        if not parts:
+            return pd.DataFrame(
+                {"d": np.asarray([], np.int64), "n": np.asarray([], np.int64)}
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    def add_db(t: pa.Table) -> pa.Table:
+        db = t.column("d").to_numpy(zero_copy_only=False) % np.int64(doc_buckets)
+        return t.append_column("db", pa.array(db, pa.int64()))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("d", sort=False, as_index=False)["n"].sum()
+        n = g["n"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: g["d"].to_numpy(np.int64),
+                "n_hit_bands": n,
+                "is_dup": (n > 0).astype(np.int64),
+            }
+        )
+
+    return (
+        as_arrow(
+            idx_keys.union(inc_keys)
+            .groupby("kb")
+            .map_groups(
+                lambda df: bucket_member(df.drop(columns=["kb"])),
+                batch_format="pandas",
+            )
+        )
+        .map_batches(add_db, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("db")
+        .map_groups(
+            lambda df: final(df.drop(columns=["db"])), batch_format="pandas"
+        )
+    )

@@ -126,6 +126,7 @@ ROWS_ONLY = [
     ("textrank", 1),
     ("corpus_build", 1),
     ("quality_classifier", 1),
+    ("neardup_incremental", 1),
 ]
 
 

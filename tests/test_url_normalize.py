@@ -160,3 +160,51 @@ def test_ngram_novelty_semantics(ray_session):
         # doc0: 'a b c','b c d' shared; 'c d e' unique -> 1/3
         assert out["uniq_grams"].tolist() == [1, 1, 3, 0]
         assert out["novelty_ppm"].tolist() == [333333, 333333, 1000000, 0]
+
+
+def test_minhash_incremental_semantics(ray_session):
+    from engine.stages.dedup import minhash_incremental
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "sleepy badgers carefully audit forty two ancient parquet "
+            "files beneath the humming data center floor every night")
+    near = base.replace("night", "morning")
+    indexed = pa.table(
+        {
+            "doc_id": pa.array([0, 2], pa.int64()),
+            "text": pa.array([base, "completely different indexed corpus text "
+                              "about sailing ships and navigation charts"], pa.string()),
+        }
+    )
+    incoming = pa.table(
+        {
+            "doc_id": pa.array([1, 3, 5, 7], pa.int64()),
+            "text": pa.array(
+                [
+                    near,  # near-dup of indexed doc 0 -> flagged
+                    "fresh unrelated incoming document regarding culinary "
+                    "techniques and pastry lamination schedules",
+                    # 5 and 7 are near-dups of EACH OTHER but not of the
+                    # index -> must NOT be flagged (index membership only)
+                    "twin incoming document alpha beta gamma delta epsilon "
+                    "zeta eta theta iota kappa",
+                    "twin incoming document alpha beta gamma delta epsilon "
+                    "zeta eta theta iota kappa!",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    for blocks in (1, 3):
+        out = (
+            minhash_incremental(
+                ray.data.from_arrow(indexed).repartition(blocks),
+                ray.data.from_arrow(incoming).repartition(blocks),
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [1, 3, 5, 7]
+        assert out["is_dup"].tolist() == [1, 0, 0, 0], out
+        assert out.loc[0, "n_hit_bands"] >= 1
