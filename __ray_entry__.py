@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_filter": q.q_url_filter,
         "normalize_text": q.q_normalize_text,
         "novelty": q.q_novelty,
+        "robots_rules": q.q_robots_rules,
         # rows-only (non-SQL-expressible)
         "quality_classifier": q.q_quality_classifier,
         "neardup_incremental": q.q_neardup_incremental,
@@ -1829,6 +1830,20 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'ok'
                    END AS status
             FROM u
+        """,
+        "robots_rules": r"""
+            SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+                   CAST(CASE doc_id % 4
+                            WHEN 0 THEN (doc_id % 10) * 1000
+                            WHEN 1 THEN 2500
+                            ELSE -1
+                        END AS BIGINT) AS crawl_delay_ms,
+                   CASE doc_id % 4
+                       WHEN 0 THEN '/priv' || CAST(doc_id AS VARCHAR) || ',/x'
+                       WHEN 1 THEN '/tmp' || CAST(doc_id AS VARCHAR)
+                       ELSE ''
+                   END AS disallow
+            FROM documents
         """,
         "novelty": r"""
             WITH tok AS (SELECT doc_id,

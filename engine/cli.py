@@ -274,6 +274,28 @@ def cmd_build_corpus(args) -> int:
     return 0
 
 
+def cmd_parse_robots(args) -> int:
+    """Fetched robots.txt corpus -> the politeness parquet the crawl
+    consumes (stages.robots; the north_star robots cache made loadable)."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from engine.stages.robots import robots_politeness, write_politeness_parquet
+
+    t0 = time.monotonic()
+    parsed = robots_politeness(
+        rd.read_parquet(args.robots), user_agent=args.user_agent
+    )
+    write_politeness_parquet(
+        parsed, args.out,
+        default_crawl_delay=args.default_crawl_delay,
+        default_max_pages=args.default_max_pages,
+    )
+    print(f"Time taken: {time.monotonic() - t0:.2f}s -> {args.out}")
+    _shutdown(ray)
+    return 0
+
+
 def cmd_crawl(args) -> int:
     ray = _ray_session(args.num_cpus)
     from dataclasses import replace
@@ -414,6 +436,16 @@ def main(argv=None) -> int:
     e.add_argument("--n-shards", type=int, default=64)
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_export)
+
+    pr = sub.add_parser(
+        "parse-robots", help="robots.txt corpus -> politeness parquet"
+    )
+    pr.add_argument("robots", help="parquet with (host, robots_txt)")
+    pr.add_argument("out")
+    pr.add_argument("--user-agent", default="raycrawler")
+    pr.add_argument("--default-crawl-delay", type=float, default=5.0)
+    pr.add_argument("--default-max-pages", type=int, default=1000)
+    pr.set_defaults(fn=cmd_parse_robots)
 
     args = p.parse_args(argv)
     try:

@@ -1936,3 +1936,48 @@ def q_neardup_incremental(sf_dir: str):
         )
 
     return minhash_incremental(side(0), side(1))
+
+
+def q_robots_rules(sf_dir: str):
+    """robots.txt parsing end-to-end (stages.robots): bodies synthesized
+    deterministically per doc (four variants: specific-agent override,
+    mixed-case + comments, non-matching agent, empty Disallow), parsed
+    distributed; the oracle computes the EXPECTED rules independently
+    from doc_id, so parity proves the parser.  SQL-verified."""
+    from engine.stages.robots import robots_politeness
+
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+
+    def synth(t: pa.Table) -> pa.Table:
+        hosts, bodies = [], []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            hosts.append(f"h{d}.example.com")
+            v = d % 4
+            if v == 0:
+                bodies.append(
+                    "User-agent: *\nCrawl-delay: 7\nDisallow: /a\n\n"
+                    f"User-agent: raycrawler\nCrawl-delay: {d % 10}\n"
+                    f"Disallow: /priv{d}\nDisallow: /x\n"
+                )
+            elif v == 1:
+                bodies.append(
+                    "# synthetic robots\nUser-AGENT: *  # inline\n"
+                    f"DISALLOW: /tmp{d}\nCrawl-Delay: 2.5\n"
+                )
+            elif v == 2:
+                bodies.append(
+                    "User-agent: otherbot\nDisallow: /\nCrawl-delay: 1\n"
+                )
+            else:
+                bodies.append("User-agent: *\nDisallow:\n")
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "robots_txt": pa.array(bodies, pa.string()),
+            }
+        )
+
+    return robots_politeness(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -1,0 +1,171 @@
+"""robots.txt parsing → politeness rules (north_star: "per-host politeness
+priority queue (robots.txt cache + crawl-delay budget)").
+
+The crawl pipeline consumes a politeness TABLE (host, crawl_delay,
+max_pages, disallow) — engine.pipelines.crawl_common.load_politeness.  A
+real crawler derives that table from fetched robots.txt bodies; this
+module is that derivation, as one stateless ``map_batches`` over a
+(host, robots_txt) corpus (per-row string parsing, like canonicalize.py —
+there is no Arrow kernel for a line-oriented grammar).
+
+Grammar (RFC 9309, the subset a politeness queue needs):
+- ``#`` comments stripped; keys case-insensitive; values trimmed.
+- Groups start at one or more ``User-agent:`` lines; subsequent
+  ``Disallow:`` / ``Crawl-delay:`` lines belong to the group.
+- Group selection for our agent: the LONGEST agent token that is a
+  case-insensitive prefix of the agent name wins; ``*`` matches with
+  length 0 (chosen only when no specific token matches).  ALL groups
+  carrying the winning token merge (RFC 9309 §2.2.1).
+- Empty ``Disallow:`` means allow-all (contributes no prefix).
+- ``Crawl-delay`` is seconds (float); emitted as floor-milliseconds
+  int64 (fixed-point, SQL-exact); -1 when absent or unparsable.
+
+A host with NO matching group yields (delay=-1, disallow='') — the
+crawler's defaults apply (crawl_common.host_rules).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def parse_robots_txt(body: str, user_agent: str = "raycrawler") -> Tuple[int, Tuple[str, ...]]:
+    """(crawl_delay_ms, disallow prefixes) for ``user_agent``; see module
+    docstring for the grammar and precedence rules."""
+    ua = user_agent.lower()
+    # groups: list of (agent_tokens, disallows, delay_ms)
+    groups: List[Tuple[List[str], List[str], Optional[int]]] = []
+    cur_agents: List[str] = []
+    cur_dis: List[str] = []
+    cur_delay: Optional[int] = None
+    in_group_body = False
+
+    def flush():
+        nonlocal cur_agents, cur_dis, cur_delay, in_group_body
+        if cur_agents:
+            groups.append((cur_agents, cur_dis, cur_delay))
+        cur_agents, cur_dis, cur_delay = [], [], None
+        in_group_body = False
+
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                flush()
+            cur_agents.append(val.lower())
+        elif key in ("disallow", "allow", "crawl-delay"):
+            if not cur_agents:
+                continue  # directive before any group: ignored
+            in_group_body = True
+            if key == "disallow" and val:
+                cur_dis.append(val)
+            elif key == "crawl-delay":
+                try:
+                    cur_delay = int(float(val) * 1000.0)
+                except ValueError:
+                    pass
+        # unknown keys: ignored, but they do not end the group
+    flush()
+
+    # longest matching token; '*' has length 0
+    best_len = -1
+    for agents, _, _ in groups:
+        for a in agents:
+            if a == "*":
+                best_len = max(best_len, 0)
+            elif a and ua.startswith(a):
+                best_len = max(best_len, len(a))
+    if best_len < 0:
+        return -1, ()
+    dis: List[str] = []
+    delay: Optional[int] = None
+    for agents, d, cd in groups:
+        match = any(
+            (a == "*" and best_len == 0)
+            or (a != "*" and ua.startswith(a) and len(a) == best_len)
+            for a in agents
+        )
+        if match:
+            dis.extend(d)
+            if cd is not None and delay is None:
+                delay = cd
+    return (delay if delay is not None else -1), tuple(dis)
+
+
+def robots_politeness(
+    ds: "ray.data.Dataset",
+    *,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    user_agent: str = "raycrawler",
+) -> "ray.data.Dataset":
+    """(host, crawl_delay_ms, disallow) per input row — one stateless
+    map_batches; at 10^10-URL scale the robots corpus is hosts-sized
+    (~10^7 rows), a rounding error next to the frontier."""
+
+    def parse(t: pa.Table) -> pa.Table:
+        delays: List[int] = []
+        dis: List[str] = []
+        for body in t.column(body_col).to_pylist():
+            d_ms, prefixes = parse_robots_txt(body or "", user_agent)
+            delays.append(d_ms)
+            dis.append(",".join(prefixes))
+        return pa.table(
+            {
+                host_col: t.column(host_col),
+                "crawl_delay_ms": pa.array(delays, pa.int64()),
+                "disallow": pa.array(dis, pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_politeness_parquet(
+    parsed: "ray.data.Dataset",
+    path: str,
+    *,
+    default_crawl_delay: float = 5.0,
+    default_max_pages: int = 1000,
+) -> None:
+    """Materialize a parsed robots table into the politeness-parquet schema
+    ``load_politeness`` consumes (crawl_delay seconds float, max_pages,
+    disallow CSV) — the bridge from fetched robots.txt to the crawl
+    pipeline.  Small (hosts-sized) by construction, single file."""
+    import pyarrow.parquet as pq
+
+    from engine.stages.common import collect_arrow_blocks
+
+    blocks = collect_arrow_blocks(parsed, required_col="host")
+    if not blocks:
+        t = pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "crawl_delay_ms": pa.array([], pa.int64()),
+                "disallow": pa.array([], pa.string()),
+            }
+        )
+    else:
+        t = pa.concat_tables(blocks, promote_options="default")
+    delays = t.column("crawl_delay_ms").to_numpy(zero_copy_only=False)
+    secs = np.where(delays >= 0, delays / 1000.0, default_crawl_delay)
+    out = pa.table(
+        {
+            "host": t.column("host"),
+            "crawl_delay": pa.array(secs, pa.float64()),
+            "max_pages": pa.array(
+                np.full(t.num_rows, default_max_pages, dtype=np.int64), pa.int64()
+            ),
+            "disallow": t.column("disallow"),
+        }
+    )
+    pq.write_table(out, path)

@@ -74,7 +74,7 @@ SQL_NAMES = [
     "mixture_sample", "corpus_split", "weighted_sample", "domain_terms",
     "corpus_filter", "incremental_index",
     "export_shards", "export_jsonl", "chunk_docs",
-    "url_filter", "normalize_text", "novelty",
+    "url_filter", "normalize_text", "novelty", "robots_rules",
 ]
 
 

@@ -1,0 +1,83 @@
+"""robots.txt parser semantics (RFC 9309 subset) + the bridge into the
+crawl pipeline's politeness table."""
+
+import pyarrow as pa
+import ray.data
+
+from engine.pipelines.crawl_common import CrawlConfig, host_rules, load_politeness
+from engine.stages.robots import (
+    parse_robots_txt,
+    robots_politeness,
+    write_politeness_parquet,
+)
+
+
+def test_longest_agent_token_wins_and_star_fallback():
+    body = (
+        "User-agent: *\nDisallow: /star\nCrawl-delay: 9\n\n"
+        "User-agent: ray\nDisallow: /short\n\n"
+        "User-agent: raycrawler\nDisallow: /long\nCrawl-delay: 3\n"
+    )
+    assert parse_robots_txt(body, "raycrawler") == (3000, ("/long",))
+    # 'ray' is the longest prefix of 'raybot'; no delay in that group
+    assert parse_robots_txt(body, "raybot") == (-1, ("/short",))
+    assert parse_robots_txt(body, "googlebot") == (9000, ("/star",))
+    # 'raycrawlerx' as a TOKEN does not match agent 'raycrawler'... but
+    # 'raycrawler' token matches agent 'raycrawlerxl' (prefix rule)
+    assert parse_robots_txt(body, "raycrawlerxl") == (3000, ("/long",))
+
+
+def test_group_merging_and_shared_header():
+    # two groups with the same winning token merge; a group may list
+    # several user-agent lines before its body
+    body = (
+        "User-agent: a\nUser-agent: raycrawler\nDisallow: /one\n\n"
+        "User-agent: raycrawler\nDisallow: /two\nCrawl-delay: 1\n"
+    )
+    assert parse_robots_txt(body, "raycrawler") == (1000, ("/one", "/two"))
+
+
+def test_grammar_edges():
+    # directive before any group ignored; unknown keys don't end a group;
+    # empty Disallow contributes nothing; unparsable delay ignored;
+    # comments and blank/garbage lines skipped
+    body = (
+        "Disallow: /orphan\n"
+        "User-agent: *\n"
+        "Sitemap: https://x.example.com/s.xml\n"
+        "Disallow:\n"
+        "Crawl-delay: soon\n"
+        "# full comment\n"
+        "not a directive\n"
+        "Disallow: /kept # trailing\n"
+    )
+    assert parse_robots_txt(body, "anybot") == (-1, ("/kept",))
+    assert parse_robots_txt("", "anybot") == (-1, ())
+    assert parse_robots_txt(None, "anybot") == (-1, ())
+
+
+def test_politeness_bridge(ray_session, tmp_path):
+    parsed = robots_politeness(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array(["a.com", "b.com"], pa.string()),
+                    "robots_txt": pa.array(
+                        [
+                            "User-agent: *\nCrawl-delay: 2\nDisallow: /p\nDisallow: /q\n",
+                            "User-agent: otherbot\nDisallow: /\n",
+                        ],
+                        pa.string(),
+                    ),
+                }
+            )
+        )
+    )
+    path = str(tmp_path / "politeness.parquet")
+    write_politeness_parquet(parsed, path, default_crawl_delay=5.0, default_max_pages=7)
+    cfg = CrawlConfig()
+    rules = load_politeness(path, cfg)
+    ra = host_rules(rules, "a.com", cfg)
+    rb = host_rules(rules, "b.com", cfg)
+    assert ra.crawl_delay == 2.0 and ra.disallow == ("/p", "/q") and ra.max_pages == 7
+    assert rb.crawl_delay == 5.0 and rb.disallow == ()
