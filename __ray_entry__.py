@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q.q_normalize_text,
         "novelty": q.q_novelty,
         "robots_rules": q.q_robots_rules,
+        "sitemap_urls": q.q_sitemap_urls,
         # rows-only (non-SQL-expressible)
         "quality_classifier": q.q_quality_classifier,
         "neardup_incremental": q.q_neardup_incremental,
@@ -1830,6 +1831,35 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'ok'
                    END AS status
             FROM u
+        """,
+        "sitemap_urls": r"""
+            WITH k AS (SELECT doc_id,
+                              CASE WHEN doc_id % 5 = 0 THEN 2
+                                   ELSE doc_id % 3 + 1 END AS n
+                       FROM documents),
+            e AS (SELECT doc_id, CAST(unnest(range(0, n)) AS BIGINT) AS j
+                  FROM k)
+            SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+                   CASE WHEN doc_id % 5 = 0
+                            THEN 'https://h' || CAST(doc_id AS VARCHAR)
+                                 || '.example.com/sitemap'
+                                 || CAST(j + 1 AS VARCHAR) || '.xml'
+                        WHEN j = 0
+                            THEN 'https://h' || CAST(doc_id AS VARCHAR)
+                                 || '.example.com/p0?a=1&b=2'
+                        ELSE 'https://h' || CAST(doc_id AS VARCHAR)
+                             || '.example.com/p' || CAST(j AS VARCHAR)
+                   END AS url,
+                   CASE WHEN doc_id % 5 = 0
+                            THEN CASE WHEN j = 0 THEN '2026-01-15' ELSE '' END
+                        ELSE '2026-01-0' || CAST(j + 1 AS VARCHAR)
+                   END AS lastmod,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN -1
+                             ELSE 250000 * (j + 1) END AS BIGINT)
+                       AS priority_ppm,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS from_index
+            FROM e
         """,
         "robots_rules": r"""
             SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,

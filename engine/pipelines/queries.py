@@ -1981,3 +1981,55 @@ def q_robots_rules(sf_dir: str):
     return robots_politeness(
         ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def q_sitemap_urls(sf_dir: str):
+    """Sitemap parsing end-to-end (stages.sitemaps): per-doc synthetic
+    <urlset> (entity-escaped query strings, CDATA locs, priorities,
+    lastmod) or <sitemapindex> (every 5th doc) expanded to URL rows; the
+    oracle computes the EXPECTED rows independently from doc_id.
+    SQL-verified."""
+    from engine.stages.sitemaps import sitemap_urls
+
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+
+    def synth(t: pa.Table) -> pa.Table:
+        hosts, bodies = [], []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            hosts.append(f"h{d}.example.com")
+            base = f"https://h{d}.example.com"
+            if d % 5 == 0:
+                bodies.append(
+                    "<sitemapindex>"
+                    f"<sitemap><loc>{base}/sitemap1.xml</loc>"
+                    "<lastmod>2026-01-15</lastmod></sitemap>"
+                    f"<sitemap><loc> {base}/sitemap2.xml </loc></sitemap>"
+                    "</sitemapindex>"
+                )
+            else:
+                parts = ["<urlset>"]
+                for j in range(d % 3 + 1):
+                    if j == 0:
+                        loc = f"{base}/p0?a=1&amp;b=2"
+                    elif j == 1:
+                        loc = f"<![CDATA[{base}/p1]]>"
+                    else:
+                        loc = f"{base}/p{j}"
+                    parts.append(
+                        f"<url><loc>{loc}</loc>"
+                        f"<lastmod>2026-01-0{j + 1}</lastmod>"
+                        f"<priority>0.{25 * (j + 1)}</priority></url>"
+                    )
+                parts.append("</urlset>")
+                bodies.append("".join(parts))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "sitemap_xml": pa.array(bodies, pa.string()),
+            }
+        )
+
+    return sitemap_urls(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    )

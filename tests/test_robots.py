@@ -81,3 +81,43 @@ def test_politeness_bridge(ray_session, tmp_path):
     rb = host_rules(rules, "b.com", cfg)
     assert ra.crawl_delay == 2.0 and ra.disallow == ("/p", "/q") and ra.max_pages == 7
     assert rb.crawl_delay == 5.0 and rb.disallow == ()
+
+
+def test_sitemap_parser_edges():
+    from engine.stages.sitemaps import parse_sitemap
+
+    # missing loc skipped; bad priority -> -1; CDATA + entities unescaped;
+    # whitespace trimmed; case-insensitive tags; malformed tail ignored
+    xml = (
+        "<urlset>"
+        "<url><lastmod>2026-01-01</lastmod></url>"
+        "<url><loc>https://a.com/x?q=1&amp;r=2</loc><priority>soon</priority></url>"
+        "<URL><LOC><![CDATA[ https://a.com/cdata ]]></LOC></URL>"
+        "<url><loc>  https://a.com/ws  </loc><priority>0.5</priority></url>"
+        "<url><loc>https://a.com/open"
+    )
+    rows = parse_sitemap(xml)
+    assert [r["url"] for r in rows] == [
+        "https://a.com/x?q=1&r=2",
+        "https://a.com/cdata",
+        "https://a.com/ws",
+    ]
+    assert [r["priority_ppm"] for r in rows] == [-1, -1, 500000]
+    assert parse_sitemap("") == [] and parse_sitemap(None) == []
+
+
+def test_sitemap_index_rows():
+    from engine.stages.sitemaps import parse_sitemap
+
+    rows = parse_sitemap(
+        "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>"
+        "<lastmod>2026-02-01</lastmod></sitemap></sitemapindex>"
+    )
+    assert rows == [
+        {
+            "url": "https://a.com/s1.xml",
+            "lastmod": "2026-02-01",
+            "priority_ppm": -1,
+            "from_index": 1,
+        }
+    ]
