@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novelty": q.q_novelty,
         "robots_rules": q.q_robots_rules,
         "sitemap_urls": q.q_sitemap_urls,
+        "lang_confusion": q.q_lang_confusion,
+        "dedup_report": q.q_dedup_report,
         # rows-only (non-SQL-expressible)
         "quality_classifier": q.q_quality_classifier,
         "neardup_incremental": q.q_neardup_incremental,
@@ -485,6 +487,23 @@ def _fingerprint_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
+        "lang_confusion": f"""
+            SELECT d.lang, p.lang_pred, count(*) AS n
+            FROM documents d JOIN ({_lang_id_sql()}) p USING (doc_id)
+            GROUP BY d.lang, p.lang_pred
+        """,
+        "dedup_report": r"""
+            WITH h AS (SELECT doc_id, source, md5(coalesce(text, '')) AS h
+                       FROM documents),
+            w AS (SELECT source,
+                         CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY h)
+                              THEN 1 ELSE 0 END AS isdup
+                  FROM h)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(isdup) AS BIGINT) AS n_dup,
+                   CAST(sum(isdup) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+            FROM w GROUP BY source
+        """,
         "fingerprint": _fingerprint_sql(),
         "dsir": _dsir_sql(),
         # redirect-chain resolution: the engine runs log-many pointer-

@@ -250,6 +250,8 @@ def run_bench(extract_only: bool = False) -> dict:
     timed("surt_hosts", q.q_surt_hosts)
     timed("corpus_filter", q.q_corpus_filter)
     timed("dup_spans", q.q_dup_spans)
+    timed("novelty", q.q_novelty)
+    timed("quality_classifier", q.q_quality_classifier)
 
     headline = extract_sec + crawl_sec
     result = {

@@ -2033,3 +2033,123 @@ def q_sitemap_urls(sf_dir: str):
     return sitemap_urls(
         ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix (labeled lang x predicted lang) — the
+    eval view of q_lang_id.  Key space is |langs|^2 (driver-sized): counts
+    pre-aggregate per batch and reduce on the DRIVER (PERF.md #24), no
+    groupby.  SQL-verified (oracle wraps the lang_id scorer replay)."""
+    from collections import Counter as _Counter
+
+    from engine.stages.common import collect_arrow_blocks
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = tx.lang_id(t, "text").column("lang_pred").to_pylist()
+        lang = t.column("lang").to_pylist()
+        c = _Counter(zip(lang, pred))
+        ks = sorted(c)
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in ks], pa.string()),
+                "lang_pred": pa.array([k[1] for k in ks], pa.string()),
+                "n": pa.array([c[k] for k in ks], pa.int64()),
+            }
+        )
+
+    acc: "_Counter" = _Counter()
+    for blk in collect_arrow_blocks(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        required_col="n",
+    ):
+        for l, p, n in zip(
+            blk.column("lang").to_pylist(),
+            blk.column("lang_pred").to_pylist(),
+            blk.column("n").to_pylist(),
+        ):
+            acc[(l, p)] += int(n)
+    ks = sorted(acc)
+    return pa.table(
+        {
+            "lang": pa.array([k[0] for k in ks], pa.string()),
+            "lang_pred": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([acc[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def q_dedup_report(sf_dir: str):
+    """Per-source exact-dedup impact: docs, keep-first losers, dup ppm —
+    the monitoring view over exact_dedup.  ONE coarse hash-bucket groupby
+    marks losers vectorized (all rows of a content hash co-locate); the
+    per-source partials (20 sources — driver-sized) reduce on the DRIVER
+    (PERF.md #24).  SQL-verified."""
+    from collections import Counter as _Counter
+    from hashlib import md5 as _md5
+
+    from engine.stages.common import collect_arrow_blocks
+    from engine.stages.text import hash_bucket_column
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"], num_blocks=_cpus())
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        hs = [
+            _md5((x or "").encode()).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        return hash_bucket_column(
+            pa.table(
+                {
+                    "h": pa.array(hs, pa.string()),
+                    "doc_id": t.column("doc_id"),
+                    "source": t.column("source"),
+                }
+            ),
+            "h",
+            64,
+        )
+
+    def bucket_stats(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        loser = df["doc_id"].to_numpy() > df.groupby("h")["doc_id"].transform(
+            "min"
+        ).to_numpy()
+        g = (
+            pd.DataFrame({"source": df["source"], "dup": loser.astype(np.int64)})
+            .groupby("source", sort=False, as_index=False)
+            .agg(n_docs=("dup", "size"), n_dup=("dup", "sum"))
+        )
+        return g
+
+    acc: "_Counter" = _Counter()
+    docs: "_Counter" = _Counter()
+    bucketed = (
+        ds.map_batches(hash_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tb")
+        .map_groups(
+            lambda df: bucket_stats(df.drop(columns=["tb"])),
+            batch_format="pandas",
+        )
+    )
+    for blk in collect_arrow_blocks(bucketed, required_col="n_docs"):
+        for s, nd, du in zip(
+            blk.column("source").to_pylist(),
+            blk.column("n_docs").to_pylist(),
+            blk.column("n_dup").to_pylist(),
+        ):
+            docs[s] += int(nd)
+            acc[s] += int(du)
+    ks = sorted(docs)
+    return pa.table(
+        {
+            "source": pa.array(ks, pa.string()),
+            "n_docs": pa.array([docs[k] for k in ks], pa.int64()),
+            "n_dup": pa.array([acc[k] for k in ks], pa.int64()),
+            "dup_ppm": pa.array(
+                [acc[k] * 1_000_000 // docs[k] for k in ks], pa.int64()
+            ),
+        }
+    )

@@ -55,11 +55,23 @@ def _doc_features(txt: str, n_buckets: int) -> Tuple[np.ndarray, np.ndarray]:
     return ids, cnt.astype(np.float64) / float(cnt.sum())
 
 
+def _dot_nano(ids: np.ndarray, x: np.ndarray, w: np.ndarray) -> int:
+    """FIXED-POINT dot product: sum of floor(1e9 * w_j * x_j) integers —
+    order-free, so the per-doc margin is identical no matter which path
+    (per-doc loop, vectorized driver epoch, distributed partials, test
+    oracle) computes it.  A float ``w[ids] @ x`` would NOT be: BLAS dot,
+    ``np.add.reduceat`` and ``np.bincount`` sum in different orders and
+    can differ in the last bit, which the floor() then amplifies."""
+    if not ids.size:
+        return 0
+    return int(np.floor(w[ids] * x * _NANO).astype(np.int64).sum())
+
+
 def _grad_nano(
     ids: np.ndarray, x: np.ndarray, y: int, w: np.ndarray, bias: float
 ) -> Tuple[np.ndarray, int]:
     """Per-doc integer gradient: (nano units per present bucket, bias)."""
-    z = bias + (w[ids] @ x if ids.size else 0.0)
+    z = bias + _dot_nano(ids, x, w) / _NANO
     r = 1.0 / (1.0 + math.exp(-z)) - float(y)
     g = np.floor(r * x * _NANO).astype(np.int64)
     return g, int(math.floor(r * _NANO))
@@ -124,25 +136,39 @@ def train_quality_classifier(
         return w, bias
 
     if n_train <= driver_max_train:
-        # driver fast path: collect the SAMPLE's sparse features once
-        rows = []
+        # driver fast path: collect the SAMPLE's sparse features once into
+        # CSR-style flat arrays, then each epoch is a handful of numpy
+        # kernels (no per-doc Python).  Integer accumulations run through
+        # float64 np.bincount weights — exact because every addend and
+        # every partial sum is an integer below 2^53 (per-element
+        # |g| <= 1e9; guarded by the n_train assert), so the results are
+        # bit-identical to the distributed path's int64 sums.
+        assert n_train <= 4_000_000, "float64-exact integer-sum bound"
+        ys, docs_idx, flat_ids, flat_x = [], [], [], []
+        row = 0
         for blk in collect_arrow_blocks(feats, required_col="did"):
             for y, b, x in zip(
                 blk.column("y").to_pylist(),
                 blk.column("b").to_pylist(),
                 blk.column("x").to_pylist(),
             ):
-                rows.append(
-                    (int(y), np.asarray(b, np.int64), np.asarray(x, np.float64))
-                )
+                ys.append(int(y))
+                docs_idx.extend([row] * len(b))
+                flat_ids.extend(b)
+                flat_x.extend(x)
+                row += 1
+        y_arr = np.asarray(ys, np.float64)
+        dcode = np.asarray(docs_idx, np.int64)
+        ids_f = np.asarray(flat_ids, np.int64)
+        x_f = np.asarray(flat_x, np.float64)
         for _ in range(epochs):
-            acc = np.zeros(n_buckets, dtype=np.int64)
-            accb = 0
-            for y, b, x in rows:
-                g, gb = _grad_nano(b, x, y, w, bias)
-                np.add.at(acc, b, g)
-                accb += gb
-            w = w - lr * (acc.astype(np.float64) / _NANO) / n_train
+            wx = np.floor(w[ids_f] * x_f * _NANO)  # integer-valued float64
+            z = np.bincount(dcode, weights=wx, minlength=n_train) / _NANO
+            r = 1.0 / (1.0 + np.exp(-(bias + z))) - y_arr
+            g = np.floor(r[dcode] * x_f * _NANO)
+            acc = np.bincount(ids_f, weights=g, minlength=n_buckets)
+            accb = int(np.floor(r * _NANO).sum())
+            w = w - lr * (acc / _NANO) / n_train
             bias = bias - lr * (accb / _NANO) / n_train
         return w, bias
 
@@ -214,7 +240,7 @@ def classifier_scores(
         labels = t.column(label_col).to_pylist()
         for txt in t.column(text_col).to_pylist():
             ids, x = _doc_features(txt, n_buckets)
-            z = cb + (cw[ids] @ x if ids.size else 0.0)
+            z = cb + _dot_nano(ids, x, cw) / _NANO
             probs.append(int(math.floor(_NANO / (1.0 + math.exp(-z)))))
         return pa.table(
             {

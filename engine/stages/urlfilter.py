@@ -62,17 +62,25 @@ def url_filter(
         if urls.num_chunks != 1:
             urls = urls.combine_chunks()
         host = pc.struct_field(pc.extract_regex(urls, pattern=_HOST_RE), "host")
+
+        def _b(mask):
+            # null url -> null kernel results; a null URL fails 'scheme'
+            # (first rule), so null masks resolve to False everywhere else
+            return pc.fill_null(mask, False)
+
         # extract_regex yields null on non-match; is_in(null)=false, fine.
-        bad_scheme = pc.invert(pc.match_substring_regex(urls, pattern=_SCHEME_RE))
-        bad_host = pc.is_in(host, value_set=blocked)
-        too_long = pc.greater(pc.utf8_length(urls), max_len)
-        too_deep = pc.greater(
-            pc.count_substring(urls, pattern="/"), max_depth + 2
+        bad_scheme = pc.fill_null(
+            pc.invert(pc.match_substring_regex(urls, pattern=_SCHEME_RE)), True
         )
-        session = pc.match_substring_regex(
-            urls, pattern=_SESSION_RE, ignore_case=True
+        bad_host = _b(pc.is_in(host, value_set=blocked))
+        too_long = _b(pc.greater(pc.utf8_length(urls), max_len))
+        too_deep = _b(
+            pc.greater(pc.count_substring(urls, pattern="/"), max_depth + 2)
         )
-        blowup = pc.greater(pc.count_substring(urls, pattern="="), max_params)
+        session = _b(
+            pc.match_substring_regex(urls, pattern=_SESSION_RE, ignore_case=True)
+        )
+        blowup = _b(pc.greater(pc.count_substring(urls, pattern="="), max_params))
 
         status = pa.array(["ok"] * len(urls), pa.string())
         # reverse order so earlier rules overwrite later ones (first wins)

@@ -99,8 +99,10 @@ def test_separation_and_fixed_point(ray_session):
     rest = df[df.label == 0]["prob_nano"].mean()
     assert en > rest + 0.5 * _NANO, (en, rest)
     # fixed-point scoring replays exactly
+    from engine.stages.classifier import _dot_nano
+
     ids, x = _doc_features(tbl.column("text")[0].as_py(), 256)
-    z = b + w[ids] @ x
+    z = b + _dot_nano(ids, x, w) / _NANO
     expect = int(math.floor(_NANO / (1.0 + math.exp(-z))))
     assert df.iloc[0]["prob_nano"] == expect
 
