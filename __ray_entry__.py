@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_urls": q.q_sitemap_urls,
         "lang_confusion": q.q_lang_confusion,
         "dedup_report": q.q_dedup_report,
+        "outlinks": q.q_outlinks,
         # rows-only (non-SQL-expressible)
         "quality_classifier": q.q_quality_classifier,
         "neardup_incremental": q.q_neardup_incremental,
@@ -491,6 +492,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, p.lang_pred, count(*) AS n
             FROM documents d JOIN ({_lang_id_sql()}) p USING (doc_id)
             GROUP BY d.lang, p.lang_pred
+        """,
+        "outlinks": r"""
+            WITH m AS (SELECT doc_id, source,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY doc_id) - 1 AS pos,
+                              count(*) OVER (PARTITION BY source) AS n
+                       FROM documents),
+            nbr AS (SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc
+                    FROM m a
+                    JOIN (SELECT unnest([1, 2, 3]) AS d) dd ON true
+                    JOIN m b ON b.source = a.source
+                           AND b.pos = (a.pos + dd.d) % a.n
+                    WHERE b.doc_id <> a.doc_id),
+            g AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY doc_id) - 1 AS grn,
+                         count(*) OVER () AS nn
+                  FROM documents),
+            cl AS (SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc
+                   FROM g a JOIN g b ON b.grn = (a.doc_id * 7 + 3) % a.nn
+                   WHERE b.doc_id <> a.doc_id)
+            SELECT DISTINCT src_doc, dst_doc
+            FROM (SELECT * FROM nbr UNION ALL SELECT * FROM cl)
         """,
         "dedup_report": r"""
             WITH h AS (SELECT doc_id, source, md5(coalesce(text, '')) AS h

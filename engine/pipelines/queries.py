@@ -2153,3 +2153,43 @@ def q_dedup_report(sf_dir: str):
             ),
         }
     )
+
+
+def q_outlinks(sf_dir: str):
+    """HTML outlink extraction end-to-end: the synthesized pages' <a href>
+    graph re-extracted with the crawl's own link discovery
+    (crawl_common.discover_links -> canonicalize) and resolved back to
+    doc ids; the oracle recomputes the EXPECTED topology (next-3-in-source
+    ring + deterministic cross link) with window functions — parity proves
+    parse + canonicalization + URL resolution.  SQL-verified."""
+    import re as _re
+
+    from engine.pipelines.crawl_common import discover_links
+
+    pat = _re.compile(r"^https://[a-z0-9]+\.example\.com/docs/(\d+)\.html$")
+
+    def expand(t: pa.Table) -> pa.Table:
+        src_out: list = []
+        dst_out: list = []
+        for url, html in zip(
+            t.column("url").to_pylist(), t.column("html").to_pylist()
+        ):
+            m = pat.match(url)
+            if not m:
+                continue
+            sid = int(m.group(1))
+            for link in discover_links(url, html):
+                dm = pat.match(link)
+                if dm:
+                    src_out.append(sid)
+                    dst_out.append(int(dm.group(1)))
+        return pa.table(
+            {
+                "src_doc": pa.array(src_out, pa.int64()),
+                "dst_doc": pa.array(dst_out, pa.int64()),
+            }
+        )
+
+    return pages_dataset(sf_dir).map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True
+    )

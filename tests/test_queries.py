@@ -75,7 +75,7 @@ SQL_NAMES = [
     "corpus_filter", "incremental_index",
     "export_shards", "export_jsonl", "chunk_docs",
     "url_filter", "normalize_text", "novelty", "robots_rules",
-    "sitemap_urls", "lang_confusion", "dedup_report",
+    "sitemap_urls", "lang_confusion", "dedup_report", "outlinks",
 ]
 
 
