@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": q.q_lang_confusion,
         "dedup_report": q.q_dedup_report,
         "outlinks": q.q_outlinks,
+        "export_warc": q.q_export_warc,
         # rows-only (non-SQL-expressible)
         "quality_classifier": q.q_quality_classifier,
         "neardup_incremental": q.q_neardup_incremental,
@@ -488,6 +489,16 @@ def _fingerprint_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
+        "export_warc": f"""
+            WITH u AS (SELECT 'https://' || source || '.example.com/docs/'
+                              || CAST(doc_id AS VARCHAR) || '.html' AS url
+                       FROM documents),
+            h AS (SELECT CAST({_sql_fnv("url")} AS HUGEINT) AS hv FROM u)
+            SELECT CAST(hv % 8 AS BIGINT) AS shard,
+                   count(*) AS n_records,
+                   CAST(sum(hv % 1000000000000) AS BIGINT) AS sum_urlh
+            FROM h GROUP BY CAST(hv % 8 AS BIGINT)
+        """,
         "lang_confusion": f"""
             SELECT d.lang, p.lang_pred, count(*) AS n
             FROM documents d JOIN ({_lang_id_sql()}) p USING (doc_id)

@@ -2193,3 +2193,17 @@ def q_outlinks(sf_dir: str):
     return pages_dataset(sf_dir).map_batches(
         expand, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_export_warc(sf_dir: str):
+    """Sharded WARC archive export (export.export_warc_shards): pages ->
+    8 x .warc.gz (fnv(url) shard routing, url-sorted members), manifest
+    built by READING the archives back through sources.warc.read_warc —
+    the oracle computes the same manifest from the documents table via
+    the FNV-in-SQL device, so parity verifies shard routing, the WARC
+    writer AND the parser in one loop.  SQL-verified."""
+    from engine.stages.export import export_warc_shards
+
+    return export_warc_shards(
+        pages_dataset(sf_dir), out_dir="/tmp/export_warc_q", n_shards=8
+    )

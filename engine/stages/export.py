@@ -192,3 +192,115 @@ def export_jsonl(
             zero_copy_batch=True,
         )
     )
+
+
+def export_warc_shards(
+    ds: ray.data.Dataset,
+    *,
+    out_dir: str,
+    n_shards: int = 8,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> ray.data.Dataset:
+    """Archive export: the pages corpus written as ``n_shards``
+    ``.warc.gz`` files (one gzip member per record, the Common Crawl
+    layout) with the export_shards manifest device — the manifest is
+    built by READING the written archives back with the engine's own
+    WARC parser (sources.warc.read_warc), so it verifies the complete
+    write+parse round trip, not just the write call.
+
+    shard = fnv1a(url) % n_shards (map-side); each shard's records are
+    sorted by url inside its group before writing (deterministic bytes);
+    one ``groupby(shard).map_groups`` writes the files — n_shards tasks,
+    each streaming its group once.  Manifest: (shard, n_records,
+    sum_urlh) with ``sum_urlh = sum(fnv1a(url) % 1e12)`` (bounded so a
+    BIGINT sum cannot overflow at any realistic shard size).
+
+    ``out_dir`` must be shared storage on a real cluster (each map task
+    writes its own file there); local fs in this sandbox.
+    """
+    import pandas as pd
+
+    from engine.sources.warc import read_warc, write_warc
+    from engine.stages.text import fnv1a_batch
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = fnv1a_batch([(u or "").encode() for u in t.column(url_col).to_pylist()])
+        import numpy as np
+
+        return t.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int64), pa.int64())
+        )
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        s = int(df["shard"].iloc[0])
+        df = df.sort_values(url_col, kind="mergesort")
+        path = os.path.join(out_dir, f"shard-{s:05d}.warc.gz")
+        n = write_warc(
+            zip(df[url_col], df[ts_col], df[html_col]), path
+        )
+        return pd.DataFrame({"shard": [s], "written": [n]})
+
+    written = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(write_group, batch_format="pandas")
+        .count()
+    )
+    if written == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "n_records": pa.array([], pa.int64()),
+                    "sum_urlh": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    back = read_warc(out_dir)
+
+    def manifest_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        h = fnv1a_batch([(u or "").encode() for u in t.column("url").to_pylist()])
+        sh = (h % np.uint64(n_shards)).astype(np.int64)
+        uh = (h % np.uint64(1_000_000_000_000)).astype(np.int64)
+        g = (
+            pd.DataFrame({"shard": sh, "n_records": 1, "sum_urlh": uh})
+            .groupby("shard", sort=False, as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from collections import Counter as _Counter
+
+    from engine.stages.common import collect_arrow_blocks
+
+    cnt: "_Counter" = _Counter()
+    sums: "_Counter" = _Counter()
+    for blk in collect_arrow_blocks(
+        back.map_batches(manifest_partial, batch_format="pyarrow", zero_copy_batch=True),
+        required_col="shard",
+    ):
+        for s, n, u in zip(
+            blk.column("shard").to_pylist(),
+            blk.column("n_records").to_pylist(),
+            blk.column("sum_urlh").to_pylist(),
+        ):
+            cnt[int(s)] += int(n)
+            sums[int(s)] += int(u)
+    ks = sorted(cnt)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "shard": pa.array(ks, pa.int64()),
+                "n_records": pa.array([cnt[k] for k in ks], pa.int64()),
+                "sum_urlh": pa.array([sums[k] for k in ks], pa.int64()),
+            }
+        )
+    )
