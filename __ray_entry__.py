@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_report": q.q_dedup_report,
         "outlinks": q.q_outlinks,
         "export_warc": q.q_export_warc,
+        "export_wet": q.q_export_wet,
         # rows-only (non-SQL-expressible)
         "quality_classifier": q.q_quality_classifier,
         "neardup_incremental": q.q_neardup_incremental,
@@ -489,6 +490,18 @@ def _fingerprint_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
+        "export_wet": f"""
+            WITH u AS (SELECT 'https://' || source || '.example.com/docs/'
+                              || CAST(doc_id AS VARCHAR) || '.html' AS url
+                       FROM documents
+                       WHERE length('Document ' || doc_id || '.0' || chr(10)
+                                    || text) >= 200),
+            h AS (SELECT CAST({_sql_fnv("url")} AS HUGEINT) AS hv FROM u)
+            SELECT CAST(hv % 8 AS BIGINT) AS shard,
+                   count(*) AS n_records,
+                   CAST(sum(hv % 1000000000000) AS BIGINT) AS sum_urlh
+            FROM h GROUP BY CAST(hv % 8 AS BIGINT)
+        """,
         "export_warc": f"""
             WITH u AS (SELECT 'https://' || source || '.example.com/docs/'
                               || CAST(doc_id AS VARCHAR) || '.html' AS url

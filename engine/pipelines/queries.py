@@ -2207,3 +2207,38 @@ def q_export_warc(sf_dir: str):
     return export_warc_shards(
         pages_dataset(sf_dir), out_dir="/tmp/export_warc_q", n_shards=8
     )
+
+
+def q_export_wet(sf_dir: str):
+    """WET-style derivative export: the EXTRACTED text corpus (the kept
+    rows of q_extract_pages) written as sharded .warc.gz resource
+    records, manifest read back through the engine's WARC parser.  The
+    oracle reproduces the extraction filter (body >= 200 chars) AND the
+    shard routing from documents, so parity verifies extraction +
+    archive round trip together.  SQL-verified."""
+    from engine.stages.export import export_warc_shards
+
+    ex = q_extract_pages(sf_dir)
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t.column("warc_target_uri"),
+                "payload": pa.array(
+                    [
+                        (b or "").encode("utf-8")
+                        for b in t.column("body").to_pylist()
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return export_warc_shards(
+        ex.map_batches(to_rows, batch_format="pyarrow", zero_copy_batch=True),
+        out_dir="/tmp/export_wet_q",
+        n_shards=8,
+        ts_col=None,
+        html_col="payload",
+        as_http_response=False,
+    )

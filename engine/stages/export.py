@@ -202,6 +202,7 @@ def export_warc_shards(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     html_col: str = "html",
+    as_http_response: bool = True,
 ) -> ray.data.Dataset:
     """Archive export: the pages corpus written as ``n_shards``
     ``.warc.gz`` files (one gzip member per record, the Common Crawl
@@ -240,8 +241,10 @@ def export_warc_shards(
         s = int(df["shard"].iloc[0])
         df = df.sort_values(url_col, kind="mergesort")
         path = os.path.join(out_dir, f"shard-{s:05d}.warc.gz")
+        ts_iter = df[ts_col] if ts_col and ts_col in df.columns else [None] * len(df)
         n = write_warc(
-            zip(df[url_col], df[ts_col], df[html_col]), path
+            zip(df[url_col], ts_iter, df[html_col]), path,
+            as_http_response=as_http_response,
         )
         return pd.DataFrame({"shard": [s], "written": [n]})
 
