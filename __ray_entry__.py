@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlinks": q.q_outlinks,
         "export_warc": q.q_export_warc,
         "export_wet": q.q_export_wet,
+        "crawl_metrics": q.q_crawl_metrics,
         # rows-only (non-SQL-expressible)
         "quality_classifier": q.q_quality_classifier,
         "neardup_incremental": q.q_neardup_incremental,
@@ -1698,6 +1699,101 @@ def oracle_sql() -> dict[str, str]:
         # link graph is the same tgt derivation as the extract_pages
         # oracle).  Constants (8 seeds, cap 6, 2 waves) mirror
         # q_crawl_order's config — change them together.
+        "crawl_metrics": """
+            WITH m AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id AS gid, source AS gsrc,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS gpos
+              FROM documents
+            ),
+            gn AS (SELECT count(*) AS c FROM documents),
+            tgt AS (
+              SELECT m.doc_id, d.ordn, m2.doc_id AS t, m2.source AS tsrc
+              FROM m
+              JOIN (VALUES (1),(2),(3)) AS d(ordn) ON true
+              JOIN m m2 ON m2.source = m.source AND m2.pos = (m.pos + d.ordn) % m.n
+              WHERE m2.doc_id <> m.doc_id
+              UNION ALL
+              SELECT m.doc_id, 4 AS ordn, g.gid, g.gsrc
+              FROM m CROSS JOIN gn JOIN g ON g.gpos = (m.doc_id * 7 + 3) % gn.c
+              WHERE g.gid <> m.doc_id
+            ),
+            links AS (
+              SELECT DISTINCT doc_id,
+                     'https://' || tsrc || '.example.com/docs/' || t || '.html' AS turl,
+                     tsrc || '.example.com' AS thost
+              FROM tgt
+            ),
+            srcs AS (
+              SELECT source, min(doc_id) AS first_doc,
+                     row_number() OVER (ORDER BY source) AS srn
+              FROM documents GROUP BY source
+            ),
+            seeds AS (
+              SELECT 'https://' || source || '.example.com/docs/' || first_doc
+                         || '.html' AS url,
+                     source || '.example.com' AS host,
+                     first_doc AS doc_id
+              FROM srcs WHERE srn <= 8
+            ),
+            wave0 AS (
+              SELECT 0 AS wave,
+                     CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS seq,
+                     url, host, doc_id
+              FROM seeds
+            ),
+            n0 AS (SELECT count(*) AS c FROM wave0),
+            cand1 AS (
+              SELECT DISTINCT l.turl AS url, l.thost AS host
+              FROM wave0 w JOIN links l ON l.doc_id = w.doc_id
+              WHERE l.turl NOT IN (SELECT url FROM seeds)
+            ),
+            sel1 AS (
+              SELECT url, host,
+                     row_number() OVER (PARTITION BY host ORDER BY url) AS hrn
+              FROM cand1
+            ),
+            wave1 AS (
+              SELECT 1 AS wave,
+                     CAST((SELECT c FROM n0)
+                          + row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS seq,
+                     url, host
+              FROM sel1 WHERE hrn <= 6
+            )
+            , w1doc AS (
+              SELECT CAST(regexp_extract(url, '/docs/(\d+)\.html', 1) AS BIGINT)
+                  AS doc_id
+              FROM wave1
+            ),
+            seen1 AS (SELECT url FROM seeds UNION ALL SELECT url FROM cand1),
+            cand2 AS (
+              SELECT DISTINCT l.turl AS url
+              FROM w1doc w JOIN links l ON l.doc_id = w.doc_id
+              WHERE l.turl NOT IN (SELECT url FROM seen1)
+            ),
+            c1 AS (SELECT count(*) AS c FROM cand1),
+            c2 AS (SELECT count(*) AS c FROM cand2),
+            s1 AS (SELECT count(*) AS c FROM wave1)
+            SELECT CAST(-1 AS BIGINT) AS wave, CAST(0 AS BIGINT) AS n_selected,
+                   CAST(n0.c AS BIGINT) AS n_new_enqueued,
+                   CAST(n0.c AS BIGINT) AS n_frontier_out,
+                   CAST(n0.c AS BIGINT) AS seen_total
+            FROM n0
+            UNION ALL
+            SELECT 0, CAST(n0.c AS BIGINT), CAST(c1.c AS BIGINT),
+                   CAST(c1.c AS BIGINT), CAST(n0.c + c1.c AS BIGINT)
+            FROM n0, c1
+            UNION ALL
+            SELECT 1, CAST(s1.c AS BIGINT), CAST(c2.c AS BIGINT),
+                   CAST(c1.c - s1.c + c2.c AS BIGINT),
+                   CAST(n0.c + c1.c + c2.c AS BIGINT)
+            FROM n0, c1, c2, s1
+        """,
         "crawl_order": """
             WITH m AS (
               SELECT doc_id, source,

@@ -2242,3 +2242,36 @@ def q_export_wet(sf_dir: str):
         html_col="payload",
         as_http_response=False,
     )
+
+
+def q_crawl_metrics(sf_dir: str):
+    """Per-wave crawl lineage/metrics (north_rule: every partition
+    checkpoints lineage + metrics to Parquet) read BACK from the wave
+    checkpoints of the same 2-wave crawl q_crawl_order runs; the oracle
+    recomputes each wave's n_selected / n_new_enqueued / n_frontier_out /
+    seen_total from the unrolled schedule CTEs.  SQL-verified."""
+    import glob as _glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from engine.pipelines.crawl import run_crawl
+    from engine.pipelines.crawl_common import CrawlConfig
+
+    with tempfile.TemporaryDirectory(prefix="crawlm_") as td:
+        pages_path = f"{td}/pages.parquet"
+        pages_dataset(sf_dir).write_parquet(pages_path)
+        seeds_path = f"{td}/seeds.parquet"
+        pq.write_table(seeds_table(sf_dir), seeds_path)
+        run_crawl(
+            pages_path, seeds_path, None, f"{td}/wd", CrawlConfig(max_waves=2)
+        )
+        cols = [
+            "wave", "n_selected", "n_new_enqueued", "n_frontier_out",
+            "seen_total",
+        ]
+        parts = [
+            pq.read_table(f, columns=cols).select(cols)
+            for f in sorted(_glob.glob(f"{td}/wd/*/metrics.parquet"))
+        ]
+        return pa.concat_tables(parts).sort_by("wave")
