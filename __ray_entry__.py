@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_warc": q.q_export_warc,
         "export_wet": q.q_export_wet,
         "crawl_metrics": q.q_crawl_metrics,
+        "recrawl": q.q_recrawl,
         # rows-only (non-SQL-expressible)
         "quality_classifier": q.q_quality_classifier,
         "neardup_incremental": q.q_neardup_incremental,
@@ -589,6 +590,31 @@ def oracle_sql() -> dict[str, str]:
         # crawl-snapshot diff: the mutated second snapshot is re-derived
         # in SQL (drop %31, append ' v2' on %17, re-add %41 under +1e6);
         # content compare == md5 compare
+        "recrawl": """
+            WITH diff AS (
+            WITH old AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM old WHERE doc_id % 31 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+              FROM old WHERE doc_id % 41 = 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text = n.text THEN 'same'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        )
+            SELECT doc_id, status,
+                   CAST(CASE status WHEN 'changed' THEN 43200
+                                    WHEN 'same' THEN 172800
+                                    WHEN 'added' THEN 86400
+                                    ELSE -1 END AS BIGINT) AS interval_s
+            FROM diff
+        """,
         "snapshot_diff": """
             WITH old AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
             new AS (

@@ -2275,3 +2275,13 @@ def q_crawl_metrics(sf_dir: str):
             for f in sorted(_glob.glob(f"{td}/wd/*/metrics.parquet"))
         ]
         return pa.concat_tables(parts).sort_by("wave")
+
+
+def q_recrawl(sf_dir: str):
+    """Adaptive recrawl scheduling (diff.recrawl_schedule) over the
+    snapshot_diff pipeline: changed pages halve their revisit interval,
+    unchanged double it, new pages seed at base, removed stop (-1).
+    SQL-verified (CASE over the snapshot-diff oracle)."""
+    from engine.stages.diff import recrawl_schedule
+
+    return recrawl_schedule(q_snapshot_diff(sf_dir))

@@ -369,3 +369,47 @@ def latest_events(
         return df.tail(1)
 
     return cand.groupby(key_col).map_groups(pick, batch_format="pandas")
+
+
+def recrawl_schedule(
+    diff: "ray.data.Dataset",
+    *,
+    key_col: str = "doc_id",
+    status_col: str = "status",
+    base_interval_s: int = 86_400,
+    min_s: int = 3_600,
+    max_s: int = 604_800,
+) -> "ray.data.Dataset":
+    """Adaptive revisit policy over a snapshot diff (Cho & Garcia-Molina,
+    "Effective Page Refresh Policies" family: halve the revisit interval
+    for pages observed changed, double it for pages observed unchanged,
+    seed new pages at the base interval, stop scheduling removed ones —
+    the reschedule step that closes the crawl lifecycle loop:
+    discover -> fetch -> extract -> diff -> RESCHEDULE).
+
+    One stateless vectorized map over the diff rows (np.select on the
+    status column), integer seconds throughout (SQL-exact).  Emits
+    (key, status, interval_s) with interval_s = -1 for removed keys
+    (kept for lineage; the frontier drops them).
+    """
+    import numpy as np
+
+    changed_iv = max(min_s, base_interval_s // 2)
+    same_iv = min(max_s, base_interval_s * 2)
+
+    def plan(t: pa.Table) -> pa.Table:
+        st = np.asarray(t.column(status_col).to_pylist(), dtype=object)
+        iv = np.select(
+            [st == "changed", st == "same", st == "added"],
+            [np.int64(changed_iv), np.int64(same_iv), np.int64(base_interval_s)],
+            default=np.int64(-1),
+        ).astype(np.int64)
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                status_col: t.column(status_col),
+                "interval_s": pa.array(iv, pa.int64()),
+            }
+        )
+
+    return diff.map_batches(plan, batch_format="pyarrow", zero_copy_batch=True)

@@ -76,7 +76,7 @@ SQL_NAMES = [
     "export_shards", "export_jsonl", "chunk_docs",
     "url_filter", "normalize_text", "novelty", "robots_rules",
     "sitemap_urls", "lang_confusion", "dedup_report", "outlinks",
-    "export_warc", "export_wet", "crawl_metrics",
+    "export_warc", "export_wet", "crawl_metrics", "recrawl",
 ]
 
 
