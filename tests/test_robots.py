@@ -121,3 +121,68 @@ def test_sitemap_index_rows():
             "from_index": 1,
         }
     ]
+
+
+def test_crawl_from_parsed_robots_matches_direct_politeness(ray_session, tmp_path):
+    """End-to-end integration: robots.txt bodies ENCODING the fixture's
+    politeness rules, parsed via stages.robots into a politeness parquet,
+    must drive run_crawl to the BIT-IDENTICAL order + seen set as the
+    fixture's own politeness table (max_pages carried via the writer
+    default, identical across hosts in the fixture slice we rebuild)."""
+    import pyarrow.parquet as pq
+
+    from engine.pipelines.crawl import run_crawl
+    from engine.pipelines.crawl_common import CrawlConfig
+    from fixtures.generate import generate
+
+    fx = "/tmp/fixtures/robots_itest"
+    generate(fx, n_pages=400, seed=11)
+    pol = pq.read_table(f"{fx}/politeness.parquet")
+    # single max_pages so the bridge default reproduces it exactly
+    mp = pol.column("max_pages").to_pylist()
+    mp_common = max(set(mp), key=mp.count)
+    keep = [i for i, v in enumerate(mp) if v == mp_common]
+    pol = pol.take(keep)
+    direct = str(tmp_path / "direct.parquet")
+    pq.write_table(pol, direct)
+
+    bodies = []
+    for h, d, dis in zip(
+        pol.column("host").to_pylist(),
+        pol.column("crawl_delay").to_pylist(),
+        pol.column("disallow").to_pylist(),
+    ):
+        lines = ["User-agent: *", f"Crawl-delay: {d}"]
+        for p in (dis or "").split(","):
+            if p.strip():
+                lines.append(f"Disallow: {p.strip()}")
+        bodies.append("\n".join(lines) + "\n")
+    robots_tbl = pa.table(
+        {
+            "host": pol.column("host"),
+            "robots_txt": pa.array(bodies, pa.string()),
+        }
+    )
+    parsed = robots_politeness(ray.data.from_arrow(robots_tbl))
+    bridged = str(tmp_path / "bridged.parquet")
+    write_politeness_parquet(
+        parsed, bridged, default_max_pages=int(mp_common)
+    )
+
+    cfg = CrawlConfig(max_waves=3)
+    o1, s1 = run_crawl(
+        f"{fx}/pages.parquet", f"{fx}/seeds.parquet", direct,
+        str(tmp_path / "wd1"), cfg,
+    )
+    o2, s2 = run_crawl(
+        f"{fx}/pages.parquet", f"{fx}/seeds.parquet", bridged,
+        str(tmp_path / "wd2"), cfg,
+    )
+    assert o1.equals(o2)
+
+    def _urls(s):
+        if isinstance(s, pa.Table):
+            return sorted(s.column(0).to_pylist())
+        return sorted(s)
+
+    assert _urls(s1) == _urls(s2)
