@@ -2087,18 +2087,15 @@ def q_dedup_report(sf_dir: str):
     per-source partials (20 sources — driver-sized) reduce on the DRIVER
     (PERF.md #24).  SQL-verified."""
     from collections import Counter as _Counter
-    from hashlib import md5 as _md5
 
     from engine.stages.common import collect_arrow_blocks
+    from engine.stages.dedup import content_md5_batch
     from engine.stages.text import hash_bucket_column
 
     ds = _docs(sf_dir, ["doc_id", "text", "source"], num_blocks=_cpus())
 
     def hash_rows(t: pa.Table) -> pa.Table:
-        hs = [
-            _md5((x or "").encode()).hexdigest()
-            for x in t.column("text").to_pylist()
-        ]
+        hs = content_md5_batch(t.column("text").to_pylist())
         return hash_bucket_column(
             pa.table(
                 {
@@ -2202,11 +2199,13 @@ def q_export_warc(sf_dir: str):
     the oracle computes the same manifest from the documents table via
     the FNV-in-SQL device, so parity verifies shard routing, the WARC
     writer AND the parser in one loop.  SQL-verified."""
+    import tempfile
+
     from engine.stages.export import export_warc_shards
 
-    return export_warc_shards(
-        pages_dataset(sf_dir), out_dir="/tmp/export_warc_q", n_shards=8
-    )
+    with tempfile.TemporaryDirectory(prefix="export_warc_q_") as td:
+        # the manifest is fully materialized before the dir is torn down
+        return export_warc_shards(pages_dataset(sf_dir), out_dir=td, n_shards=8)
 
 
 def q_export_wet(sf_dir: str):
@@ -2234,14 +2233,17 @@ def q_export_wet(sf_dir: str):
             }
         )
 
-    return export_warc_shards(
-        ex.map_batches(to_rows, batch_format="pyarrow", zero_copy_batch=True),
-        out_dir="/tmp/export_wet_q",
-        n_shards=8,
-        ts_col=None,
-        html_col="payload",
-        as_http_response=False,
-    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="export_wet_q_") as td:
+        return export_warc_shards(
+            ex.map_batches(to_rows, batch_format="pyarrow", zero_copy_batch=True),
+            out_dir=td,
+            n_shards=8,
+            ts_col=None,
+            html_col="payload",
+            as_http_response=False,
+        )
 
 
 def q_crawl_metrics(sf_dir: str):

@@ -17,8 +17,8 @@ weights (pinned by test).  Floats appear only in driver-sequenced places
 (the weight update, the sigmoid), which are identical in both paths.
 
 Scale shape (100 TB):
-- TRAINING runs on a hash-gated sample (``train_cap`` docs via the md5
-  gate idiom); below ``driver_max_train`` the sample's sparse features
+- TRAINING at 100 TB runs on a sample: hash-gate the input Dataset
+  upstream (sample.stratified_sample's md5 device); below ``driver_max_train`` the sample's sparse features
   collect to the driver and train in numpy (one pass over the corpus,
   then zero Ray executions per epoch); above it each epoch is ONE
   streaming map_batches pass emitting <= n_buckets+2 int64 partial rows
@@ -31,7 +31,6 @@ Scale shape (100 TB):
 from __future__ import annotations
 
 import math
-from hashlib import md5
 from typing import Optional, Tuple
 
 import numpy as np
@@ -77,14 +76,6 @@ def _grad_nano(
     return g, int(math.floor(r * _NANO))
 
 
-def _hash_gate(ids: np.ndarray, mod: int, keep: int) -> np.ndarray:
-    """Deterministic md5 sample gate over int64 ids (sample.py idiom)."""
-    out = np.empty(len(ids), dtype=bool)
-    for i, v in enumerate(ids):
-        out[i] = int.from_bytes(md5(str(int(v)).encode()).digest()[:8], "big") % mod < keep
-    return out
-
-
 def train_quality_classifier(
     ds: ray.data.Dataset,
     *,
@@ -95,8 +86,6 @@ def train_quality_classifier(
     n_buckets: int = 1024,
     epochs: int = 30,
     lr: float = 25.0,
-    gate_mod: int = 1,
-    gate_keep: int = 1,
     driver_max_train: int = 100_000,
 ) -> Tuple[np.ndarray, float]:
     """Train; returns (w[n_buckets] float64, bias). Deterministic under
@@ -104,14 +93,10 @@ def train_quality_classifier(
 
     def featurize(t: pa.Table) -> pa.Table:
         dids = t.column(id_col).to_numpy(zero_copy_only=False)
-        if gate_mod > 1:
-            m = _hash_gate(dids, gate_mod, gate_keep)
-        else:
-            m = np.ones(len(dids), dtype=bool)
         labels = t.column(label_col).to_pylist()
         texts = t.column(text_col).to_pylist()
         out_d, out_y, out_b, out_x = [], [], [], []
-        for i in np.flatnonzero(m):
+        for i in range(len(dids)):
             ids, x = _doc_features(texts[i], n_buckets)
             out_d.append(int(dids[i]))
             out_y.append(1 if labels[i] == positive else 0)
@@ -213,7 +198,10 @@ def train_quality_classifier(
             gv = blk.column("g").to_numpy(zero_copy_only=False)
             bias_rows = bk == -1
             accb += int(gv[bias_rows].sum())
-            acc[bk[~bias_rows]] += gv[~bias_rows]
+            # np.add.at, not fancy-index +=: a collected block is not
+            # guaranteed to hold exactly one partial table, and buffered
+            # fancy indexing drops duplicate-bucket contributions
+            np.add.at(acc, bk[~bias_rows], gv[~bias_rows])
         w = w - lr * (acc.astype(np.float64) / _NANO) / n_train
         bias = bias - lr * (accb / _NANO) / n_train
     return w, bias

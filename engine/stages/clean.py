@@ -1071,16 +1071,27 @@ def normalize_text(
         import pyarrow.compute as pc
 
         txt = t.column(text_col)
-        if txt.num_chunks != 1:
+        if isinstance(txt, pa.ChunkedArray):
+            # replace_with_mask requires a plain Array (mask too)
             txt = txt.combine_chunks()
+            if isinstance(txt, pa.ChunkedArray):
+                txt = (
+                    txt.chunk(0) if txt.num_chunks else pa.array([], pa.string())
+                )
         nonascii = pc.fill_null(
             pc.not_equal(pc.binary_length(txt), pc.utf8_length(txt)), False
         )
         if pc.any(nonascii).as_py():
-            vals = np.asarray(txt.to_pandas(), dtype=object)
-            for i in np.flatnonzero(nonascii.to_numpy(zero_copy_only=False)):
-                vals[i] = unicodedata.normalize("NFC", vals[i])
-            out = pa.array(vals, pa.string())
+            # splice only the flagged rows (replace_with_mask): on web
+            # text most batches contain SOME non-ASCII row, and a full
+            # pandas-object round trip of the whole batch would defeat
+            # the fast path
+            idx = np.flatnonzero(nonascii.to_numpy(zero_copy_only=False))
+            repl = pa.array(
+                [unicodedata.normalize("NFC", txt[int(i)].as_py()) for i in idx],
+                pa.string(),
+            )
+            out = pc.replace_with_mask(txt, nonascii, repl)
         else:
             out = txt
         out = pc.replace_substring_regex(out, pattern=r"[\x00-\x1f\x7f]", replacement=" ")

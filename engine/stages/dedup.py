@@ -134,6 +134,14 @@ def minhash_signature(text: str, k: int = 3, shingle_fn=None) -> np.ndarray:
     return vals.min(axis=1).astype(np.uint64)
 
 
+def content_md5_batch(texts) -> List[str]:
+    """THE exact-dedup content hash (md5 of the raw utf-8 text; '' for
+    null) — exact_dedup / dedup_keep_first / dedup_keep_best and the
+    dedup_report monitoring view must all share this definition, or the
+    report silently diverges from the operator it monitors."""
+    return [md5((x or "").encode()).hexdigest() for x in texts]
+
+
 def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
     """Exact dedup: md5 content hash -> hash-partitioned group -> first id.
 
@@ -142,7 +150,7 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "t
     """
 
     def add_hash(t: pa.Table) -> pa.Table:
-        hs = [md5((x or "").encode()).hexdigest() for x in t.column(text_col).to_pylist()]
+        hs = content_md5_batch(t.column(text_col).to_pylist())
         return pa.table({
             "h": pa.array(hs, pa.string()),
             id_col: t.column(id_col),
@@ -171,7 +179,7 @@ def dedup_keep_first(
     """
 
     def hash_and_strip(t: pa.Table) -> pa.Table:
-        hs = [md5((x or "").encode()).hexdigest() for x in t.column(text_col).to_pylist()]
+        hs = content_md5_batch(t.column(text_col).to_pylist())
         cols = {"h": pa.array(hs, pa.string()), id_col: t.column(id_col)}
         for c in carry_cols:
             cols[c] = t.column(c)
@@ -214,7 +222,7 @@ def dedup_keep_best(
     *carry_cols)."""
 
     def hash_and_strip(t: pa.Table) -> pa.Table:
-        hs = [md5((x or "").encode()).hexdigest() for x in t.column(text_col).to_pylist()]
+        hs = content_md5_batch(t.column(text_col).to_pylist())
         cols = {
             "h": pa.array(hs, pa.string()),
             id_col: t.column(id_col),

@@ -70,8 +70,12 @@ def parse_robots_txt(body: str, user_agent: str = "raycrawler") -> Tuple[int, Tu
                 cur_dis.append(val)
             elif key == "crawl-delay":
                 try:
-                    cur_delay = int(float(val) * 1000.0)
-                except ValueError:
+                    ms = float(val) * 1000.0
+                    # web-sourced values: inf/nan/overflow all mean
+                    # "unparsable", never a crash (clamped to 30 days)
+                    if ms == ms and 0.0 <= ms <= 2_592_000_000.0:
+                        cur_delay = int(ms)
+                except (ValueError, OverflowError):
                     pass
         # unknown keys: ignored, but they do not end the group
     flush()

@@ -11,7 +11,8 @@ index rows remain (the standard two-level sitemap walk).
 Parsing is a regex subset of the protocol (RE-based, like the engine's
 HTML link discovery): <url>/<sitemap> blocks, <loc>, <lastmod>,
 <priority>; XML entities unescaped (&amp; in query strings is the norm);
-CDATA sections unwrapped; whitespace inside tags trimmed.  ``priority``
+CDATA sections unwrapped LITERALLY (entity processing is suppressed
+inside CDATA per XML); whitespace inside tags trimmed.  ``priority``
 is emitted as floor-ppm int64 (-1 when absent) — fixed-point, SQL-exact.
 """
 
@@ -39,7 +40,8 @@ def _text(block: str, pat: re.Pattern) -> str:
     v = m.group(1)
     cm = _CDATA.search(v)
     if cm:
-        v = cm.group(1)
+        # CDATA suppresses entity processing: the content is LITERAL
+        return cm.group(1).strip()
     return unescape(v.strip())
 
 

@@ -54,6 +54,11 @@ def test_grammar_edges():
     assert parse_robots_txt(body, "anybot") == (-1, ("/kept",))
     assert parse_robots_txt("", "anybot") == (-1, ())
     assert parse_robots_txt(None, "anybot") == (-1, ())
+    # overflow / inf / nan / negative delays are unparsable, never a crash
+    for bad in ("1e400", "inf", "nan", "-5"):
+        assert parse_robots_txt(
+            f"User-agent: *\nCrawl-delay: {bad}\nDisallow: /x\n", "anybot"
+        ) == (-1, ("/x",))
 
 
 def test_politeness_bridge(ray_session, tmp_path):
