@@ -2287,3 +2287,33 @@ def q_recrawl(sf_dir: str):
     from engine.stages.diff import recrawl_schedule
 
     return recrawl_schedule(q_snapshot_diff(sf_dir))
+
+
+def q_crawl_host_budget(sf_dir: str):
+    """Politeness-budget audit: per (wave, host) fetch counts of the
+    2-wave crawl — the enforcement evidence for the per-host crawl-delay
+    cap (floor(wave_seconds / crawl_delay) = 6 under the default config;
+    every count must be <= the cap, and the oracle recomputes the counts
+    from the unrolled schedule).  SQL-verified."""
+    order = q_crawl_order(sf_dir)
+
+    def agg(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (
+            t.select(["wave", "host"])
+            .to_pandas()
+            .groupby(["wave", "host"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n_fetched"})
+        )
+        return pa.table(
+            {
+                "wave": pa.array(df["wave"].to_numpy("int64"), pa.int64()),
+                "host": pa.array(df["host"].tolist(), pa.string()),
+                "n_fetched": pa.array(df["n_fetched"].to_numpy("int64"), pa.int64()),
+            }
+        )
+
+    # run_crawl returns the order as a driver-held Arrow table already
+    return agg(order)

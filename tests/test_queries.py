@@ -77,6 +77,7 @@ SQL_NAMES = [
     "url_filter", "normalize_text", "novelty", "robots_rules",
     "sitemap_urls", "lang_confusion", "dedup_report", "outlinks",
     "export_warc", "export_wet", "crawl_metrics", "recrawl",
+    "crawl_host_budget",
 ]
 
 
