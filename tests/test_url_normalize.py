@@ -208,3 +208,53 @@ def test_minhash_incremental_semantics(ray_session):
         assert out["doc_id"].tolist() == [1, 3, 5, 7]
         assert out["is_dup"].tolist() == [1, 0, 0, 0], out
         assert out.loc[0, "n_hit_bands"] >= 1
+
+
+def test_url_filter_matches_python_oracle(ray_session):
+    """Property test: the Arrow-kernel rule chain equals an independent
+    per-row Python reimplementation on adversarial URL-ish strings."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    BLOCKED = {"bad.example.com", "evil.test"}
+    SESSION = re.compile(
+        r"[?&](sid|sessionid|phpsessid|jsessionid|cfid|cftoken)=", re.IGNORECASE
+    )
+
+    def oracle(u: str) -> str:
+        if not re.match(r"^https?://", u):
+            return "scheme"
+        m = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]+)", u)
+        if m and m.group(1) in BLOCKED:
+            return "blocked_host"
+        if len(u) > 64:
+            return "too_long"
+        if u.count("/") > 4 + 2:
+            return "too_deep"
+        if SESSION.search(u):
+            return "session_id"
+        if u.count("=") > 2:
+            return "param_blowup"
+        return "ok"
+
+    frag = st.sampled_from(
+        ["https://", "http://", "ftp://", "ok.site/", "bad.example.com/",
+         "evil.test", "a/b/c/d/e/f/g", "?sid=1", "?a=1&b=2&c=3", "p" * 40,
+         "?PHPSESSID=9", "#x", ":8080/", "//", "="]
+    )
+    urls_strategy = st.lists(
+        st.lists(frag, min_size=1, max_size=6).map("".join), min_size=1, max_size=24
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(urls_strategy)
+    def check(urls):
+        got = _run_filter(
+            urls, blocked_hosts=BLOCKED, max_len=64, max_depth=4, max_params=2
+        )
+        # _run_filter sorts by doc_id == input order
+        assert got == [oracle(u) for u in urls]
+
+    check()
