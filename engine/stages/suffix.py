@@ -38,7 +38,7 @@ rule) and dense_rank() replays the tie semantics.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -399,6 +399,7 @@ def lcp_adjacent(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    driver_max_positions: int = 100_000,
 ) -> ray.data.Dataset:
     """LCP array over the corpus suffix order: for every token position,
     the longest common prefix (in tokens) between its suffix and the
@@ -433,6 +434,60 @@ def lcp_adjacent(
     )
     if n_total == 0:
         return ray.data.from_arrow(empty)
+
+    if n_total <= driver_max_positions and max_len <= 2_000:
+        # size-gated driver fast path (the crawl small-wave device): the
+        # distributed pair walk pays TWO native joins per doubling level
+        # (~log2(max_len) levels of acero aggregator spin-up — PERF.md
+        # #37 territory, measured 43 s at a 27k-position sweep), while a
+        # direct single-process pass over the already-collected token
+        # positions is seconds AND is the same construction the literal
+        # oracle test uses; test_lcp_driver_matches_distributed pins the
+        # two paths identical.  The max_len guard bounds the O(sum
+        # len^2 / 2) suffix-slice memory.
+        from engine.stages.common import collect_arrow_blocks
+
+        toks_by_doc: Dict[int, Dict[int, str]] = {}
+        for blk in collect_arrow_blocks(pos_ds, required_col="token"):
+            for d, p, tok in zip(
+                blk.column("doc_id").to_pylist(),
+                blk.column("pos").to_pylist(),
+                blk.column("token").to_pylist(),
+            ):
+                toks_by_doc.setdefault(int(d), {})[int(p)] = tok
+        suf: List[Tuple[Tuple[str, ...], int, int]] = []
+        for d in toks_by_doc:
+            pm = toks_by_doc[d]
+            toks = tuple(pm[i] for i in range(len(pm)))
+            for p in range(len(toks)):
+                suf.append((toks[p:], d, p))
+        # adjacency order (suffix tokens, doc_id, pos) == the distributed
+        # (dense rank, doc_id, pos): equal content shares a rank
+        suf.sort()
+        out_d: List[int] = []
+        out_p: List[int] = []
+        out_l: List[int] = []
+        prev: Optional[Tuple[str, ...]] = None
+        for s, d, p in suf:
+            l = 0
+            if prev is not None:
+                m = min(len(s), len(prev))
+                while l < m and s[l] == prev[l]:
+                    l += 1
+            out_d.append(d)
+            out_p.append(p)
+            out_l.append(l)
+            prev = s
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(out_d, pa.int64()),
+                    "pos": pa.array(out_p, pa.int64()),
+                    "lcp": pa.array(out_l, pa.int64()),
+                }
+            )
+        )
+
     _, _, _, rounds = _rank_to_gap(pos_ds, n_total, max_len, n_buckets, collect=True)
 
     # final suffix order with doc lengths along: (doc_id, pos, r, dl)

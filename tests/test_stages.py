@@ -2208,11 +2208,15 @@ def test_dup_spans_exact_windows(ray_session):
         assert max(expect.values()) == 2  # the shared run is detected
 
 
-def test_lcp_adjacent_matches_literal_oracle(ray_session):
+@pytest.mark.parametrize(
+    "gate", [100_000, 0], ids=["driver-path", "distributed-path"]
+)
+def test_lcp_adjacent_matches_literal_oracle(ray_session, gate):
     """Sparse-table LCP over the suffix order == a literal
     compare-adjacent-suffixes oracle, covering the truncation-overshoot
     clamp (equal full suffixes), cross-doc ties, the global first row,
-    and a single-suffix corpus."""
+    and a single-suffix corpus — on BOTH the gated driver fast path and
+    the distributed doubling path (gate=0 forces it)."""
     import pyarrow as pa
     import ray.data
 
@@ -2248,7 +2252,9 @@ def test_lcp_adjacent_matches_literal_oracle(ray_session):
         "doc_id": pa.array([d for d, _ in docs], pa.int64()),
         "text": pa.array([x for _, x in docs], pa.string()),
     })
-    df = lcp_adjacent(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    df = lcp_adjacent(
+        ray.data.from_arrow(t).repartition(3), driver_max_positions=gate
+    ).to_pandas()
     got = {
         (int(a), int(b)): int(c)
         for a, b, c in zip(df["doc_id"], df["pos"], df["lcp"])
@@ -2261,13 +2267,15 @@ def test_lcp_adjacent_matches_literal_oracle(ray_session):
         "doc_id": pa.array([9], pa.int64()),
         "text": pa.array(["solo"], pa.string()),
     }))
-    assert lcp_adjacent(one).to_pandas().values.tolist() == [[9, 0, 0]]
+    assert lcp_adjacent(
+        one, driver_max_positions=gate
+    ).to_pandas().values.tolist() == [[9, 0, 0]]
 
     empty = ray.data.from_arrow(pa.table({
         "doc_id": pa.array([], pa.int64()),
         "text": pa.array([], pa.string()),
     }))
-    assert lcp_adjacent(empty).count() == 0
+    assert lcp_adjacent(empty, driver_max_positions=gate).count() == 0
 
 
 def test_bigram_nll_conditional_semantics(ray_session):
