@@ -1850,6 +1850,26 @@ def test_stage_operators_survive_empty_corpus(ray_session):
     assert index_build.tfidf_topk(empty).count() == 0
     bm = search.bm25_topk(empty, ["hello", "world"], k=5)
     assert bm.num_rows == 0 and bm.column_names == ["rank", "doc_id"]
+    # round-5 ops: empty corpora through the new pipelines
+    assert clean.ngram_novelty(empty).count() == 0
+    assert clean.normalize_text(empty).count() == 0
+    assert dedup.tfidf_pairs(empty).count() == 0
+    assert dedup.minhash_incremental(empty, empty).count() == 0
+    from engine.stages.classifier import quality_classifier
+    assert quality_classifier(empty.map_batches(
+        lambda t: t.append_column("lang", pa.array([], pa.string())),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )).count() == 0
+    from engine.stages.export import export_warc_shards
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        empty_pages = ray.data.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "warc_ts": pa.array([], pa.timestamp("us")),
+            "html": pa.array([], pa.binary()),
+        }))
+        assert export_warc_shards(empty_pages, out_dir=td).count() == 0
 
 
 def test_dsir_matches_math_oracle(ray_session):
