@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_filter": q.q_url_filter,
         "normalize_text": q.q_normalize_text,
         "novelty": q.q_novelty,
+        "containment": q.q_containment,
         "robots_rules": q.q_robots_rules,
         "sitemap_urls": q.q_sitemap_urls,
         "lang_confusion": q.q_lang_confusion,
@@ -2160,6 +2161,38 @@ def oracle_sql() -> dict[str, str]:
                              ELSE coalesce(per.uniq, 0) * 1000000 // per.tot
                         END AS BIGINT) AS novelty_ppm
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "containment": r"""
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(coalesce(text, ''),
+                                                   '[^\t\n\v\f\r ]+') AS w
+                         FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(w[p : p + 2], ' ') AS g
+                  FROM (SELECT doc_id, w,
+                               CAST(unnest(range(1, greatest(len(w) - 1, 1)))
+                                   AS BIGINT) AS p
+                        FROM tok)),
+            sz AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+            dfreq AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+            kept AS (SELECT g.doc_id, g.g
+                     FROM g JOIN dfreq USING (g)
+                     WHERE dfreq.df BETWEEN 2 AND 256),
+            pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                             count(*) AS inter
+                      FROM kept a JOIN kept b
+                        ON a.g = b.g AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b,
+                   CAST(inter AS BIGINT) AS inter_grams,
+                   CAST(sa.ng AS BIGINT) AS n_a,
+                   CAST(sb.ng AS BIGINT) AS n_b,
+                   CAST(inter * 1000000 // least(sa.ng, sb.ng) AS BIGINT)
+                       AS containment_ppm
+            FROM pairs
+            JOIN sz sa ON sa.doc_id = ia
+            JOIN sz sb ON sb.doc_id = ib
+            WHERE inter * 1000000 // least(sa.ng, sb.ng) >= 100000
         """,
         "normalize_text": r"""
             WITH raw AS (

@@ -1918,6 +1918,18 @@ def q_novelty(sf_dir: str):
     return ngram_novelty(ds, n=3)
 
 
+def q_containment(sf_dir: str):
+    """All-pairs word 3-gram containment >= 10% (dedup.containment_pairs):
+    the asymmetric near-superset screen.  Doc sizes ride the gram shuffle
+    (no join/broadcast), one coarse gram-bucket groupby emits pair
+    partials under the df cap, one coarse pair-bucket groupby reduces —
+    integer-exact, cap mirrored in the oracle.  SQL-verified."""
+    from engine.stages.dedup import containment_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return containment_pairs(ds, n=3, min_ppm=100_000, max_df=256)
+
+
 def q_neardup_incremental(sf_dir: str):
     """Incremental near-dup gate (dedup.minhash_incremental): odd-id docs
     screened against the even-id standing index by MinHash band

@@ -1532,3 +1532,174 @@ def minhash_incremental(
             lambda df: final(df.drop(columns=["db"])), batch_format="pandas"
         )
     )
+
+
+def containment_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_ppm: int = 100_000,
+    max_df: int = 256,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """All-pairs word n-gram SET containment — the asymmetric near-dup
+    measure (Broder's containment, used by RefinedWeb/Dolma-style
+    partial-overlap screens): for documents a < b sharing at least one
+    n-gram, ``containment_ppm = |G_a ∩ G_b| * 1e6 // min(|G_a|, |G_b|)``
+    — the fraction of the SMALLER document's distinct grams found in the
+    other.  Catches near-supersets (quote inclusion, page-in-page
+    aggregation, truncated mirrors) that symmetric Jaccard dilutes: a
+    200-gram page fully embedded in a 10,000-gram page has J ~= 0.02 but
+    containment 1.0.
+
+    Output: (id_a, id_b, inter_grams, n_a, n_b, containment_ppm) for
+    pairs with containment_ppm >= min_ppm; integer-exact, SQL-verified.
+
+    Shape (the tfidf_pairs device — no all-pairs scan, no sizes join,
+    text never shuffles):
+    1. each doc emits its DISTINCT 63-bit FNV gram hashes once, every
+       row carrying the doc's gram count so both denominators ride the
+       shuffle (no broadcast, no driver funnel, no second join at 10^10
+       docs);
+    2. ONE coarse hash(gram)-bucket groupby emits per-gram pair
+       partials (all rows of a gram co-locate; df == rows).  Grams with
+       df > ``max_df`` are DROPPED with a logged count — ubiquitous
+       boilerplate phrases contribute pairs quadratically and
+       containment evidence marginally; the cap is mirrored EXACTLY in
+       the SQL oracle so conformance stays bit-for-bit.  In-bucket
+       partial sums combine pairs repeated across grams of one bucket;
+    3. ONE coarse hash(a,b)-bucket groupby accumulates intersections
+       (a pair's key fixes its bucket) and applies the threshold
+       vectorized inside the reduce.
+    """
+    from engine.stages.clean import _word_ngrams
+    from engine.stages.text import fnv1a_batch
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "inter_grams": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "containment_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if ds.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        flat: List[bytes] = []
+        out_d: List[int] = []
+        out_ng: List[int] = []
+        for d, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            grams = _word_ngrams(txt, n)
+            if not grams:
+                continue  # gramless docs can't join any pair
+            flat.extend(g.encode("utf-8") for g in grams)
+            out_d.extend([int(d)] * len(grams))
+            out_ng.extend([len(grams)] * len(grams))
+        if flat:
+            h = (fnv1a_batch(flat) & np.uint64((1 << 63) - 1)).astype(np.int64)
+        else:
+            h = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "gb": pa.array(h % np.int64(n_buckets), pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "d": pa.array(np.asarray(out_d, dtype=np.int64), pa.int64()),
+                "ng": pa.array(np.asarray(out_ng, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def gram_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        dropped = 0
+        for _, g in df.groupby("h", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            if m > max_df:
+                dropped += 1
+                continue
+            g = g.sort_values("d", kind="mergesort")
+            ids = g["d"].to_numpy()
+            ngs = g["ng"].to_numpy()
+            iu, ju = np.triu_indices(m, k=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[iu],
+                        "id_b": ids[ju],
+                        "n_a": ngs[iu],
+                        "n_b": ngs[ju],
+                        "c": np.ones(len(iu), dtype=np.int64),
+                    }
+                )
+            )
+        if dropped:
+            _log.warning(
+                "containment_pairs: dropped %d grams over max_df=%d",
+                dropped, max_df,
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "id_a": np.asarray([], dtype=np.int64),
+                    "id_b": np.asarray([], dtype=np.int64),
+                    "n_a": np.asarray([], dtype=np.int64),
+                    "n_b": np.asarray([], dtype=np.int64),
+                    "c": np.asarray([], dtype=np.int64),
+                }
+            )
+        return (
+            pd.concat(outs, ignore_index=True)
+            .groupby(["id_a", "id_b"], sort=False, as_index=False)
+            .agg(n_a=("n_a", "first"), n_b=("n_b", "first"), c=("c", "sum"))
+        )
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ b
+        return t.append_column(
+            "pb", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["id_a", "id_b"], sort=False, as_index=False).agg(
+            inter_grams=("c", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        )
+        mn = np.minimum(g["n_a"].to_numpy(np.int64), g["n_b"].to_numpy(np.int64))
+        ppm = g["inter_grams"].to_numpy(np.int64) * 1_000_000 // mn
+        sel = ppm >= min_ppm
+        return pd.DataFrame(
+            {
+                "id_a": g["id_a"].to_numpy(np.int64)[sel],
+                "id_b": g["id_b"].to_numpy(np.int64)[sel],
+                "inter_grams": g["inter_grams"].to_numpy(np.int64)[sel],
+                "n_a": g["n_a"].to_numpy(np.int64)[sel],
+                "n_b": g["n_b"].to_numpy(np.int64)[sel],
+                "containment_ppm": ppm[sel],
+            }
+        )
+
+    return (
+        as_arrow(
+            ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("gb")
+            .map_groups(
+                lambda df: gram_pairs(df.drop(columns=["gb"])),
+                batch_format="pandas",
+            )
+        )
+        .map_batches(pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pb")
+        .map_groups(
+            lambda df: reduce_pairs(df.drop(columns=["pb"])), batch_format="pandas"
+        )
+    )

@@ -1854,6 +1854,7 @@ def test_stage_operators_survive_empty_corpus(ray_session):
     assert clean.ngram_novelty(empty).count() == 0
     assert clean.normalize_text(empty).count() == 0
     assert dedup.tfidf_pairs(empty).count() == 0
+    assert dedup.containment_pairs(empty).count() == 0
     assert dedup.minhash_incremental(empty, empty).count() == 0
     from engine.stages.classifier import quality_classifier
     assert quality_classifier(empty.map_batches(
@@ -3095,3 +3096,73 @@ def test_textrank_keywords_hub_graph(ray_session):
         assert got.iloc[0]["token"] == "data"
         assert len(got) == 5
         assert got["rank_ppb"].is_monotonic_decreasing
+
+
+def test_containment_pairs_matches_set_oracle(ray_session):
+    """containment_pairs == a single-process oracle computing exact
+    n-gram-set containment with the same df cap: a small doc fully
+    embedded in a larger one scores 1.0 (the asymmetric case Jaccard
+    dilutes), a boilerplate gram above max_df is excluded from the
+    intersection on BOTH sides, unrelated docs emit no pair, and the
+    block layout does not matter."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.clean import _word_ngrams
+    from engine.stages.dedup import containment_pairs
+
+    boiler = "copyright footer text"
+    docs = {
+        0: "alpha beta gamma delta epsilon zeta",
+        # doc 0's token stream is a verbatim PREFIX -> every gram of 0 in 1
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lam mu nu xi omicron pi rho sigma tau " + boiler,
+        2: "one two three four five six seven " + boiler,
+        3: "five six seven eight nine ten eleven " + boiler,
+        4: "totally unrelated content about nothing shared " + boiler,
+    }
+    n, max_df, min_ppm = 3, 3, 100_000
+
+    grams = {d: _word_ngrams(txt, n) for d, txt in docs.items()}
+    df: dict = {}
+    for gs in grams.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    # the boilerplate grams really are over the cap
+    assert any(c > max_df for c in df.values())
+    kept = {d: {g for g in gs if 2 <= df[g] <= max_df} for d, gs in grams.items()}
+    expect = {}
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(kept[a] & kept[b])
+            if inter == 0:
+                continue
+            ppm = inter * 1_000_000 // min(len(grams[a]), len(grams[b]))
+            if ppm >= min_ppm:
+                expect[(a, b)] = (inter, len(grams[a]), len(grams[b]), ppm)
+
+    # doc 0 subset of doc 1 must survive at full containment
+    assert expect[(0, 1)][3] == 1_000_000
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    for n_blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        got = containment_pairs(
+            ds, n=n, min_ppm=min_ppm, max_df=max_df
+        ).to_pandas()
+        got_map = {
+            (int(r.id_a), int(r.id_b)): (
+                int(r.inter_grams), int(r.n_a), int(r.n_b),
+                int(r.containment_ppm),
+            )
+            for r in got.itertuples()
+        }
+        assert got_map == expect
+    # the unrelated doc appears in no pair
+    assert not any(4 in k for k in expect)
