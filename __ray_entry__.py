@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q.q_normalize_text,
         "novelty": q.q_novelty,
         "containment": q.q_containment,
+        "winnow_overlap": q.q_winnow_overlap,
         "robots_rules": q.q_robots_rules,
         "sitemap_urls": q.q_sitemap_urls,
         "lang_confusion": q.q_lang_confusion,
@@ -491,6 +492,61 @@ def _fingerprint_sql() -> str:
     """
 
 
+def _winnow_overlap_sql() -> str:
+    """Generate the winnow_overlap oracle: exact FNV-1a token hashes
+    (_sql_fnv), sliding window-8 minima, list_distinct (the fingerprint
+    machinery BEFORE its xor-fold), 63-bit masked to match the engine's
+    int64 shuffle keys; df-capped self-join on shared fingerprints —
+    the cap (128) and threshold (3) mirror dedup.winnow_overlap_pairs."""
+    TOK = r"'[^\t\n\v\f\r ]+'"
+    fnv = _sql_fnv
+
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), {TOK}) AS toks
+          FROM documents
+        ), th AS (
+          SELECT doc_id,
+                 list_transform(toks, tok -> {fnv('tok')}) AS h,
+                 len(toks) AS nt
+          FROM t
+          WHERE len(toks) > 0
+        ), fpl AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN nt < 8 THEN [list_min(h)]
+                   ELSE list_distinct(list_transform(range(nt - 7),
+                                                     i -> list_min(h[i+1:i+8])))
+                 END AS fps
+          FROM th
+        ), fp AS (
+          SELECT doc_id,
+                 CAST(unnest(fps) % 9223372036854775808 AS BIGINT) AS f,
+                 len(fps) AS nf
+          FROM fpl
+        ), dfreq AS (
+          SELECT f, count(*) AS df FROM fp GROUP BY f
+        ), kept AS (
+          SELECT fp.doc_id, fp.f, fp.nf
+          FROM fp JOIN dfreq USING (f)
+          WHERE dfreq.df BETWEEN 2 AND 128
+        ), pairs AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared,
+                 any_value(a.nf) AS na, any_value(b.nf) AS nb
+          FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT ia AS id_a, ib AS id_b,
+               CAST(shared AS BIGINT) AS shared_fps,
+               CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               CAST(shared * 1000000 // least(na, nb) AS BIGINT) AS overlap_ppm
+        FROM pairs
+        WHERE shared >= 3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
@@ -556,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY source
         """,
         "fingerprint": _fingerprint_sql(),
+        "winnow_overlap": _winnow_overlap_sql(),
         "dsir": _dsir_sql(),
         # redirect-chain resolution: the engine runs log-many pointer-
         # doubling joins; the oracle walks the same deterministic

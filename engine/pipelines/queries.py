@@ -1930,6 +1930,18 @@ def q_containment(sf_dir: str):
     return containment_pairs(ds, n=3, min_ppm=100_000, max_df=256)
 
 
+def q_winnow_overlap(sf_dir: str):
+    """MOSS-style winnowing fingerprint overlap pairs >= 3 shared
+    window-min fingerprints (dedup.winnow_overlap_pairs): positional
+    passage-reuse evidence, exact FNV + sliding-window-min mirrored in
+    the oracle (the fingerprint SQL machinery).  Same two-coarse-bucket
+    shape as containment.  SQL-verified."""
+    from engine.stages.dedup import winnow_overlap_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return winnow_overlap_pairs(ds, window=8, min_shared=3, max_df=128)
+
+
 def q_neardup_incremental(sf_dir: str):
     """Incremental near-dup gate (dedup.minhash_incremental): odd-id docs
     screened against the even-id standing index by MinHash band

@@ -1534,89 +1534,30 @@ def minhash_incremental(
     )
 
 
-def containment_pairs(
-    ds: ray.data.Dataset,
+
+def _shared_key_pairs(
+    keys: ray.data.Dataset,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    min_ppm: int = 100_000,
-    max_df: int = 256,
-    n_buckets: int = 64,
+    max_df: int,
+    min_inter: int,
+    min_ppm: int,
+    n_buckets: int,
+    label: str,
 ) -> ray.data.Dataset:
-    """All-pairs word n-gram SET containment — the asymmetric near-dup
-    measure (Broder's containment, used by RefinedWeb/Dolma-style
-    partial-overlap screens): for documents a < b sharing at least one
-    n-gram, ``containment_ppm = |G_a ∩ G_b| * 1e6 // min(|G_a|, |G_b|)``
-    — the fraction of the SMALLER document's distinct grams found in the
-    other.  Catches near-supersets (quote inclusion, page-in-page
-    aggregation, truncated mirrors) that symmetric Jaccard dilutes: a
-    200-gram page fully embedded in a 10,000-gram page has J ~= 0.02 but
-    containment 1.0.
-
-    Output: (id_a, id_b, inter_grams, n_a, n_b, containment_ppm) for
-    pairs with containment_ppm >= min_ppm; integer-exact, SQL-verified.
-
-    Shape (the tfidf_pairs device — no all-pairs scan, no sizes join,
-    text never shuffles):
-    1. each doc emits its DISTINCT 63-bit FNV gram hashes once, every
-       row carrying the doc's gram count so both denominators ride the
-       shuffle (no broadcast, no driver funnel, no second join at 10^10
-       docs);
-    2. ONE coarse hash(gram)-bucket groupby emits per-gram pair
-       partials (all rows of a gram co-locate; df == rows).  Grams with
-       df > ``max_df`` are DROPPED with a logged count — ubiquitous
-       boilerplate phrases contribute pairs quadratically and
-       containment evidence marginally; the cap is mirrored EXACTLY in
-       the SQL oracle so conformance stays bit-for-bit.  In-bucket
-       partial sums combine pairs repeated across grams of one bucket;
-    3. ONE coarse hash(a,b)-bucket groupby accumulates intersections
-       (a pair's key fixes its bucket) and applies the threshold
-       vectorized inside the reduce.
+    """Pair machinery shared by containment_pairs / winnow_overlap_pairs:
+    ``keys`` rows are (kb, h, d, nk) — coarse bucket, 63-bit key hash,
+    doc id, and the emitting doc's TOTAL distinct-key count (sizes ride
+    the shuffle; no sizes join, no broadcast).  ONE coarse
+    hash(key)-bucket groupby emits per-key pair partials (keys with
+    df > ``max_df`` are DROPPED with a logged count — the boilerplate
+    cap, mirrored exactly in each caller's SQL oracle), in-bucket sums
+    combine repeats; ONE coarse hash(a,b)-bucket groupby accumulates
+    intersections and applies both thresholds vectorized.  Output:
+    (id_a, id_b, inter, n_a, n_b, ppm) with
+    ppm = inter * 1e6 // min(n_a, n_b).
     """
-    from engine.stages.clean import _word_ngrams
-    from engine.stages.text import fnv1a_batch
 
-    empty = pa.table(
-        {
-            "id_a": pa.array([], pa.int64()),
-            "id_b": pa.array([], pa.int64()),
-            "inter_grams": pa.array([], pa.int64()),
-            "n_a": pa.array([], pa.int64()),
-            "n_b": pa.array([], pa.int64()),
-            "containment_ppm": pa.array([], pa.int64()),
-        }
-    )
-    if ds.count() == 0:
-        return ray.data.from_arrow(empty)
-
-    def gram_rows(t: pa.Table) -> pa.Table:
-        flat: List[bytes] = []
-        out_d: List[int] = []
-        out_ng: List[int] = []
-        for d, txt in zip(
-            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
-        ):
-            grams = _word_ngrams(txt, n)
-            if not grams:
-                continue  # gramless docs can't join any pair
-            flat.extend(g.encode("utf-8") for g in grams)
-            out_d.extend([int(d)] * len(grams))
-            out_ng.extend([len(grams)] * len(grams))
-        if flat:
-            h = (fnv1a_batch(flat) & np.uint64((1 << 63) - 1)).astype(np.int64)
-        else:
-            h = np.empty(0, dtype=np.int64)
-        return pa.table(
-            {
-                "gb": pa.array(h % np.int64(n_buckets), pa.int64()),
-                "h": pa.array(h, pa.int64()),
-                "d": pa.array(np.asarray(out_d, dtype=np.int64), pa.int64()),
-                "ng": pa.array(np.asarray(out_ng, dtype=np.int64), pa.int64()),
-            }
-        )
-
-    def gram_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def key_pairs(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         dropped = 0
         for _, g in df.groupby("h", sort=False):
@@ -1628,23 +1569,22 @@ def containment_pairs(
                 continue
             g = g.sort_values("d", kind="mergesort")
             ids = g["d"].to_numpy()
-            ngs = g["ng"].to_numpy()
+            nks = g["nk"].to_numpy()
             iu, ju = np.triu_indices(m, k=1)
             outs.append(
                 pd.DataFrame(
                     {
                         "id_a": ids[iu],
                         "id_b": ids[ju],
-                        "n_a": ngs[iu],
-                        "n_b": ngs[ju],
+                        "n_a": nks[iu],
+                        "n_b": nks[ju],
                         "c": np.ones(len(iu), dtype=np.int64),
                     }
                 )
             )
         if dropped:
             _log.warning(
-                "containment_pairs: dropped %d grams over max_df=%d",
-                dropped, max_df,
+                "%s: dropped %d keys over max_df=%d", label, dropped, max_df
             )
         if not outs:
             return pd.DataFrame(
@@ -1672,28 +1612,27 @@ def containment_pairs(
 
     def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["id_a", "id_b"], sort=False, as_index=False).agg(
-            inter_grams=("c", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
+            inter=("c", "sum"), n_a=("n_a", "first"), n_b=("n_b", "first")
         )
+        inter = g["inter"].to_numpy(np.int64)
         mn = np.minimum(g["n_a"].to_numpy(np.int64), g["n_b"].to_numpy(np.int64))
-        ppm = g["inter_grams"].to_numpy(np.int64) * 1_000_000 // mn
-        sel = ppm >= min_ppm
+        ppm = inter * 1_000_000 // mn
+        sel = (ppm >= min_ppm) & (inter >= min_inter)
         return pd.DataFrame(
             {
                 "id_a": g["id_a"].to_numpy(np.int64)[sel],
                 "id_b": g["id_b"].to_numpy(np.int64)[sel],
-                "inter_grams": g["inter_grams"].to_numpy(np.int64)[sel],
+                "inter": inter[sel],
                 "n_a": g["n_a"].to_numpy(np.int64)[sel],
                 "n_b": g["n_b"].to_numpy(np.int64)[sel],
-                "containment_ppm": ppm[sel],
+                "ppm": ppm[sel],
             }
         )
 
     return (
         as_arrow(
-            ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("gb")
-            .map_groups(
-                lambda df: gram_pairs(df.drop(columns=["gb"])),
+            keys.groupby("kb").map_groups(
+                lambda df: key_pairs(df.drop(columns=["kb"])),
                 batch_format="pandas",
             )
         )
@@ -1703,3 +1642,190 @@ def containment_pairs(
             lambda df: reduce_pairs(df.drop(columns=["pb"])), batch_format="pandas"
         )
     )
+
+
+def _rename_pairs(ds: ray.data.Dataset, inter_name: str, ppm_name: str) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda t: t.select(["id_a", "id_b", "inter", "n_a", "n_b", "ppm"])
+        .rename_columns(["id_a", "id_b", inter_name, "n_a", "n_b", ppm_name]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _empty_pairs(inter_name: str, ppm_name: str) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                inter_name: pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                ppm_name: pa.array([], pa.int64()),
+            }
+        )
+    )
+
+
+def containment_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_ppm: int = 100_000,
+    max_df: int = 256,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """All-pairs word n-gram SET containment — the asymmetric near-dup
+    measure (Broder's containment, used by RefinedWeb/Dolma-style
+    partial-overlap screens): for documents a < b sharing at least one
+    n-gram, ``containment_ppm = |G_a ∩ G_b| * 1e6 // min(|G_a|, |G_b|)``
+    — the fraction of the SMALLER document's distinct grams found in the
+    other.  Catches near-supersets (quote inclusion, page-in-page
+    aggregation, truncated mirrors) that symmetric Jaccard dilutes: a
+    200-gram page fully embedded in a 10,000-gram page has J ~= 0.02 but
+    containment 1.0.
+
+    Output: (id_a, id_b, inter_grams, n_a, n_b, containment_ppm) for
+    pairs with containment_ppm >= min_ppm; integer-exact, SQL-verified
+    (the df cap is mirrored exactly in the oracle).
+
+    Shape (the tfidf_pairs device — no all-pairs scan, no sizes join,
+    text never shuffles): each doc emits its DISTINCT 63-bit FNV gram
+    hashes once, every row carrying the doc's gram count so both
+    denominators ride the shuffle; pair generation and the two coarse
+    bucket groupbys are ``_shared_key_pairs``.
+    """
+    from engine.stages.clean import _word_ngrams
+    from engine.stages.text import fnv1a_batch
+
+    if ds.count() == 0:
+        return _empty_pairs("inter_grams", "containment_ppm")
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        flat: List[bytes] = []
+        out_d: List[int] = []
+        out_nk: List[int] = []
+        for d, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            grams = _word_ngrams(txt, n)
+            if not grams:
+                continue  # gramless docs can't join any pair
+            flat.extend(g.encode("utf-8") for g in grams)
+            out_d.extend([int(d)] * len(grams))
+            out_nk.extend([len(grams)] * len(grams))
+        if flat:
+            h = (fnv1a_batch(flat) & np.uint64((1 << 63) - 1)).astype(np.int64)
+        else:
+            h = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "kb": pa.array(h % np.int64(n_buckets), pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "d": pa.array(np.asarray(out_d, dtype=np.int64), pa.int64()),
+                "nk": pa.array(np.asarray(out_nk, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    keys = ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _shared_key_pairs(
+        keys,
+        max_df=max_df,
+        min_inter=1,
+        min_ppm=min_ppm,
+        n_buckets=n_buckets,
+        label="containment_pairs",
+    )
+    return _rename_pairs(pairs, "inter_grams", "containment_ppm")
+
+
+def winnow_overlap_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_shared: int = 3,
+    max_df: int = 128,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """MOSS-style winnowing fingerprint overlap join (Schleimer, Wilkerson
+    & Aiken, SIGMOD 2003): documents a < b sharing >= ``min_shared``
+    DISTINCT window-min token-hash fingerprints — the positional-evidence
+    complement of set resemblance: a shared fingerprint certifies a
+    shared ``window``-token run, so pairs surface on verbatim passage
+    reuse (plagiarism, syndication, template prose) even when the
+    documents' overall gram sets barely overlap.
+
+    Fingerprints are exactly ``engine.stages.text.fingerprint``'s
+    construction (FNV-1a token hashes, sliding ``window``-min, distinct),
+    BEFORE the xor-fold — the set, not the digest.  Docs with fewer than
+    ``window`` tokens contribute their single min hash; empty docs none.
+
+    Output: (id_a, id_b, shared_fps, n_a, n_b, overlap_ppm) with
+    overlap_ppm = shared * 1e6 // min(|F_a|, |F_b|); integer-exact,
+    SQL-verified (FNV + winnowing + the df cap mirrored in the oracle).
+
+    Shape: identical to containment_pairs (``_shared_key_pairs``); the
+    fingerprint density is ~2/(window+1) of the token count, so the
+    shuffle is an order of magnitude lighter than the gram shuffle.
+    """
+    from engine.stages.text import _TOKEN, fnv1a_batch
+
+    if ds.count() == 0:
+        return _empty_pairs("shared_fps", "overlap_ppm")
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        tok_lists = [
+            _TOKEN.findall(txt or "") for txt in t.column(text_col).to_pylist()
+        ]
+        ids = t.column(id_col).to_pylist()
+        flat = [tok.encode("utf-8") for toks in tok_lists for tok in toks]
+        th_all = fnv1a_batch(flat)
+        counts = np.fromiter(
+            (len(toks) for toks in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        bounds = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+        np.cumsum(counts, out=bounds[1:])
+        out_h: List[np.ndarray] = []
+        out_d: List[int] = []
+        out_nk: List[int] = []
+        for i, d in enumerate(ids):
+            th = th_all[bounds[i] : bounds[i + 1]]
+            if len(th) == 0:
+                continue
+            if len(th) >= window:
+                mins = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(th, window).min(axis=1)
+                )
+            else:
+                mins = np.asarray([th.min()], dtype=np.uint64)
+            out_h.append(mins)
+            out_d.extend([int(d)] * len(mins))
+            out_nk.extend([len(mins)] * len(mins))
+        if out_h:
+            h = (np.concatenate(out_h) & np.uint64((1 << 63) - 1)).astype(np.int64)
+        else:
+            h = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "kb": pa.array(h % np.int64(n_buckets), pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "d": pa.array(np.asarray(out_d, dtype=np.int64), pa.int64()),
+                "nk": pa.array(np.asarray(out_nk, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    keys = ds.map_batches(fp_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _shared_key_pairs(
+        keys,
+        max_df=max_df,
+        min_inter=min_shared,
+        min_ppm=0,
+        n_buckets=n_buckets,
+        label="winnow_overlap_pairs",
+    )
+    return _rename_pairs(pairs, "shared_fps", "overlap_ppm")

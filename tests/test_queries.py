@@ -74,7 +74,8 @@ SQL_NAMES = [
     "mixture_sample", "corpus_split", "weighted_sample", "domain_terms",
     "corpus_filter", "incremental_index",
     "export_shards", "export_jsonl", "chunk_docs",
-    "url_filter", "normalize_text", "novelty", "containment", "robots_rules",
+    "url_filter", "normalize_text", "novelty", "containment",
+    "winnow_overlap", "robots_rules",
     "sitemap_urls", "lang_confusion", "dedup_report", "outlinks",
     "export_warc", "export_wet", "crawl_metrics", "recrawl",
     "crawl_host_budget",

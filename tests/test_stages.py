@@ -3166,3 +3166,87 @@ def test_containment_pairs_matches_set_oracle(ray_session):
         assert got_map == expect
     # the unrelated doc appears in no pair
     assert not any(4 in k for k in expect)
+
+
+def test_winnow_overlap_pairs_matches_set_oracle(ray_session):
+    """winnow_overlap_pairs == a single-process oracle building the same
+    window-min fingerprint sets: a verbatim shared passage (>= window
+    consecutive tokens) surfaces the pair, disjoint docs don't, a short
+    doc (< window tokens) contributes its single min hash, and the block
+    layout does not matter."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.dedup import winnow_overlap_pairs
+    from engine.stages.text import _TOKEN, fnv1a_batch
+
+    passage = ("the quick brown fox jumps over the lazy dog near "
+               "the riverbank at dawn every single day")
+    docs = {
+        0: "intro words here " + passage + " closing remarks",
+        1: "completely different opening " + passage + " and another tail",
+        2: "unrelated text about cooking pasta with garlic and olive oil",
+        3: "short doc",                      # < window tokens: single min
+        4: "short doc",                      # identical -> same single min
+    }
+    window, max_df = 8, 128
+
+    def fps(txt):
+        toks = _TOKEN.findall(txt)
+        th = fnv1a_batch([t.encode() for t in toks])
+        if len(th) == 0:
+            return np.asarray([], dtype=np.uint64)
+        if len(th) >= window:
+            return np.unique(
+                np.lib.stride_tricks.sliding_window_view(th, window).min(axis=1)
+            )
+        return np.asarray([th.min()], dtype=np.uint64)
+
+    sets = {d: fps(txt) for d, txt in docs.items()}
+    from collections import Counter
+    df = Counter()
+    for s in sets.values():
+        df.update(int(x) for x in s)
+    kept = {
+        d: {int(x) for x in s if 2 <= df[int(x)] <= max_df}
+        for d, s in sets.items()
+    }
+
+    def oracle(min_shared):
+        expect = {}
+        ids = sorted(docs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                shared = len(kept[a] & kept[b])
+                if shared >= min_shared:
+                    ppm = shared * 1_000_000 // min(len(sets[a]), len(sets[b]))
+                    expect[(a, b)] = (shared, len(sets[a]), len(sets[b]), ppm)
+        return expect
+
+    # the passage-sharing pair is found at threshold 1 (consecutive sliding
+    # windows reuse a min, so a 17-token shared passage yields only ~2
+    # DISTINCT shared fingerprints); the unrelated doc pairs with no one
+    assert (0, 1) in oracle(1)
+    assert not any(2 in k for k in oracle(1))
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    for min_shared in (1, 3):
+        expect = oracle(min_shared)
+        for n_blocks in (1, 3):
+            ds = ray.data.from_arrow(t).repartition(n_blocks)
+            got = winnow_overlap_pairs(
+                ds, window=window, min_shared=min_shared, max_df=max_df
+            ).to_pandas()
+            got_map = {
+                (int(r.id_a), int(r.id_b)): (
+                    int(r.shared_fps), int(r.n_a), int(r.n_b), int(r.overlap_ppm)
+                )
+                for r in got.itertuples()
+            }
+            assert got_map == expect, (min_shared, n_blocks)
