@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novelty": q.q_novelty,
         "containment": q.q_containment,
         "winnow_overlap": q.q_winnow_overlap,
+        "cdx_pages": q.q_cdx_pages,
+        "cdx_shards": q.q_cdx_shards,
         "robots_rules": q.q_robots_rules,
         "sitemap_urls": q.q_sitemap_urls,
         "lang_confusion": q.q_lang_confusion,
@@ -613,6 +615,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": _fingerprint_sql(),
         "winnow_overlap": _winnow_overlap_sql(),
+        # logical CDX: md5 digest (the repo-wide exact-dedup hash, native in
+        # DuckDB), reverse-host SURT (the surt_hosts device), utf-8 byte
+        # length, revisit = strictly-later capture of (url, digest)
+        "cdx_pages": """
+            WITH caps AS (
+              SELECT 'https://' || source || '.example.com/docs/' ||
+                         CAST(doc_id AS VARCHAR) || '.html' AS url,
+                     array_to_string(list_reverse(string_split(
+                         source || '.example.com', '.')), ',')
+                         || ')/docs/' || CAST(doc_id AS VARCHAR) || '.html' AS surt,
+                     20240101000000 + c AS ts,
+                     CASE WHEN c % 2 = 0 THEN coalesce(text, '')
+                          ELSE coalesce(text, '') || ' (updated)' END AS content
+              FROM documents, range(3) r(c)
+              WHERE c < 1 + doc_id % 3
+            )
+            SELECT surt, ts, url,
+                   md5(content) AS digest,
+                   CAST(octet_length(encode(content)) AS BIGINT) AS length,
+                   ts > min(ts) OVER (PARTITION BY url, md5(content)) AS revisit
+            FROM caps
+        """,
         "dsir": _dsir_sql(),
         # redirect-chain resolution: the engine runs log-many pointer-
         # doubling joins; the oracle walks the same deterministic

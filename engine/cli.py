@@ -11,6 +11,8 @@ guaranteed dependency here; the subcommand surface is preserved):
   export           sharded training export + round-trip manifest
   stats            corpus profiling report (size/langs/quantiles/dedup/terms)
   build-corpus     full corpus build: filter -> dedup -> mixture -> pack -> shards
+  parse-robots     robots.txt corpus -> politeness parquet
+  cdx              .warc.gz shards -> sorted CDX parquet (random-access index)
 
 Run under a Ray job:  ray job submit -- python -m engine.cli index ...
 Owns its own Ray session (guarded init; the library never calls ray.init).
@@ -339,6 +341,23 @@ def cmd_crawl(args) -> int:
     return 0
 
 
+def cmd_cdx(args) -> int:
+    """.warc.gz shard dir -> sorted CDX parquet (stages.cdx): the
+    random-access index (surt, ts, url, status, mime, digest, offset,
+    length, filename) web archives pair with their payload store."""
+    ray = _ray_session(args.num_cpus)
+    from engine.stages.cdx import cdx_index_shards
+
+    t0 = time.monotonic()
+    idx = cdx_index_shards(args.warcs)
+    shutil.rmtree(args.out, ignore_errors=True)
+    idx.write_parquet(args.out)
+    n = ray.data.read_parquet(args.out).count()
+    print(f"Time taken: {time.monotonic() - t0:.2f}s — {n} records -> {args.out}")
+    _shutdown(ray)
+    return 0
+
+
 def cmd_clean(args) -> int:
     """The reference's clear-redis analog (index.py:245-282): drop state."""
     if os.path.isdir(args.path):
@@ -446,6 +465,11 @@ def main(argv=None) -> int:
     pr.add_argument("--default-crawl-delay", type=float, default=5.0)
     pr.add_argument("--default-max-pages", type=int, default=1000)
     pr.set_defaults(fn=cmd_parse_robots)
+
+    cx = sub.add_parser("cdx", help=".warc.gz shards -> sorted CDX parquet")
+    cx.add_argument("warcs", help=".warc.gz file or directory of shards")
+    cx.add_argument("out", help="output parquet directory")
+    cx.set_defaults(fn=cmd_cdx)
 
     args = p.parse_args(argv)
     try:

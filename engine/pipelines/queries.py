@@ -1942,6 +1942,67 @@ def q_winnow_overlap(sf_dir: str):
     return winnow_overlap_pairs(ds, window=8, min_shared=3, max_df=128)
 
 
+def q_cdx_pages(sf_dir: str):
+    """Logical CDX capture index (stages.cdx.cdx_index): SURT key, md5
+    digest, byte length, and the WARC/1.1 revisit flag (a later capture
+    of the same url with an unchanged digest stores no second payload)
+    over deterministic multi-capture history — doc_id % 3 + 1 captures
+    per page, content mutating on odd captures so capture 2 revisits
+    capture 0.  One coarse (url, digest)-bucket groupby + the defining
+    (surt, ts) sort.  SQL-verified (md5 + reverse-host SURT + min-ts
+    window mirrored exactly)."""
+    from engine.stages.cdx import cdx_index
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def captures(t: pa.Table) -> pa.Table:
+        urls: list = []
+        tss: list = []
+        contents: list = []
+        for d, txt, s in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("source").to_pylist(),
+        ):
+            url = f"https://{s}.example.com/docs/{d}.html"
+            for c in range(1 + int(d) % 3):
+                urls.append(url)
+                tss.append(20240101000000 + c)
+                contents.append(
+                    (txt or "") if c % 2 == 0 else (txt or "") + " (updated)"
+                )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ts": pa.array(tss, pa.int64()),
+                "content": pa.array(contents, pa.string()),
+            }
+        )
+
+    caps = ds.map_batches(captures, batch_format="pyarrow", zero_copy_batch=True)
+    return cdx_index(caps)
+
+
+def q_cdx_shards(sf_dir: str):
+    """Physical CDX over written .warc.gz shards (stages.cdx.
+    cdx_index_shards): pages exported through export_warc_shards, then
+    every shard's gzip members walked once for (surt, ts14, url, status,
+    mime, digest, byte offset, member length) sorted by (surt, ts) —
+    the random-access index web archives pair with their payload store.
+    Rows-only here (offsets/lengths are gzip geometry, not SQL-derivable);
+    the STRONGER oracle is tests/test_cdx.py: every indexed record is
+    re-fetched by (offset, length) via cdx_fetch and byte-compared."""
+    import tempfile
+
+    from engine.stages.cdx import cdx_index_shards
+    from engine.stages.export import export_warc_shards
+
+    with tempfile.TemporaryDirectory(prefix="cdx_shards_q_") as td:
+        export_warc_shards(pages_dataset(sf_dir), out_dir=td, n_shards=8).materialize()
+        # materialized before the tempdir is torn down
+        return cdx_index_shards(td).materialize()
+
+
 def q_neardup_incremental(sf_dir: str):
     """Incremental near-dup gate (dedup.minhash_incremental): odd-id docs
     screened against the even-id standing index by MinHash band
