@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_overlap": q.q_winnow_overlap,
         "cdx_pages": q.q_cdx_pages,
         "cdx_shards": q.q_cdx_shards,
+        "warc_dedup": q.q_warc_dedup,
         "robots_rules": q.q_robots_rules,
         "sitemap_urls": q.q_sitemap_urls,
         "lang_confusion": q.q_lang_confusion,
@@ -549,6 +550,44 @@ def _winnow_overlap_sql() -> str:
     """
 
 
+def _warc_dedup_sql() -> str:
+    """Generate the warc_dedup oracle: the cdx_pages capture derivation,
+    digest = md5(content), shard = fnv1a(digest hex) % 8 (the engine's
+    digest-routed layout), original per digest = the (ts, url)-minimum
+    capture (row_number), payload bytes stored = originals' utf-8 byte
+    lengths.  Matching the read-back manifest proves digest routing, the
+    revisit writer and the revisit-aware CDX parser together."""
+    fnv = _sql_fnv
+
+    return f"""
+        WITH caps AS (
+          SELECT 'https://' || source || '.example.com/docs/' ||
+                     CAST(doc_id AS VARCHAR) || '.html' AS url,
+                 20240101000000 + c AS ts,
+                 CASE WHEN c % 2 = 0 THEN coalesce(text, '')
+                      ELSE coalesce(text, '') || ' (updated)' END AS content
+          FROM documents, range(3) r(c)
+          WHERE c < 1 + doc_id % 3
+        ), d AS (
+          SELECT url, ts, content, md5(content) AS digest FROM caps
+        ), r AS (
+          SELECT content,
+                 row_number() OVER (PARTITION BY digest
+                                    ORDER BY ts, url) AS rn,
+                 CAST({fnv('digest')} % 8 AS BIGINT) AS shard
+          FROM d
+        )
+        SELECT shard,
+               CAST(count(*) AS BIGINT) AS n_records,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_revisits,
+               CAST(sum(CASE WHEN rn = 1
+                             THEN octet_length(encode(content))
+                             ELSE 0 END) AS BIGINT) AS payload_bytes
+        FROM r GROUP BY shard
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
@@ -615,6 +654,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": _fingerprint_sql(),
         "winnow_overlap": _winnow_overlap_sql(),
+        "warc_dedup": _warc_dedup_sql(),
         # logical CDX: md5 digest (the repo-wide exact-dedup hash, native in
         # DuckDB), reverse-host SURT (the surt_hosts device), utf-8 byte
         # length, revisit = strictly-later capture of (url, digest)

@@ -1953,6 +1953,34 @@ def q_cdx_pages(sf_dir: str):
     window mirrored exactly)."""
     from engine.stages.cdx import cdx_index
 
+    return cdx_index(_cdx_captures(sf_dir))
+
+
+def q_cdx_shards(sf_dir: str):
+    """Physical CDX over written .warc.gz shards (stages.cdx.
+    cdx_index_shards): pages exported through export_warc_shards, then
+    every shard's gzip members walked once for (surt, ts14, url, status,
+    mime, digest, byte offset, member length) sorted by (surt, ts) —
+    the random-access index web archives pair with their payload store.
+    Rows-only here (offsets/lengths are gzip geometry, not SQL-derivable);
+    the STRONGER oracle is tests/test_cdx.py: every indexed record is
+    re-fetched by (offset, length) via cdx_fetch and byte-compared."""
+    import tempfile
+
+    from engine.stages.cdx import cdx_index_shards
+    from engine.stages.export import export_warc_shards
+
+    with tempfile.TemporaryDirectory(prefix="cdx_shards_q_") as td:
+        export_warc_shards(pages_dataset(sf_dir), out_dir=td, n_shards=8).materialize()
+        # materialized before the tempdir is torn down
+        return cdx_index_shards(td).materialize()
+
+
+def _cdx_captures(sf_dir: str):
+    """Deterministic multi-capture history over the documents table —
+    doc_id % 3 + 1 captures per page, content mutating on odd captures so
+    capture 2 repeats capture 0's digest (shared by cdx_pages /
+    warc_dedup and their oracles)."""
     ds = _docs(sf_dir, ["doc_id", "text", "source"])
 
     def captures(t: pa.Table) -> pa.Table:
@@ -1979,28 +2007,26 @@ def q_cdx_pages(sf_dir: str):
             }
         )
 
-    caps = ds.map_batches(captures, batch_format="pyarrow", zero_copy_batch=True)
-    return cdx_index(caps)
+    return ds.map_batches(captures, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_cdx_shards(sf_dir: str):
-    """Physical CDX over written .warc.gz shards (stages.cdx.
-    cdx_index_shards): pages exported through export_warc_shards, then
-    every shard's gzip members walked once for (surt, ts14, url, status,
-    mime, digest, byte offset, member length) sorted by (surt, ts) —
-    the random-access index web archives pair with their payload store.
-    Rows-only here (offsets/lengths are gzip geometry, not SQL-derivable);
-    the STRONGER oracle is tests/test_cdx.py: every indexed record is
-    re-fetched by (offset, length) via cdx_fetch and byte-compared."""
+def q_warc_dedup(sf_dir: str):
+    """Storage-deduplicating archive export (export.export_warc_dedup_
+    shards): the multi-capture history written as digest-routed .warc.gz
+    shards where repeated payloads become slim WARC revisit records; the
+    manifest (shard, n_records, n_revisits, payload_bytes) is built by
+    reading the archive BACK through the revisit-aware cdx_index_shards,
+    so parity proves digest routing, winner choice, the revisit writer
+    and the revisit-aware parser in one loop.  SQL-verified."""
     import tempfile
 
-    from engine.stages.cdx import cdx_index_shards
-    from engine.stages.export import export_warc_shards
+    from engine.stages.export import export_warc_dedup_shards
 
-    with tempfile.TemporaryDirectory(prefix="cdx_shards_q_") as td:
-        export_warc_shards(pages_dataset(sf_dir), out_dir=td, n_shards=8).materialize()
-        # materialized before the tempdir is torn down
-        return cdx_index_shards(td).materialize()
+    with tempfile.TemporaryDirectory(prefix="warc_dedup_q_") as td:
+        # manifest is fully materialized before the tempdir is torn down
+        return export_warc_dedup_shards(
+            _cdx_captures(sf_dir), out_dir=td, n_shards=8
+        )
 
 
 def q_neardup_incremental(sf_dir: str):

@@ -188,12 +188,17 @@ def cdx_index_shards(
 ) -> ray.data.Dataset:
     """Physical CDX over ``.warc.gz`` shard file(s): one row per
     page-bearing record — (surt, ts, url, status, mime, digest, length,
-    offset, filename) sorted by (surt, ts).  ``ts`` is CDX14;
+    offset, body_len, filename) sorted by (surt, ts).  ``ts`` is CDX14;
     ``offset``/``length`` are the record's gzip-member byte range inside
     ``filename`` (basename — shards are resolved against the archive
     root), ``digest`` is md5 of the EXTRACTED body (the logical-index
-    definition, so the two indexes agree), status/mime come from the
-    captured HTTP head.  ``cdx_fetch`` inverts a row back to its record.
+    definition, so the two indexes agree), ``body_len`` its decompressed
+    byte count, status/mime come from the captured HTTP head.
+    ``revisit`` records (WARC/1.1 §6.7.2 — the dedup export writes them)
+    are indexed too: mime ``warc/revisit``, status 0, digest from the
+    WARC-Payload-Digest header, body_len 0 — resolve via
+    ``resolve_revisit`` (digest lookup -> the payload-bearing original).
+    ``cdx_fetch`` inverts any row back to its record.
     """
     from hashlib import md5
 
@@ -215,6 +220,7 @@ def cdx_index_shards(
             "digest": pa.array([], pa.string()),
             "length": pa.array([], pa.int64()),
             "offset": pa.array([], pa.int64()),
+            "body_len": pa.array([], pa.int64()),
             "filename": pa.array([], pa.string()),
         }
     )
@@ -266,24 +272,37 @@ def cdx_index_shards(
                 _, headers = head
                 rtype = headers.get(b"warc-type", b"")
                 url_b = headers.get(b"warc-target-uri")
-                if rtype not in _PAGE_TYPES or url_b is None:
+                if url_b is None or (
+                    rtype not in _PAGE_TYPES and rtype != b"revisit"
+                ):
                     continue
-                length = int(headers.get(b"content-length", b"0"))
-                sep = rec.find(b"\r\n\r\n")  # end of the WARC header block
-                payload = rec[sep + 4 : sep + 4 + length] if sep >= 0 else b""
-                body = _http_body(payload) if rtype == b"response" else payload
-                status, mime = (
-                    _http_status_mime(payload)
-                    if rtype == b"response"
-                    else (200, "")
-                )
+                if rtype == b"revisit":
+                    pd_hdr = headers.get(b"warc-payload-digest", b"")
+                    digest = pd_hdr.split(b":")[-1].decode("ascii", "replace")
+                    status, mime, body = 0, "warc/revisit", b""
+                else:
+                    length = int(headers.get(b"content-length", b"0"))
+                    sep = rec.find(b"\r\n\r\n")  # end of WARC header block
+                    payload = (
+                        rec[sep + 4 : sep + 4 + length] if sep >= 0 else b""
+                    )
+                    body = (
+                        _http_body(payload) if rtype == b"response" else payload
+                    )
+                    status, mime = (
+                        _http_status_mime(payload)
+                        if rtype == b"response"
+                        else (200, "")
+                    )
+                    digest = md5(body).hexdigest()
                 cols["url"].append(url_b.decode("utf-8", "replace"))
                 cols["ts"].append(_ts14(_parse_warc_date(headers.get(b"warc-date"))))
                 cols["status"].append(status)
                 cols["mime"].append(mime)
-                cols["digest"].append(md5(body).hexdigest())
+                cols["digest"].append(digest)
                 cols["length"].append(clen)
                 cols["offset"].append(off)
+                cols["body_len"].append(len(body))
                 cols["filename"].append(fname)
         surts = canonicalize_batch(cols["url"])["surt"]
         out = {"surt": pa.array(surts, pa.string())}
@@ -316,6 +335,31 @@ def cdx_fetch(
             f"CDX range ({offset}, {length}) holds {len(recs)} records, expected 1"
         )
     return recs[0]
+
+
+def resolve_revisit(index: pa.Table, row: dict, archive_dir: str) -> bytes:
+    """Payload for one physical-index row: fetched directly for
+    payload-bearing records, resolved THROUGH the index for revisit rows
+    (any payload-bearing record with the same digest — revisit resolution
+    is digest-keyed, WARC/1.1 §6.7.2; archives keep exactly this mapping
+    as their dedup DB).  Driver-side helper over a collected index."""
+    if row["mime"] != "warc/revisit":
+        return cdx_fetch(
+            os.path.join(archive_dir, row["filename"]),
+            int(row["offset"]),
+            int(row["length"]),
+        )[2]
+    digests = index.column("digest").to_numpy(zero_copy_only=False)
+    mimes = index.column("mime").to_numpy(zero_copy_only=False)
+    hits = np.flatnonzero((digests == row["digest"]) & (mimes != "warc/revisit"))
+    if len(hits) == 0:
+        raise KeyError(f"no payload-bearing record for digest {row['digest']}")
+    orig = index.slice(int(hits[0]), 1).to_pylist()[0]
+    return cdx_fetch(
+        os.path.join(archive_dir, orig["filename"]),
+        int(orig["offset"]),
+        int(orig["length"]),
+    )[2]
 
 
 def cdx_lookup(index: pa.Table, url: str) -> pa.Table:

@@ -307,3 +307,205 @@ def export_warc_shards(
             }
         )
     )
+
+
+def export_warc_dedup_shards(
+    captures: ray.data.Dataset,
+    *,
+    out_dir: str,
+    n_shards: int = 8,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    content_col: str = "content",
+) -> ray.data.Dataset:
+    """Storage-deduplicating archive export (Heritrix/wayback dedup
+    writing, WARC/1.1 §6.7.2): per content digest, ONE capture keeps its
+    payload (a ``response`` record); every other capture of the same
+    digest is written as a slim ``revisit`` record carrying only headers
+    (WARC-Payload-Digest + WARC-Refers-To-*), resolvable back to the
+    original through the CDX (stages.cdx.resolve_revisit).
+
+    Input rows: (url, ts, content) with ``ts`` int64 CDX14
+    (yyyymmddhhmmss).  The original per digest is the (ts, url)-minimum
+    capture — deterministic under any block layout.
+
+    Shape: shard = fnv1a(digest) % n_shards — DIGEST-routed, so all
+    captures of one payload co-locate in the shard-writer group and
+    winner selection happens inside it: the payload crosses exactly ONE
+    all-to-all (same count as the plain exporter; a url-routed layout
+    would need a second digest shuffle or a join just to pick winners).
+    Records are written in (url, ts) order (deterministic bytes modulo
+    gzip mtime); one gzip member per record (cdx_index_shards geometry).
+
+    Returns the manifest built by READING the archive back through the
+    revisit-aware cdx_index_shards: (shard, n_records, n_revisits,
+    payload_bytes) with payload_bytes = decompressed original-body bytes
+    actually stored — the driver oracle recomputes all three from the
+    captures derivation, so parity proves digest routing, winner choice,
+    the revisit writer AND the revisit-aware parser in one loop.
+    """
+    import datetime as _dt
+    import gzip
+
+    import numpy as np
+    import pandas as pd
+
+    from engine.stages.cdx import cdx_index_shards
+    from engine.stages.text import fnv1a_batch
+
+    def assign(t: pa.Table) -> pa.Table:
+        contents = t.column(content_col).to_pylist()
+        digests = [md5((c or "").encode()).hexdigest() for c in contents]
+        sh = (
+            fnv1a_batch([d.encode() for d in digests]) % np.uint64(n_shards)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "url": t.column(url_col),
+                "ts": t.column(ts_col).cast(pa.int64()),
+                "content": t.column(content_col),
+                "digest": pa.array(digests, pa.string()),
+                "shard": pa.array(sh, pa.int64()),
+            }
+        )
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _iso(ts14: int) -> str:
+        return _dt.datetime.strptime(str(int(ts14)), "%Y%m%d%H%M%S").strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+
+    def write_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        s = int(df["shard"].iloc[0])
+        # winner per digest = (ts, url)-minimum capture
+        w = df.sort_values(["digest", "ts", "url"], kind="mergesort")
+        winner_rows = w.drop_duplicates("digest", keep="first")
+        winners = {
+            d: (u, t)
+            for d, u, t in zip(
+                winner_rows["digest"], winner_rows["url"], winner_rows["ts"]
+            )
+        }
+        df = df.sort_values(["url", "ts"], kind="mergesort")
+        path = os.path.join(out_dir, f"shard-{s:05d}.warc.gz")
+        n_rev = 0
+        with open(path, "wb") as out:
+            for i, (url, ts, content, digest) in enumerate(
+                zip(df["url"], df["ts"], df["content"], df["digest"])
+            ):
+                w_url, w_ts = winners[digest]
+                date = _iso(ts).encode()
+                if (url, ts) == (w_url, w_ts):
+                    payload = (content or "").encode("utf-8")
+                    http = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                        + b"Content-Length: %d\r\n\r\n" % len(payload)
+                        + payload
+                    )
+                    rec = (
+                        b"WARC/1.0\r\n"
+                        b"WARC-Type: response\r\n"
+                        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                        b"WARC-Date: " + date + b"\r\n"
+                        b"WARC-Record-ID: <urn:md5:" + digest.encode() + b">\r\n"
+                        b"WARC-Payload-Digest: md5:" + digest.encode() + b"\r\n"
+                        b"Content-Type: application/http; msgtype=response\r\n"
+                        b"Content-Length: %d\r\n\r\n" % len(http)
+                        + http
+                        + b"\r\n\r\n"
+                    )
+                else:
+                    n_rev += 1
+                    rec = (
+                        b"WARC/1.0\r\n"
+                        b"WARC-Type: revisit\r\n"
+                        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                        b"WARC-Date: " + date + b"\r\n"
+                        b"WARC-Record-ID: <urn:revisit:"
+                        + digest.encode()
+                        + b":%d>\r\n" % i
+                        + b"WARC-Refers-To-Target-URI: " + w_url.encode() + b"\r\n"
+                        b"WARC-Refers-To-Date: " + _iso(w_ts).encode() + b"\r\n"
+                        b"WARC-Profile: http://netpreserve.org/warc/1.0/"
+                        b"revisit/identical-payload-digest\r\n"
+                        b"WARC-Payload-Digest: md5:" + digest.encode() + b"\r\n"
+                        b"Content-Type: application/http; msgtype=response\r\n"
+                        b"Content-Length: 0\r\n\r\n"
+                        b"\r\n\r\n"
+                    )
+                out.write(gzip.compress(rec))
+        return pd.DataFrame({"shard": [s], "written": [len(df)], "revisits": [n_rev]})
+
+    written = (
+        captures.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(write_group, batch_format="pandas")
+        .count()
+    )
+    empty = pa.table(
+        {
+            "shard": pa.array([], pa.int64()),
+            "n_records": pa.array([], pa.int64()),
+            "n_revisits": pa.array([], pa.int64()),
+            "payload_bytes": pa.array([], pa.int64()),
+        }
+    )
+    if written == 0:
+        return ray.data.from_arrow(empty)
+
+    idx = cdx_index_shards(out_dir)
+
+    def manifest_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        fnames = t.column("filename").to_pylist()
+        sh = [int(f.split("-")[1].split(".")[0]) for f in fnames]
+        rev = [m == "warc/revisit" for m in t.column("mime").to_pylist()]
+        bl = t.column("body_len").to_pylist()
+        g = (
+            pd.DataFrame(
+                {
+                    "shard": sh,
+                    "n_records": 1,
+                    "n_revisits": [int(r) for r in rev],
+                    "payload_bytes": [0 if r else int(b) for r, b in zip(rev, bl)],
+                }
+            )
+            .groupby("shard", sort=False, as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from collections import Counter as _Counter
+
+    from engine.stages.common import collect_arrow_blocks
+
+    cnt: "_Counter" = _Counter()
+    revs: "_Counter" = _Counter()
+    pay: "_Counter" = _Counter()
+    for blk in collect_arrow_blocks(
+        idx.map_batches(manifest_partial, batch_format="pyarrow", zero_copy_batch=True),
+        required_col="shard",
+    ):
+        for s, n, r, p in zip(
+            blk.column("shard").to_pylist(),
+            blk.column("n_records").to_pylist(),
+            blk.column("n_revisits").to_pylist(),
+            blk.column("payload_bytes").to_pylist(),
+        ):
+            cnt[int(s)] += int(n)
+            revs[int(s)] += int(r)
+            pay[int(s)] += int(p)
+    ks = sorted(cnt)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "shard": pa.array(ks, pa.int64()),
+                "n_records": pa.array([cnt[k] for k in ks], pa.int64()),
+                "n_revisits": pa.array([revs[k] for k in ks], pa.int64()),
+                "payload_bytes": pa.array([pay[k] for k in ks], pa.int64()),
+            }
+        )
+    )

@@ -75,7 +75,7 @@ SQL_NAMES = [
     "corpus_filter", "incremental_index",
     "export_shards", "export_jsonl", "chunk_docs",
     "url_filter", "normalize_text", "novelty", "containment",
-    "winnow_overlap", "cdx_pages", "robots_rules",
+    "winnow_overlap", "cdx_pages", "warc_dedup", "robots_rules",
     "sitemap_urls", "lang_confusion", "dedup_report", "outlinks",
     "export_warc", "export_wet", "crawl_metrics", "recrawl",
     "crawl_host_budget",
