@@ -588,6 +588,83 @@ def _warc_dedup_sql() -> str:
     """
 
 
+# The politeness-budgeted 2-wave crawl schedule, shared verbatim by the
+# crawl_order oracle and every oracle that derives from the schedule
+# (crawl_host_budget) — ONE copy, so the crawl constants (8 seeds,
+# per-host cap 6, 2 waves) mirroring q_crawl_order's CrawlConfig live in
+# exactly two places: here and the engine config.
+_CRAWL_ORDER_SQL = """
+            WITH m AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id AS gid, source AS gsrc,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS gpos
+              FROM documents
+            ),
+            gn AS (SELECT count(*) AS c FROM documents),
+            tgt AS (
+              SELECT m.doc_id, d.ordn, m2.doc_id AS t, m2.source AS tsrc
+              FROM m
+              JOIN (VALUES (1),(2),(3)) AS d(ordn) ON true
+              JOIN m m2 ON m2.source = m.source AND m2.pos = (m.pos + d.ordn) % m.n
+              WHERE m2.doc_id <> m.doc_id
+              UNION ALL
+              SELECT m.doc_id, 4 AS ordn, g.gid, g.gsrc
+              FROM m CROSS JOIN gn JOIN g ON g.gpos = (m.doc_id * 7 + 3) % gn.c
+              WHERE g.gid <> m.doc_id
+            ),
+            links AS (
+              SELECT DISTINCT doc_id,
+                     'https://' || tsrc || '.example.com/docs/' || t || '.html' AS turl,
+                     tsrc || '.example.com' AS thost
+              FROM tgt
+            ),
+            srcs AS (
+              SELECT source, min(doc_id) AS first_doc,
+                     row_number() OVER (ORDER BY source) AS srn
+              FROM documents GROUP BY source
+            ),
+            seeds AS (
+              SELECT 'https://' || source || '.example.com/docs/' || first_doc
+                         || '.html' AS url,
+                     source || '.example.com' AS host,
+                     first_doc AS doc_id
+              FROM srcs WHERE srn <= 8
+            ),
+            wave0 AS (
+              SELECT 0 AS wave,
+                     CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS seq,
+                     url, host, doc_id
+              FROM seeds
+            ),
+            n0 AS (SELECT count(*) AS c FROM wave0),
+            cand1 AS (
+              SELECT DISTINCT l.turl AS url, l.thost AS host
+              FROM wave0 w JOIN links l ON l.doc_id = w.doc_id
+              WHERE l.turl NOT IN (SELECT url FROM seeds)
+            ),
+            sel1 AS (
+              SELECT url, host,
+                     row_number() OVER (PARTITION BY host ORDER BY url) AS hrn
+              FROM cand1
+            ),
+            wave1 AS (
+              SELECT 1 AS wave,
+                     CAST((SELECT c FROM n0)
+                          + row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS seq,
+                     url, host
+              FROM sel1 WHERE hrn <= 6
+            )
+            SELECT CAST(wave AS BIGINT) AS wave, seq, url, host FROM wave0
+            UNION ALL
+            SELECT CAST(wave AS BIGINT) AS wave, seq, url, host FROM wave1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
@@ -1943,150 +2020,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n0.c + c1.c + c2.c AS BIGINT)
             FROM n0, c1, c2, s1
         """,
-        "crawl_host_budget": """
-            WITH ord AS (
-            WITH m AS (
-              SELECT doc_id, source,
-                     row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos,
-                     count(*) OVER (PARTITION BY source) AS n
-              FROM documents
-            ),
-            g AS (
-              SELECT doc_id AS gid, source AS gsrc,
-                     row_number() OVER (ORDER BY doc_id) - 1 AS gpos
-              FROM documents
-            ),
-            gn AS (SELECT count(*) AS c FROM documents),
-            tgt AS (
-              SELECT m.doc_id, d.ordn, m2.doc_id AS t, m2.source AS tsrc
-              FROM m
-              JOIN (VALUES (1),(2),(3)) AS d(ordn) ON true
-              JOIN m m2 ON m2.source = m.source AND m2.pos = (m.pos + d.ordn) % m.n
-              WHERE m2.doc_id <> m.doc_id
-              UNION ALL
-              SELECT m.doc_id, 4 AS ordn, g.gid, g.gsrc
-              FROM m CROSS JOIN gn JOIN g ON g.gpos = (m.doc_id * 7 + 3) % gn.c
-              WHERE g.gid <> m.doc_id
-            ),
-            links AS (
-              SELECT DISTINCT doc_id,
-                     'https://' || tsrc || '.example.com/docs/' || t || '.html' AS turl,
-                     tsrc || '.example.com' AS thost
-              FROM tgt
-            ),
-            srcs AS (
-              SELECT source, min(doc_id) AS first_doc,
-                     row_number() OVER (ORDER BY source) AS srn
-              FROM documents GROUP BY source
-            ),
-            seeds AS (
-              SELECT 'https://' || source || '.example.com/docs/' || first_doc
-                         || '.html' AS url,
-                     source || '.example.com' AS host,
-                     first_doc AS doc_id
-              FROM srcs WHERE srn <= 8
-            ),
-            wave0 AS (
-              SELECT 0 AS wave,
-                     CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS seq,
-                     url, host, doc_id
-              FROM seeds
-            ),
-            n0 AS (SELECT count(*) AS c FROM wave0),
-            cand1 AS (
-              SELECT DISTINCT l.turl AS url, l.thost AS host
-              FROM wave0 w JOIN links l ON l.doc_id = w.doc_id
-              WHERE l.turl NOT IN (SELECT url FROM seeds)
-            ),
-            sel1 AS (
-              SELECT url, host,
-                     row_number() OVER (PARTITION BY host ORDER BY url) AS hrn
-              FROM cand1
-            ),
-            wave1 AS (
-              SELECT 1 AS wave,
-                     CAST((SELECT c FROM n0)
-                          + row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS seq,
-                     url, host
-              FROM sel1 WHERE hrn <= 6
-            )
-            SELECT CAST(wave AS BIGINT) AS wave, seq, url, host FROM wave0
-            UNION ALL
-            SELECT CAST(wave AS BIGINT) AS wave, seq, url, host FROM wave1
-        )
+        "crawl_host_budget": f"""
+            WITH ord AS ({_CRAWL_ORDER_SQL})
             SELECT wave, host, count(*) AS n_fetched
             FROM ord GROUP BY wave, host
         """,
-        "crawl_order": """
-            WITH m AS (
-              SELECT doc_id, source,
-                     row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos,
-                     count(*) OVER (PARTITION BY source) AS n
-              FROM documents
-            ),
-            g AS (
-              SELECT doc_id AS gid, source AS gsrc,
-                     row_number() OVER (ORDER BY doc_id) - 1 AS gpos
-              FROM documents
-            ),
-            gn AS (SELECT count(*) AS c FROM documents),
-            tgt AS (
-              SELECT m.doc_id, d.ordn, m2.doc_id AS t, m2.source AS tsrc
-              FROM m
-              JOIN (VALUES (1),(2),(3)) AS d(ordn) ON true
-              JOIN m m2 ON m2.source = m.source AND m2.pos = (m.pos + d.ordn) % m.n
-              WHERE m2.doc_id <> m.doc_id
-              UNION ALL
-              SELECT m.doc_id, 4 AS ordn, g.gid, g.gsrc
-              FROM m CROSS JOIN gn JOIN g ON g.gpos = (m.doc_id * 7 + 3) % gn.c
-              WHERE g.gid <> m.doc_id
-            ),
-            links AS (
-              SELECT DISTINCT doc_id,
-                     'https://' || tsrc || '.example.com/docs/' || t || '.html' AS turl,
-                     tsrc || '.example.com' AS thost
-              FROM tgt
-            ),
-            srcs AS (
-              SELECT source, min(doc_id) AS first_doc,
-                     row_number() OVER (ORDER BY source) AS srn
-              FROM documents GROUP BY source
-            ),
-            seeds AS (
-              SELECT 'https://' || source || '.example.com/docs/' || first_doc
-                         || '.html' AS url,
-                     source || '.example.com' AS host,
-                     first_doc AS doc_id
-              FROM srcs WHERE srn <= 8
-            ),
-            wave0 AS (
-              SELECT 0 AS wave,
-                     CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS seq,
-                     url, host, doc_id
-              FROM seeds
-            ),
-            n0 AS (SELECT count(*) AS c FROM wave0),
-            cand1 AS (
-              SELECT DISTINCT l.turl AS url, l.thost AS host
-              FROM wave0 w JOIN links l ON l.doc_id = w.doc_id
-              WHERE l.turl NOT IN (SELECT url FROM seeds)
-            ),
-            sel1 AS (
-              SELECT url, host,
-                     row_number() OVER (PARTITION BY host ORDER BY url) AS hrn
-              FROM cand1
-            ),
-            wave1 AS (
-              SELECT 1 AS wave,
-                     CAST((SELECT c FROM n0)
-                          + row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS seq,
-                     url, host
-              FROM sel1 WHERE hrn <= 6
-            )
-            SELECT CAST(wave AS BIGINT) AS wave, seq, url, host FROM wave0
-            UNION ALL
-            SELECT CAST(wave AS BIGINT) AS wave, seq, url, host FROM wave1
-        """,
+        "crawl_order": _CRAWL_ORDER_SQL,
         # quality: counts are exact; ppm = floor(1e6*count/n_chars) is
         # bit-reproducible IEEE (unlike round(x,6), whose half-way handling
         # differs between Python and DuckDB — measured on this testdata).

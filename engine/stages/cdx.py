@@ -180,6 +180,31 @@ def _ts14(dt: Optional[_dt.datetime]) -> int:
     return int(dt.strftime("%Y%m%d%H%M%S"))
 
 
+def _member_page_records(rec: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """Walk EVERY WARC record inside one decompressed gzip member,
+    yielding (headers, payload) for page-bearing and ``revisit`` records
+    (warcinfo/request/metadata are skipped).  The payload boundary comes
+    from the header parser's stream position — not a CRLF re-scan — so
+    LF-delimited writers index with the same digests read_warc extracts."""
+    from engine.sources.warc import _PAGE_TYPES, _read_headers
+
+    stream = io.BytesIO(rec)
+    while True:
+        head = _read_headers(stream)
+        if head is None:
+            return
+        _, headers = head
+        length = int(headers.get(b"content-length", b"0"))
+        payload = stream.read(length)
+        if len(payload) < length:
+            return  # truncated member tail: index what parsed whole
+        rtype = headers.get(b"warc-type", b"")
+        if headers.get(b"warc-target-uri") is None:
+            continue
+        if rtype in _PAGE_TYPES or rtype == b"revisit":
+            yield headers, payload
+
+
 def cdx_index_shards(
     paths,
     *,
@@ -203,10 +228,8 @@ def cdx_index_shards(
     from hashlib import md5
 
     from engine.sources.warc import (
-        _PAGE_TYPES,
         _http_body,
         _parse_warc_date,
-        _read_headers,
         _expand_warc_paths,
     )
 
@@ -266,26 +289,27 @@ def cdx_index_shards(
                 raise ValueError("cdx_index_shards requires .warc.gz input")
             fname = os.path.basename(path)
             for off, clen, rec in _iter_gzip_members(blob):
-                head = _read_headers(io.BytesIO(rec))
-                if head is None:
+                recs = list(_member_page_records(rec))
+                if len(recs) > 1:
+                    # a whole-file-gzip .warc.gz (e.g. `gzip file.warc`) is
+                    # valid for SEQUENTIAL ingest (read_warc) but has no
+                    # per-record byte ranges — a CDX over it would lie.
+                    raise ValueError(
+                        f"{fname}: gzip member at offset {off} holds "
+                        f"{len(recs)} page records — CDX random access "
+                        "requires the record-per-member layout; use "
+                        "read_warc for sequential ingest"
+                    )
+                if not recs:
                     continue
-                _, headers = head
+                headers, payload = recs[0]
                 rtype = headers.get(b"warc-type", b"")
-                url_b = headers.get(b"warc-target-uri")
-                if url_b is None or (
-                    rtype not in _PAGE_TYPES and rtype != b"revisit"
-                ):
-                    continue
+                url_b = headers[b"warc-target-uri"]
                 if rtype == b"revisit":
                     pd_hdr = headers.get(b"warc-payload-digest", b"")
                     digest = pd_hdr.split(b":")[-1].decode("ascii", "replace")
                     status, mime, body = 0, "warc/revisit", b""
                 else:
-                    length = int(headers.get(b"content-length", b"0"))
-                    sep = rec.find(b"\r\n\r\n")  # end of WARC header block
-                    payload = (
-                        rec[sep + 4 : sep + 4 + length] if sep >= 0 else b""
-                    )
                     body = (
                         _http_body(payload) if rtype == b"response" else payload
                     )
@@ -323,43 +347,70 @@ def cdx_fetch(
     gunzip the single member, parse the one record -> (url, warc_ts,
     html).  This is the CDX payoff — O(record) I/O out of a terabyte
     archive; on a cluster ``path`` is shared storage and the byte range is
-    a ranged GET."""
-    from engine.sources.warc import iter_warc_records
+    a ranged GET.  ``revisit`` rows return ``html=None`` (slim records
+    carry no payload — resolve through ``resolve_revisit``)."""
+    from engine.sources.warc import _http_body, _parse_warc_date
 
     with open(path, "rb") as f:
         f.seek(offset)
         member = f.read(length)
-    recs = list(iter_warc_records(gzip.decompress(member)))
+    recs = list(_member_page_records(gzip.decompress(member)))
     if len(recs) != 1:
         raise ValueError(
             f"CDX range ({offset}, {length}) holds {len(recs)} records, expected 1"
         )
-    return recs[0]
+    headers, payload = recs[0]
+    rtype = headers.get(b"warc-type", b"")
+    url = headers[b"warc-target-uri"].decode("utf-8", "replace")
+    ts = _parse_warc_date(headers.get(b"warc-date"))
+    if rtype == b"revisit":
+        body = None
+    elif rtype == b"response":
+        body = _http_body(payload)
+    else:
+        body = payload
+    return url, ts, body
 
 
-def resolve_revisit(index: pa.Table, row: dict, archive_dir: str) -> bytes:
+def digest_map(index: pa.Table) -> dict:
+    """``digest -> (filename, offset, length)`` of the first
+    payload-bearing record per digest — the archive's dedup DB, built ONCE
+    per collected index so per-record revisit resolution is O(1) (a fresh
+    column scan per call would make a full-archive round-trip O(N²))."""
+    out: dict = {}
+    for f, o, ln, dg, m in zip(
+        index.column("filename").to_pylist(),
+        index.column("offset").to_pylist(),
+        index.column("length").to_pylist(),
+        index.column("digest").to_pylist(),
+        index.column("mime").to_pylist(),
+    ):
+        if m != "warc/revisit" and dg not in out:
+            out[dg] = (f, int(o), int(ln))
+    return out
+
+
+def resolve_revisit(
+    index: pa.Table, row: dict, archive_dir: str, *, dmap: Optional[dict] = None
+) -> bytes:
     """Payload for one physical-index row: fetched directly for
     payload-bearing records, resolved THROUGH the index for revisit rows
     (any payload-bearing record with the same digest — revisit resolution
     is digest-keyed, WARC/1.1 §6.7.2; archives keep exactly this mapping
-    as their dedup DB).  Driver-side helper over a collected index."""
+    as their dedup DB).  Driver-side helper over a collected index; pass
+    ``dmap=digest_map(index)`` when resolving in a loop."""
     if row["mime"] != "warc/revisit":
         return cdx_fetch(
             os.path.join(archive_dir, row["filename"]),
             int(row["offset"]),
             int(row["length"]),
         )[2]
-    digests = index.column("digest").to_numpy(zero_copy_only=False)
-    mimes = index.column("mime").to_numpy(zero_copy_only=False)
-    hits = np.flatnonzero((digests == row["digest"]) & (mimes != "warc/revisit"))
-    if len(hits) == 0:
+    if dmap is None:
+        dmap = digest_map(index)
+    hit = dmap.get(row["digest"])
+    if hit is None:
         raise KeyError(f"no payload-bearing record for digest {row['digest']}")
-    orig = index.slice(int(hits[0]), 1).to_pylist()[0]
-    return cdx_fetch(
-        os.path.join(archive_dir, orig["filename"]),
-        int(orig["offset"]),
-        int(orig["length"]),
-    )[2]
+    return cdx_fetch(os.path.join(archive_dir, hit[0]), hit[1], hit[2])[2]
 
 
 def cdx_lookup(index: pa.Table, url: str) -> pa.Table:

@@ -354,8 +354,10 @@ def export_warc_dedup_shards(
     from engine.stages.text import fnv1a_batch
 
     def assign(t: pa.Table) -> pa.Table:
+        from engine.stages.dedup import content_md5_batch
+
         contents = t.column(content_col).to_pylist()
-        digests = [md5((c or "").encode()).hexdigest() for c in contents]
+        digests = content_md5_batch(contents)
         sh = (
             fnv1a_batch([d.encode() for d in digests]) % np.uint64(n_shards)
         ).astype(np.int64)
@@ -379,16 +381,19 @@ def export_warc_dedup_shards(
 
     def write_group(df: "pd.DataFrame") -> "pd.DataFrame":
         s = int(df["shard"].iloc[0])
-        # winner per digest = (ts, url)-minimum capture
-        w = df.sort_values(["digest", "ts", "url"], kind="mergesort")
-        winner_rows = w.drop_duplicates("digest", keep="first")
+        # Winner per digest = the (ts, url)-minimum capture, marked
+        # POSITIONALLY (one row, not every key-equal row): exact duplicate
+        # captures — the most-duplicated input a dedup exporter sees —
+        # must still store the payload once, matching the oracle's
+        # row_number() semantics.  Write order (url, ts) is deterministic;
+        # ties beyond it are identical rows, so position is stable.
+        df = df.sort_values(["url", "ts"], kind="mergesort").reset_index(drop=True)
+        order = df.sort_values(["ts", "url"], kind="mergesort")
+        winner_idx = set(order.groupby("digest", sort=False).head(1).index)
         winners = {
-            d: (u, t)
-            for d, u, t in zip(
-                winner_rows["digest"], winner_rows["url"], winner_rows["ts"]
-            )
+            df["digest"].iloc[j]: (df["url"].iloc[j], df["ts"].iloc[j])
+            for j in winner_idx
         }
-        df = df.sort_values(["url", "ts"], kind="mergesort")
         path = os.path.join(out_dir, f"shard-{s:05d}.warc.gz")
         n_rev = 0
         with open(path, "wb") as out:
@@ -397,7 +402,7 @@ def export_warc_dedup_shards(
             ):
                 w_url, w_ts = winners[digest]
                 date = _iso(ts).encode()
-                if (url, ts) == (w_url, w_ts):
+                if i in winner_idx:
                     payload = (content or "").encode("utf-8")
                     http = (
                         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"

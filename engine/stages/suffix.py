@@ -435,7 +435,11 @@ def lcp_adjacent(
     if n_total == 0:
         return ray.data.from_arrow(empty)
 
-    if n_total <= driver_max_positions and max_len <= 2_000:
+    if (
+        n_total <= driver_max_positions
+        and max_len <= 2_000
+        and n_total * max_len <= 20_000_000
+    ):
         # size-gated driver fast path (the crawl small-wave device): the
         # distributed pair walk pays TWO native joins per doubling level
         # (~log2(max_len) levels of acero aggregator spin-up — PERF.md
@@ -443,8 +447,10 @@ def lcp_adjacent(
         # direct single-process pass over the already-collected token
         # positions is seconds AND is the same construction the literal
         # oracle test uses; test_lcp_driver_matches_distributed pins the
-        # two paths identical.  The max_len guard bounds the O(sum
-        # len^2 / 2) suffix-slice memory.
+        # two paths identical.  The n_total*max_len product gate bounds
+        # the O(sum len^2 / 2) suffix-slice memory at ~1e7 tuple slots
+        # (sum len_d^2 <= n_total*max_len) — corpora past it take the
+        # distributed walk rather than a GB-scale driver spike.
         from engine.stages.common import collect_arrow_blocks
 
         toks_by_doc: Dict[int, Dict[int, str]] = {}

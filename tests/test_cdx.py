@@ -159,7 +159,7 @@ def test_warc_dedup_export_roundtrip(ray_session, tmp_path):
     actually save payload bytes (every revisit member is smaller than its
     original's)."""
     from engine.pipelines.queries import _cdx_captures
-    from engine.stages.cdx import resolve_revisit
+    from engine.stages.cdx import digest_map, resolve_revisit
     from engine.stages.export import export_warc_dedup_shards
 
     td = str(tmp_path / "dedup_shards")
@@ -177,9 +177,10 @@ def test_warc_dedup_export_roundtrip(ray_session, tmp_path):
     assert len(idx) == len(caps)
 
     tbl = pa.Table.from_pandas(idx)
+    dmap = digest_map(tbl)  # build the dedup DB once; O(1) per resolve
     got = []
     for r in idx.to_dict("records"):
-        body = resolve_revisit(tbl, r, td)
+        body = resolve_revisit(tbl, r, td, dmap=dmap)
         got.append((r["url"], int(r["ts"]), md5(body).hexdigest()))
     expect = [
         (u, int(t), md5((c or "").encode()).hexdigest())
@@ -195,3 +196,110 @@ def test_warc_dedup_export_roundtrip(ray_session, tmp_path):
     assert (rev["length"].to_numpy() <
             by_digest.loc[rev["digest"]].to_numpy()).all()
     assert (rev["body_len"] == 0).all()
+
+
+def test_warc_dedup_duplicate_captures(ray_session, tmp_path):
+    """EXACT duplicate captures (same url, ts, content — the
+    most-duplicated input a dedup exporter sees): only ONE row per digest
+    stores a payload; the key-equal duplicates become revisits (positional
+    winner marking, matching the oracle's row_number semantics)."""
+    from engine.stages.cdx import digest_map, resolve_revisit
+    from engine.stages.export import export_warc_dedup_shards
+
+    td = str(tmp_path / "dup_shards")
+    t = pa.table(
+        {
+            "url": pa.array(
+                ["http://a.com/x"] * 3 + ["http://b.com/y"], pa.string()
+            ),
+            "ts": pa.array([20240101000000] * 3 + [20240102000000], pa.int64()),
+            "content": pa.array(["same"] * 3 + ["same"], pa.string()),
+        }
+    )
+    manifest = export_warc_dedup_shards(
+        ray.data.from_arrow(t), out_dir=td, n_shards=2
+    ).to_pandas()
+    assert manifest["n_records"].sum() == 4
+    assert manifest["n_revisits"].sum() == 3  # one payload for the digest
+    d = md5(b"same").hexdigest()
+    assert manifest["payload_bytes"].sum() == len(b"same")
+
+    idx = cdx_index_shards(td).materialize().to_pandas()
+    originals = idx[idx["mime"] != "warc/revisit"]
+    assert len(originals) == 1 and originals.iloc[0]["digest"] == d
+    # every row still resolves to the payload
+    tbl = pa.Table.from_pandas(idx)
+    dmap = digest_map(tbl)
+    for r in idx.to_dict("records"):
+        assert resolve_revisit(tbl, r, td, dmap=dmap) == b"same"
+
+
+def test_cdx_shards_rejects_whole_file_gzip(ray_session, tmp_path):
+    """A whole-file-gzipped WARC (multiple records in one gzip member) is
+    valid for sequential read_warc ingest but has no per-record byte
+    ranges — cdx_index_shards must refuse loudly, not silently index only
+    the first record."""
+    import gzip
+
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Target-URI: http://a.com/%d\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: 4\r\n\r\nbody\r\n\r\n"
+    )
+    p = str(tmp_path / "whole.warc.gz")
+    with open(p, "wb") as f:
+        f.write(gzip.compress((rec % 0) + (rec % 1)))
+    with pytest.raises(Exception, match="record-per-member"):
+        cdx_index_shards(p).materialize()
+    # sequential ingest still reads both records
+    from engine.sources.warc import read_warc
+
+    assert read_warc(p).count() == 2
+
+
+def test_cdx_shards_lf_delimited_member(ray_session, tmp_path):
+    """LF-only writers: the payload boundary comes from the header
+    parser's stream position, so the digest is md5 of the real body (a
+    CRLF re-scan would silently yield md5('') and break revisit
+    resolution)."""
+    import gzip
+
+    rec = (
+        b"WARC/1.0\nWARC-Type: resource\n"
+        b"WARC-Target-URI: http://lf.example.com/a\n"
+        b"WARC-Date: 2024-03-04T05:06:07Z\n"
+        b"Content-Length: 5\n\nhello\n\n"
+    )
+    p = str(tmp_path / "lf.warc.gz")
+    with open(p, "wb") as f:
+        f.write(gzip.compress(rec))
+    idx = cdx_index_shards(p).materialize().to_pandas()
+    assert len(idx) == 1
+    r = idx.iloc[0]
+    assert r["digest"] == md5(b"hello").hexdigest()
+    assert int(r["body_len"]) == 5
+    assert int(r["ts"]) == 20240304050607
+    url, ts, body = cdx_fetch(p, int(r["offset"]), int(r["length"]))
+    assert (url, body) == ("http://lf.example.com/a", b"hello")
+
+
+def test_cdx_fetch_revisit_row(tmp_path):
+    """cdx_fetch inverts a revisit row too: (url, ts, None) — slim records
+    carry no payload; resolution goes through resolve_revisit."""
+    import gzip
+
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: revisit\r\n"
+        b"WARC-Target-URI: http://a.com/x\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"WARC-Payload-Digest: md5:" + md5(b"same").hexdigest().encode() + b"\r\n"
+        b"Content-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    p = str(tmp_path / "rev.warc.gz")
+    blob = gzip.compress(rec)
+    with open(p, "wb") as f:
+        f.write(blob)
+    url, ts, body = cdx_fetch(p, 0, len(blob))
+    assert url == "http://a.com/x"
+    assert body is None
