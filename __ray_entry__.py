@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "sink_status": q.q_sink_status,
         "bm25_topk": q.q_bm25_topk,
+        "more_like_this": q.q_more_like_this,
         "term_stats": q.q_term_stats,
         "postings": q.q_postings,
         "unigram_nll": q.q_unigram_nll,
@@ -371,6 +372,67 @@ def _bm25_sql() -> str:
         FROM (SELECT doc_id, {score} AS score FROM tf, stats, df)
         WHERE score > 0
         ORDER BY score DESC, doc_id LIMIT 50
+    """
+
+
+def _mlt_sql() -> str:
+    """Generate the more_like_this oracle from engine.stages.search's MLT
+    constants (single source of truth).  Rank-only; float parity devices:
+    per-term BM25 component spelled with the SAME literal operation order
+    as _bm25_sql, per-(seed,doc) total via DuckDB's ordered aggregate
+    ``sum(... ORDER BY tok)`` — the engine accumulates token-ascending
+    left-to-right with exact 0.0 for masked terms, so the doubles match
+    bit-for-bit and the (score DESC, doc_id) ordering is identical."""
+    from engine.stages.search import (
+        MLT_K,
+        MLT_MAX_DF_RATIO,
+        MLT_N_SEEDS,
+        MLT_N_TERMS,
+        MLT_SEED_MOD,
+    )
+
+    return rf"""
+        WITH d AS (SELECT doc_id,
+                          regexp_extract_all(coalesce(text,''), '[^\t\n\v\f\r ]+') AS w
+                   FROM documents),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                         CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl FROM d),
+        seeds AS (SELECT doc_id AS seed_id, w FROM d
+                  WHERE doc_id % {MLT_SEED_MOD} = 0
+                  ORDER BY doc_id LIMIT {MLT_N_SEEDS}),
+        stok AS (SELECT seed_id, tok, count(*) AS stf
+                 FROM (SELECT seed_id, unnest(w) AS tok FROM seeds)
+                 GROUP BY seed_id, tok),
+        dtf AS (SELECT doc_id, tok, count(*) AS tf
+                FROM (SELECT doc_id, unnest(w) AS tok FROM d)
+                WHERE tok IN (SELECT DISTINCT tok FROM stok)
+                GROUP BY doc_id, tok),
+        dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dtf GROUP BY tok),
+        cand AS (SELECT s.seed_id, s.tok,
+                        ln(1 + (stats.N - f.df + 0.5) / (f.df + 0.5)) AS lnidf,
+                        s.stf * ln(1 + (stats.N - f.df + 0.5) / (f.df + 0.5)) AS tscore
+                 FROM stok s JOIN dfs f ON f.tok = s.tok, stats
+                 WHERE f.df <= {MLT_MAX_DF_RATIO} * stats.N),
+        topt AS (SELECT seed_id, tok, lnidf FROM (
+                    SELECT *, row_number() OVER (PARTITION BY seed_id
+                                ORDER BY tscore DESC, tok) AS rn
+                    FROM cand) WHERE rn <= {MLT_N_TERMS}),
+        dls AS (SELECT doc_id, len(w) AS dl FROM d),
+        scored AS (SELECT t.seed_id, p.doc_id,
+                          sum(t.lnidf * p.tf * (1.2 + 1.0)
+                              / (p.tf + 1.2 * (1 - 0.75 + 0.75 * (dls.dl / stats.avgdl)))
+                              ORDER BY t.tok) AS score
+                   FROM topt t JOIN dtf p ON p.tok = t.tok
+                   JOIN dls ON dls.doc_id = p.doc_id, stats
+                   WHERE p.doc_id <> t.seed_id
+                   GROUP BY t.seed_id, p.doc_id)
+        SELECT seed_id,
+               CAST(row_number() OVER (PARTITION BY seed_id
+                        ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+               doc_id
+        FROM scored
+        QUALIFY rank <= {MLT_K}
+        ORDER BY seed_id, rank
     """
 
 
@@ -786,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN fin f USING (node)
         """,
         "bm25_topk": _bm25_sql(),
+        "more_like_this": _mlt_sql(),
         "pii_scrub": _pii_sql(),
         # crawl-snapshot diff: the mutated second snapshot is re-derived
         # in SQL (drop %31, append ' v2' on %17, re-add %41 under +1e6);

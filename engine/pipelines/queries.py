@@ -1539,6 +1539,20 @@ def q_anchor_terms(sf_dir: str):
     return anchor_terms(pages_dataset(sf_dir), k=5)
 
 
+def q_more_like_this(sf_dir: str):
+    """Elasticsearch more_like_this re-expressed Ray-Data-first: per seed
+    document (id % 97 == 0, 5 smallest), its 3 most significant terms
+    (tf x Lucene-idf under the max_doc_freq gate) retrieve the top-5
+    other docs by BM25.  The reference serves this FROM its ES index
+    (es_sink loads, ES ranks); here it runs on the corpus directly.
+    Rank-only output (seed_id, rank, doc_id) — same float-ordering device
+    as bm25_topk/ann_topk."""
+    from engine.stages.search import more_like_this
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return more_like_this(ds, id_col="doc_id", text_col="text")
+
+
 def q_bm25_topk(sf_dir: str):
     """Distributed BM25 top-50 retrieval (Lucene idf — the reference's ES
     relevance function) for a fixed query.  Rank-only output

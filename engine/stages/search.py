@@ -37,20 +37,20 @@ import ray.data
 from engine.stages.text import _TOKEN
 
 
-def bm25_topk(
+def _sparse_tf_pass(
     ds: ray.data.Dataset,
-    terms: Sequence[str],
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 50,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> pa.Table:
-    """Top-k documents by BM25 over ``terms``; returns a driver-side Arrow
-    table (rank, id_col) — inherently k rows.  Docs with score 0 (no
-    query term present) are excluded."""
-    terms = list(terms)
+    terms: List[str],
+    id_col: str,
+    text_col: str,
+):
+    """ONE tokenize pass over the corpus for a fixed term list: returns
+    ``(tf_ds, N, sum_dl, dfs)`` — the materialized sparse tf table (one
+    self-contained row per doc matching >= 1 term: id, dl, tids asc, tfs
+    aligned; plus one kind=1 stats row per block), corpus doc count, total
+    token count, and the per-term document frequencies.  Term ids are
+    POSITIONS in ``terms`` — callers that need token-ascending summation
+    order must pass ``terms`` sorted.  Shared by bm25_topk (fixed query)
+    and more_like_this (seed-derived terms)."""
     m = len(terms)
     term_id = {t: j for j, t in enumerate(terms)}
 
@@ -127,13 +127,34 @@ def bm25_topk(
     )
     N = int(pa.compute.sum(pt.column("n")).as_py() or 0)
     if N == 0:
+        return tf_ds, 0, 0, np.zeros(m, dtype=np.int64)
+    sum_dl = int(pa.compute.sum(pt.column("dl")).as_py() or 0)
+    df_list = [d for d in pt.column("df").to_pylist() if d is not None]
+    dfs = np.array(df_list, dtype=np.int64).reshape(-1, m).sum(axis=0)
+    return tf_ds, N, sum_dl, dfs
+
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pa.Table:
+    """Top-k documents by BM25 over ``terms``; returns a driver-side Arrow
+    table (rank, id_col) — inherently k rows.  Docs with score 0 (no
+    query term present) are excluded."""
+    terms = list(terms)
+    m = len(terms)
+    tf_ds, N, sum_dl, dfs = _sparse_tf_pass(ds, terms, id_col, text_col)
+    if N == 0:
         return pa.table(
             {"rank": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())}
         )
-    sum_dl = int(pa.compute.sum(pt.column("dl")).as_py() or 0)
     avgdl = float(sum_dl) / N
-    df_list = [d for d in pt.column("df").to_pylist() if d is not None]
-    dfs = np.array(df_list, dtype=np.int64).reshape(-1, m).sum(axis=0)
     idfs = np.array(
         [math.log(1 + (N - int(dfs[j]) + 0.5) / (int(dfs[j]) + 0.5)) for j in range(m)],
         dtype=np.float64,
@@ -218,3 +239,199 @@ def bm25_topk(
 # Deterministic query for the SQL-verified bm25_topk contract entry; the
 # oracle SQL in __ray_entry__ is generated from this same constant.
 BM25_TERMS: Tuple[str, ...] = ("table", "hash", "merge")
+
+
+# more_like_this defaults — the SQL-verified contract entry's constants;
+# the oracle in __ray_entry__ is generated from these (single source).
+MLT_SEED_MOD = 97       # seed docs: id % MOD == 0, n smallest ids
+MLT_N_SEEDS = 5
+MLT_N_TERMS = 3         # query terms selected per seed
+MLT_K = 5               # results per seed
+MLT_MAX_DF_RATIO = 1.0  # ES max_doc_freq analog; 1.0 = disabled (ES default
+                        # too — the synthetic corpus's shared Zipf vocabulary
+                        # makes any lower gate drop every term)
+
+
+def more_like_this(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_mod: int = MLT_SEED_MOD,
+    n_seeds: int = MLT_N_SEEDS,
+    n_terms: int = MLT_N_TERMS,
+    k: int = MLT_K,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float = MLT_MAX_DF_RATIO,
+) -> pa.Table:
+    """Elasticsearch ``more_like_this`` re-expressed Ray-Data-first: for
+    each seed document, select its ``n_terms`` most significant terms
+    (tf x Lucene-idf, ES's MLT term selection, with the ``max_doc_freq``
+    analog dropping terms in more than ``max_df_ratio`` of the corpus)
+    and retrieve the top-``k`` other documents by BM25 over those terms.
+    This is the "similar pages" feature the reference serves FROM its
+    Elasticsearch index (the reference only loads ES; MLT is ES-side) —
+    here it runs directly on the corpus.
+
+    Returns a driver-side Arrow table (seed_id, rank, doc_id), rank-only
+    (float scores are ln-ULP-unstable across engines; the ordering is not
+    — same device as bm25_topk/ann_topk).
+
+    Shape: seed fetch is one column-pruned filter pass (on a real archive
+    the CDX index — stages.cdx.cdx_lookup — makes this a point lookup
+    instead); then ONE shared tokenize pass builds the sparse tf table
+    over the union of all seeds' tokens (term ids assigned in sorted
+    token order, so per-doc hit lists are token-ascending), df rides the
+    same pass; term selection is a driver-side computation over the tiny
+    (seed x term) grid; scoring reuses the tf table with a per-block
+    partial top-k PER SEED (k x n_seeds x n_blocks candidate rows to the
+    driver, no all-to-all sort)."""
+    # 1. seed fetch: the only full-text read that benefits a point index
+    def seed_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = pa.array(ids % seed_mod == 0)  # pyarrow 16 has no pc.mod
+        return t.filter(keep).select([id_col, text_col])
+
+    from engine.stages.common import collect_arrow_blocks
+
+    empty = pa.table(
+        {
+            "seed_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+        }
+    )
+    seed_blocks = collect_arrow_blocks(
+        ds.map_batches(seed_rows, batch_format="pyarrow", zero_copy_batch=True),
+        required_col=text_col,
+    )
+    if not seed_blocks:
+        return empty
+    st = pa.concat_tables(seed_blocks, promote_options="default")
+    pairs = sorted(
+        zip(
+            st.column(id_col).to_pylist(), st.column(text_col).to_pylist()
+        )
+    )[:n_seeds]
+    seed_cnt = {int(i): Counter(_TOKEN.findall(txt or "")) for i, txt in pairs}
+    terms = sorted(set().union(*[set(c) for c in seed_cnt.values()])) if seed_cnt else []
+    if not terms:
+        return empty
+
+    # 2. one shared tokenize pass: tf table + df over ALL seed tokens
+    tf_ds, N, sum_dl, dfs = _sparse_tf_pass(ds, terms, id_col, text_col)
+    if N == 0:
+        return empty
+    avgdl = float(sum_dl) / N
+    m = len(terms)
+    idfs = np.array(
+        [math.log(1 + (N - int(dfs[j]) + 0.5) / (int(dfs[j]) + 0.5)) for j in range(m)],
+        dtype=np.float64,
+    )
+
+    # 3. driver-side term selection per seed: (tf * lnidf desc, token asc)
+    # over terms under the df gate — the whole grid is n_seeds x m
+    seed_ids = sorted(seed_cnt)
+    seed_term_mask = {}
+    for sid in seed_ids:
+        cand = [
+            (-float(seed_cnt[sid][terms[j]]) * idfs[j], terms[j], j)
+            for j in range(m)
+            if seed_cnt[sid][terms[j]] > 0 and float(dfs[j]) <= max_df_ratio * N
+        ]
+        cand.sort()
+        mask = np.zeros(m, dtype=bool)
+        for _, _, j in cand[:n_terms]:
+            mask[j] = True
+        seed_term_mask[sid] = mask
+
+    # 4. scoring pass: per block, per seed, partial top-k (score desc, id
+    # asc).  Per-hit components are computed ONCE with the global idf
+    # vector; each seed zero-masks the terms outside its query — an exact
+    # 0.0 contribution, so the token-ascending left-to-right accumulation
+    # matches the oracle's ordered SUM bit-for-bit (x + 0.0 == x).
+    masks = [seed_term_mask[sid] for sid in seed_ids]
+    sids = list(seed_ids)
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.equal(t.column("kind"), 0))
+        out_seed: List[int] = []
+        out_id: List[int] = []
+        out_s: List[float] = []
+        if t.num_rows:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+            counts = (
+                pa.compute.list_value_length(t.column("tids"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            tid = pa.compute.list_flatten(t.column("tids")).to_numpy(
+                zero_copy_only=False
+            )
+            tf = (
+                pa.compute.list_flatten(t.column("tfs"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            offs = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            dl_rep = np.repeat(dl, counts)
+            comp = (idfs[tid] * tf * (k1 + 1.0)) / (
+                tf + k1 * (1 - b + b * (dl_rep / avgdl))
+            )
+            for sid, mask in zip(sids, masks):
+                masked = np.where(mask[tid], comp, 0.0)
+                s = np.empty(len(ids), dtype=np.float64)
+                for g in range(len(ids)):
+                    acc = 0.0
+                    for v in masked[offs[g] : offs[g + 1]]:
+                        acc += v
+                    s[g] = acc
+                keep = (s > 0) & (ids != sid)
+                ids_k = ids[keep]
+                s_k = s[keep]
+                if len(ids_k) > k:
+                    order = np.lexsort((ids_k, -s_k))[:k]
+                    ids_k = ids_k[order]
+                    s_k = s_k[order]
+                out_seed.extend([sid] * len(ids_k))
+                out_id.extend(int(x) for x in ids_k)
+                out_s.extend(float(x) for x in s_k)
+        return pa.table(
+            {
+                "seed_id": pa.array(out_seed, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand_blocks = collect_arrow_blocks(
+        tf_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True),
+        required_col="score",
+    )
+    if not cand_blocks:
+        return empty
+    allc = pa.concat_tables(cand_blocks, promote_options="default")
+    out_seed: List[int] = []
+    out_rank: List[int] = []
+    out_id: List[int] = []
+    a_seed = allc.column("seed_id").to_numpy(zero_copy_only=False)
+    a_ids = allc.column(id_col).to_numpy(zero_copy_only=False)
+    a_s = allc.column("score").to_numpy(zero_copy_only=False)
+    for sid in sids:
+        sel = a_seed == sid
+        ids_k = a_ids[sel]
+        s_k = a_s[sel]
+        order = np.lexsort((ids_k, -s_k))[:k]
+        out_seed.extend([sid] * len(order))
+        out_rank.extend(range(1, len(order) + 1))
+        out_id.extend(int(x) for x in ids_k[order])
+    return pa.table(
+        {
+            "seed_id": pa.array(out_seed, pa.int64()),
+            "rank": pa.array(out_rank, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+        }
+    )

@@ -3250,3 +3250,88 @@ def test_winnow_overlap_pairs_matches_set_oracle(ray_session):
                 for r in got.itertuples()
             }
             assert got_map == expect, (min_shared, n_blocks)
+
+
+def test_more_like_this_literal_oracle(ray_session):
+    """MLT vs an independent single-process oracle on a literal corpus:
+    Lucene-idf term selection (tf * lnidf desc, token asc), BM25 scoring
+    over the selected terms, seed self-exclusion, (score desc, id asc)
+    ranking — identical across block layouts."""
+    import math
+    import ray.data
+    from collections import Counter
+
+    from engine.stages.search import more_like_this
+
+    docs = {
+        0: "apple banana cherry apple durian",
+        1: "apple banana banana fig",
+        2: "cherry cherry durian grape",
+        3: "banana fig grape apple cherry",
+        4: "durian durian apple fig fig grape",
+        5: "fig grape grape banana",
+        6: "apple cherry fig durian banana grape",
+        7: "grape banana apple apple",
+    }
+    seed_mod, n_seeds, n_terms, k, k1, b = 3, 2, 2, 3, 1.2, 0.75
+
+    # independent oracle
+    toks = {i: txt.split() for i, txt in docs.items()}
+    N = len(docs)
+    avgdl = sum(len(w) for w in toks.values()) / N
+    vocab = sorted({w for ws in toks.values() for ws in [ws] for w in ws})
+    df = {w: sum(1 for ws in toks.values() if w in ws) for w in vocab}
+    lnidf = {w: math.log(1 + (N - df[w] + 0.5) / (df[w] + 0.5)) for w in vocab}
+    seeds = sorted(i for i in docs if i % seed_mod == 0)[:n_seeds]
+    expect = []
+    for sid in seeds:
+        cnt = Counter(toks[sid])
+        sel = sorted(cnt, key=lambda w: (-cnt[w] * lnidf[w], w))[:n_terms]
+        scored = []
+        for d in docs:
+            if d == sid:
+                continue
+            c = Counter(toks[d])
+            s = 0.0
+            for w in sorted(sel):
+                tf = c[w]
+                if tf:
+                    s += (lnidf[w] * tf * (k1 + 1.0)) / (
+                        tf + k1 * (1 - b + b * (len(toks[d]) / avgdl))
+                    )
+            if s > 0:
+                scored.append((-s, d))
+        scored.sort()
+        for rank, (_, d) in enumerate(scored[:k], 1):
+            expect.append((sid, rank, d))
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    for n_blocks in (1, 4):
+        got = more_like_this(
+            ray.data.from_arrow(t).repartition(n_blocks),
+            seed_mod=seed_mod,
+            n_seeds=n_seeds,
+            n_terms=n_terms,
+            k=k,
+        ).to_pandas()
+        rows = [
+            (int(r.seed_id), int(r.rank), int(r.doc_id)) for r in got.itertuples()
+        ]
+        assert rows == expect, n_blocks
+
+
+def test_more_like_this_empty_corpus(ray_session):
+    import ray.data
+    from engine.stages.search import more_like_this
+
+    t = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    got = more_like_this(ray.data.from_arrow(t))
+    assert got.num_rows == 0
+    assert got.column_names == ["seed_id", "rank", "doc_id"]
