@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_report": q.q_dedup_report,
         "outlinks": q.q_outlinks,
         "export_warc": q.q_export_warc,
+        "export_wat": q.q_export_wat,
         "export_wet": q.q_export_wet,
         "crawl_metrics": q.q_crawl_metrics,
         "recrawl": q.q_recrawl,
@@ -740,6 +741,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(hv % 8 AS BIGINT) AS shard,
                    count(*) AS n_records,
                    CAST(sum(hv % 1000000000000) AS BIGINT) AS sum_urlh
+            FROM h GROUP BY CAST(hv % 8 AS BIGINT)
+        """,
+        "export_wat": f"""
+            WITH m AS (
+              SELECT doc_id, source, text,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id AS gid, source AS gsrc,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS gpos
+              FROM documents
+            ),
+            gn AS (SELECT count(*) AS c FROM documents),
+            tgt AS (
+              SELECT m.doc_id, d.ordn, m2.doc_id AS t, m2.source AS tsrc
+              FROM m
+              JOIN (VALUES (1),(2),(3)) AS d(ordn) ON true
+              JOIN m m2 ON m2.source = m.source AND m2.pos = (m.pos + d.ordn) % m.n
+              WHERE m2.doc_id <> m.doc_id
+              UNION ALL
+              SELECT m.doc_id, 4 AS ordn, g.gid, g.gsrc
+              FROM m CROSS JOIN gn JOIN g ON g.gpos = (m.doc_id * 7 + 3) % gn.c
+              WHERE g.gid <> m.doc_id
+            ),
+            tgtd AS (
+              SELECT doc_id, ordn, t, tsrc,
+                     row_number() OVER (PARTITION BY doc_id, t ORDER BY ordn) AS rk
+              FROM tgt
+            ),
+            links AS (
+              SELECT doc_id,
+                     string_agg('<a href="https://' || tsrc || '.example.com/docs/' || t
+                         || '.html">d' || t || '</a> ', '' ORDER BY ordn) AS l,
+                     count(*) AS n_links
+              FROM tgtd WHERE rk = 1 GROUP BY doc_id
+            ),
+            page AS (
+              SELECT m.doc_id, m.source,
+                     'https://' || m.source || '.example.com/docs/' || m.doc_id
+                         || '.html' AS url,
+                     coalesce(l.n_links, 0) AS n_links,
+                     length(
+                     '<!DOCTYPE html><html><head><title>Document ' || m.doc_id || '.0</title>'
+                     || '<meta name="description" content="synthetic doc ' || m.doc_id
+                     || ' from ' || m.source || '">'
+                     || '<meta name="keywords" content="' || m.source || ', doc' || m.doc_id
+                     || ', synthetic">'
+                     || '</head><body><nav>' || coalesce(l.l, '') || '</nav>'
+                     || '<article><h1>Document ' || m.doc_id || '.0</h1><p>'
+                     || replace(m.text, '<', '&lt;') || '</p></article>'
+                     || '</body></html>') AS html_len
+              FROM m LEFT JOIN links l ON l.doc_id = m.doc_id
+            ),
+            h AS (SELECT CAST({_sql_fnv("url")} AS HUGEINT) AS hv,
+                         n_links, html_len
+                  FROM page)
+            SELECT CAST(hv % 8 AS BIGINT) AS shard,
+                   count(*) AS n_records,
+                   CAST(sum(hv % 1000000000000) AS BIGINT) AS sum_urlh,
+                   CAST(sum(n_links) AS BIGINT) AS sum_links,
+                   CAST(sum(html_len) AS BIGINT) AS sum_html_len
             FROM h GROUP BY CAST(hv % 8 AS BIGINT)
         """,
         "export_warc": f"""

@@ -2317,6 +2317,22 @@ def q_outlinks(sf_dir: str):
     )
 
 
+def q_export_wat(sf_dir: str):
+    """WAT-style metadata archive export (export.export_wat_shards): per
+    page one WARC `metadata` record whose JSON envelope carries digest,
+    html length and the crawl's own extracted outlinks; manifest built by
+    reading the shards BACK through read_wat.  The oracle recomputes
+    (shard, n_records, sum_urlh, sum_links, sum_html_len) from the
+    documents derivation — parity proves shard routing, link extraction,
+    the JSON writer AND the parser in one loop.  SQL-verified."""
+    import tempfile
+
+    from engine.stages.export import export_wat_shards
+
+    with tempfile.TemporaryDirectory(prefix="export_wat_q_") as td:
+        return export_wat_shards(pages_dataset(sf_dir), out_dir=td, n_shards=8)
+
+
 def q_export_warc(sf_dir: str):
     """Sharded WARC archive export (export.export_warc_shards): pages ->
     8 x .warc.gz (fnv(url) shard routing, url-sorted members), manifest

@@ -514,3 +514,249 @@ def export_warc_dedup_shards(
             }
         )
     )
+
+
+def export_wat_shards(
+    ds: ray.data.Dataset,
+    *,
+    out_dir: str,
+    n_shards: int = 8,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> ray.data.Dataset:
+    """WAT-style metadata archive export — the third Common Crawl
+    derivative format beside the page archive (export_warc_shards) and
+    the extracted-text archive (the .wet query): per page, ONE WARC
+    ``metadata`` record whose JSON payload carries the envelope a WAT
+    stores — content digest, html character length, and the extracted
+    outlinks (``crawl_common.discover_links``, the crawl's own link
+    discovery, so the WAT records exactly what the frontier would see).
+
+    Layout mirrors the other exporters: fnv1a(url) shard routing,
+    url-sorted members, one gzip member per record (the cdx geometry);
+    JSON serialized with sorted keys / fixed separators so bytes are
+    deterministic.  The manifest is built by reading the archive BACK
+    through ``read_wat``: (shard, n_records, sum_urlh, sum_links,
+    sum_html_len) — the SQL oracle recomputes all of it from the
+    documents derivation, so parity proves shard routing, link
+    extraction, the JSON writer AND the parser in one loop."""
+    import datetime as _dt
+    import gzip
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    from engine.pipelines.crawl_common import discover_links
+    from engine.stages.text import fnv1a_batch
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = fnv1a_batch([(u or "").encode() for u in t.column(url_col).to_pylist()])
+        return t.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int64), pa.int64())
+        )
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        s = int(df["shard"].iloc[0])
+        df = df.sort_values(url_col, kind="mergesort")
+        path = os.path.join(out_dir, f"shard-{s:05d}.warc.gz")
+        ts_iter = df[ts_col] if ts_col and ts_col in df.columns else [None] * len(df)
+        n = 0
+        with open(path, "wb") as out:
+            for url, ts, html in zip(df[url_col], ts_iter, df[html_col]):
+                hb = html or b""
+                if isinstance(hb, str):
+                    hb = hb.encode("utf-8")
+                env = {
+                    "url": url,
+                    "digest": md5(hb).hexdigest(),
+                    "length": len(hb.decode("utf-8", "replace")),
+                    "outlinks": list(discover_links(url, hb)),
+                }
+                payload = json.dumps(
+                    env, sort_keys=True, separators=(",", ":")
+                ).encode("utf-8")
+                if ts is None or ts != ts:  # None or pandas NaT
+                    date = _dt.datetime(1970, 1, 1)
+                else:
+                    date = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                rec = (
+                    b"WARC/1.0\r\n"
+                    b"WARC-Type: metadata\r\n"
+                    b"WARC-Target-URI: " + url.encode() + b"\r\n"
+                    b"WARC-Date: "
+                    + date.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+                    + b"\r\n"
+                    b"Content-Type: application/json\r\n"
+                    b"Content-Length: %d\r\n\r\n" % len(payload)
+                    + payload
+                    + b"\r\n\r\n"
+                )
+                out.write(gzip.compress(rec))
+                n += 1
+        return pd.DataFrame({"shard": [s], "written": [n]})
+
+    written = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(write_group, batch_format="pandas")
+        .count()
+    )
+    empty = pa.table(
+        {
+            "shard": pa.array([], pa.int64()),
+            "n_records": pa.array([], pa.int64()),
+            "sum_urlh": pa.array([], pa.int64()),
+            "sum_links": pa.array([], pa.int64()),
+            "sum_html_len": pa.array([], pa.int64()),
+        }
+    )
+    if written == 0:
+        return ray.data.from_arrow(empty)
+
+    back = read_wat(out_dir)
+
+    def manifest_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = fnv1a_batch([(u or "").encode() for u in t.column("url").to_pylist()])
+        sh = (h % np.uint64(n_shards)).astype(np.int64)
+        uh = (h % np.uint64(1_000_000_000_000)).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "shard": sh,
+                    "n_records": 1,
+                    "sum_urlh": uh,
+                    "sum_links": t.column("n_links").to_numpy(zero_copy_only=False),
+                    "sum_html_len": t.column("html_len").to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            .groupby("shard", sort=False, as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from collections import Counter as _Counter
+
+    from engine.stages.common import collect_arrow_blocks
+
+    agg: dict = {}
+    for blk in collect_arrow_blocks(
+        back.map_batches(
+            manifest_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        required_col="shard",
+    ):
+        for s, n, u, l, hl in zip(
+            blk.column("shard").to_pylist(),
+            blk.column("n_records").to_pylist(),
+            blk.column("sum_urlh").to_pylist(),
+            blk.column("sum_links").to_pylist(),
+            blk.column("sum_html_len").to_pylist(),
+        ):
+            c = agg.setdefault(int(s), [0, 0, 0, 0])
+            c[0] += int(n); c[1] += int(u); c[2] += int(l); c[3] += int(hl)
+    ks = sorted(agg)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "shard": pa.array(ks, pa.int64()),
+                "n_records": pa.array([agg[k][0] for k in ks], pa.int64()),
+                "sum_urlh": pa.array([agg[k][1] for k in ks], pa.int64()),
+                "sum_links": pa.array([agg[k][2] for k in ks], pa.int64()),
+                "sum_html_len": pa.array([agg[k][3] for k in ks], pa.int64()),
+            }
+        )
+    )
+
+
+def read_wat(paths, *, filesystem=None) -> ray.data.Dataset:
+    """Read WAT shard file(s) written by ``export_wat_shards`` back into
+    rows (url, ts, digest, html_len, n_links, outlinks) — the metadata
+    counterpart of sources.warc.read_warc (which deliberately skips
+    ``metadata`` records; WAT readers want ONLY them).  Per-file
+    parallelism, same path-expansion rule as every WARC reader."""
+    import datetime as _dt
+    import gzip
+    import io
+    import json
+
+    from engine.sources.warc import (
+        _expand_warc_paths,
+        _parse_warc_date,
+        _read_headers,
+    )
+
+    empty = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "digest": pa.array([], pa.string()),
+            "html_len": pa.array([], pa.int64()),
+            "n_links": pa.array([], pa.int64()),
+            "outlinks": pa.array([], pa.list_(pa.string())),
+        }
+    )
+    fs, files = _expand_warc_paths(paths, filesystem)
+    if not files:
+        return ray.data.from_arrow(empty)
+    paths_ds = ray.data.from_items(
+        [{"path": f} for f in files], override_num_blocks=len(files)
+    )
+
+    def parse(t: pa.Table) -> pa.Table:
+        urls, tss, digs, hls, nls, links = [], [], [], [], [], []
+        for p in t.column("path").to_pylist():
+            if fs is not None:
+                from engine.sources.resilient import fetch_bytes
+
+                raw = fetch_bytes(p, filesystem=fs, attempts=5)
+            else:
+                with open(p, "rb") as f:
+                    raw = f.read()
+            stream = (
+                gzip.GzipFile(fileobj=io.BytesIO(raw))
+                if raw[:2] == b"\x1f\x8b"
+                else io.BytesIO(raw)
+            )
+            while True:
+                head = _read_headers(stream)
+                if head is None:
+                    break
+                _, headers = head
+                length = int(headers.get(b"content-length", b"0"))
+                payload = stream.read(length)
+                if len(payload) < length:
+                    break
+                if (
+                    headers.get(b"warc-type") != b"metadata"
+                    or headers.get(b"warc-target-uri") is None
+                ):
+                    continue
+                env = json.loads(payload.decode("utf-8"))
+                urls.append(headers[b"warc-target-uri"].decode("utf-8", "replace"))
+                tss.append(_parse_warc_date(headers.get(b"warc-date")))
+                digs.append(env.get("digest", ""))
+                hls.append(int(env.get("length", 0)))
+                ol = env.get("outlinks", [])
+                nls.append(len(ol))
+                links.append(ol)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ts": pa.array(tss, pa.timestamp("us")),
+                "digest": pa.array(digs, pa.string()),
+                "html_len": pa.array(hls, pa.int64()),
+                "n_links": pa.array(nls, pa.int64()),
+                "outlinks": pa.array(links, pa.list_(pa.string())),
+            }
+        )
+
+    return paths_ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)

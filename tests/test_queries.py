@@ -78,7 +78,7 @@ SQL_NAMES = [
     "winnow_overlap", "cdx_pages", "warc_dedup", "robots_rules",
     "sitemap_urls", "lang_confusion", "dedup_report", "outlinks",
     "export_warc", "export_wet", "crawl_metrics", "recrawl",
-    "crawl_host_budget", "more_like_this",
+    "crawl_host_budget", "more_like_this", "export_wat",
 ]
 
 
