@@ -1,3 +1,4 @@
+"""WAT metadata-archive export tests — writer/parser round trip."""
 
 
 def test_wat_export_roundtrip(ray_session, tmp_path):
