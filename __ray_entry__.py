@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": q.q_topk_orders,
         "pricing_summary": q.q_pricing_summary,
         "surt_hosts": q.q_surt_hosts,
+        "domain_agg": q.q_domain_agg,
         "distinct_users": q.q_distinct_users,
         "sessions": q.q_sessions,
         "hash_join": q.q_hash_join,
@@ -729,6 +730,10 @@ _CRAWL_ORDER_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from engine.stages.domains import _SUFFIX2
+
+    # the eTLD+1 oracle shares the engine's frozen suffix table verbatim
+    _suf2_in = ", ".join(f"'{s}'" for s in _SUFFIX2)
     return {
         "lang_id": _lang_id_sql(),
         "export_wet": f"""
@@ -2246,6 +2251,41 @@ def oracle_sql() -> dict[str, str]:
                        source || '.example.com', '.')), ',')
                        || ')/docs/' || CAST(doc_id AS VARCHAR) || '.html' AS surt
             FROM documents
+        """,
+        "domain_agg": rf"""
+            WITH hosts AS (
+                SELECT (CASE doc_id % 4 WHEN 0 THEN 'www.'
+                             WHEN 1 THEN 'cdn.eu.' ELSE '' END)
+                       || 'site' || CAST(doc_id % 37 AS VARCHAR) || '.'
+                       || (CASE doc_id % 8 WHEN 0 THEN 'com'
+                            WHEN 1 THEN 'co.uk' WHEN 2 THEN 'org'
+                            WHEN 3 THEN 'com.au' WHEN 4 THEN 'gov.uk'
+                            WHEN 5 THEN 'de' WHEN 6 THEN 'ac.jp'
+                            ELSE 'net' END) AS host
+                FROM documents
+            ),
+            ext AS (
+                SELECT host,
+                       nullif(regexp_extract(host, '([^.]+)$', 1), '') AS last1,
+                       nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '')
+                           AS last2,
+                       nullif(regexp_extract(host,
+                           '([^.]+\.[^.]+\.[^.]+)$', 1), '') AS last3
+                FROM hosts
+            ),
+            res AS (
+                SELECT host,
+                       CASE WHEN last2 IN ({_suf2_in})
+                                THEN coalesce(last3, host)
+                            ELSE coalesce(last2, host) END AS domain,
+                       CASE WHEN last2 IN ({_suf2_in}) THEN last2
+                            ELSE coalesce(last1, host) END AS suffix
+                FROM ext
+            )
+            SELECT domain, suffix,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+            FROM res GROUP BY domain, suffix
         """,
         "url_filter": r"""
             WITH u AS (

@@ -283,6 +283,39 @@ def q_surt_hosts(sf_dir: str):
     return ds.map_batches(surtify, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# synthetic-host layout shared between q_domain_agg and its oracle SQL
+DOMAIN_PREFIXES = ("www.", "cdn.eu.", "", "")
+DOMAIN_SUFFIXES = ("com", "co.uk", "org", "com.au", "gov.uk", "de", "ac.jp", "net")
+
+
+def q_domain_agg(sf_dir: str):
+    """Per-registrable-domain (eTLD+1) crawl aggregate — PSL-subset
+    longest-suffix rule over hosts synthesized from the documents table
+    (multi-label subdomains x two-label ccTLD suffixes so every branch of
+    the suffix rule is exercised).  SQL-verified: the oracle reconstructs
+    the same hosts and replicates the rule with anchored regexes over the
+    shared engine.stages.domains._SUFFIX2 table."""
+    from engine.stages.domains import domain_agg
+
+    ds = _docs(sf_dir, ["doc_id"])
+    pre, suf = DOMAIN_PREFIXES, DOMAIN_SUFFIXES
+
+    def hostify(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"{pre[d % 4]}site{d % 37}.{suf[d % 8]}" for d in ids],
+                    pa.string(),
+                )
+            }
+        )
+
+    return domain_agg(
+        ds.map_batches(hostify, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible)
 # ---------------------------------------------------------------------------

@@ -57,6 +57,7 @@ def contract(ray_session):
 SQL_NAMES = [
     "exact_dedup", "token_stats", "doc_filter", "lang_agg", "lookup_join",
     "events_window", "topk_orders", "pricing_summary", "surt_hosts",
+    "domain_agg",
     "distinct_users", "sessions", "hash_join", "asof_join", "range_join",
     "quantiles", "quality", "extract_pages", "ann_topk", "lang_id",
     "shuffle_corpus", "tfidf",
