@@ -323,6 +323,7 @@ def cmd_crawl(args) -> int:
             ("max_waves", args.max_waves),
             ("wave_seconds", args.wave_seconds),
             ("num_shards", args.num_shards),
+            ("politeness_scope", args.politeness_scope),
         )
         if v is not None
     }
@@ -399,6 +400,8 @@ def main(argv=None) -> int:
     c.add_argument("seeds")
     c.add_argument("workdir")
     c.add_argument("--politeness", default=None)
+    c.add_argument("--politeness-scope", choices=("host", "domain"), default=None,
+                   help="budget unit: raw host (default) or registrable domain (eTLD+1)")
     c.add_argument("--max-waves", type=int, default=None)
     c.add_argument("--wave-seconds", type=float, default=None)
     c.add_argument("--num-shards", type=int, default=None)

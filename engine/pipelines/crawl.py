@@ -67,10 +67,12 @@ from engine.canonicalize import canonicalize_url, host_of
 from engine.ids import url_hash64
 from engine.pipelines.crawl_common import (
     CrawlConfig,
+    attach_politeness_key,
     discover_links,
     host_rules,
     load_politeness,
     per_wave_cap,
+    politeness_key,
     priority_for_depth,
     robots_blocked,
     sort_key,
@@ -101,12 +103,15 @@ def _frontier_table(urls, hosts, depths) -> pa.Table:
 
 
 def _host_budget(df: pd.DataFrame, rules, counts, cfg: CrawlConfig) -> int:
-    """This wave's fetch budget for the host of ``df`` (ONE implementation:
-    the driver path, distributed stage 2, and salted stage 1 all use it —
-    the budget formula and sort key must never diverge between paths)."""
-    host = df["host"].iloc[0]
-    r = host_rules(rules, host, cfg)
-    return min(per_wave_cap(r, cfg), max(0, r.max_pages - counts.get(host, 0)))
+    """This wave's fetch budget for the politeness unit of ``df`` (ONE
+    implementation: the driver path, distributed stage 2, and salted
+    stage 1 all use it — the budget formula and sort key must never
+    diverge between paths).  The unit key is the ``pkey`` column when the
+    selection attached one (host under the default scope, registrable
+    domain under ``politeness_scope="domain"``), else the raw host."""
+    key = df["pkey"].iloc[0] if "pkey" in df.columns else df["host"].iloc[0]
+    r = host_rules(rules, key, cfg)
+    return min(per_wave_cap(r, cfg), max(0, r.max_pages - counts.get(key, 0)))
 
 
 def _sort_candidates(df: pd.DataFrame) -> pd.DataFrame:
@@ -324,7 +329,10 @@ def _enqueue_core(batch: pa.Table, shard_handles, rules, cfg: CrawlConfig) -> pa
     keep_hosts = [h for h, k in zip(hosts, keep) if k]
     keep_depths = [d for d, k in zip(depths, keep) if k]
     keep_hashes = hashes[keep]
-    blocked = [robots_blocked(u, h, rules, cfg) for u, h in zip(keep_urls, keep_hosts)]
+    blocked = [
+        robots_blocked(u, politeness_key(h, cfg), rules, cfg)
+        for u, h in zip(keep_urls, keep_hosts)
+    ]
     t = _frontier_table(keep_urls, keep_hosts, keep_depths)
     return t.append_column("blocked", pa.array(blocked, pa.bool_())).append_column(
         "url_hash", pa.array(keep_hashes, pa.uint64())
@@ -712,8 +720,10 @@ class CrawlRun:
             if n_frontier >= self.cfg.driver_small_wave_threshold:
                 frontier = ray.data.read_parquet(f_src)
                 n_salts = self.cfg.n_selection_salts
+                _cfg = self.cfg
 
                 def add_salt(t: pa.Table) -> pa.Table:
+                    t = attach_politeness_key(t, _cfg)
                     salts = (
                         url_hash64(t.column("url").to_pylist()) % np.uint64(n_salts)
                     ).astype(np.int64)
@@ -725,7 +735,7 @@ class CrawlRun:
                     frontier.map_batches(
                         add_salt, batch_format="pyarrow", zero_copy_batch=True
                     )
-                    .groupby(["host", "salt"])
+                    .groupby(["pkey", "salt"])
                     .map_groups(
                         _preselect_salted,
                         fn_args=(self.rules_ref, counts_ref, self.cfg),
@@ -742,7 +752,7 @@ class CrawlRun:
                 # over Arrow blocks (PERF.md #31).
                 from engine.stages.common import as_arrow as _as_arrow
 
-                marked = _as_arrow(pre).groupby("host").map_groups(
+                marked = _as_arrow(pre).groupby("pkey").map_groups(
                     _select_group_selected,
                     fn_args=(self.rules_ref, counts_ref, self.cfg),
                     batch_format="pandas",
@@ -763,10 +773,10 @@ class CrawlRun:
                     if isinstance(f_src, str)
                     else pa.concat_tables([pq.read_table(f) for f in f_src])
                 )
-                fdf = frontier_t.to_pandas()
+                fdf = attach_politeness_key(frontier_t, self.cfg).to_pandas()
                 parts = [
                     _select_one_host(g, self.rules, self.fetched_count, self.cfg)
-                    for _, g in fdf.groupby("host", sort=True)
+                    for _, g in fdf.groupby("pkey", sort=True)
                 ]
                 marked_t = pa.Table.from_pandas(
                     pd.concat(parts, ignore_index=True), preserve_index=False
@@ -808,20 +818,29 @@ class CrawlRun:
                 break
 
             # 2. global wave order (selected is budget-bounded -> driver)
+            pkeys = (
+                selected_t.column("pkey").to_pylist()
+                if "pkey" in selected_t.column_names
+                else [
+                    politeness_key(h, self.cfg)
+                    for h in selected_t.column("host").to_pylist()
+                ]
+            )
             sel = sorted(
                 zip(
                     selected_t.column("url").to_pylist(),
                     selected_t.column("host").to_pylist(),
                     selected_t.column("depth").to_pylist(),
                     selected_t.column("priority").to_pylist(),
+                    pkeys,
                 ),
                 key=lambda r: sort_key(r[3], r[0]),
             )
             order_rows = []
-            for u, h, d, p in sel:
+            for u, h, d, p, pk in sel:
                 order_rows.append((wave, self.seq, u, h))
                 self.seq += 1
-                self.fetched_count[h] = self.fetched_count.get(h, 0) + 1
+                self.fetched_count[pk] = self.fetched_count.get(pk, 0) + 1
             order_t = pa.table(
                 {
                     "wave": pa.array([r[0] for r in order_rows], pa.int64()),
@@ -838,10 +857,10 @@ class CrawlRun:
             # proportional to the wave budget, not the corpus (the 10^10
             # scale path).  A flat layout falls back to a full column-pruned
             # scan with the same semantics.
-            selected_ref = ray.put({u: d for u, h, d, p in sel})
+            selected_ref = ray.put({u: d for u, h, d, p, pk in sel})
             from engine.sources.bucketed import is_bucketed, layout_kind, read_buckets_for
 
-            sel_urls = [u for u, _h, _d, _p in sel]
+            sel_urls = [u for u, _h, _d, _p, _pk in sel]
             # block count sized to the wave's selection, not the bucket count
             n_blocks = max(4, min(64, len(sel_urls) // 2000 + 4))
             if is_bucketed(self.pages_path) and layout_kind(self.pages_path) == "links":

@@ -61,6 +61,13 @@ class CrawlConfig:
     # object store ONCE and filtered per wave (the graph is static); larger
     # layouts keep pruned per-bucket reads every wave (the 10^10-URL path).
     links_cache_bytes: int = 4 << 30
+    # Politeness/budget unit: "host" (default — the reference's per-host
+    # semantics) or "domain" (registrable domain / eTLD+1 via
+    # engine.stages.domains): one crawl-delay budget, max_pages counter and
+    # disallow rule-set per OWNER, folding subdomain fan-out (cdn.x.com,
+    # www.x.com) into a single queue.  Under "domain" the politeness
+    # parquet's ``host`` keys must be registrable domains.
+    politeness_scope: str = "host"
 
 
 @dataclass
@@ -88,6 +95,35 @@ def load_politeness(path: Optional[str], cfg: CrawlConfig) -> Dict[str, HostRule
             disallow=prefixes,
         )
     return rules
+
+
+def politeness_key(host: str, cfg: CrawlConfig) -> str:
+    """The politeness-unit key for ``host`` under ``cfg.politeness_scope``
+    — the host itself (default) or its registrable domain.  Scalar form
+    for the oracle and driver-side loops; frontier-sized paths use
+    ``attach_politeness_key`` (the vectorized Arrow kernel)."""
+    if cfg.politeness_scope == "domain":
+        from engine.stages.domains import registrable_domain
+
+        return registrable_domain(host)
+    return host
+
+
+def attach_politeness_key(t, cfg: CrawlConfig):
+    """Append a ``pkey`` column to a frontier-shaped Arrow table.  Under
+    host scope this is the host column itself (zero copy); under domain
+    scope it's the vectorized eTLD+1 kernel.  Selection groupbys key on
+    ``pkey`` so budgets/rules resolve per politeness unit while the raw
+    host stays in the output."""
+    import pyarrow as _pa
+
+    if cfg.politeness_scope == "domain":
+        from engine.stages.domains import registrable_domain_batch
+
+        col = registrable_domain_batch(t.column("host"))["domain"]
+    else:
+        col = t.column("host")
+    return t.append_column(_pa.field("pkey", _pa.string()), col)
 
 
 def host_rules(rules: Dict[str, HostRules], host: str, cfg: CrawlConfig) -> HostRules:

@@ -22,6 +22,7 @@ from engine.pipelines.crawl_common import (
     host_rules,
     load_politeness,
     per_wave_cap,
+    politeness_key,
     priority_for_depth,
     robots_blocked,
     sort_key,
@@ -88,7 +89,7 @@ def crawl_oracle(
                 continue
             to_stage.append(int(hsh))
             enqueued.append((int(hsh), u))
-            if robots_blocked(u, h, rules, cfg):
+            if robots_blocked(u, politeness_key(h, cfg), rules, cfg):
                 continue  # marked seen, never fetched
             frontier.append(_Cand(u, h, d))
         if to_stage:
@@ -112,10 +113,11 @@ def crawl_oracle(
     for wave in range(cfg.max_waves):
         if not frontier:
             break
-        # -- per-host politeness selection ---------------------------------
+        # -- per-politeness-unit selection (host, or registrable domain
+        # under politeness_scope="domain") ----------------------------------
         by_host: Dict[str, List[_Cand]] = {}
         for c in frontier:
-            by_host.setdefault(c.host, []).append(c)
+            by_host.setdefault(politeness_key(c.host, cfg), []).append(c)
 
         selected: List[_Cand] = []
         carryover: List[_Cand] = []
@@ -134,7 +136,8 @@ def crawl_oracle(
         for c in selected:
             order_rows.append((wave, seq, c.url, c.host))
             seq += 1
-            fetched_count[c.host] = fetched_count.get(c.host, 0) + 1
+            pk = politeness_key(c.host, cfg)
+            fetched_count[pk] = fetched_count.get(pk, 0) + 1
 
         # -- fetch + discover ----------------------------------------------
         discovered: List[Tuple[str, int]] = []

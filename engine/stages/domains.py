@@ -87,6 +87,19 @@ def registrable_domain_batch(hosts: pa.Array) -> Dict[str, pa.Array]:
     return {"domain": domain, "suffix": pc.coalesce(suffix, hosts)}
 
 
+_SUFFIX2_SET = frozenset(_SUFFIX2)
+
+
+def registrable_domain(host: str) -> str:
+    """Scalar eTLD+1 — the per-row mirror of ``registrable_domain_batch``
+    for driver-side loops and the single-threaded crawl oracle.  Parity
+    with the batch kernel is test-pinned (tests/test_domains.py)."""
+    labels = host.split(".")
+    if len(labels) >= 2 and ".".join(labels[-2:]) in _SUFFIX2_SET:
+        return ".".join(labels[-3:]) if len(labels) >= 3 else host
+    return ".".join(labels[-2:]) if len(labels) >= 2 else host
+
+
 def domain_agg(
     pages: ray.data.Dataset,
     host_col: str = "host",

@@ -573,3 +573,46 @@ def test_robust_gather_resubmits_and_orders(ray_session):
     # the healthy slot resolved on the first round and was NEVER
     # resubmitted (exactly one extra call); only the stuck slot retried
     assert _ray.get(actors[0].n_calls.remote()) == calls_before + 1
+
+
+@pytest.mark.parametrize("threshold", [100_000, 0], ids=["driver-path", "distributed-path"])
+def test_domain_scope_matches_oracle(ray_session, fixture_dir, tmp_path, threshold):
+    """politeness_scope="domain": budgets/rules/robots resolve per
+    registrable domain (eTLD+1) instead of per raw host — both engine
+    paths must reproduce the oracle bit-for-bit, and the schedule must
+    actually DIFFER from host scope (shared-owner folding is real)."""
+    from dataclasses import replace
+
+    from engine.pipelines.crawl import run_crawl
+    from engine.stages.domains import registrable_domain
+
+    cfg = CrawlConfig(
+        max_waves=3, politeness_scope="domain", driver_small_wave_threshold=threshold
+    )
+    args = (
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        None,  # default rules: one 6-page/wave budget PER DOMAIN
+    )
+    o_order, o_seen = crawl_oracle(*args, cfg)
+    d_order, d_seen = run_crawl(
+        *args, str(tmp_path / f"dom_wd_{threshold}"), cfg
+    )
+    assert d_order.equals(o_order), "domain-scope crawl order differs from oracle"
+    assert d_seen.equals(o_seen), "domain-scope seen set differs from oracle"
+    # budget enforced at the DOMAIN level: <= cap fetches per (wave, domain)
+    import collections
+
+    cap = max(1, int(cfg.wave_seconds // cfg.default_crawl_delay))
+    per = collections.Counter(
+        (w, registrable_domain(h))
+        for w, h in zip(
+            o_order.column("wave").to_pylist(), o_order.column("host").to_pylist()
+        )
+    )
+    assert per and all(n <= cap for n in per.values()), per
+    # the fixture has multiple hosts per registrable domain, so folding
+    # must change the schedule vs host scope
+    host_cfg = replace(cfg, politeness_scope="host")
+    h_order, _ = crawl_oracle(*args, host_cfg)
+    assert not h_order.equals(o_order), "domain scope had no effect on this fixture"
