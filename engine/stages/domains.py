@@ -66,10 +66,25 @@ def registrable_domain_batch(hosts: pa.Array) -> Dict[str, pa.Array]:
 
     domain: registrable domain (host itself when too short — see module
     docstring); suffix: the matched public suffix ("uk" vs "co.uk").
+
+    Hosts repeat heavily inside a frontier block, so the regex kernel
+    runs over the DICTIONARY of distinct hosts and fans back out with a
+    take — measured 33 ms -> 10 ms warm on a 200k-row frontier with ~1k
+    distinct hosts (~50 ns/row); skipped when the block has few repeats
+    (the dictionary must be at most half the rows, which also terminates
+    the recursion).
     """
     if isinstance(hosts, pa.ChunkedArray):
         hosts = hosts.combine_chunks()
     hosts = pc.cast(hosts, pa.string())
+    if len(hosts) > 256:
+        enc = pc.dictionary_encode(hosts)
+        if len(enc.dictionary) * 2 <= len(hosts):  # repeats actually help
+            uniq = registrable_domain_batch(enc.dictionary)
+            return {
+                "domain": pc.take(uniq["domain"], enc.indices),
+                "suffix": pc.take(uniq["suffix"], enc.indices),
+            }
     last1 = _extract_tail(hosts, r"(?P<l>[^.]+)$")
     last2 = _extract_tail(hosts, _RE_LAST2)
     last3 = _extract_tail(hosts, _RE_LAST3)
