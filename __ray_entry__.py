@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q.q_ann_topk,
         "lang_id": q.q_lang_id,
         "crawl_order": q.q_crawl_order,
+        "crawl_order_domain": q.q_crawl_order_domain,
         "fingerprint": q.q_fingerprint,
         "dedup_corpus": q.q_dedup_corpus,
         "sample_stratified": q.q_sample_stratified,
@@ -722,6 +723,93 @@ _CRAWL_ORDER_SQL = """
                           + row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS seq,
                      url, host
               FROM sel1 WHERE hrn <= 6
+            )
+            SELECT CAST(wave AS BIGINT) AS wave, seq, url, host FROM wave0
+            UNION ALL
+            SELECT CAST(wave AS BIGINT) AS wave, seq, url, host FROM wave1
+"""
+
+# politeness_scope="domain": every synthetic host registers under
+# example.com, so the whole corpus is ONE politeness unit (cap 6/wave).
+# Wave 0: the 6 smallest seed urls (equal priority 1.0).  Wave 1: seed
+# carryover (still priority 1.0) ranks ahead of depth-1 links (0.5);
+# links pointing at seed urls are already seen.  Mirrors
+# q_crawl_order_domain's config (8 seeds / cap 6 / 2 waves).
+_CRAWL_ORDER_DOMAIN_SQL = """
+            WITH m AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id AS gid, source AS gsrc,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS gpos
+              FROM documents
+            ),
+            gn AS (SELECT count(*) AS c FROM documents),
+            tgt AS (
+              SELECT m.doc_id, d.ordn, m2.doc_id AS t, m2.source AS tsrc
+              FROM m
+              JOIN (VALUES (1),(2),(3)) AS d(ordn) ON true
+              JOIN m m2 ON m2.source = m.source AND m2.pos = (m.pos + d.ordn) % m.n
+              WHERE m2.doc_id <> m.doc_id
+              UNION ALL
+              SELECT m.doc_id, 4 AS ordn, g.gid, g.gsrc
+              FROM m CROSS JOIN gn JOIN g ON g.gpos = (m.doc_id * 7 + 3) % gn.c
+              WHERE g.gid <> m.doc_id
+            ),
+            links AS (
+              SELECT DISTINCT doc_id,
+                     'https://' || tsrc || '.example.com/docs/' || t || '.html' AS turl,
+                     tsrc || '.example.com' AS thost
+              FROM tgt
+            ),
+            srcs AS (
+              SELECT source, min(doc_id) AS first_doc,
+                     row_number() OVER (ORDER BY source) AS srn
+              FROM documents GROUP BY source
+            ),
+            seeds AS (
+              SELECT 'https://' || source || '.example.com/docs/' || first_doc
+                         || '.html' AS url,
+                     source || '.example.com' AS host,
+                     first_doc AS doc_id
+              FROM srcs WHERE srn <= 8
+            ),
+            seeds_rn AS (
+              SELECT url, host, doc_id,
+                     row_number() OVER (ORDER BY url) AS rn
+              FROM seeds
+            ),
+            wave0 AS (
+              SELECT 0 AS wave, CAST(rn - 1 AS BIGINT) AS seq, url, host, doc_id
+              FROM seeds_rn WHERE rn <= 6
+            ),
+            n0 AS (SELECT count(*) AS c FROM wave0),
+            carry AS (
+              SELECT url, host FROM seeds_rn WHERE rn > 6
+            ),
+            cand1 AS (
+              SELECT DISTINCT l.turl AS url, l.thost AS host
+              FROM wave0 w JOIN links l ON l.doc_id = w.doc_id
+              WHERE l.turl NOT IN (SELECT url FROM seeds)
+            ),
+            u1 AS (
+              SELECT url, host, 1.0 AS pri FROM carry
+              UNION ALL
+              SELECT url, host, 0.5 AS pri FROM cand1
+            ),
+            sel1 AS (
+              SELECT url, host,
+                     row_number() OVER (ORDER BY pri DESC, url) AS rn
+              FROM u1
+            ),
+            wave1 AS (
+              SELECT 1 AS wave,
+                     CAST((SELECT c FROM n0) + rn - 1 AS BIGINT) AS seq,
+                     url, host
+              FROM sel1 WHERE rn <= 6
             )
             SELECT CAST(wave AS BIGINT) AS wave, seq, url, host FROM wave0
             UNION ALL
@@ -2158,6 +2246,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ord GROUP BY wave, host
         """,
         "crawl_order": _CRAWL_ORDER_SQL,
+        "crawl_order_domain": _CRAWL_ORDER_DOMAIN_SQL,
         # quality: counts are exact; ppm = floor(1e6*count/n_chars) is
         # bit-reproducible IEEE (unlike round(x,6), whose half-way handling
         # differs between Python and DuckDB — measured on this testdata).

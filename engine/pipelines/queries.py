@@ -841,21 +841,39 @@ def q_crawl_order(sf_dir: str):
     so the 2-wave schedule unrolls into plain CTEs (see the crawl_order
     oracle in __ray_entry__ — its constants 8 seeds / cap 6 / 2 waves mirror
     this function's config; change them together)."""
+    from engine.pipelines.crawl_common import CrawlConfig
+
+    return _run_crawl_query(sf_dir, CrawlConfig(max_waves=2))
+
+
+def q_crawl_order_domain(sf_dir: str):
+    """The 2-wave crawl under ``politeness_scope="domain"``: every
+    synthetic host shares the registrable domain example.com, so the
+    whole corpus becomes ONE politeness unit with a 6-fetch wave budget —
+    the owner-folding semantics at their most extreme.  SQL-verified: the
+    single-unit schedule unrolls into plain CTEs (wave 0 = 6 smallest
+    seed urls; wave 1 = seed carryover at priority 1.0, then depth-1
+    links at 0.5)."""
+    from engine.pipelines.crawl_common import CrawlConfig
+
+    return _run_crawl_query(
+        sf_dir, CrawlConfig(max_waves=2, politeness_scope="domain")
+    )
+
+
+def _run_crawl_query(sf_dir: str, cfg):
     import tempfile
 
     import pyarrow.parquet as pq
 
     from engine.pipelines.crawl import run_crawl
-    from engine.pipelines.crawl_common import CrawlConfig
 
     with tempfile.TemporaryDirectory(prefix="crawlq_") as td:
         pages_path = f"{td}/pages.parquet"
         pages_dataset(sf_dir).write_parquet(pages_path)
         seeds_path = f"{td}/seeds.parquet"
         pq.write_table(seeds_table(sf_dir), seeds_path)
-        order, _seen = run_crawl(
-            pages_path, seeds_path, None, f"{td}/wd", CrawlConfig(max_waves=2)
-        )
+        order, _seen = run_crawl(pages_path, seeds_path, None, f"{td}/wd", cfg)
         return order
 
 
