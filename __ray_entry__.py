@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.q_lang_id,
         "crawl_order": q.q_crawl_order,
         "crawl_order_domain": q.q_crawl_order_domain,
+        "crawl_order_inlinks": q.q_crawl_order_inlinks,
         "fingerprint": q.q_fingerprint,
         "dedup_corpus": q.q_dedup_corpus,
         "sample_stratified": q.q_sample_stratified,
@@ -658,7 +659,9 @@ def _warc_dedup_sql() -> str:
 # (crawl_host_budget) — ONE copy, so the crawl constants (8 seeds,
 # per-host cap 6, 2 waves) mirroring q_crawl_order's CrawlConfig live in
 # exactly two places: here and the engine config.
-_CRAWL_ORDER_SQL = """
+# shared 2-wave unroll prefix: synthetic link graph, seeds, wave 0
+# (mirrors q_crawl_order/_domain/_inlinks's 8-seed / cap-6 config)
+_CRAWL_PREFIX = """
             WITH m AS (
               SELECT doc_id, source,
                      row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos,
@@ -706,7 +709,9 @@ _CRAWL_ORDER_SQL = """
                      url, host, doc_id
               FROM seeds
             ),
-            n0 AS (SELECT count(*) AS c FROM wave0),
+            n0 AS (SELECT count(*) AS c FROM wave0)"""
+
+_CRAWL_ORDER_SQL = _CRAWL_PREFIX + """,
             cand1 AS (
               SELECT DISTINCT l.turl AS url, l.thost AS host
               FROM wave0 w JOIN links l ON l.doc_id = w.doc_id
@@ -728,6 +733,38 @@ _CRAWL_ORDER_SQL = """
             UNION ALL
             SELECT CAST(wave AS BIGINT) AS wave, seq, url, host FROM wave1
 """
+
+# priority_mode="inlinks": wave-1 candidates carry their emission count n
+# (one per distinct wave-0 doc linking to them — the links CTE is already
+# per-page-deduped like discover_links); priority = 0.5 + 0.01*least(n,9),
+# ordering per host and globally by (priority DESC, url).
+_CRAWL_ORDER_INLINKS_SQL = _CRAWL_PREFIX + """,
+            cand1 AS (
+              SELECT l.turl AS url, l.thost AS host, count(*) AS n
+              FROM wave0 w JOIN links l ON l.doc_id = w.doc_id
+              WHERE l.turl NOT IN (SELECT url FROM seeds)
+              GROUP BY l.turl, l.thost
+            ),
+            pri AS (
+              SELECT url, host, 0.5 + 0.01 * least(n, 9) AS p FROM cand1
+            ),
+            sel1 AS (
+              SELECT url, host, p,
+                     row_number() OVER (PARTITION BY host ORDER BY p DESC, url) AS hrn
+              FROM pri
+            ),
+            wave1 AS (
+              SELECT 1 AS wave,
+                     CAST((SELECT c FROM n0)
+                          + row_number() OVER (ORDER BY p DESC, url) - 1 AS BIGINT) AS seq,
+                     url, host
+              FROM sel1 WHERE hrn <= 6
+            )
+            SELECT CAST(wave AS BIGINT) AS wave, seq, url, host FROM wave0
+            UNION ALL
+            SELECT CAST(wave AS BIGINT) AS wave, seq, url, host FROM wave1
+"""
+
 
 # politeness_scope="domain": every synthetic host registers under
 # example.com, so the whole corpus is ONE politeness unit (cap 6/wave).
@@ -2247,6 +2284,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_order": _CRAWL_ORDER_SQL,
         "crawl_order_domain": _CRAWL_ORDER_DOMAIN_SQL,
+        "crawl_order_inlinks": _CRAWL_ORDER_INLINKS_SQL,
         # quality: counts are exact; ppm = floor(1e6*count/n_chars) is
         # bit-reproducible IEEE (unlike round(x,6), whose half-way handling
         # differs between Python and DuckDB — measured on this testdata).

@@ -324,6 +324,7 @@ def cmd_crawl(args) -> int:
             ("wave_seconds", args.wave_seconds),
             ("num_shards", args.num_shards),
             ("politeness_scope", args.politeness_scope),
+            ("priority_mode", args.priority_mode),
         )
         if v is not None
     }
@@ -402,6 +403,8 @@ def main(argv=None) -> int:
     c.add_argument("--politeness", default=None)
     c.add_argument("--politeness-scope", choices=("host", "domain"), default=None,
                    help="budget unit: raw host (default) or registrable domain (eTLD+1)")
+    c.add_argument("--priority-mode", choices=("depth", "inlinks"), default=None,
+                   help="frontier priority: BFS depth (default) or depth + capped inlink bonus")
     c.add_argument("--max-waves", type=int, default=None)
     c.add_argument("--wave-seconds", type=float, default=None)
     c.add_argument("--num-shards", type=int, default=None)

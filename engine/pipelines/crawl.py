@@ -61,7 +61,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
 
 from engine.canonicalize import canonicalize_url, host_of
 from engine.ids import url_hash64
@@ -73,6 +73,7 @@ from engine.pipelines.crawl_common import (
     load_politeness,
     per_wave_cap,
     politeness_key,
+    priority_for,
     priority_for_depth,
     robots_blocked,
     sort_key,
@@ -89,8 +90,11 @@ _FRONTIER_SCHEMA = pa.schema(
 )
 
 
-def _frontier_table(urls, hosts, depths) -> pa.Table:
-    pr = [priority_for_depth(d) for d in depths]
+def _frontier_table(urls, hosts, depths, inlinks=None, cfg=None) -> pa.Table:
+    if inlinks is None or cfg is None:
+        pr = [priority_for_depth(d) for d in depths]
+    else:
+        pr = [priority_for(d, n, cfg) for d, n in zip(depths, inlinks)]
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -293,13 +297,23 @@ def _enqueue_core(batch: pa.Table, shard_handles, rules, cfg: CrawlConfig) -> pa
     """
     # Validity filter FIRST (empty host / too deep are never hashed or
     # staged) — ordering must match the oracle's try_enqueue exactly.
-    urls, hosts, depths = [], [], []
-    for u, d in zip(batch.column("url").to_pylist(), batch.column("depth").to_pylist()):
+    # n_in (per-url emission count from the dedup aggregate) rides along
+    # for the "inlinks" priority mode; absent -> 1 (seed semantics).
+    nin_col = (
+        batch.column("n_in").to_pylist()
+        if "n_in" in batch.column_names
+        else [1] * batch.num_rows
+    )
+    urls, hosts, depths, nins = [], [], [], []
+    for u, d, n in zip(
+        batch.column("url").to_pylist(), batch.column("depth").to_pylist(), nin_col
+    ):
         h = host_of(u)
         if h and d <= cfg.max_depth:
             urls.append(u)
             hosts.append(h)
             depths.append(int(d))
+            nins.append(int(n) if n is not None else 1)
     if not urls:
         return _EMPTY_ENQ_FULL
     hashes = url_hash64(urls)
@@ -328,12 +342,13 @@ def _enqueue_core(batch: pa.Table, shard_handles, rules, cfg: CrawlConfig) -> pa
     keep_urls = [u for u, k in zip(urls, keep) if k]
     keep_hosts = [h for h, k in zip(hosts, keep) if k]
     keep_depths = [d for d, k in zip(depths, keep) if k]
+    keep_nins = [n for n, k in zip(nins, keep) if k]
     keep_hashes = hashes[keep]
     blocked = [
         robots_blocked(u, politeness_key(h, cfg), rules, cfg)
         for u, h in zip(keep_urls, keep_hosts)
     ]
-    t = _frontier_table(keep_urls, keep_hosts, keep_depths)
+    t = _frontier_table(keep_urls, keep_hosts, keep_depths, keep_nins, cfg)
     return t.append_column("blocked", pa.array(blocked, pa.bool_())).append_column(
         "url_hash", pa.array(keep_hashes, pa.uint64())
     )
@@ -642,17 +657,20 @@ class CrawlRun:
             tables = ray.get(mat.to_arrow_refs())
             cand = pa.concat_tables(tables, promote_options="default")
             df = cand.to_pandas()
-            ded = (
-                df.groupby("url", sort=True, as_index=False)["depth"].min()
+            ded = df.groupby("url", sort=True, as_index=False).agg(
+                depth=("depth", "min"), n_in=("depth", "size")
             )
             batch = pa.table(
                 {
                     "url": pa.array(ded["url"], pa.string()),
                     "depth": pa.array(ded["depth"], pa.int64()),
+                    "n_in": pa.array(ded["n_in"], pa.int64()),
                 }
             )
             return _enqueue_core(batch, self.shards, self.rules, self.cfg)
-        deduped = mat.groupby("url").aggregate(Min("depth", alias_name="depth"))
+        deduped = mat.groupby("url").aggregate(
+            Min("depth", alias_name="depth"), Count("depth", alias_name="n_in")
+        )
         out = deduped.map_batches(
             _enqueue_stage,
             fn_kwargs=dict(

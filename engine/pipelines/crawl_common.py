@@ -61,6 +61,14 @@ class CrawlConfig:
     # object store ONCE and filtered per wave (the graph is static); larger
     # layouts keep pruned per-bucket reads every wave (the 10^10-URL path).
     links_cache_bytes: int = 4 << 30
+    # Frontier priority at enqueue: "depth" (default — the reference-style
+    # 1/(1+depth) BFS bias) or "inlinks" (adds a 0.01 bonus per discovering
+    # emission in the wave that first enqueued the URL, capped at 9 —
+    # heavily-cited URLs jump the within-depth queue, and the <= 0.09 bonus
+    # can outrank one depth level only at depth >= 2).  Priority is
+    # assigned ONCE, at first enqueue; later re-discoveries are dropped by
+    # the seen set on both the engine and oracle sides.
+    priority_mode: str = "depth"
     # Politeness/budget unit: "host" (default — the reference's per-host
     # semantics) or "domain" (registrable domain / eTLD+1 via
     # engine.stages.domains): one crawl-delay budget, max_pages counter and
@@ -152,6 +160,19 @@ def robots_blocked(url: str, host: str, rules: Dict[str, HostRules], cfg: CrawlC
 
 def priority_for_depth(depth: int) -> float:
     return 1.0 / (1.0 + depth)
+
+
+def priority_for(depth: int, n_in: int, cfg: CrawlConfig) -> float:
+    """Enqueue-time frontier priority under ``cfg.priority_mode``.
+
+    ``n_in`` is the URL's emission count in the enqueueing wave (seeds
+    count as one emission).  Both the engine's vectorized enqueue and the
+    single-threaded oracle call THIS function — the priority formula must
+    never diverge between them (conformance rule)."""
+    p = priority_for_depth(depth)
+    if cfg.priority_mode == "inlinks":
+        p += 0.01 * min(int(n_in), 9)
+    return p
 
 
 def discover_links(page_url: str, html_bytes: bytes) -> List[str]:

@@ -23,7 +23,7 @@ from engine.pipelines.crawl_common import (
     load_politeness,
     per_wave_cap,
     politeness_key,
-    priority_for_depth,
+    priority_for,
     robots_blocked,
     sort_key,
 )
@@ -33,11 +33,11 @@ from engine.state.cuckoo import ShardedSeenSet
 class _Cand:
     __slots__ = ("url", "host", "depth", "priority")
 
-    def __init__(self, url: str, host: str, depth: int):
+    def __init__(self, url: str, host: str, depth: int, priority: float):
         self.url = url
         self.host = host
         self.depth = depth
-        self.priority = priority_for_depth(depth)
+        self.priority = priority
 
 
 def crawl_oracle(
@@ -71,8 +71,14 @@ def crawl_oracle(
     frontier: List[_Cand] = []
     enqueued: List[Tuple[int, str]] = []  # (url_hash, url) ever marked seen
 
-    def try_enqueue(urls_depths: List[Tuple[str, int]]) -> None:
-        """Shared enqueue protocol: canonical, robots, cuckoo-dedup, stage."""
+    def try_enqueue(
+        urls_depths: List[Tuple[str, int]], emit_counts: Optional[Dict[str, int]] = None
+    ) -> None:
+        """Shared enqueue protocol: canonical, robots, cuckoo-dedup, stage.
+
+        ``emit_counts`` carries per-url emission multiplicities for the
+        "inlinks" priority mode (absent entries and seeds count as 1 —
+        mirroring the engine's dedup-aggregate Count)."""
         cands = []
         for u, d in urls_depths:
             h = host_of(u)
@@ -91,7 +97,8 @@ def crawl_oracle(
             enqueued.append((int(hsh), u))
             if robots_blocked(u, politeness_key(h, cfg), rules, cfg):
                 continue  # marked seen, never fetched
-            frontier.append(_Cand(u, h, d))
+            n_in = (emit_counts or {}).get(u, 1)
+            frontier.append(_Cand(u, h, d, priority_for(d, n_in, cfg)))
         if to_stage:
             import numpy as np
 
@@ -142,12 +149,16 @@ def crawl_oracle(
         # -- fetch + discover ----------------------------------------------
         discovered: List[Tuple[str, int]] = []
         disc_seen = set()
+        # emission multiplicities BEFORE dedup — one per (page copy, link)
+        # pair, exactly the rows the engine's dedup-aggregate counts
+        emit_counts: Dict[str, int] = {}
         for c in selected:
             htmls = web.get(c.url)
             if htmls is None:
                 continue  # 404: budget consumed, no links
             for html in htmls:
                 for link in discover_links(c.url, html):
+                    emit_counts[link] = emit_counts.get(link, 0) + 1
                     if link not in disc_seen:
                         disc_seen.add(link)
                         discovered.append((link, c.depth + 1))
@@ -161,7 +172,7 @@ def crawl_oracle(
                 uniq[u] = d
 
         frontier = carryover
-        try_enqueue(sorted(uniq.items()))
+        try_enqueue(sorted(uniq.items()), emit_counts)
         seen.commit()
 
     order = pa.table(

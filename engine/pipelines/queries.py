@@ -861,6 +861,19 @@ def q_crawl_order_domain(sf_dir: str):
     )
 
 
+def q_crawl_order_inlinks(sf_dir: str):
+    """The 2-wave crawl under ``priority_mode="inlinks"``: wave-1
+    candidates are ordered by 0.5 + 0.01*min(emissions, 9) instead of url
+    alone — heavily-cited targets jump the queue.  SQL-verified: the
+    unroll counts each target's distinct wave-0 linkers and replicates
+    the priority expression bit-for-bit (integer-scaled double math)."""
+    from engine.pipelines.crawl_common import CrawlConfig
+
+    return _run_crawl_query(
+        sf_dir, CrawlConfig(max_waves=2, priority_mode="inlinks")
+    )
+
+
 def _run_crawl_query(sf_dir: str, cfg):
     import tempfile
 

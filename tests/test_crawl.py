@@ -616,3 +616,28 @@ def test_domain_scope_matches_oracle(ray_session, fixture_dir, tmp_path, thresho
     host_cfg = replace(cfg, politeness_scope="host")
     h_order, _ = crawl_oracle(*args, host_cfg)
     assert not h_order.equals(o_order), "domain scope had no effect on this fixture"
+
+
+@pytest.mark.parametrize("threshold", [100_000, 0], ids=["driver-path", "distributed-path"])
+def test_inlinks_priority_matches_oracle(ray_session, fixture_dir, tmp_path, threshold):
+    """priority_mode="inlinks": frontier priority gains a capped bonus per
+    discovering emission — both engine paths must reproduce the oracle
+    bit-for-bit, and the schedule must differ from depth mode (the link
+    graph has shared targets, so multiplicities exist)."""
+    cfg = CrawlConfig(
+        max_waves=3, priority_mode="inlinks", driver_small_wave_threshold=threshold
+    )
+    from engine.pipelines.crawl import run_crawl
+
+    args = (
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+    )
+    o_order, o_seen = crawl_oracle(*args, cfg)
+    d_order, d_seen = run_crawl(*args, str(tmp_path / f"inl_wd_{threshold}"), cfg)
+    assert d_order.equals(o_order), "inlinks-priority crawl order differs from oracle"
+    assert d_seen.equals(o_seen), "inlinks-priority seen set differs from oracle"
+    # the mode must actually change the schedule on this fixture
+    base_order, _ = crawl_oracle(*args, CrawlConfig(max_waves=3))
+    assert not base_order.equals(o_order), "inlinks mode had no effect"

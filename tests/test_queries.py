@@ -61,7 +61,8 @@ SQL_NAMES = [
     "distinct_users", "sessions", "hash_join", "asof_join", "range_join",
     "quantiles", "quality", "extract_pages", "ann_topk", "lang_id",
     "shuffle_corpus", "tfidf",
-    "crawl_order", "crawl_order_domain", "fingerprint", "dedup_corpus",
+    "crawl_order", "crawl_order_domain", "crawl_order_inlinks",
+    "fingerprint", "dedup_corpus",
     "sample_stratified",
     "pack_sequences", "events_hopping", "sink_status",
     "rep_stats", "line_dedup", "span_dedup", "decontam", "corpus_overlap",
