@@ -641,3 +641,22 @@ def test_inlinks_priority_matches_oracle(ray_session, fixture_dir, tmp_path, thr
     # the mode must actually change the schedule on this fixture
     base_order, _ = crawl_oracle(*args, CrawlConfig(max_waves=3))
     assert not base_order.equals(o_order), "inlinks mode had no effect"
+
+
+def test_combined_domain_inlinks_matches_oracle(ray_session, fixture_dir, tmp_path):
+    """Both scheduler options together (domain-scoped budgets + inlink
+    priority) still reproduce the oracle exactly — the options compose."""
+    from engine.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(
+        max_waves=3, politeness_scope="domain", priority_mode="inlinks"
+    )
+    args = (
+        os.path.join(fixture_dir, "pages.parquet"),
+        os.path.join(fixture_dir, "seeds.parquet"),
+        os.path.join(fixture_dir, "politeness.parquet"),
+    )
+    o_order, o_seen = crawl_oracle(*args, cfg)
+    d_order, d_seen = run_crawl(*args, str(tmp_path / "combo_wd"), cfg)
+    assert d_order.equals(o_order)
+    assert d_seen.equals(o_seen)
