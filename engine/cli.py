@@ -205,8 +205,19 @@ def cmd_stats(args) -> int:
         _shutdown(ray)
         return 0
     if "lang" in cols:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # null langs (pages tables carry None for skip rows) break the
+        # groupby's key sort — fill before shuffling
+        lang_ds = ds.map_batches(
+            lambda t: pa.table(
+                {"lang": pc.fill_null(pc.cast(t.column("lang"), pa.string()), "?")}
+            ),
+            batch_format="pyarrow",
+        )
         langs = (
-            ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
+            lang_ds.groupby("lang").aggregate(Count(alias_name="n")).to_pandas()
             .sort_values("n", ascending=False)
         )
         print("languages      " + ", ".join(
@@ -229,6 +240,39 @@ def cmd_stats(args) -> int:
     dups = exact_dedup(ds, id_col=id_col, text_col=text_col)
     n_distinct = dups.count()
     print(f"exact-distinct {n_distinct}  (dup rows: {n - n_distinct})")
+    if "url" in cols or "host" in cols:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from engine.canonicalize import host_of
+        from engine.stages.domains import domain_agg
+
+        if "host" in cols:
+            hosts_ds = ds.map_batches(
+                lambda t: t.select(["host"]), batch_format="pyarrow"
+            )
+        else:
+            hosts_ds = ds.map_batches(
+                lambda t: pa.table(
+                    {
+                        "host": pa.array(
+                            [host_of(u) for u in t.column("url").to_pylist()],
+                            pa.string(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        da = domain_agg(hosts_ds)
+        da = da.sort_by([("n_pages", "descending"), ("domain", "ascending")])
+        head = da.slice(0, 10)
+        print(f"registrable domains  {da.num_rows}")
+        for i in range(head.num_rows):
+            print(
+                f"  {head.column('domain')[i].as_py()}  "
+                f"pages:{head.column('n_pages')[i].as_py()}  "
+                f"hosts:{head.column('n_hosts')[i].as_py()}"
+            )
     if "source" in cols:
         top = domain_terms(
             ds, group_col="source", text_col=text_col, k=args.top_terms
