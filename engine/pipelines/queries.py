@@ -775,6 +775,20 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, qids, qm, k=10).sort(["query_id", "rank"])
 
 
+def q_ann_quantized(sf_dir: str):
+    """int8-quantized ANN with exact rerank (ann.quantized_topk) — the
+    memory-scale path.  Rows-only: the integer candidate order has no SQL
+    analog; the numpy replica oracle, recall bound and partitioning
+    invariance are pinned in tests/test_stages.py."""
+    from engine.stages.ann import quantized_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qids, qm = _query_vectors(sf_dir)
+    return quantized_topk(ds, qids, qm, k=10)
+
+
 def q_extract_pages(sf_dir: str):
     """Flagship extraction over the synthesized pages table, SQL-verified.
 

@@ -115,6 +115,7 @@ ROWS_ONLY = [
     ("embedding_dedup", 0),
     ("semdedup", 1),
     ("ann_ivf", 1),
+    ("ann_quantized", 1),
     ("extract_enriched", 1),
     ("media_features", 1),
     ("bpe_tokens", 1),

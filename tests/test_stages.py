@@ -3335,3 +3335,78 @@ def test_more_like_this_empty_corpus(ray_session):
     got = more_like_this(ray.data.from_arrow(t))
     assert got.num_rows == 0
     assert got.column_names == ["seed_id", "rank", "doc_id"]
+
+
+def test_quantized_topk_oracle_and_recall(ray_session):
+    """quantized_topk == a single-process numpy replica of the SAME
+    algorithm (scales -> int8 candidates by (iscore desc, id asc) ->
+    exact rerank); recall@10 vs the exact baseline is high; and the
+    output is invariant under repartitioning (integer candidate order)."""
+    import numpy as np
+    import ray.data
+
+    from engine.stages.ann import _dim_scales, _normalize, _quantize, quantized_topk
+
+    rs = np.random.RandomState(7)
+    n, dim, nq, k = 400, 24, 5, 10
+    vecs = rs.normal(size=(n, dim))
+    ids = list(range(n))
+    qm = rs.normal(size=(nq, dim))
+    qids = list(range(100, 100 + nq))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+        }
+    )
+
+    def run(n_blocks):
+        ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+        return quantized_topk(ds, qids, qm, k=k, rerank_factor=4)
+
+    got = run(4)
+
+    # single-process replica
+    vn = _normalize(vecs.astype(np.float64))
+    qn = _normalize(qm.astype(np.float64))
+    scales = np.abs(vn).max(axis=0)
+    scales[scales == 0] = 1.0
+    scales = scales / 127.0
+    dq = _quantize(vn, scales)
+    qq = _quantize(qn, scales)
+    m = k * 4
+    exp_rows = []
+    for qi, qid in enumerate(qids):
+        sc = (qq[qi].astype(np.int64) * dq.astype(np.int64)).sum(axis=1)
+        order = sorted(range(n), key=lambda j: (-sc[j], ids[j]))[:m]
+        rer = sorted(
+            ((round(float(np.dot(qn[qi], vn[j])), 6), ids[j]) for j in order),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for r, (s, vid) in enumerate(rer, 1):
+            exp_rows.append((qid, vid, s, r))
+    got_rows = list(
+        zip(
+            got.column("query_id").to_pylist(),
+            got.column("vec_id").to_pylist(),
+            got.column("sim").to_pylist(),
+            got.column("rank").to_pylist(),
+        )
+    )
+    assert got_rows == exp_rows
+
+    # partitioning invariance: same bytes at 1, 4 and 13 blocks
+    assert run(1).equals(got) and run(13).equals(got)
+
+    # recall@k vs the exact float baseline
+    hits = 0
+    for qi, qid in enumerate(qids):
+        sims = vn @ qn[qi]
+        exact = set(
+            ids[j] for j in sorted(range(n), key=lambda j: (-sims[j], ids[j]))[:k]
+        )
+        mine = {vid for q, vid, _, _ in got_rows if q == qid}
+        hits += len(exact & mine)
+    recall = hits / (nq * k)
+    assert recall >= 0.9, recall
