@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_jsonl": q.q_export_jsonl,
         "chunk_docs": q.q_chunk_docs,
         "url_filter": q.q_url_filter,
+        "url_templates": q.q_url_templates,
         "normalize_text": q.q_normalize_text,
         "novelty": q.q_novelty,
         "containment": q.q_containment,
@@ -2450,6 +2451,40 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'ok'
                    END AS status
             FROM u
+        """,
+        "url_templates": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 13 = 0 THEN 'ftp://'
+                             ELSE 'https://' END)
+                       || source || '.example.com'
+                       || (CASE WHEN doc_id % 17 = 0 THEN repeat('/x', 150)
+                                ELSE repeat('/d', CAST(doc_id % 12 AS INT))
+                           END)
+                       || '/doc' || CAST(doc_id AS VARCHAR) || '.html'
+                       || (CASE WHEN doc_id % 5 = 0
+                                    THEN '?PHPSESSID=' || CAST(doc_id AS VARCHAR)
+                                WHEN doc_id % 11 = 0
+                                    THEN '?a=1&b=2&c=3&d=4&e=5&f=6'
+                                ELSE '' END) AS url
+                FROM documents
+            ),
+            s AS (
+                SELECT regexp_replace(url, '\?.*$', '') AS stripped FROM u
+            ),
+            t AS (
+                SELECT regexp_replace(stripped, '[0-9]+', 'N', 'g') AS template,
+                       regexp_extract(stripped, '^[a-z]+://([^/]+)', 1) AS host
+                FROM s
+            ),
+            agg AS (
+                SELECT template,
+                       CAST(count(*) AS BIGINT) AS n_urls,
+                       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+                FROM t GROUP BY template
+            )
+            SELECT template, n_urls, n_hosts FROM agg
+            ORDER BY n_urls DESC, template LIMIT 20
         """,
         "sitemap_urls": r"""
             WITH k AS (SELECT doc_id,

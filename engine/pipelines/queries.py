@@ -1892,52 +1892,7 @@ def q_url_filter(sf_dir: str):
     from engine.stages.urlfilter import url_filter
 
     ds = _docs(sf_dir, ["doc_id", "source"])
-
-    def synth(t: pa.Table) -> pa.Table:
-        d = t.column("doc_id")
-        if d.num_chunks != 1:
-            d = d.combine_chunks()
-        dn = d.to_numpy(zero_copy_only=False)
-        n = len(dn)
-        ds_str = pc.cast(d, pa.string())
-        scheme = pc.if_else(
-            pa.array(dn % 13 == 0),
-            pa.scalar("ftp://", pa.string()),
-            pa.scalar("https://", pa.string()),
-        )
-        deep = pc.binary_repeat(
-            pa.array(["/d"] * n, pa.string()), pa.array(dn % 12, pa.int32())
-        )
-        path = pc.if_else(
-            pa.array(dn % 17 == 0),
-            pa.scalar("/x" * 150, pa.string()),
-            deep,
-        )
-        qs = pc.if_else(
-            pa.array(dn % 5 == 0),
-            pc.binary_join_element_wise(
-                pa.array(["?PHPSESSID="] * n, pa.string()), ds_str, ""
-            ),
-            pc.if_else(
-                pa.array(dn % 11 == 0),
-                pa.scalar("?a=1&b=2&c=3&d=4&e=5&f=6", pa.string()),
-                pa.scalar("", pa.string()),
-            ),
-        )
-        url = pc.binary_join_element_wise(
-            scheme,
-            t.column("source"),
-            pa.array([".example.com"] * n, pa.string()),
-            path,
-            pa.array(["/doc"] * n, pa.string()),
-            ds_str,
-            pa.array([".html"] * n, pa.string()),
-            qs,
-            "",
-        )
-        return pa.table({"doc_id": d, "url": url})
-
-    urls = ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    urls = ds.map_batches(_synth_urls, batch_format="pyarrow", zero_copy_batch=True)
     return url_filter(
         urls,
         blocked_hosts=("src3.example.com", "src7.example.com"),
@@ -1945,6 +1900,66 @@ def q_url_filter(sf_dir: str):
         max_depth=8,
         max_params=4,
     )
+
+
+def q_url_templates(sf_dir: str):
+    """Top-20 URL path templates (urlfilter.url_templates): digit runs
+    folded to N, query strings stripped — the crawl-trap / site-section
+    analytic over the shared _synth_urls fixture (paginator paths, session
+    query strings and id-enumerated docs collapse onto shared templates).
+    SQL-verified including template strings and distinct-host counts."""
+    from engine.stages.urlfilter import url_templates
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    urls = ds.map_batches(_synth_urls, batch_format="pyarrow", zero_copy_batch=True)
+    return url_templates(urls, k=20)
+
+
+def _synth_urls(t: pa.Table) -> pa.Table:
+    """Deterministic URL fixture shared by q_url_filter and
+    q_url_templates (the SQL oracles reconstruct the same expressions)."""
+    d = t.column("doc_id")
+    if d.num_chunks != 1:
+        d = d.combine_chunks()
+    dn = d.to_numpy(zero_copy_only=False)
+    n = len(dn)
+    ds_str = pc.cast(d, pa.string())
+    scheme = pc.if_else(
+        pa.array(dn % 13 == 0),
+        pa.scalar("ftp://", pa.string()),
+        pa.scalar("https://", pa.string()),
+    )
+    deep = pc.binary_repeat(
+        pa.array(["/d"] * n, pa.string()), pa.array(dn % 12, pa.int32())
+    )
+    path = pc.if_else(
+        pa.array(dn % 17 == 0),
+        pa.scalar("/x" * 150, pa.string()),
+        deep,
+    )
+    qs = pc.if_else(
+        pa.array(dn % 5 == 0),
+        pc.binary_join_element_wise(
+            pa.array(["?PHPSESSID="] * n, pa.string()), ds_str, ""
+        ),
+        pc.if_else(
+            pa.array(dn % 11 == 0),
+            pa.scalar("?a=1&b=2&c=3&d=4&e=5&f=6", pa.string()),
+            pa.scalar("", pa.string()),
+        ),
+    )
+    url = pc.binary_join_element_wise(
+        scheme,
+        t.column("source"),
+        pa.array([".example.com"] * n, pa.string()),
+        path,
+        pa.array(["/doc"] * n, pa.string()),
+        ds_str,
+        pa.array([".html"] * n, pa.string()),
+        qs,
+        "",
+    )
+    return pa.table({"doc_id": d, "url": url})
 
 
 def q_normalize_text(sf_dir: str):

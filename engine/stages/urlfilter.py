@@ -96,3 +96,72 @@ def url_filter(
         return t.append_column("status", status)
 
     return ds.map_batches(verdict, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def url_templates(
+    ds: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    k: int = 20,
+) -> ray.data.Dataset:
+    """Top-k URL path templates by frequency: digit runs folded to ``N``
+    and the query string stripped — the standard crawl-trap / site-section
+    analytic (calendar traps, paginators and id-enumerated sections
+    collapse onto one template while organic pages spread out).
+
+    Shuffle shape: one vectorized RE2 pass emits per-batch
+    (template, host) partial counts; a pair groupby makes pairs globally
+    unique; a second per-block partial + template groupby yields
+    (n_urls, distinct-host count); the final top-k is per-block
+    candidates -> resolve (global_topk), never an all-to-all sort.
+    Returns (template, n_urls, n_hosts) — the rank column is dropped so
+    the SQL oracle can mirror with a plain GROUP BY/ORDER BY/LIMIT.
+    """
+    from ray.data.aggregate import Sum
+
+    from engine.stages.topk import global_topk
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t.column(url_col)
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        u = pc.cast(u, pa.string())
+        stripped = pc.replace_substring_regex(u, pattern=r"\?.*$", replacement="")
+        tmpl = pc.replace_substring_regex(stripped, pattern="[0-9]+", replacement="N")
+        # host from the PRE-fold url: digit-folding would collapse
+        # numbered hosts and understate n_hosts
+        host = pc.struct_field(
+            pc.extract_regex(stripped, r"^[a-z]+://(?P<h>[^/]+)"), "h"
+        )
+        tt = pa.table({"template": tmpl, "host": pc.fill_null(host, "")})
+        g = tt.group_by(["template", "host"]).aggregate([("host", "count")])
+        return g.select(["template", "host", "host_count"]).rename_columns(
+            ["template", "host", "n"]
+        )
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    uniq_pairs = pair_ds.groupby(["template", "host"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+    def per_template(t: pa.Table) -> pa.Table:
+        g = t.group_by("template").aggregate([("n", "sum"), ("host", "count")])
+        return g.select(["template", "n_sum", "host_count"]).rename_columns(
+            ["template", "n_urls", "n_hosts"]
+        )
+
+    totals = (
+        uniq_pairs.map_batches(
+            per_template, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("template")
+        .aggregate(Sum("n_urls", alias_name="n_urls"), Sum("n_hosts", alias_name="n_hosts"))
+    )
+    top = global_topk(
+        totals, order_cols=["n_urls", "template"], descending=[True, False], k=k
+    )
+    return top.map_batches(
+        lambda t: t.select(["template", "n_urls", "n_hosts"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -77,7 +77,7 @@ SQL_NAMES = [
     "mixture_sample", "corpus_split", "weighted_sample", "domain_terms",
     "corpus_filter", "incremental_index",
     "export_shards", "export_jsonl", "chunk_docs",
-    "url_filter", "normalize_text", "novelty", "containment",
+    "url_filter", "url_templates", "normalize_text", "novelty", "containment",
     "winnow_overlap", "cdx_pages", "warc_dedup", "robots_rules",
     "sitemap_urls", "lang_confusion", "dedup_report", "outlinks",
     "export_warc", "export_wet", "crawl_metrics", "recrawl",

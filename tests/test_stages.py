@@ -3410,3 +3410,30 @@ def test_quantized_topk_oracle_and_recall(ray_session):
         hits += len(exact & mine)
     recall = hits / (nq * k)
     assert recall >= 0.9, recall
+
+
+def test_url_templates_literal(ray_session):
+    """Digit folding + query strip collapse paginator/trap URLs onto one
+    template; ties at the k boundary resolve by (n_urls desc, template)."""
+    import ray.data
+
+    from engine.stages.urlfilter import url_templates
+
+    urls = (
+        [f"https://a.com/page/{i}" for i in range(5)]
+        + [f"https://b{j}.com/item?id={j}" for j in range(3)]
+        + ["https://c.com/about", "ftp://d.com/files/2024/x"]
+    )
+    out = (
+        url_templates(
+            ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())})),
+            k=3,
+        )
+        .to_pandas()
+    )
+    rows = list(zip(out["template"], out["n_urls"], out["n_hosts"]))
+    assert rows == [
+        ("https://a.com/page/N", 5, 1),
+        ("https://bN.com/item", 3, 3),
+        ("ftp://d.com/files/N/x", 1, 1),  # tie n=1 -> lexicographic
+    ]
