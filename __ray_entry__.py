@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_dedup": q.q_warc_dedup,
         "robots_rules": q.q_robots_rules,
         "sitemap_urls": q.q_sitemap_urls,
+        "robots_sitemaps": q.q_robots_sitemaps,
         "lang_confusion": q.q_lang_confusion,
         "dedup_report": q.q_dedup_report,
         "outlinks": q.q_outlinks,
@@ -2485,6 +2486,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT template, n_urls, n_hosts FROM agg
             ORDER BY n_urls DESC, template LIMIT 20
+        """,
+        "robots_sitemaps": r"""
+            WITH e AS (
+                SELECT doc_id,
+                       'h' || CAST(doc_id AS VARCHAR) || '.example.com' AS host,
+                       CAST(unnest(range(0, CASE doc_id % 4 WHEN 0 THEN 2
+                                               WHEN 1 THEN 1 WHEN 2 THEN 0
+                                               ELSE 1 END)) AS BIGINT) AS ord
+                FROM documents
+            )
+            SELECT host,
+                   CASE
+                       WHEN doc_id % 4 = 0 AND ord = 0
+                           THEN 'https://' || host || '/sitemap'
+                                || CAST(doc_id AS VARCHAR) || '.xml'
+                       WHEN doc_id % 4 = 0 AND ord = 1
+                           THEN 'https://' || host || '/news.xml'
+                       WHEN doc_id % 4 = 1
+                           THEN 'https://' || host || '/s'
+                                || CAST(doc_id AS VARCHAR) || '.xml'
+                       ELSE 'https://' || host || '/dup.xml'
+                   END AS sitemap_url,
+                   ord
+            FROM e
         """,
         "sitemap_urls": r"""
             WITH k AS (SELECT doc_id,

@@ -2201,6 +2201,56 @@ def q_robots_rules(sf_dir: str):
     )
 
 
+def q_robots_sitemaps(sf_dir: str):
+    """Sitemap: directive extraction from robots.txt bodies
+    (robots.robots_sitemaps) — the discovery bridge robots -> sitemaps ->
+    seeds.  Bodies synthesized per doc: two directives split across
+    groups (group-INDEPENDENT per RFC 9309 §2.3, one before any
+    User-agent), an inline-comment + mixed-case variant, a no-sitemap
+    variant, and a duplicate (first-wins dedup).  The oracle recomputes
+    the expected (host, sitemap_url, ord) rows from doc_id directly, so
+    parity proves the parser.  SQL-verified."""
+    from engine.stages.robots import robots_sitemaps
+
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+
+    def synth(t: pa.Table) -> pa.Table:
+        hosts, bodies = [], []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            h = f"h{d}.example.com"
+            hosts.append(h)
+            v = d % 4
+            if v == 0:
+                bodies.append(
+                    f"Sitemap: https://{h}/sitemap{d}.xml\n"
+                    "User-agent: *\nDisallow: /a\n"
+                    f"Sitemap: https://{h}/news.xml\n"
+                )
+            elif v == 1:
+                bodies.append(
+                    "User-agent: *\nDisallow: /tmp\n"
+                    f"SITEMAP: https://{h}/s{d}.xml  # inline comment\n"
+                )
+            elif v == 2:
+                bodies.append("User-agent: *\nDisallow: /\n")
+            else:
+                bodies.append(
+                    f"Sitemap: https://{h}/dup.xml\n"
+                    f"Sitemap: https://{h}/dup.xml\n"
+                )
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "robots_txt": pa.array(bodies, pa.string()),
+            }
+        )
+
+    return robots_sitemaps(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def q_sitemap_urls(sf_dir: str):
     """Sitemap parsing end-to-end (stages.sitemaps): per-doc synthetic
     <urlset> (entity-escaped query strings, CDATA locs, priorities,

@@ -173,3 +173,61 @@ def write_politeness_parquet(
         }
     )
     pq.write_table(out, path)
+
+
+def parse_robots_sitemaps(body: str) -> Tuple[str, ...]:
+    """``Sitemap:`` directives from a robots.txt body, in file order with
+    first-wins dedup.
+
+    Per sitemaps.org / RFC 9309 §2.3 these are GROUP-INDEPENDENT: a
+    Sitemap line counts wherever it appears, including before any
+    User-agent group.  Inline comments are stripped like every other
+    line; values are kept verbatim (the spec requires absolute URLs but
+    validation belongs to the fetch stage, not the parser)."""
+    out: List[str] = []
+    seen = set()
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() != "sitemap":
+            continue
+        val = val.strip()
+        if val and val not in seen:
+            seen.add(val)
+            out.append(val)
+    return tuple(out)
+
+
+def robots_sitemaps(
+    ds: "ray.data.Dataset",
+    *,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> "ray.data.Dataset":
+    """Flat (host, sitemap_url, ord) rows from a robots.txt corpus — the
+    discovery bridge from robots fetches into the sitemap parser
+    (stages.sitemaps) and on into crawl seeds.  Hosts-sized input, one
+    stateless map_batches."""
+
+    def parse(t: pa.Table) -> pa.Table:
+        hosts: List[str] = []
+        urls: List[str] = []
+        ords: List[int] = []
+        for h, body in zip(
+            t.column(host_col).to_pylist(), t.column(body_col).to_pylist()
+        ):
+            for i, u in enumerate(parse_robots_sitemaps(body or "")):
+                hosts.append(h)
+                urls.append(u)
+                ords.append(i)
+        return pa.table(
+            {
+                host_col: pa.array(hosts, pa.string()),
+                "sitemap_url": pa.array(urls, pa.string()),
+                "ord": pa.array(ords, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)

@@ -79,7 +79,7 @@ SQL_NAMES = [
     "export_shards", "export_jsonl", "chunk_docs",
     "url_filter", "url_templates", "normalize_text", "novelty", "containment",
     "winnow_overlap", "cdx_pages", "warc_dedup", "robots_rules",
-    "sitemap_urls", "lang_confusion", "dedup_report", "outlinks",
+    "sitemap_urls", "robots_sitemaps", "lang_confusion", "dedup_report", "outlinks",
     "export_warc", "export_wet", "crawl_metrics", "recrawl",
     "crawl_host_budget", "more_like_this", "export_wat",
 ]

@@ -191,3 +191,22 @@ def test_crawl_from_parsed_robots_matches_direct_politeness(ray_session, tmp_pat
         return sorted(s)
 
     assert _urls(s1) == _urls(s2)
+
+
+def test_parse_robots_sitemaps():
+    from engine.stages.robots import parse_robots_sitemaps
+
+    body = (
+        "Sitemap: https://a.com/one.xml\n"          # before any group
+        "User-agent: *\nDisallow: /x\n"
+        "sitemap: https://a.com/two.xml # note\n"    # case + comment
+        "Sitemap: https://a.com/one.xml\n"           # duplicate -> dropped
+        "Sitemap:\n"                                 # empty value -> dropped
+        "NotSitemap: https://a.com/no.xml\n"
+    )
+    assert parse_robots_sitemaps(body) == (
+        "https://a.com/one.xml",
+        "https://a.com/two.xml",
+    )
+    assert parse_robots_sitemaps("") == ()
+    assert parse_robots_sitemaps(None) == ()
