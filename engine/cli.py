@@ -337,6 +337,15 @@ def cmd_parse_robots(args) -> int:
         default_crawl_delay=args.default_crawl_delay,
         default_max_pages=args.default_max_pages,
     )
+    if args.sitemaps_out:
+        import shutil as _shutil
+
+        from engine.stages.robots import robots_sitemaps
+
+        _shutil.rmtree(args.sitemaps_out, ignore_errors=True)
+        sm = robots_sitemaps(rd.read_parquet(args.robots))
+        sm.write_parquet(args.sitemaps_out)
+        print(f"sitemap directives -> {args.sitemaps_out}")
     print(f"Time taken: {time.monotonic() - t0:.2f}s -> {args.out}")
     _shutdown(ray)
     return 0
@@ -514,6 +523,8 @@ def main(argv=None) -> int:
     pr.add_argument("--user-agent", default="raycrawler")
     pr.add_argument("--default-crawl-delay", type=float, default=5.0)
     pr.add_argument("--default-max-pages", type=int, default=1000)
+    pr.add_argument("--sitemaps-out", default=None,
+                    help="also write (host, sitemap_url, ord) rows from Sitemap: directives")
     pr.set_defaults(fn=cmd_parse_robots)
 
     cx = sub.add_parser("cdx", help=".warc.gz shards -> sorted CDX parquet")
