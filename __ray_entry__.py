@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q.q_semdedup,
         "ann_ivf": q.q_ann_ivf,
         "ann_quantized": q.q_ann_quantized,
+        "ann_pq": q.q_ann_pq,
         "extract_enriched": q.q_extract_enriched,
         "media_features": q.q_media_features,
         "dedup_clusters": q.q_dedup_clusters,

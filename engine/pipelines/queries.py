@@ -789,6 +789,21 @@ def q_ann_quantized(sf_dir: str):
     return quantized_topk(ds, qids, qm, k=10)
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN with exact rerank (ann.pq_topk) — the
+    deep-compression scale path (one byte per subvector).  Rows-only:
+    sample-trained codebooks + ADC scoring have no SQL analog;
+    partitioning invariance and the recall bound are pinned in
+    tests/test_stages.py::test_pq_topk_invariance_and_recall."""
+    from engine.stages.ann import pq_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qids, qm = _query_vectors(sf_dir)
+    return pq_topk(ds, qids, qm, k=10)
+
+
 def q_extract_pages(sf_dir: str):
     """Flagship extraction over the synthesized pages table, SQL-verified.
 

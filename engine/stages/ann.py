@@ -396,17 +396,34 @@ def quantized_topk(
     cand = (
         partial.groupby("query_id").map_groups(merge_int, batch_format="pandas")
     ).to_pandas()
+    return _exact_rerank(ds, cand, query_ids, qm, k, id_col, vec_col)
+
+
+_EMPTY_TOPK = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "sim": pa.array([], pa.float64()),
+        "rank": pa.array([], pa.int64()),
+    }
+)
+
+
+def _exact_rerank(
+    ds: ray.data.Dataset,
+    cand: pd.DataFrame,
+    query_ids: List,
+    qm_norm: np.ndarray,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> pa.Table:
+    """Shared rerank FETCH for the compressed-candidate ANN paths
+    (int8 / PQ): re-read ONLY candidate rows (broadcast Arrow id set +
+    pc.is_in — no per-row Python), score float64 cosines, final top-k
+    per query by (sim rounded to 1e-6 desc, id asc)."""
     if len(cand) == 0:
-        return pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "vec_id": pa.array([], pa.int64()),
-                "sim": pa.array([], pa.float64()),
-                "rank": pa.array([], pa.int64()),
-            }
-        )
-    # broadcast the candidate id set as an Arrow array (zero-copy value
-    # set for pc.is_in inside each fetch task — no per-row Python)
+        return _EMPTY_TOPK
     ids_ref = ray.put(pa.array(sorted(set(cand["vec_id"].tolist()))))
 
     def fetch(t: pa.Table) -> pa.Table:
@@ -427,7 +444,7 @@ def quantized_topk(
     by_q = {}
     for q, vid in zip(cand["query_id"], cand["vec_id"]):
         by_q.setdefault(q, []).append(vid)
-    qrow = {qid: qm[i] for i, qid in enumerate(query_ids)}
+    qrow = {qid: qm_norm[i] for i, qid in enumerate(query_ids)}
     for q in sorted(by_q):
         scored = sorted(
             (
@@ -449,3 +466,153 @@ def quantized_topk(
             "rank": pa.array(out_rank, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: sub-vector codebooks + ADC candidate generation
+# ---------------------------------------------------------------------------
+
+def _driver_kmeans(x: np.ndarray, n_cent: int, iters: int = 8, seed: int = 20240817) -> np.ndarray:
+    """Deterministic numpy Lloyd's on a (bounded) sample: seeded init
+    without replacement, argmin assignment (ties -> lowest index), empty
+    clusters keep their previous centroid."""
+    rs = np.random.RandomState(seed)
+    n_cent = min(n_cent, len(x))
+    cent = x[rs.choice(len(x), size=n_cent, replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)
+        for c in range(n_cent):
+            rows = x[a == c]
+            if len(rows):
+                cent[c] = rows.mean(axis=0)
+    return cent
+
+
+def _hash_sample(ds: ray.data.Dataset, vec_col: str, k: int) -> np.ndarray:
+    """Partitioning-invariant corpus sample: lowest-FNV-hash rows win
+    (same device as train_centroids' init sample)."""
+    from engine.stages.text import fnv1a_batch
+    from engine.stages.topk import global_topk
+
+    def add_key(t: pa.Table) -> pa.Table:
+        vs = t.column(vec_col).to_pylist()
+        keys = fnv1a_batch(
+            [np.asarray(v, dtype=np.float64).tobytes() for v in vs]
+        ) & np.uint64((1 << 63) - 1)
+        return t.append_column("_k", pa.array(keys.astype(np.int64), pa.int64()))
+
+    sample = (
+        global_topk(
+            ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True),
+            order_cols=["_k"],
+            descending=[False],
+            k=k,
+        )
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    if len(sample) == 0:
+        raise ValueError("pq_topk: empty corpus")
+    return _normalize(np.array(sample[vec_col].tolist(), dtype=np.float64))
+
+
+class _PQPartial:
+    """Per-batch PQ encode + ADC partial top-m.
+
+    The ADC score of a (query, doc) pair is a fixed-order sum of
+    ``n_sub`` float64 LUT entries — identical in every partitioning — and
+    selection uses the (score desc, id asc) total order, so the candidate
+    set is partitioning-invariant without integer arithmetic."""
+
+    def __init__(self, state_ref, m: int, id_col: str, vec_col: str):
+        self.q_ids, self.luts, self.books, self.slices = ray.get(state_ref)
+        self.m = m
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        v = _normalize(np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float64))
+        n = len(ids)
+        scores = np.zeros((len(self.q_ids), n), dtype=np.float64)
+        for j, (lo, hi) in enumerate(self.slices):
+            sub = v[:, lo:hi]
+            cb = self.books[j]  # (n_cent, sub_dim)
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            code = np.argmin(d, axis=1)  # ties -> lowest index
+            scores += self.luts[j][:, code]  # (n_q, n)
+        m = min(self.m, n)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(self.q_ids)):
+            idx = _topk_by_order(scores[qi], ids, m)
+            for jj in idx:
+                out_q.append(self.q_ids[qi])
+                out_id.append(ids[jj])
+                out_s.append(float(scores[qi, jj]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "vec_id": pa.array(out_id),
+                "adc": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def pq_topk(
+    ds: ray.data.Dataset,
+    query_ids: List,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    n_sub: int = 8,
+    n_cent: int = 16,
+    rerank_factor: int = 4,
+    sample_k: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_size: int = 4096,
+) -> pa.Table:
+    """Product-quantization ANN with exact rerank — the deep-compression
+    scale path (vectors live as ``n_sub`` one-byte codes: 4-16x smaller
+    than int8, ~dim*8/n_sub x smaller than float64).
+
+    Codebooks are trained on a partitioning-invariant hash sample with a
+    seeded driver-side Lloyd's (PQ codebooks are classically
+    sample-trained); candidates come from asymmetric-distance (ADC)
+    lookup-table scoring — a fixed-order float64 sum per pair, so the
+    per-block cut and merge under (adc desc, id asc) are bit-reproducible
+    under any partitioning; the final answer reuses the exact rerank
+    FETCH (``_exact_rerank``).  Returns (query_id, vec_id, sim, rank);
+    recall vs the exact baseline is compression-bounded, test-measured.
+    """
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    dim = qm.shape[1]
+    n_sub = min(n_sub, dim)
+    bounds = np.linspace(0, dim, n_sub + 1).astype(int)
+    slices = [(int(bounds[j]), int(bounds[j + 1])) for j in range(n_sub)]
+    sample = _hash_sample(ds, vec_col, sample_k)
+    books = [
+        _driver_kmeans(sample[:, lo:hi], n_cent) for lo, hi in slices
+    ]
+    luts = [qm[:, lo:hi] @ books[j].T for j, (lo, hi) in enumerate(slices)]
+    state_ref = ray.put((list(query_ids), luts, books, slices))
+    m = k * rerank_factor
+    partial = ds.map_batches(
+        _PQPartial,
+        fn_constructor_kwargs=dict(state_ref=state_ref, m=m, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=(1, 2),
+    )
+
+    def merge_adc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["adc", "vec_id"], ascending=[False, True], kind="mergesort")
+        return df.head(m)
+
+    cand = (
+        partial.groupby("query_id").map_groups(merge_adc, batch_format="pandas")
+    ).to_pandas()
+    return _exact_rerank(ds, cand, list(query_ids), qm, k, id_col, vec_col)

@@ -116,6 +116,7 @@ ROWS_ONLY = [
     ("semdedup", 1),
     ("ann_ivf", 1),
     ("ann_quantized", 1),
+    ("ann_pq", 1),
     ("extract_enriched", 1),
     ("media_features", 1),
     ("bpe_tokens", 1),
