@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_status": q.q_sink_status,
         "bm25_topk": q.q_bm25_topk,
         "more_like_this": q.q_more_like_this,
+        "phrase_search": q.q_phrase_search,
+        "snippet_search": q.q_snippet_search,
+        "search_facets": q.q_search_facets,
         "term_stats": q.q_term_stats,
         "postings": q.q_postings,
         "unigram_nll": q.q_unigram_nll,
@@ -1047,6 +1050,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(),
         "more_like_this": _mlt_sql(),
+        # positional phrase query: DuckDB list lambdas over the same
+        # tokenizer char class; overlapping counts, 1-based token index
+        "phrase_search": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^\t\n\x0b\x0c\r ]+') AS tk
+              FROM documents
+            ), hits AS (
+              SELECT doc_id,
+                     list_min(list_transform(range(1, len(tk)), i ->
+                       CASE WHEN tk[i] = 'value' AND tk[i+1] = 'table'
+                            THEN i ELSE NULL END)) AS fp,
+                     CAST(coalesce(list_sum(list_transform(range(1, len(tk)), i ->
+                       CASE WHEN tk[i] = 'value' AND tk[i+1] = 'table'
+                            THEN 1 ELSE 0 END)), 0) AS BIGINT) AS phrase_count
+              FROM toks
+            )
+            SELECT doc_id, CAST(fp AS BIGINT) AS first_pos, phrase_count
+            FROM hits WHERE phrase_count > 0
+        """,
+        # conjunctive search + snippet: position() is char-based 1-indexed,
+        # snippet cut from lower(text) on both sides (normalized contract)
+        "snippet_search": """
+            WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+            p AS (SELECT doc_id, t,
+                         position('merge' IN t) AS p1,
+                         position('batch' IN t) AS p2
+                  FROM lt)
+            SELECT doc_id,
+                   CASE WHEN p1 <= p2 THEN 'merge' ELSE 'batch' END AS anchor_term,
+                   CAST(least(p1, p2) AS BIGINT) AS anchor_pos,
+                   substring(t, greatest(1, least(p1, p2) - 40), 120) AS snippet
+            FROM p WHERE p1 > 0 AND p2 > 0
+        """,
+        "search_facets": """
+            WITH m AS (SELECT * FROM documents
+                       WHERE position('merge' IN lower(text)) > 0)
+            SELECT 'lang' AS facet, lang AS value,
+                   CAST(count(*) AS BIGINT) AS doc_count FROM m GROUP BY lang
+            UNION ALL
+            SELECT 'source' AS facet, source AS value,
+                   CAST(count(*) AS BIGINT) AS doc_count FROM m GROUP BY source
+        """,
         "pii_scrub": _pii_sql(),
         # crawl-snapshot diff: the mutated second snapshot is re-derived
         # in SQL (drop %31, append ' v2' on %17, re-add %41 under +1e6);

@@ -2616,3 +2616,42 @@ def q_crawl_host_budget(sf_dir: str):
 
     # run_crawl returns the order as a driver-held Arrow table already
     return agg(order)
+
+
+def q_phrase_search(sf_dir: str):
+    """Positional phrase query (search.phrase_search): ES match_phrase
+    analog — docs where 'value table' occurs as consecutive _TOKEN tokens,
+    with 1-based first position and overlapping occurrence count.  One
+    vectorized map_batches pass over the flattened token stream, no
+    shuffle.  SQL-verified (DuckDB list lambdas over
+    regexp_extract_all)."""
+    from engine.stages.search import phrase_search
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return phrase_search(ds, "value table")
+
+
+def q_snippet_search(sf_dir: str):
+    """Conjunctive search + SERP snippets (search.snippet_search): ES
+    highlight analog — docs containing BOTH 'merge' and 'batch'
+    (case-insensitive), anchored at the earliest first occurrence
+    (query-order ties), with a 120-char window of the lowercased text
+    cut 40 chars left of the anchor.  Vectorized Arrow matching; the
+    per-row slice runs only over matched rows.  SQL-verified including
+    the full snippet text."""
+    from engine.stages.search import snippet_search
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return snippet_search(ds, ["merge", "batch"])
+
+
+def q_search_facets(sf_dir: str):
+    """Faceted search aggregation (search.search_facets): ES terms-aggs
+    analog — per-language and per-source doc counts for the substring
+    query 'merge'.  Facet cardinality is driver-sized, so each block
+    emits value_counts partials and the driver merges (no groupby
+    actors, PERF.md #24).  SQL-verified."""
+    from engine.stages.search import search_facets
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
+    return search_facets(ds, "merge")

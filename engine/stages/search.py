@@ -435,3 +435,269 @@ def more_like_this(
             id_col: pa.array(out_id, pa.int64()),
         }
     )
+
+
+def phrase_search(
+    ds: ray.data.Dataset,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Positional phrase query — ES/Lucene ``match_phrase`` analog over the
+    reference's tokenizer (the ChatNoir frontend's quoted-phrase search;
+    the reference indexes positions via ES ``index_options`` defaults,
+    es_sink mappings).  A doc matches when the phrase's tokens occur
+    CONSECUTIVELY in ``_TOKEN`` order; emits ``(id, first_pos,
+    phrase_count)`` with 1-based token positions and OVERLAPPING
+    occurrence counts ("a a a" contains "a a" twice).
+
+    Embarrassingly parallel — one map_batches pass, no shuffle, nothing on
+    the driver.  Per batch the kernel is vectorized over the FLATTENED
+    token stream: one Arrow ``equal`` per phrase word, shifted-AND for
+    consecutive matches, doc boundaries masked via the repeat/cumsum
+    offsets, per-doc counts by prefix-sum differences — no per-doc Python
+    loop beyond tokenization itself.
+    """
+    words = _TOKEN.findall(phrase)
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    k = len(words)
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "first_pos": pa.array([], pa.int64()),
+            "phrase_count": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return empty
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_lists = [_TOKEN.findall(x or "") for x in texts]
+        lens = np.fromiter(
+            (len(tl) for tl in tok_lists), np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        n_pos = total - k + 1
+        if n_pos <= 0:
+            return empty
+        flat = pa.array(
+            [w for tl in tok_lists for w in tl], pa.string()
+        )
+        hit: np.ndarray | None = None
+        for j, w in enumerate(words):
+            mj = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+            mj = mj[j : j + n_pos]
+            hit = mj if hit is None else (hit & mj)
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        # flat position p starts an in-doc phrase iff p+k stays within the
+        # owning doc: mask candidates that would cross a doc boundary
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)[:n_pos]
+        hit &= (np.arange(n_pos, dtype=np.int64) + k) <= starts[doc_of + 1]
+        if not hit.any():
+            return empty
+        pref = np.zeros(n_pos + 1, np.int64)
+        np.cumsum(hit, out=pref[1:])
+        s0 = np.minimum(starts[:-1], n_pos)
+        s1 = np.minimum(starts[1:], n_pos)
+        cnt = pref[s1] - pref[np.minimum(s0, s1)]
+        keep = cnt > 0
+        hit_idx = np.flatnonzero(hit)
+        hit_doc = doc_of[hit_idx]  # nondecreasing
+        first_doc, first_i = np.unique(hit_doc, return_index=True)
+        first_pos = np.zeros(len(lens), np.int64)
+        first_pos[first_doc] = hit_idx[first_i] - starts[first_doc] + 1
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "first_pos": pa.array(first_pos[keep], pa.int64()),
+                "phrase_count": pa.array(cnt[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def snippet_search(
+    ds: ray.data.Dataset,
+    terms: Sequence[str],
+    *,
+    before: int = 40,
+    width: int = 120,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Conjunctive search with SERP snippet generation — the ES
+    ``highlight`` analog the ChatNoir frontend renders under each result
+    (reference target mappings keep ``body`` stored for exactly this).
+
+    A doc matches when EVERY term occurs (case-insensitive substring on
+    the lowercased text).  For each match: ``anchor_term`` = the term
+    whose first occurrence comes earliest (ties break by query-term
+    order), ``anchor_pos`` = that occurrence's 1-based CHARACTER position
+    in the lowercased text, ``snippet`` = the ``width``-char window of the
+    lowercased text starting ``before`` chars left of the anchor
+    (normalized-snippet contract: the window is cut from ``lower(text)``
+    so engine and oracle agree codepoint-for-codepoint).
+
+    One map_batches pass, no shuffle.  Matching is vectorized Arrow
+    (``utf8_lower`` + one ``find_substring`` per term); ``find_substring``
+    returns BYTE offsets, so rows where ``binary_length != utf8_length``
+    (non-ASCII) are re-resolved per row with Python ``str.find`` (char
+    offsets) — the established masked-fallback pattern (PERF.md #38).
+    The per-row snippet slice runs ONLY over matched rows — at scale this
+    is the post-retrieval materialization step, proportional to result
+    size, not corpus size.
+    """
+    terms = [w.lower() for w in terms]
+    if not terms or any(not w for w in terms):
+        raise ValueError("terms must be non-empty strings")
+    sentinel = np.int64(1) << 60
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "anchor_term": pa.array([], pa.string()),
+            "anchor_pos": pa.array([], pa.int64()),
+            "snippet": pa.array([], pa.string()),
+        }
+    )
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return empty
+        low = pc.fill_null(
+            pc.utf8_lower(t.column(text_col).combine_chunks()), ""
+        )
+        # (m, n) first-occurrence positions; byte offsets from Arrow,
+        # char offsets required -> fix up non-ASCII rows per row
+        pos = np.stack(
+            [
+                pc.find_substring(low, pattern=w)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                for w in terms
+            ]
+        )
+        non_ascii = pc.not_equal(
+            pc.binary_length(low), pc.utf8_length(low)
+        ).to_numpy(zero_copy_only=False)
+        if non_ascii.any():
+            idxs = np.flatnonzero(non_ascii)
+            for i in idxs:
+                s = low[int(i)].as_py()
+                for j, w in enumerate(terms):
+                    pos[j, int(i)] = s.find(w)
+        pos = np.where(pos < 0, sentinel, pos)
+        matched = (pos < sentinel).all(axis=0)
+        if not matched.any():
+            return empty
+        anchor = pos.min(axis=0)
+        term_idx = pos.argmin(axis=0)  # first term on ties: query order
+        sel = np.flatnonzero(matched)
+        ids = (
+            t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)[sel]
+        )
+        snippets: List[str] = []
+        for i in sel:
+            s = low[int(i)].as_py()
+            a = int(anchor[i])
+            start = max(0, a - before)
+            snippets.append(s[start : start + width])
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "anchor_term": pa.array(
+                    [terms[int(j)] for j in term_idx[sel]], pa.string()
+                ),
+                "anchor_pos": pa.array(anchor[sel] + 1, pa.int64()),
+                "snippet": pa.array(snippets, pa.string()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def search_facets(
+    ds: ray.data.Dataset,
+    term: str,
+    facets: Sequence[str] = ("lang", "source"),
+    *,
+    text_col: str = "text",
+) -> pa.Table:
+    """Faceted search aggregation — the ES ``terms`` aggregations the
+    ChatNoir UI renders beside results (per-language / per-source result
+    counts for a query).  Matching is case-insensitive substring
+    containment of ``term``; output is long-format ``(facet, value,
+    doc_count)`` over the given facet columns.
+
+    Facet-value cardinality is driver-sized (languages, sources), so a
+    ``groupby`` would spin hash-aggregator actors to move a handful of
+    rows (PERF.md #24): instead each block emits <= sum(|facet values|)
+    partial rows via Arrow ``value_counts`` and the driver merges them —
+    no shuffle at all.
+    """
+    import pyarrow.compute as pc  # noqa: F401 — used in closure
+
+    term_l = term.lower()
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        low = pc.utf8_lower(t.column(text_col))
+        kept = t.filter(
+            pc.not_equal(pc.find_substring(low, pattern=term_l), -1)
+        )
+        out_f: List[str] = []
+        out_v: List[str] = []
+        out_n: List[int] = []
+        for f in facets:
+            vc = pc.value_counts(kept.column(f).combine_chunks())
+            out_f.extend([f] * len(vc))
+            out_v.extend(v.as_py() for v in vc.field("values"))
+            out_n.extend(c.as_py() for c in vc.field("counts"))
+        return pa.table(
+            {
+                "facet": pa.array(out_f, pa.string()),
+                "value": pa.array(out_v, pa.string()),
+                "doc_count": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    from engine.stages.common import collect_arrow_blocks
+
+    blocks = collect_arrow_blocks(
+        ds.select_columns(list(facets) + [text_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        required_col="doc_count",
+    )
+    if not blocks:
+        return pa.table(
+            {
+                "facet": pa.array([], pa.string()),
+                "value": pa.array([], pa.string()),
+                "doc_count": pa.array([], pa.int64()),
+            }
+        )
+    allp = pa.concat_tables(blocks, promote_options="default")
+    merged = (
+        allp.group_by(["facet", "value"])
+        .aggregate([("doc_count", "sum")])
+        .select(["facet", "value", "doc_count_sum"])
+        .rename_columns(["facet", "value", "doc_count"])
+    )
+    return merged.set_column(
+        merged.schema.get_field_index("doc_count"),
+        "doc_count",
+        pc.cast(merged.column("doc_count"), pa.int64()),
+    )

@@ -82,6 +82,7 @@ SQL_NAMES = [
     "sitemap_urls", "robots_sitemaps", "lang_confusion", "dedup_report", "outlinks",
     "export_warc", "export_wet", "crawl_metrics", "recrawl",
     "crawl_host_budget", "more_like_this", "export_wat",
+    "phrase_search", "snippet_search", "search_facets",
 ]
 
 

@@ -3485,3 +3485,151 @@ def test_pq_topk_invariance_and_recall(ray_session):
         hits += len(exact & mine)
     recall = hits / 50
     assert recall >= 0.8, recall
+
+
+# ---------------------------------------------------------------------------
+# search: phrase / snippet / facets
+# ---------------------------------------------------------------------------
+
+
+def _docs_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_phrase_search_overlap_boundary_and_oracle(ray_session):
+    """Overlapping counts, doc-boundary isolation, single-word phrase,
+    null/short texts — against a per-row Python oracle."""
+    from engine.stages.search import phrase_search
+
+    rows = [
+        (1, "a a a b"),          # "a a" overlaps: count 2, first_pos 1
+        (2, "x a"),              # phrase would continue into doc 3: no
+        (3, "a y a a"),          # count 1 at pos 3
+        (4, None),               # null text
+        (5, "a"),                # shorter than phrase
+        (6, "b a a b a a"),      # count 2, first_pos 2
+    ]
+    got = (
+        phrase_search(_docs_ds(rows), "a a")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def oracle(toks, words):
+        hits = [
+            i
+            for i in range(len(toks) - len(words) + 1)
+            if toks[i : i + len(words)] == words
+        ]
+        return (hits[0] + 1 if hits else 0, len(hits))
+
+    exp = []
+    for did, txt in rows:
+        toks = (txt or "").split()
+        fp, cnt = oracle(toks, ["a", "a"])
+        if cnt:
+            exp.append((did, fp, cnt))
+    assert list(map(tuple, got.to_numpy())) == exp
+
+    one = (
+        phrase_search(_docs_ds(rows), "b")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, one.to_numpy())) == [(1, 4, 1), (6, 1, 2)]
+
+
+def test_phrase_search_partition_invariant(ray_session):
+    """Same result at 1 block and many blocks (no cross-block phrase)."""
+    from engine.stages.search import phrase_search
+
+    rows = [(i, "w p q " * (i % 4) + "p q") for i in range(40)]
+    a = (
+        phrase_search(_docs_ds(rows), "p q")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        phrase_search(_docs_ds(rows).repartition(13), "p q")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) == 40
+
+
+def test_snippet_search_unicode_ties_and_window(ray_session):
+    """Char (not byte) anchor positions on non-ASCII rows; query-order
+    tie-break; window clamped at text start; AND semantics."""
+    from engine.stages.search import snippet_search
+
+    rows = [
+        (1, "ßß foo bar"),        # ß = 2 bytes: byte pos of foo 5, CHAR pos 4
+        (2, "foo bar"),           # tie at pos 1? no: foo at 1, bar at 5
+        (3, "barfoo"),            # both present, bar first
+        (4, "foo only"),          # AND fails
+        (5, None),
+        (6, "FOO BAR upper"),     # case-insensitive
+    ]
+    got = (
+        snippet_search(_docs_ds(rows), ["foo", "bar"], before=2, width=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    recs = {int(r.doc_id): r for r in got.itertuples()}
+    assert set(recs) == {1, 2, 3, 6}
+    assert recs[1].anchor_term == "foo" and recs[1].anchor_pos == 4
+    assert recs[1].snippet == "ß foo"[:5]
+    assert recs[2].anchor_term == "foo" and recs[2].anchor_pos == 1
+    assert recs[2].snippet == "foo b"
+    assert recs[3].anchor_term == "bar" and recs[3].anchor_pos == 1
+    assert recs[6].anchor_term == "foo" and recs[6].snippet == "foo b"
+
+    # exact tie: both terms first occur at the same position -> query order
+    tie = (
+        snippet_search(_docs_ds([(9, "zz z")]), ["z", "zz"])
+        .to_pandas()
+    )
+    assert tie["anchor_term"].tolist() == ["z"]
+
+
+def test_search_facets_nulls_and_empty(ray_session):
+    import ray.data
+
+    from engine.stages.search import search_facets
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["hit x", "hit y", "miss", None], pa.string()),
+            "lang": pa.array(["en", None, "de", "en"], pa.string()),
+            "source": pa.array(["s0", "s0", "s1", "s0"], pa.string()),
+        }
+    )
+    got = search_facets(ray.data.from_arrow(t), "HIT").to_pandas()
+    got = got.sort_values(["facet", "value"], na_position="first").reset_index(
+        drop=True
+    )
+    assert [tuple(r) for r in got.to_numpy()] == [
+        ("lang", None, 1),
+        ("lang", "en", 1),
+        ("source", "s0", 2),
+    ]
+    none = search_facets(ray.data.from_arrow(t), "absent-term")
+    assert none.num_rows == 0 and none.column_names == [
+        "facet", "value", "doc_count",
+    ]
