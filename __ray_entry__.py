@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q.q_phrase_search,
         "snippet_search": q.q_snippet_search,
         "search_facets": q.q_search_facets,
+        "spell_suggest": q.q_spell_suggest,
+        "regex_search": q.q_regex_search,
         "term_stats": q.q_term_stats,
         "postings": q.q_postings,
         "unigram_nll": q.q_unigram_nll,
@@ -1092,6 +1094,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'source' AS facet, source AS value,
                    CAST(count(*) AS BIGINT) AS doc_count FROM m GROUP BY source
+        """,
+        # did-you-mean: DuckDB levenshtein is the same plain edit distance
+        # as the engine's batched DP; rank (dist, cf desc, term)
+        "spell_suggest": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(text, '[^\t\n\x0b\x0c\r ]+')) AS term
+              FROM documents
+            ), vocab AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY term
+            )
+            SELECT term, cf, CAST(levenshtein(term, 'pat') AS BIGINT) AS dist
+            FROM vocab WHERE levenshtein(term, 'pat') <= 2
+            ORDER BY dist, cf DESC, term LIMIT 5
+        """,
+        # both sides are RE2 with leftmost non-overlapping match counts
+        "regex_search": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, 'ta[bg]le')) AS BIGINT)
+                     AS n_matches
+            FROM documents WHERE regexp_matches(text, 'ta[bg]le')
         """,
         "pii_scrub": _pii_sql(),
         # crawl-snapshot diff: the mutated second snapshot is re-derived

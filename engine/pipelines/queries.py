@@ -2655,3 +2655,26 @@ def q_search_facets(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text", "lang", "source"])
     return search_facets(ds, "merge")
+
+
+def q_spell_suggest(sf_dir: str):
+    """Did-you-mean suggestion (search.spell_suggest): ES term-suggester
+    analog — top-5 vocab terms within Levenshtein distance 2 of 'pat',
+    ranked (dist asc, cf desc, term asc).  One vocab-sized (term, cf)
+    groupby, then per-block length-gated batched-DP Levenshtein + partial
+    top-k, driver merge.  SQL-verified (DuckDB levenshtein)."""
+    from engine.stages.search import spell_suggest
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return spell_suggest(ds, "pat")
+
+
+def q_regex_search(sf_dir: str):
+    """Regex query (search.regex_search): ES regexp/grep analog — docs
+    matching RE2 'ta[bg]le' with non-overlapping match counts.  Pure
+    Arrow RE2 kernels, one pass, no shuffle.  SQL-verified
+    (regexp_matches / regexp_extract_all share RE2 semantics)."""
+    from engine.stages.search import regex_search
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return regex_search(ds, "ta[bg]le")

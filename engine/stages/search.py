@@ -701,3 +701,171 @@ def search_facets(
         "doc_count",
         pc.cast(merged.column("doc_count"), pa.int64()),
     )
+
+
+def regex_search(
+    ds: ray.data.Dataset,
+    pattern: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Regex query — the ES ``regexp``/grep analog: docs whose text
+    contains >= 1 match of the RE2 ``pattern``, with the non-overlapping
+    match count.  Pure Arrow kernels (``match_substring_regex`` +
+    ``count_substring_regex`` — both RE2, same leftmost non-overlapping
+    semantics as DuckDB's ``regexp_extract_all``), one map_batches pass,
+    no shuffle, no Python in the loop.
+    """
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = t.column(text_col)
+        mask = pc.fill_null(pc.match_substring_regex(txt, pattern=pattern), False)
+        kept = t.filter(mask)
+        return pa.table(
+            {
+                id_col: kept.column(id_col).cast(pa.int64()),
+                "n_matches": pc.cast(
+                    pc.count_substring_regex(
+                        kept.column(text_col), pattern=pattern
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _lev_batch(terms: List[str], query: str) -> np.ndarray:
+    """Plain Levenshtein distance from ``query`` to every term, batched:
+    the DP iterates (len(query) x max_len) SCALAR steps, each an O(n_terms)
+    numpy vector op — no per-term Python DP.  Codepoint-exact (numpy
+    unicode view), matches DuckDB ``levenshtein``."""
+    n = len(terms)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    lens = np.fromiter((len(t) for t in terms), np.int64, count=n)
+    L = int(lens.max())
+    m = len(query)
+    # pad to (n, L) codepoint matrix: U<L view gives one uint32 per char
+    arr = np.zeros((n, max(L, 1)), np.uint32)
+    buf = np.array(terms, dtype=f"<U{max(L, 1)}")
+    arr[:, :] = buf.view(np.uint32).reshape(n, -1)[:, : max(L, 1)]
+    q = np.array([ord(c) for c in query], np.uint32)
+    prev = np.tile(np.arange(L + 1, dtype=np.int64), (n, 1))
+    for j in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = j
+        qc = q[j - 1]
+        sub_cost = (arr != qc).astype(np.int64)  # (n, L)
+        for k in range(1, L + 1):
+            cur[:, k] = np.minimum(
+                np.minimum(cur[:, k - 1] + 1, prev[:, k] + 1),
+                prev[:, k - 1] + sub_cost[:, k - 1],
+            )
+        prev = cur
+    return prev[np.arange(n), lens]
+
+
+def spell_suggest(
+    ds: ray.data.Dataset,
+    query: str,
+    *,
+    k: int = 5,
+    max_dist: int = 2,
+    text_col: str = "text",
+) -> pa.Table:
+    """Spell suggestion — the ES term-suggester analog the ChatNoir
+    frontend's did-you-mean uses: top-``k`` vocabulary terms within
+    Levenshtein distance ``max_dist`` of ``query``, ranked (dist asc,
+    cf desc, term asc).  An exact-match term ranks first by construction.
+
+    Shape: per-batch Counter partials -> one (token, cf) groupby (the
+    only shuffle; the table is vocab-sized, already reduced) -> per-block
+    LENGTH-GATED batched-DP Levenshtein (``_lev_batch``: numpy vector ops,
+    no per-term Python DP) + partial top-k -> driver merge of <= k x
+    blocks candidate rows.  cf is global after the groupby, so per-block
+    top-k under the global order is exact (ann._PartialTopK pattern).
+    """
+    from ray.data.aggregate import Sum
+
+    def cf_partials(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        cf: Counter = Counter()
+        for txt in texts:
+            cf.update(_TOKEN.findall(txt or ""))
+        toks = sorted(cf.keys())
+        return pa.table(
+            {
+                "term": pa.array(toks, pa.string()),
+                "cf": pa.array([cf[tok] for tok in toks], pa.int64()),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(cf_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+    )
+
+    m = len(query)
+    empty = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "cf": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64()),
+        }
+    )
+
+    def candidates(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.select(["term", "cf"])
+        lens = pc.utf8_length(t.column("term"))
+        gated = t.filter(
+            pc.and_(
+                pc.greater_equal(lens, m - max_dist),
+                pc.less_equal(lens, m + max_dist),
+            )
+        )
+        if gated.num_rows == 0:
+            return empty
+        terms = gated.column("term").to_pylist()
+        dist = _lev_batch(terms, query)
+        keep = dist <= max_dist
+        out = pa.table(
+            {
+                "term": pa.array([t_ for t_, kp in zip(terms, keep) if kp]),
+                "cf": pa.array(
+                    gated.column("cf").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "dist": pa.array(dist[keep], pa.int64()),
+            }
+        )
+        if out.num_rows <= k:
+            return out
+        return out.take(pc.sort_indices(out, sort_keys=_SUGGEST_KEYS)[:k])
+
+    from engine.stages.common import collect_arrow_blocks
+
+    blocks = collect_arrow_blocks(
+        vocab.map_batches(candidates, batch_format="pyarrow", zero_copy_batch=True),
+        required_col="dist",
+    )
+    if not blocks:
+        return empty
+    import pyarrow.compute as pc
+
+    allc = pa.concat_tables(blocks, promote_options="default")
+    return allc.take(pc.sort_indices(allc, sort_keys=_SUGGEST_KEYS)[:k])
+
+
+_SUGGEST_KEYS = [
+    ("dist", "ascending"),
+    ("cf", "descending"),
+    ("term", "ascending"),
+]

@@ -3633,3 +3633,79 @@ def test_search_facets_nulls_and_empty(ray_session):
     assert none.num_rows == 0 and none.column_names == [
         "facet", "value", "doc_count",
     ]
+
+
+def test_lev_batch_matches_python_dp():
+    """Batched numpy Levenshtein vs a per-pair Python DP oracle, incl.
+    unicode and empty strings."""
+    import itertools
+
+    from engine.stages.search import _lev_batch
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(cur[-1] + 1, prev[j] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    words = ["", "a", "ab", "table", "tabel", "tälbe", "ßoß", "batch",
+             "tble", "ttable", "xyzzy"]
+    for q in ["table", "", "ß", "tälbe", "bat"]:
+        got = _lev_batch(words, q).tolist()
+        exp = [lev(w, q) for w in words]
+        assert got == exp, (q, got, exp)
+
+
+def test_spell_suggest_ranking_and_gate(ray_session):
+    """dist asc > cf desc > term asc; exact match first; length gate does
+    not drop in-range candidates; empty corpus returns typed empty."""
+    import ray.data
+
+    from engine.stages.search import spell_suggest
+
+    rows = [
+        (1, "cat cat cat car bat bats cart scatter"),
+        (2, "car car car cap cap zebra"),
+    ]
+    got = spell_suggest(_docs_ds(rows), "cat", k=4, max_dist=2)
+    recs = [tuple(r) for r in got.to_pandas().to_numpy()]
+    # cat dist0; dist1: car(4) cap(2) bat(1); cart dist1 cf1 ties bat? no:
+    # bat is dist1 (sub), cart dist1 (ins); cf: car 4 > cap 2 > bat 1 = cart 1
+    assert recs[0] == ("cat", 3, 0)
+    assert recs[1] == ("car", 4, 1)
+    assert recs[2] == ("cap", 2, 1)
+    assert recs[3] in (("bat", 1, 1),)  # term asc beats cart
+
+    empty = spell_suggest(
+        ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+        ),
+        "cat",
+    )
+    assert empty.num_rows == 0 and empty.column_names == ["term", "cf", "dist"]
+
+
+def test_regex_search_nulls_and_partition_invariance(ray_session):
+    from engine.stages.search import regex_search
+
+    rows = [(1, "ab ab ab"), (2, None), (3, "zzz"), (4, "xabx")]
+    got = (
+        regex_search(_docs_ds(rows), "ab")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert [tuple(r) for r in got.to_numpy()] == [(1, 3), (4, 1)]
+    many = (
+        regex_search(_docs_ds(rows).repartition(7), "ab")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(many)
