@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": q.q_search_facets,
         "spell_suggest": q.q_spell_suggest,
         "regex_search": q.q_regex_search,
+        "emb_covariance": q.q_emb_covariance,
+        # rows-only (float loadings; eigen-residual unit test)
+        "emb_pca": q.q_emb_pca,
         "term_stats": q.q_term_stats,
         "postings": q.q_postings,
         "unigram_nll": q.q_unigram_nll,
@@ -1114,6 +1117,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, 'ta[bg]le')) AS BIGINT)
                      AS n_matches
             FROM documents WHERE regexp_matches(text, 'ta[bg]le')
+        """,
+        # exact quantized covariance moments: floor(x*2^16 + 0.5) is the
+        # same IEEE float64 expression the engine evaluates; sums are
+        # integer-exact on both sides
+        "emb_covariance": """
+            WITH q AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     CAST(floor(unnest(embedding) * 65536.0 + 0.5) AS BIGINT) AS v
+              FROM embeddings
+            ), s AS (SELECT i, CAST(sum(v) AS BIGINT) AS s1 FROM q GROUP BY i),
+               nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM q)
+            SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS s2,
+                   any_value(sa.s1) AS si, any_value(sb.s1) AS sj,
+                   any_value(nn.n) AS n
+            FROM q a JOIN q b USING (vec_id)
+                 JOIN s sa ON sa.i = a.i JOIN s sb ON sb.i = b.i, nn
+            WHERE b.i >= a.i
+            GROUP BY a.i, b.i
         """,
         "pii_scrub": _pii_sql(),
         # crawl-snapshot diff: the mutated second snapshot is re-derived

@@ -2678,3 +2678,30 @@ def q_regex_search(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return regex_search(ds, "ta[bg]le")
+
+
+def q_emb_covariance(sf_dir: str):
+    """Exact embedding covariance moments (linalg.emb_covariance):
+    fixed-point-quantized (2^16) second moments over the embeddings
+    table, one tiny partial row per block + Python-int driver merge —
+    partition-invariant, no shuffle.  Output: upper-triangle (i, j, s2,
+    si, sj, n), 1-based.  SQL-verified (DuckDB unnest self-join)."""
+    from engine.stages.linalg import emb_covariance
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return emb_covariance(ds)
+
+
+def q_emb_pca(sf_dir: str):
+    """Top-2 principal components of the embedding covariance
+    (linalg.emb_pca): exact integer moments -> driver-side eigh, sign
+    canonicalized.  Rows-only (float loadings); the unit test pins the
+    eigen-equation residual and orthonormality."""
+    from engine.stages.linalg import emb_pca
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return emb_pca(ds, n_components=2)

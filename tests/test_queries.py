@@ -83,7 +83,7 @@ SQL_NAMES = [
     "export_warc", "export_wet", "crawl_metrics", "recrawl",
     "crawl_host_budget", "more_like_this", "export_wat",
     "phrase_search", "snippet_search", "search_facets",
-    "spell_suggest", "regex_search",
+    "spell_suggest", "regex_search", "emb_covariance",
 ]
 
 
@@ -139,6 +139,7 @@ ROWS_ONLY = [
     ("quality_classifier", 1),
     ("neardup_incremental", 1),
     ("cdx_shards", 1),
+    ("emb_pca", 1),
 ]
 
 

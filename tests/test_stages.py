@@ -3709,3 +3709,72 @@ def test_regex_search_nulls_and_partition_invariance(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(many)
+
+
+def test_emb_covariance_partition_invariant_and_exact(ray_session):
+    """Integer moments identical at 1 vs 11 blocks and equal to a direct
+    numpy computation on the full matrix."""
+    import ray.data
+
+    from engine.stages.linalg import emb_covariance
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(0, 0.3, size=(97, 5)).astype(np.float32)
+    t = pa.table(
+        {"embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32()))}
+    )
+    a = emb_covariance(ray.data.from_arrow(t)).to_pandas()
+    b = (
+        emb_covariance(ray.data.from_arrow(t).repartition(11))
+        .to_pandas()
+    )
+    assert a.equals(b)
+    Q = np.floor(X.astype(np.float64) * 65536.0 + 0.5).astype(np.int64)
+    S2 = Q.T @ Q
+    s = Q.sum(axis=0)
+    for r in a.itertuples():
+        assert r.s2 == S2[r.i - 1, r.j - 1]
+        assert r.si == s[r.i - 1] and r.sj == s[r.j - 1] and r.n == 97
+
+
+def test_emb_pca_eigen_equation(ray_session):
+    """Loadings satisfy C v = λ v on the exactly-reconstructed covariance;
+    orthonormal; eigenvalues descending; sign pivot positive."""
+    import ray.data
+
+    from engine.stages.linalg import emb_pca
+
+    rng = np.random.default_rng(11)
+    # anisotropic: a dominant direction plus noise
+    base = rng.normal(0, 1, size=(200, 1)) @ rng.normal(0, 1, size=(1, 6))
+    X = (base + rng.normal(0, 0.1, size=(200, 6))).astype(np.float32)
+    t = pa.table(
+        {"embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32()))}
+    )
+    got = emb_pca(ray.data.from_arrow(t), n_components=3).to_pandas()
+    Q = np.floor(X.astype(np.float64) * 65536.0 + 0.5)
+    n = len(Q)
+    C = (n * (Q.T @ Q) - np.outer(Q.sum(0), Q.sum(0))) / (n * (n - 1)) / 65536.0**2
+    vs, lams = [], []
+    for c in (1, 2, 3):
+        sub = got[got.component == c].sort_values("i")
+        v = sub["loading"].to_numpy()
+        lam = sub["eigenvalue"].iloc[0]
+        assert np.linalg.norm(C @ v - lam * v) < 1e-9
+        assert abs(np.linalg.norm(v) - 1) < 1e-12
+        piv = np.argmax(np.abs(v))
+        assert v[piv] > 0
+        vs.append(v)
+        lams.append(lam)
+    assert lams[0] >= lams[1] >= lams[2]
+    assert abs(vs[0] @ vs[1]) < 1e-9 and abs(vs[1] @ vs[2]) < 1e-9
+
+    # empty corpus: typed empty
+    e = emb_pca(
+        ray.data.from_arrow(
+            pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
+        )
+    )
+    assert e.num_rows == 0 and e.column_names == [
+        "component", "i", "loading", "eigenvalue",
+    ]
