@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": q.q_spell_suggest,
         "regex_search": q.q_regex_search,
         "emb_covariance": q.q_emb_covariance,
+        "readability": q.q_readability,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         "term_stats": q.q_term_stats,
@@ -1117,6 +1118,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, 'ta[bg]le')) AS BIGINT)
                      AS n_matches
             FROM documents WHERE regexp_matches(text, 'ta[bg]le')
+        """,
+        # integer fixed-point Flesch: positive-operand floor divisions,
+        # identical in DuckDB's BIGINT // and numpy's int64 //
+        "readability": r"""
+            WITH c AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(coalesce(text,''),
+                     '[^	
+ ]+')) AS BIGINT) AS n_words,
+                CAST(greatest(len(regexp_extract_all(coalesce(text,''),
+                     '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+                CAST(len(regexp_extract_all(lower(coalesce(text,'')),
+                     '[aeiouy]+')) AS BIGINT) AS n_syllables
+              FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   206835 - (1015 * n_words) // n_sentences
+                          - (84600 * n_syllables) // greatest(n_words, 1)
+                     AS flesch_milli
+            FROM c WHERE n_words > 0
         """,
         # exact quantized covariance moments: floor(x*2^16 + 0.5) is the
         # same IEEE float64 expression the engine evaluates; sums are

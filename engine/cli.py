@@ -13,6 +13,7 @@ guaranteed dependency here; the subcommand surface is preserved):
   build-corpus     full corpus build: filter -> dedup -> mixture -> pack -> shards
   parse-robots     robots.txt corpus -> politeness parquet
   cdx              .warc.gz shards -> sorted CDX parquet (random-access index)
+  search           BM25 top-k over a docs table, with snippets and facets
 
 Run under a Ray job:  ray job submit -- python -m engine.cli index ...
 Owns its own Ray session (guarded init; the library never calls ray.init).
@@ -413,6 +414,70 @@ def cmd_cdx(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """Search a documents table the way the reference's ES index serves
+    queries: BM25 top-k ranking, SERP snippets for the hits, optional
+    facet counts — the read side of index-then-search, without the ES
+    cluster (search.bm25_topk / snippet_search / search_facets)."""
+    ray = _ray_session(args.num_cpus)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from engine.stages.search import bm25_topk, search_facets, snippet_search
+
+    t0 = time.monotonic()
+    terms = [w for w in args.query.split() if w]
+    if not terms:
+        print("empty query", file=sys.stderr)
+        _shutdown(ray)
+        return 2
+    ds = ray.data.read_parquet(
+        args.docs, columns=[args.id_col, args.text_col]
+    )
+    ranked = bm25_topk(
+        ds, terms, id_col=args.id_col, text_col=args.text_col, k=args.k
+    )
+    ids = set(ranked.column(args.id_col).to_pylist())
+    rank_of = {
+        i: r
+        for r, i in zip(
+            ranked.column("rank").to_pylist(),
+            ranked.column(args.id_col).to_pylist(),
+        )
+    }
+    # snippets only for the top-k hits: filter FIRST, then snippet the
+    # result-sized remainder (any-term anchor, so single-term docs show)
+    id_set = pa.array(sorted(ids), pa.int64())
+    hits = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column(args.id_col), value_set=id_set)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    snips = snippet_search(
+        hits,
+        terms[:1],
+        id_col=args.id_col,
+        text_col=args.text_col,
+        before=args.snippet_before,
+        width=args.snippet_width,
+    ).to_pandas()
+    snip_of = dict(zip(snips[args.id_col], snips["snippet"]))
+    for did in sorted(rank_of, key=rank_of.get):
+        print(f"{rank_of[did]:3d}. doc {did}  {snip_of.get(did, '')!r}")
+    if args.facets:
+        fac = search_facets(
+            ray.data.read_parquet(args.docs),
+            terms[0],
+            facets=tuple(args.facets.split(",")),
+            text_col=args.text_col,
+        )
+        for row in fac.sort_by([("facet", "ascending"), ("doc_count", "descending")]).to_pylist():
+            print(f"  [{row['facet']}] {row['value']}: {row['doc_count']}")
+    print(f"Time taken: {time.monotonic() - t0:.2f}s — {len(rank_of)} hits")
+    _shutdown(ray)
+    return 0
+
+
 def cmd_clean(args) -> int:
     """The reference's clear-redis analog (index.py:245-282): drop state."""
     if os.path.isdir(args.path):
@@ -526,6 +591,17 @@ def main(argv=None) -> int:
     pr.add_argument("--sitemaps-out", default=None,
                     help="also write (host, sitemap_url, ord) rows from Sitemap: directives")
     pr.set_defaults(fn=cmd_parse_robots)
+
+    se = sub.add_parser("search", help="BM25 search with snippets/facets")
+    se.add_argument("docs")
+    se.add_argument("--query", required=True)
+    se.add_argument("--k", type=int, default=10)
+    se.add_argument("--id-col", default="doc_id")
+    se.add_argument("--text-col", default="text")
+    se.add_argument("--facets", default="")
+    se.add_argument("--snippet-before", type=int, default=40)
+    se.add_argument("--snippet-width", type=int, default=120)
+    se.set_defaults(fn=cmd_search)
 
     cx = sub.add_parser("cdx", help=".warc.gz shards -> sorted CDX parquet")
     cx.add_argument("warcs", help=".warc.gz file or directory of shards")

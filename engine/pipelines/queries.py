@@ -2705,3 +2705,15 @@ def q_emb_pca(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["embedding"]
     )
     return emb_pca(ds, n_components=2)
+
+
+def q_readability(sf_dir: str):
+    """Flesch reading-ease per doc (text.readability): integer
+    fixed-point (milli-points, positive-operand floor divisions) so the
+    classic readability formula is SQL-exact; words/sentences/syllable
+    groups counted by RE2 Arrow kernels.  One pass, no shuffle.
+    SQL-verified."""
+    from engine.stages.text import readability
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return readability(ds)

@@ -384,3 +384,58 @@ def compress_ratio(batch: pa.Table, id_col: str = "doc_id", text_col: str = "tex
             "zlib_ratio_ppm": pa.array(ratios, pa.int64()),
         }
     )
+
+
+def readability(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Flesch reading-ease per document, integer-exact — a classic
+    quality-curation signal (readability-band filtering in webtext
+    pipelines).  Counting rules: words = ``_TOKEN`` runs, sentences =
+    ``[.!?]+`` runs (floored at 1), syllables = ``[aeiouy]+`` runs in
+    the lowercased text (the standard vowel-group approximation).
+    ``flesch_milli = 206835 - (1015*W)//S - (84600*Syl)//W`` — all
+    positive-operand floor divisions, so DuckDB's integer ``//``
+    reproduces it bit-for-bit (no float in sight).  Docs with zero words
+    are dropped.  Pure RE2 Arrow kernels, one pass, no shuffle."""
+    import ray.data  # noqa: F401
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        col = pc.fill_null(t.column(text_col), "")
+        w = (
+            pc.count_substring_regex(col, pattern=_TOKEN.pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        s = (
+            pc.count_substring_regex(col, pattern=r"[.!?]+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        syl = (
+            pc.count_substring_regex(
+                pc.utf8_lower(col), pattern=r"[aeiouy]+"
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        s = np.maximum(s, 1)
+        keep = w > 0
+        wk, sk, sylk = w[keep], s[keep], syl[keep]
+        flesch = 206835 - (1015 * wk) // sk - (84600 * sylk) // np.maximum(wk, 1)
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "n_words": pa.array(wk, pa.int64()),
+                "n_sentences": pa.array(sk, pa.int64()),
+                "n_syllables": pa.array(sylk, pa.int64()),
+                "flesch_milli": pa.array(flesch, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)

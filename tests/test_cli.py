@@ -122,3 +122,35 @@ def test_stats_cli(ray_session, tmp_path, capsys):
     assert "exact-distinct 3  (dup rows: 1)" in out
     assert "top-terms s0: beta, alpha" in out
     assert ray.is_initialized()  # session not ours to kill
+
+
+def test_search_cli(ray_session, tmp_path, capsys):
+    """The search subcommand ranks, snippets the hits, prints facets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = tmp_path / "sdocs.parquet"
+    rows = []
+    for i in range(30):
+        body = "filler words here " * (i % 5 + 1)
+        if i % 3 == 0:
+            body += " target phrase appears " * (i % 7 + 1)
+        rows.append((i, body, "en" if i % 2 else "de"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        docs,
+    )
+    rc = main(
+        ["search", str(docs), "--query", "target phrase", "--k", "5",
+         "--facets", "lang"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "1. doc" in out and "target" in out
+    assert "[lang]" in out and "hits" in out

@@ -83,7 +83,7 @@ SQL_NAMES = [
     "export_warc", "export_wet", "crawl_metrics", "recrawl",
     "crawl_host_budget", "more_like_this", "export_wat",
     "phrase_search", "snippet_search", "search_facets",
-    "spell_suggest", "regex_search", "emb_covariance",
+    "spell_suggest", "regex_search", "emb_covariance", "readability",
 ]
 
 

@@ -3778,3 +3778,33 @@ def test_emb_pca_eigen_equation(ray_session):
     assert e.num_rows == 0 and e.column_names == [
         "component", "i", "loading", "eigenvalue",
     ]
+
+
+def test_readability_counts_and_fixedpoint(ray_session):
+    """Counting rules vs a per-row re oracle; zero-word drop; punctuation
+    floor; integer Flesch formula."""
+    import re
+
+    from engine.stages.text import readability
+
+    rows = [
+        (1, "The quick brown fox. It jumps! Over dogs?"),
+        (2, "no punctuation here just words"),
+        (3, "   "),              # zero words -> dropped
+        (4, None),               # dropped
+        (5, "xyz bcd fgh"),      # zero syllables
+    ]
+    got = (
+        readability(_docs_ds(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == [1, 2, 5]
+    for r in got.itertuples():
+        txt = dict(rows)[r.doc_id] or ""
+        w = len(re.findall(r"[^\t\n\v\f\r ]+", txt))
+        s = max(len(re.findall(r"[.!?]+", txt)), 1)
+        syl = len(re.findall(r"[aeiouy]+", txt.lower()))
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (w, s, syl)
+        assert r.flesch_milli == 206835 - (1015 * w) // s - (84600 * syl) // w
