@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_search": q.q_regex_search,
         "emb_covariance": q.q_emb_covariance,
         "readability": q.q_readability,
+        "prefix_suggest": q.q_prefix_suggest,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         "term_stats": q.q_term_stats,
@@ -1119,6 +1120,16 @@ def oracle_sql() -> dict[str, str]:
                      AS n_matches
             FROM documents WHERE regexp_matches(text, 'ta[bg]le')
         """,
+        "prefix_suggest": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(text, '[^\t\n\x0b\x0c\r ]+')) AS term
+              FROM documents
+            ), vocab AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY term
+            )
+            SELECT term, cf FROM vocab WHERE starts_with(term, 's')
+            ORDER BY cf DESC, term LIMIT 4
+        """,
         # integer fixed-point Flesch: positive-operand floor divisions,
         # identical in DuckDB's BIGINT // and numpy's int64 //
         "readability": r"""
@@ -1126,7 +1137,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                 CAST(len(regexp_extract_all(coalesce(text,''),
                      '[^	
- ]+')) AS BIGINT) AS n_words,
+
+ ]+')) AS BIGINT) AS n_words,
                 CAST(greatest(len(regexp_extract_all(coalesce(text,''),
                      '[.!?]+')), 1) AS BIGINT) AS n_sentences,
                 CAST(len(regexp_extract_all(lower(coalesce(text,'')),

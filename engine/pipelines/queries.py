@@ -2717,3 +2717,14 @@ def q_readability(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return readability(ds)
+
+
+def q_prefix_suggest(sf_dir: str):
+    """Autocomplete (search.prefix_suggest): ES completion-suggester
+    analog — top-4 vocab terms with prefix 's' by (cf desc, term asc),
+    over the shared (term, cf) vocab groupby + per-block partial top-k.
+    SQL-verified."""
+    from engine.stages.search import prefix_suggest
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return prefix_suggest(ds, "s", k=4)

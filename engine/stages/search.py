@@ -770,6 +770,32 @@ def _lev_batch(terms: List[str], query: str) -> np.ndarray:
     return prev[np.arange(n), lens]
 
 
+
+def _vocab_cf(ds: ray.data.Dataset, text_col: str) -> ray.data.Dataset:
+    """(term, cf) vocabulary table: per-batch Counter partials -> one
+    vocab-sized groupby (the only shuffle).  Shared by the suggesters."""
+    from ray.data.aggregate import Sum
+
+    def cf_partials(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        cf: Counter = Counter()
+        for txt in texts:
+            cf.update(_TOKEN.findall(txt or ""))
+        toks = sorted(cf.keys())
+        return pa.table(
+            {
+                "term": pa.array(toks, pa.string()),
+                "cf": pa.array([cf[tok] for tok in toks], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(cf_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+    )
+
+
 def spell_suggest(
     ds: ray.data.Dataset,
     query: str,
@@ -790,26 +816,7 @@ def spell_suggest(
     blocks candidate rows.  cf is global after the groupby, so per-block
     top-k under the global order is exact (ann._PartialTopK pattern).
     """
-    from ray.data.aggregate import Sum
-
-    def cf_partials(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        cf: Counter = Counter()
-        for txt in texts:
-            cf.update(_TOKEN.findall(txt or ""))
-        toks = sorted(cf.keys())
-        return pa.table(
-            {
-                "term": pa.array(toks, pa.string()),
-                "cf": pa.array([cf[tok] for tok in toks], pa.int64()),
-            }
-        )
-
-    vocab = (
-        ds.map_batches(cf_partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("term")
-        .aggregate(Sum("cf", alias_name="cf"))
-    )
+    vocab = _vocab_cf(ds, text_col)
 
     m = len(query)
     empty = pa.table(
@@ -869,3 +876,55 @@ _SUGGEST_KEYS = [
     ("cf", "descending"),
     ("term", "ascending"),
 ]
+
+
+def prefix_suggest(
+    ds: ray.data.Dataset,
+    prefix: str,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+) -> pa.Table:
+    """Autocomplete — the ES completion-suggester analog: top-``k``
+    vocabulary terms starting with ``prefix``, ranked (cf desc, term
+    asc).  Same shape as spell_suggest over the shared ``_vocab_cf``
+    table: Arrow ``starts_with`` filter + per-block partial top-k under
+    the global order (cf is global after the groupby), driver merge of
+    <= k x blocks rows.  SQL-verified."""
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    keys = [("cf", "descending"), ("term", "ascending")]
+    empty = pa.table(
+        {"term": pa.array([], pa.string()), "cf": pa.array([], pa.int64())}
+    )
+
+    def candidates(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.select(["term", "cf"])
+        hit = t.filter(pc.starts_with(t.column("term"), pattern=prefix))
+        if hit.num_rows == 0:
+            return empty
+        hit = hit.set_column(
+            hit.schema.get_field_index("cf"),
+            "cf",
+            pc.cast(hit.column("cf"), pa.int64()),
+        )
+        if hit.num_rows <= k:
+            return hit
+        return hit.take(pc.sort_indices(hit, sort_keys=keys)[:k])
+
+    from engine.stages.common import collect_arrow_blocks
+
+    blocks = collect_arrow_blocks(
+        _vocab_cf(ds, text_col).map_batches(
+            candidates, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        required_col="cf",
+    )
+    if not blocks:
+        return empty
+    import pyarrow.compute as pc
+
+    allc = pa.concat_tables(blocks, promote_options="default")
+    return allc.take(pc.sort_indices(allc, sort_keys=keys)[:k])

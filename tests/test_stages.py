@@ -3808,3 +3808,18 @@ def test_readability_counts_and_fixedpoint(ray_session):
         syl = len(re.findall(r"[aeiouy]+", txt.lower()))
         assert (r.n_words, r.n_sentences, r.n_syllables) == (w, s, syl)
         assert r.flesch_milli == 206835 - (1015 * w) // s - (84600 * syl) // w
+
+
+def test_prefix_suggest_ranking_and_empty(ray_session):
+    import ray.data
+
+    from engine.stages.search import prefix_suggest
+
+    rows = [(1, "car cart cart cap cat dog"), (2, "car car dog dog")]
+    got = prefix_suggest(_docs_ds(rows), "ca", k=3).to_pandas()
+    # cap and cat tie at cf=1 -> term asc picks cap
+    assert [tuple(r) for r in got.to_numpy()] == [
+        ("car", 3), ("cart", 2), ("cap", 1),
+    ]
+    none = prefix_suggest(_docs_ds(rows), "zz")
+    assert none.num_rows == 0 and none.column_names == ["term", "cf"]
