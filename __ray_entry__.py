@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_covariance": q.q_emb_covariance,
         "readability": q.q_readability,
         "prefix_suggest": q.q_prefix_suggest,
+        "balanced_shards": q.q_balanced_shards,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         "term_stats": q.q_term_stats,
@@ -1119,6 +1120,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, 'ta[bg]le')) AS BIGINT)
                      AS n_matches
             FROM documents WHERE regexp_matches(text, 'ta[bg]le')
+        """,
+        "balanced_shards": """
+            SELECT doc_id, n_chars,
+              CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
+                   AS BIGINT) AS rank,
+              CAST((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 16
+                   AS BIGINT) AS shard
+            FROM documents
         """,
         "prefix_suggest": r"""
             WITH tok AS (

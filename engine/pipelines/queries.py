@@ -2728,3 +2728,15 @@ def q_prefix_suggest(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return prefix_suggest(ds, "s", k=4)
+
+
+def q_balanced_shards(sf_dir: str):
+    """Size-balanced shard assignment (export.balanced_shards): round
+    robin over (n_chars desc, doc_id) order — byte-balanced training
+    shards (max-min shard bytes <= max doc).  Only the two-column
+    projection sorts; global ranks via the two-phase block prefix sum.
+    SQL-verified (row_number window)."""
+    from engine.stages.export import balanced_shards
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    return balanced_shards(ds, n_shards=16)

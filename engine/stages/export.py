@@ -760,3 +760,91 @@ def read_wat(paths, *, filesystem=None) -> ray.data.Dataset:
         )
 
     return paths_ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def balanced_shards(
+    ds: ray.data.Dataset,
+    *,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Size-balanced shard assignment: round-robin over the size-DESC
+    order — the classic LPT-style balancer for training-export shards
+    (export_shards' hash sharding balances COUNTS; at 100 TB the byte
+    skew between shards is what stalls the slowest loader).  Guarantees
+    max-min shard byte sums <= max document size.
+
+    Output ``(id, size, rank, shard)`` with ``rank`` = 0-based position
+    in (size desc, id asc) order and ``shard = rank % n_shards`` —
+    deterministic and SQL-exact (row_number window).
+
+    Shape: ONLY the (id, size) projection sorts (text never shuffles);
+    global ranks come from the pack_sequences two-phase device — one tiny
+    (first-key, count) row per block to the driver, prefix sums back via
+    ray.put.  Two passes over a two-column table, no corpus-sized driver
+    state.
+    """
+    import numpy as np
+    import pyarrow.compute as pc  # noqa: F401
+
+    s = (
+        ds.select_columns([id_col, size_col])
+        .sort([size_col, id_col], descending=[True, False])
+        .materialize()
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k_size": pa.array(
+                    [t.column(size_col)[0].as_py()] if t.num_rows else [],
+                    pa.int64(),
+                ),
+                "k_id": pa.array(
+                    [t.column(id_col)[0].as_py()] if t.num_rows else [],
+                    pa.int64(),
+                ),
+                "cnt": pa.array([t.num_rows] if t.num_rows else [], pa.int64()),
+            }
+        )
+
+    parts = s.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    # block order = (size desc, id asc) of each block's first row
+    parts.sort(key=lambda r: (-r["k_size"], r["k_id"]))
+    offsets = {}
+    acc = 0
+    for r in parts:
+        offsets[(r["k_size"], r["k_id"])] = acc
+        acc += r["cnt"]
+    off_ref = ray.put(offsets)
+
+    def assign(t: pa.Table, ref=off_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    size_col: pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
+                }
+            )
+        offs = ray.get(ref)
+        base = offs[
+            (t.column(size_col)[0].as_py(), t.column(id_col)[0].as_py())
+        ]
+        rank = base + np.arange(t.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                size_col: t.column(size_col).cast(pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+                "shard": pa.array(rank % n_shards, pa.int64()),
+            }
+        )
+
+    return s.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -63,3 +63,40 @@ def test_wat_export_empty(ray_session, tmp_path):
         ray.data.from_arrow(t), out_dir=str(tmp_path / "we"), n_shards=2
     )
     assert got.count() == 0
+
+
+def test_balanced_shards_balance_and_invariance(ray_session):
+    """Byte balance bound (max-min <= max doc size), rank bijection, and
+    identical output at 1 vs 9 blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.stages.export import balanced_shards
+
+    rng = np.random.default_rng(5)
+    sizes = rng.integers(1, 5000, size=200)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "n_chars": pa.array(sizes, pa.int64()),
+        }
+    )
+    a = (
+        balanced_shards(ray.data.from_arrow(t), n_shards=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        balanced_shards(ray.data.from_arrow(t).repartition(9), n_shards=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert sorted(a["rank"]) == list(range(200))
+    order = a.sort_values("rank")
+    assert (order["n_chars"].to_numpy()[:-1] >= order["n_chars"].to_numpy()[1:]).all()
+    sums = a.groupby("shard")["n_chars"].sum()
+    assert sums.max() - sums.min() <= a["n_chars"].max()
