@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": q.q_readability,
         "prefix_suggest": q.q_prefix_suggest,
         "balanced_shards": q.q_balanced_shards,
+        "significant_terms": q.q_significant_terms,
+        "collapse_topk": q.q_collapse_topk,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         "term_stats": q.q_term_stats,
@@ -1120,6 +1122,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, 'ta[bg]le')) AS BIGINT)
                      AS n_matches
             FROM documents WHERE regexp_matches(text, 'ta[bg]le')
+        """,
+        # fg/bg df with DISTINCT-per-doc semantics; integer cross-multiplied
+        # rate score -- no division, bit-exact
+        "significant_terms": r"""
+            WITH tokd AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(coalesce(text,''),
+                            '[^\t\n\x0b\x0c\r ]+')) AS term
+              FROM documents
+            ), fg_ids AS (
+              SELECT doc_id FROM documents
+              WHERE position('merge' IN lower(coalesce(text,''))) > 0
+            ), nf AS (SELECT CAST(count(*) AS BIGINT) n_fg FROM fg_ids),
+               nb AS (SELECT CAST(count(*) AS BIGINT) n_bg FROM documents),
+            df AS (
+              SELECT term,
+                     CAST(count(*) FILTER (WHERE doc_id IN
+                          (SELECT doc_id FROM fg_ids)) AS BIGINT) AS fg_df,
+                     CAST(count(*) AS BIGINT) AS bg_df
+              FROM tokd GROUP BY term
+            )
+            SELECT term, fg_df, bg_df,
+                   CAST(fg_df * (SELECT n_bg FROM nb)
+                        - bg_df * (SELECT n_fg FROM nf) AS BIGINT) AS score
+            FROM df WHERE fg_df >= 1
+            ORDER BY score DESC, term LIMIT 10
+        """,
+        "collapse_topk": r"""
+            WITH tf AS (
+              SELECT doc_id, source,
+                CAST(len(list_filter(regexp_extract_all(coalesce(text,''),
+                     '[^\t\n\x0b\x0c\r ]+'), t -> t = 'value'))
+                  AS BIGINT) AS tf
+              FROM documents
+            ), nz AS (SELECT * FROM tf WHERE tf > 0),
+            best AS (
+              SELECT source, doc_id, tf,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY tf DESC, doc_id) AS rn
+              FROM nz)
+            SELECT CAST(row_number() OVER (ORDER BY tf DESC, doc_id)
+                        AS BIGINT) AS rank,
+                   source, doc_id, tf
+            FROM best WHERE rn = 1 ORDER BY rank LIMIT 4
         """,
         "balanced_shards": """
             SELECT doc_id, n_chars,

@@ -2740,3 +2740,26 @@ def q_balanced_shards(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "n_chars"])
     return balanced_shards(ds, n_shards=16)
+
+
+def q_significant_terms(sf_dir: str):
+    """Significant-terms aggregation (search.significant_terms): what
+    makes the 'merge' result set different from the corpus — integer
+    cross-multiplied rate score (fg_df*N_bg - bg_df*N_fg), one tokenize
+    pass with ride-along stats rows, vocab groupby, partial top-k.
+    SQL-verified."""
+    from engine.stages.search import significant_terms
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return significant_terms(ds, "merge", k=10)
+
+
+def q_collapse_topk(sf_dir: str):
+    """Field collapsing (search.collapse_topk): top-4 results for token
+    'value' by exact tf, at most one doc per source — per-block
+    best-per-group partials + driver re-collapse (no groupby actors).
+    SQL-verified (two row_number windows)."""
+    from engine.stages.search import collapse_topk
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"], num_blocks=_cpus())
+    return collapse_topk(ds, "value", group_col="source", k=4)

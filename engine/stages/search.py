@@ -928,3 +928,258 @@ def prefix_suggest(
 
     allc = pa.concat_tables(blocks, promote_options="default")
     return allc.take(pc.sort_indices(allc, sort_keys=keys)[:k])
+
+
+def significant_terms(
+    ds: ray.data.Dataset,
+    query: str,
+    *,
+    k: int = 10,
+    text_col: str = "text",
+) -> pa.Table:
+    """Significant-terms aggregation — the ES feature that surfaces what
+    makes a result set DIFFERENT from the index: terms ranked by how much
+    their document frequency in the foreground (docs matching ``query``,
+    case-insensitive substring) exceeds their background (whole corpus)
+    rate.  Integer-exact score with cross-multiplied rates:
+    ``score = fg_df * N_bg - bg_df * N_fg`` (> 0 iff fg rate > bg rate;
+    no division, so the DuckDB oracle reproduces it bit-for-bit).  Rank
+    (score desc, term asc), top-``k``, fg_df >= 1.
+
+    Shape: ONE tokenize pass emits per-block (term, fg_df, bg_df)
+    partials (df semantics — distinct per doc) plus one kind=1 stats row
+    per block carrying (n_fg, n_bg) — the _sparse_tf_pass device; one
+    vocab-sized groupby; scoring + per-block partial top-k over the
+    grouped output with the driver-broadcast N's; tiny driver merge.
+    """
+    q = query.lower()
+    empty = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "fg_df": pa.array([], pa.int64()),
+            "bg_df": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = t.column(text_col).to_pylist()
+        low = pc.fill_null(pc.utf8_lower(t.column(text_col)), "")
+        is_fg = pc.not_equal(
+            pc.find_substring(low, pattern=q), -1
+        ).to_numpy(zero_copy_only=False)
+        fg: Counter = Counter()
+        bg: Counter = Counter()
+        n_fg = 0
+        for i, txt in enumerate(texts):
+            toks = set(_TOKEN.findall(txt or ""))
+            bg.update(toks)
+            if is_fg[i]:
+                n_fg += 1
+                fg.update(toks)
+        terms = sorted(bg.keys())
+        return pa.table(
+            {
+                "kind": pa.array([0] * len(terms) + [1], pa.int8()),
+                "term": pa.array(terms + [""], pa.string()),
+                "fg_df": pa.array(
+                    [fg[t_] for t_ in terms] + [n_fg], pa.int64()
+                ),
+                "bg_df": pa.array(
+                    [bg[t_] for t_ in terms] + [len(texts)], pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    from engine.stages.common import collect_arrow_blocks
+
+    part_ds = ds.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    stats = collect_arrow_blocks(
+        part_ds.map_batches(
+            lambda t: t.filter(pa.compute.equal(t.column("kind"), 1)).select(
+                ["fg_df", "bg_df"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        required_col="fg_df",
+    )
+    if not stats:
+        return empty
+    st = pa.concat_tables(stats, promote_options="default")
+    n_fg = int(pa.compute.sum(st.column("fg_df")).as_py() or 0)
+    n_bg = int(pa.compute.sum(st.column("bg_df")).as_py() or 0)
+    if n_fg == 0:
+        return empty
+
+    grouped = (
+        part_ds.map_batches(
+            lambda t: t.filter(pa.compute.equal(t.column("kind"), 0)).select(
+                ["term", "fg_df", "bg_df"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("term")
+        .aggregate(Sum("fg_df", alias_name="fg_df"), Sum("bg_df", alias_name="bg_df"))
+    )
+
+    keys = [("score", "descending"), ("term", "ascending")]
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.select(["term", "fg_df", "bg_df"])
+        t = t.filter(pc.greater_equal(t.column("fg_df"), 1))
+        if t.num_rows == 0:
+            return empty
+        fgv = t.column("fg_df").to_numpy(zero_copy_only=False).astype(np.int64)
+        bgv = t.column("bg_df").to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = fgv * n_bg - bgv * n_fg
+        out = pa.table(
+            {
+                "term": t.column("term"),
+                "fg_df": pa.array(fgv, pa.int64()),
+                "bg_df": pa.array(bgv, pa.int64()),
+                "score": pa.array(sc, pa.int64()),
+            }
+        )
+        if out.num_rows <= k:
+            return out
+        return out.take(pc.sort_indices(out, sort_keys=keys)[:k])
+
+    blocks = collect_arrow_blocks(
+        grouped.map_batches(score, batch_format="pyarrow", zero_copy_batch=True),
+        required_col="score",
+    )
+    if not blocks:
+        return empty
+    import pyarrow.compute as pc
+
+    allc = pa.concat_tables(blocks, promote_options="default")
+    return allc.take(pc.sort_indices(allc, sort_keys=keys)[:k])
+
+
+def collapse_topk(
+    ds: ray.data.Dataset,
+    term: str,
+    *,
+    group_col: str = "source",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Field collapsing — the ES ``collapse`` feature: rank docs by the
+    term frequency of ``term`` (token-exact tf, ties doc-id asc), keep
+    only the BEST doc per ``group_col`` value (one result per site/source
+    on the SERP), return the top-``k`` collapsed results as ``(rank,
+    group, id, tf)``.
+
+    Per batch the tf kernel is the phrase_search device at length 1
+    (flattened Arrow ``equal`` + prefix-sum differences — no per-doc
+    Python); each block then keeps only its best row per group (group
+    cardinality is driver-sized — sources, hosts), so the driver merge
+    sees <= |groups| x blocks tiny rows and re-collapses (PERF.md #24
+    shape: no groupby actors).
+    """
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int64()),
+            group_col: pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return empty
+        texts = t.column(text_col).to_pylist()
+        tok_lists = [_TOKEN.findall(x or "") for x in texts]
+        lens = np.fromiter(
+            (len(tl) for tl in tok_lists), np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = pa.array([w for tl in tok_lists for w in tl], pa.string())
+        hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        pref = np.zeros(total + 1, np.int64)
+        np.cumsum(hit, out=pref[1:])
+        tf = pref[starts[1:]] - pref[starts[:-1]]
+        keep = tf > 0
+        if not keep.any():
+            return empty
+        sub = pa.table(
+            {
+                group_col: t.column(group_col).combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                id_col: t.column(id_col).cast(pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "tf": pa.array(tf[keep], pa.int64()),
+            }
+        )
+        return _collapse_best(sub, group_col, id_col)
+
+    from engine.stages.common import collect_arrow_blocks
+
+    blocks = collect_arrow_blocks(
+        ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True),
+        required_col="tf",
+    )
+    if not blocks:
+        return empty
+    import pyarrow.compute as pc
+
+    allc = _collapse_best(
+        pa.concat_tables(
+            [b.select([group_col, id_col, "tf"]) for b in blocks],
+            promote_options="default",
+        ),
+        group_col,
+        id_col,
+    )
+    order = pc.sort_indices(
+        allc, sort_keys=[("tf", "descending"), (id_col, "ascending")]
+    )[:k]
+    top = allc.take(order)
+    return pa.table(
+        {
+            "rank": pa.array(range(1, top.num_rows + 1), pa.int64()),
+            group_col: top.column(group_col),
+            id_col: top.column(id_col),
+            "tf": top.column("tf"),
+        }
+    )
+
+
+def _collapse_best(t: pa.Table, group_col: str, id_col: str) -> pa.Table:
+    """Best row per group under (tf desc, id asc): sort then first-per-
+    group mask — vectorized, no per-group Python."""
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            (group_col, "ascending"),
+            ("tf", "descending"),
+            (id_col, "ascending"),
+        ],
+    )
+    s = t.take(idx)
+    g = s.column(group_col).to_numpy(zero_copy_only=False)
+    first = np.ones(len(g), bool)
+    first[1:] = g[1:] != g[:-1]
+    return s.filter(pa.array(first))

@@ -84,7 +84,8 @@ SQL_NAMES = [
     "crawl_host_budget", "more_like_this", "export_wat",
     "phrase_search", "snippet_search", "search_facets",
     "spell_suggest", "regex_search", "emb_covariance", "readability",
-    "prefix_suggest", "balanced_shards",
+    "prefix_suggest", "balanced_shards", "significant_terms",
+    "collapse_topk",
 ]
 
 

@@ -3823,3 +3823,59 @@ def test_prefix_suggest_ranking_and_empty(ray_session):
     ]
     none = prefix_suggest(_docs_ds(rows), "zz")
     assert none.num_rows == 0 and none.column_names == ["term", "cf"]
+
+
+def test_significant_terms_literal_and_empty_fg(ray_session):
+    """Hand-computed fg/bg dfs and scores; zero-foreground returns typed
+    empty; query term itself ranks first."""
+    from engine.stages.search import significant_terms
+
+    rows = [
+        (1, "apple banana"),
+        (2, "apple cherry"),
+        (3, "banana cherry"),
+        (4, "date"),
+    ]
+    got = significant_terms(_docs_ds(rows), "apple", k=10).to_pandas()
+    # fg = docs 1,2 (n_fg=2), n_bg=4
+    # apple: fg 2 bg 2 -> 2*4-2*2=4 ; banana: fg 1 bg 2 -> 0
+    # cherry: fg 1 bg 2 -> 0 ; date: fg 0 -> dropped
+    recs = {r.term: (r.fg_df, r.bg_df, r.score) for r in got.itertuples()}
+    assert recs == {
+        "apple": (2, 2, 4),
+        "banana": (1, 2, 0),
+        "cherry": (1, 2, 0),
+    }
+    assert got.term.iloc[0] == "apple"
+    none = significant_terms(_docs_ds(rows), "absent", k=5)
+    assert none.num_rows == 0 and none.column_names == [
+        "term", "fg_df", "bg_df", "score",
+    ]
+
+
+def test_collapse_topk_per_group_and_invariance(ray_session):
+    """One row per group, best by (tf desc, id asc); partition-invariant."""
+    import ray.data
+
+    from engine.stages.search import collapse_topk
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array(
+                ["x x x", "x x x", "x", "y", "x x", None], pa.string()
+            ),
+            "source": pa.array(["a", "a", "b", "b", "c", "c"], pa.string()),
+        }
+    )
+    got = collapse_topk(
+        ray.data.from_arrow(t), "x", group_col="source", k=10
+    ).to_pandas()
+    # a: docs 1,2 tf 3 -> doc 1 wins by id; b: doc 3 tf 1; c: doc 5 tf 2
+    assert [tuple(r) for r in got.to_numpy()] == [
+        (1, "a", 1, 3), (2, "c", 5, 2), (3, "b", 3, 1),
+    ]
+    many = collapse_topk(
+        ray.data.from_arrow(t).repartition(5), "x", group_col="source", k=10
+    ).to_pandas()
+    assert got.equals(many)
