@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_shards": q.q_balanced_shards,
         "significant_terms": q.q_significant_terms,
         "collapse_topk": q.q_collapse_topk,
+        "percentile_ranks": q.q_percentile_ranks,
+        "events_moving": q.q_events_moving,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         "term_stats": q.q_term_stats,
@@ -1122,6 +1124,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, 'ta[bg]le')) AS BIGINT)
                      AS n_matches
             FROM documents WHERE regexp_matches(text, 'ta[bg]le')
+        """,
+        # exact integer ppm ranks: floor division both sides
+        "percentile_ranks": """
+            WITH probes(value) AS (VALUES (100.0), (250.0), (500.0)),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+            SELECT p.value,
+                   CAST(count(*) FILTER (WHERE d.n_chars <= p.value) AS BIGINT)
+                     AS cnt_le,
+                   any_value(n.n) AS n,
+                   CAST((1000000 * count(*) FILTER (WHERE d.n_chars <= p.value))
+                        // any_value(n.n) AS BIGINT) AS rank_ppm
+            FROM probes p, documents d, n
+            GROUP BY p.value
+        """,
+        # pipeline agg over the tumbling-window histogram: window fns on
+        # the SAME bucket expression as events_window
+        "events_moving": """
+            WITH w AS (
+              SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2
+            )
+            SELECT bucket, event_type, n_events,
+                   CAST(sum(n_events) OVER (PARTITION BY event_type
+                        ORDER BY bucket
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS moving_sum3,
+                   CAST(n_events - coalesce(lag(n_events) OVER (
+                        PARTITION BY event_type ORDER BY bucket), 0)
+                     AS BIGINT) AS delta
+            FROM w
         """,
         # fg/bg df with DISTINCT-per-doc semantics; integer cross-multiplied
         # rate score -- no division, bit-exact

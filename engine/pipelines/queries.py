@@ -2763,3 +2763,76 @@ def q_collapse_topk(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text", "source"], num_blocks=_cpus())
     return collapse_topk(ds, "value", group_col="source", k=4)
+
+
+def q_percentile_ranks(sf_dir: str):
+    """Percentile-ranks aggregation (quantiles.percentile_ranks): ES
+    inverse-percentiles over documents.n_chars at probe values
+    100/250/500 — exact integer ppm, per-block counter partials + driver
+    reduce, no shuffle.  SQL-verified."""
+    from engine.stages.quantiles import percentile_ranks
+
+    ds = _docs(sf_dir, ["n_chars"])
+    return percentile_ranks(ds, [100, 250, 500], col="n_chars")
+
+
+def q_events_moving(sf_dir: str):
+    """Pipeline aggregation over the tumbling-window histogram (ES
+    moving_fn/derivative analog): per event_type ordered by bucket, the
+    3-bucket moving SUM of n_events and the bucket-over-bucket delta —
+    exact integers.  The windowed histogram is bounded by (time range x
+    types), not corpus size, so the second pass runs on the driver over
+    the collected aggregate (the same contract as ES pipeline aggs, which
+    operate on the response histogram).  SQL-verified (window
+    functions)."""
+    import numpy as np
+
+    from engine.stages.common import collect_arrow_blocks
+
+    base = q_events_window(sf_dir)
+    blocks = collect_arrow_blocks(
+        base.map_batches(
+            lambda t: t.select(["bucket", "event_type", "n_events"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        required_col="n_events",
+    )
+    empty = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "moving_sum3": pa.array([], pa.int64()),
+            "delta": pa.array([], pa.int64()),
+        }
+    )
+    if not blocks:
+        return empty
+    t = pa.concat_tables(blocks, promote_options="default")
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("event_type", "ascending"), ("bucket", "ascending")]
+        )
+    )
+    et = t.column("event_type").to_numpy(zero_copy_only=False)
+    n = t.column("n_events").to_numpy(zero_copy_only=False).astype(np.int64)
+    same1 = np.zeros(len(et), bool)
+    same1[1:] = et[1:] == et[:-1]
+    same2 = np.zeros(len(et), bool)
+    same2[2:] = et[2:] == et[:-2]
+    lag1 = np.zeros_like(n)
+    lag1[1:] = n[:-1]
+    lag2 = np.zeros_like(n)
+    lag2[2:] = n[:-2]
+    moving = n + np.where(same1, lag1, 0) + np.where(same2, lag2, 0)
+    delta = n - np.where(same1, lag1, 0)
+    return pa.table(
+        {
+            "bucket": t.column("bucket").cast(pa.int64()),
+            "event_type": t.column("event_type"),
+            "n_events": pa.array(n, pa.int64()),
+            "moving_sum3": pa.array(moving, pa.int64()),
+            "delta": pa.array(delta, pa.int64()),
+        }
+    )

@@ -421,3 +421,78 @@ def grouped_quantiles_approx(
         )
     cols["n_rows"] = pa.array([totals[g] for g in groups_sorted], pa.int64())
     return pa.table(cols)
+
+
+def percentile_ranks(
+    ds: "ray.data.Dataset",
+    values,
+    *,
+    col: str = "n_chars",
+) -> pa.Table:
+    """Percentile-ranks aggregation — the ES inverse of percentiles: for
+    each probe value ``v``, the fraction of rows with ``col <= v``, in
+    exact integer ppm (``(1e6 * cnt_le) // n`` — floor division, no
+    float).  One map_batches pass emitting len(values)+1 tiny counters
+    per block, driver reduce — no shuffle (the same shape as the HLL /
+    moment partials).  SQL-verified."""
+    import numpy as np
+    import pyarrow.compute as pc  # noqa: F401
+
+    vals = sorted(float(v) for v in values)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = t.column(col).cast(pa.float64())
+        cnts = [
+            int(
+                pc.sum(
+                    pc.if_else(pc.less_equal(c, v), 1, 0)
+                ).as_py()
+                or 0
+            )
+            for v in vals
+        ]
+        return pa.table(
+            {
+                "value": pa.array(vals + [float("inf")], pa.float64()),
+                "cnt_le": pa.array(cnts + [t.num_rows], pa.int64()),
+            }
+        )
+
+    from engine.stages.common import collect_arrow_blocks
+
+    blocks = collect_arrow_blocks(
+        ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        required_col="cnt_le",
+    )
+    if not blocks:
+        return pa.table(
+            {
+                "value": pa.array([], pa.float64()),
+                "cnt_le": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "rank_ppm": pa.array([], pa.int64()),
+            }
+        )
+    import numpy as np
+
+    allp = pa.concat_tables(blocks, promote_options="default")
+    vcol = allp.column("value").to_numpy(zero_copy_only=False)
+    ccol = allp.column("cnt_le").to_numpy(zero_copy_only=False)
+    n = int(ccol[np.isinf(vcol)].sum())
+    out_v, out_c = [], []
+    for v in vals:
+        out_v.append(v)
+        out_c.append(int(ccol[vcol == v].sum()))
+    rank = [(1_000_000 * c) // n if n else 0 for c in out_c]
+    return pa.table(
+        {
+            "value": pa.array(out_v, pa.float64()),
+            "cnt_le": pa.array(out_c, pa.int64()),
+            "n": pa.array([n] * len(out_v), pa.int64()),
+            "rank_ppm": pa.array(rank, pa.int64()),
+        }
+    )

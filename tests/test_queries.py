@@ -85,7 +85,7 @@ SQL_NAMES = [
     "phrase_search", "snippet_search", "search_facets",
     "spell_suggest", "regex_search", "emb_covariance", "readability",
     "prefix_suggest", "balanced_shards", "significant_terms",
-    "collapse_topk",
+    "collapse_topk", "percentile_ranks", "events_moving",
 ]
 
 

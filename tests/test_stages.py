@@ -3879,3 +3879,21 @@ def test_collapse_topk_per_group_and_invariance(ray_session):
         ray.data.from_arrow(t).repartition(5), "x", group_col="source", k=10
     ).to_pandas()
     assert got.equals(many)
+
+
+def test_percentile_ranks_literal_and_invariance(ray_session):
+    import ray.data
+
+    from engine.stages.quantiles import percentile_ranks
+
+    t = pa.table({"n_chars": pa.array([10, 20, 30, 40, 50], pa.int64())})
+    got = percentile_ranks(
+        ray.data.from_arrow(t), [5, 20, 45, 100], col="n_chars"
+    ).to_pandas()
+    assert got.value.tolist() == [5.0, 20.0, 45.0, 100.0]
+    assert got.cnt_le.tolist() == [0, 2, 4, 5]
+    assert got.rank_ppm.tolist() == [0, 400000, 800000, 1000000]
+    many = percentile_ranks(
+        ray.data.from_arrow(t).repartition(4), [5, 20, 45, 100], col="n_chars"
+    ).to_pandas()
+    assert got.equals(many)
