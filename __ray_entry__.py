@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_topk": q.q_collapse_topk,
         "percentile_ranks": q.q_percentile_ranks,
         "events_moving": q.q_events_moving,
+        "encoding_anomalies": q.q_encoding_anomalies,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         "term_stats": q.q_term_stats,
@@ -1124,6 +1125,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, 'ta[bg]le')) AS BIGINT)
                      AS n_matches
             FROM documents WHERE regexp_matches(text, 'ta[bg]le')
+        """,
+        # same RE2 classes both sides; DuckDB length() is codepoint-based
+        # like pc.utf8_length
+        "encoding_anomalies": r"""
+            WITH c AS (
+              SELECT doc_id,
+                CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars,
+                CAST(len(regexp_extract_all(coalesce(text,''), '\x{FFFD}'))
+                  AS BIGINT) AS n_replacement,
+                CAST(len(regexp_extract_all(coalesce(text,''),
+                     '[\x00-\x08\x0e-\x1f\x7f]')) AS BIGINT) AS n_control
+              FROM documents)
+            SELECT doc_id, n_chars, n_replacement, n_control,
+                   (1000000 * (n_replacement + n_control)) // n_chars
+                     AS anomaly_ppm
+            FROM c WHERE n_chars > 0
         """,
         # exact integer ppm ranks: floor division both sides
         "percentile_ranks": """

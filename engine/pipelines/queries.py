@@ -2836,3 +2836,14 @@ def q_events_moving(sf_dir: str):
             "delta": pa.array(delta, pa.int64()),
         }
     )
+
+
+def q_encoding_anomalies(sf_dir: str):
+    """Encoding-damage signal (clean.encoding_anomalies): U+FFFD and
+    non-whitespace C0/DEL control counts with an exact integer-ppm rate —
+    the mojibake detector of webtext cleaning.  Pure RE2 Arrow kernels,
+    one pass, no shuffle.  SQL-verified."""
+    from engine.stages.clean import encoding_anomalies
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return encoding_anomalies(ds)

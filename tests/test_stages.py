@@ -3897,3 +3897,30 @@ def test_percentile_ranks_literal_and_invariance(ray_session):
         ray.data.from_arrow(t).repartition(4), [5, 20, 45, 100], col="n_chars"
     ).to_pandas()
     assert got.equals(many)
+
+
+def test_encoding_anomalies_dirty_strings(ray_session):
+    """U+FFFD and non-ws controls counted; \\t\\n\\v\\f\\r excluded; empty
+    text dropped; ppm floor-exact."""
+    from engine.stages.clean import encoding_anomalies
+
+    rows = [
+        (1, "clean text"),
+        (2, "bad � byte �"),
+        (3, "ctrl\x07and\x00del\x7f"),
+        (4, "ws only \t\n\v\f\r fine"),
+        (5, ""),
+        (6, None),
+    ]
+    got = (
+        encoding_anomalies(_docs_ds(rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.index.tolist() == [1, 2, 3, 4]
+    assert got.loc[1].tolist() == [10, 0, 0, 0]
+    assert got.loc[2, "n_replacement"] == 2 and got.loc[2, "n_control"] == 0
+    assert got.loc[2, "anomaly_ppm"] == (1_000_000 * 2) // len("bad � byte �")
+    assert got.loc[3, "n_control"] == 3 and got.loc[3, "n_replacement"] == 0
+    assert got.loc[4, "n_control"] == 0 and got.loc[4, "anomaly_ppm"] == 0
