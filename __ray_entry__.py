@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_ranks": q.q_percentile_ranks,
         "events_moving": q.q_events_moving,
         "encoding_anomalies": q.q_encoding_anomalies,
+        "positional_postings": q.q_positional_postings,
+        "phrase_index": q.q_phrase_index,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         "term_stats": q.q_term_stats,
@@ -1125,6 +1127,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, 'ta[bg]le')) AS BIGINT)
                      AS n_matches
             FROM documents WHERE regexp_matches(text, 'ta[bg]le')
+        """,
+        "positional_postings": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(coalesce(text,''),
+                     '[^\t\n\x0b\x0c\r ]+') AS tk
+              FROM documents
+            ), p AS (
+              SELECT doc_id, 'value' AS token,
+                     list_filter(range(1, len(tk)+1), i -> tk[i] = 'value')
+                       AS pos FROM toks
+              UNION ALL
+              SELECT doc_id, 'sort',
+                     list_filter(range(1, len(tk)+1), i -> tk[i] = 'sort')
+                FROM toks
+            )
+            SELECT token, doc_id, CAST(len(pos) AS BIGINT) AS tf,
+                   array_to_string(pos, ',') AS positions
+            FROM p WHERE len(pos) > 0
+        """,
+        # same token-lambda device as phrase_search, phrase 'key agg'
+        "phrase_index": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[^\t\n\x0b\x0c\r ]+') AS tk
+              FROM documents
+            ), hits AS (
+              SELECT doc_id,
+                     list_min(list_transform(range(1, len(tk)), i ->
+                       CASE WHEN tk[i] = 'key' AND tk[i+1] = 'agg'
+                            THEN i ELSE NULL END)) AS fp,
+                     CAST(coalesce(list_sum(list_transform(range(1, len(tk)), i ->
+                       CASE WHEN tk[i] = 'key' AND tk[i+1] = 'agg'
+                            THEN 1 ELSE 0 END)), 0) AS BIGINT) AS phrase_count
+              FROM toks
+            )
+            SELECT doc_id, CAST(fp AS BIGINT) AS first_pos, phrase_count
+            FROM hits WHERE phrase_count > 0
         """,
         # same RE2 classes both sides; DuckDB length() is codepoint-based
         # like pc.utf8_length

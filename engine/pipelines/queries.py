@@ -2847,3 +2847,28 @@ def q_encoding_anomalies(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return encoding_anomalies(ds)
+
+
+def q_positional_postings(sf_dir: str):
+    """Positional postings (index_build.positional_postings): the ES
+    index_options=positions analog — (token, doc_id, tf, positions) for
+    two terms, positions 1-based comma-joined.  Vectorized flattened-
+    stream kernel, one sort.  SQL-verified (DuckDB list_filter over
+    range)."""
+    from engine.stages.index_build import positional_postings
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return positional_postings(ds, ["value", "sort"])
+
+
+def q_phrase_index(sf_dir: str):
+    """Phrase query answered FROM the positional index
+    (index_build.phrase_from_index): Lucene's shifted position-list
+    intersection as (id, p, j) slot rows + two coarse-bucket vectorized
+    reduces — integer triples shuffle, never text.  Same contract as the
+    direct-scan phrase_search (conformance-pinned); SQL-verified on the
+    phrase 'key agg'."""
+    from engine.stages.index_build import phrase_from_index
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return phrase_from_index(ds, "key agg")

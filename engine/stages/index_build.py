@@ -249,3 +249,267 @@ def _as_table(ds_or_table) -> pa.Table:
                          "df": pa.array([], pa.int64()),
                          "cf": pa.array([], pa.int64())})
     return pa.concat_tables(blocks, promote_options="default")
+
+
+def positional_postings(
+    ds: ray.data.Dataset,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Positional postings for ``terms``: ``(token, id, tf, positions)``
+    with 1-based token positions as a comma-joined string (hash-stable
+    across engines; the list form is trivially derivable).  The position
+    payload is what lets an index serve phrase queries without touching
+    text again — the ES ``index_options: positions`` analog of the plain
+    ``postings`` above.
+
+    Per batch the kernel is vectorized over the flattened token stream
+    (one Arrow ``equal`` per term; hit -> doc via the repeat/offsets
+    device; per-doc position lists by np.split on doc boundaries) — no
+    per-doc Python beyond tokenization.  Sorted (token, id) like
+    ``postings``."""
+    import numpy as np
+
+    term_list = list(terms)
+    empty = pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "positions": pa.array([], pa.string()),
+        }
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = t.column(text_col).to_pylist()
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+        tok_lists = [_TOKEN.findall(x or "") for x in texts]
+        lens = np.fromiter(
+            (len(tl) for tl in tok_lists), np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = pa.array([w for tl in tok_lists for w in tl], pa.string())
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        out_tok: List[str] = []
+        out_id: List[int] = []
+        out_tf: List[int] = []
+        out_pos: List[str] = []
+        for w in term_list:
+            hit = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+            idx = np.flatnonzero(hit)
+            if len(idx) == 0:
+                continue
+            docs = doc_of[idx]
+            pos = idx - starts[docs] + 1
+            cut = np.flatnonzero(docs[1:] != docs[:-1]) + 1
+            for d, plist in zip(
+                docs[np.concatenate(([0], cut))], np.split(pos, cut)
+            ):
+                out_tok.append(w)
+                out_id.append(int(ids[d]))
+                out_tf.append(len(plist))
+                out_pos.append(",".join(map(str, plist)))
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                id_col: pa.array(out_id, pa.int64()),
+                "tf": pa.array(out_tf, pa.int64()),
+                "positions": pa.array(out_pos, pa.string()),
+            }
+        )
+
+    return ds.map_batches(
+        extract, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(key=["token", id_col])
+
+
+def phrase_from_index(
+    ds: ray.data.Dataset,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Phrase query answered the way a POSITIONAL INDEX answers it — the
+    Lucene/ES algorithm (intersect per-doc position lists of the phrase
+    words, shifted by word offset) rather than search.phrase_search's
+    direct text scan.  Output is the SAME contract: ``(id, first_pos,
+    phrase_count)``, overlapping occurrences, 1-based; a conformance test
+    pins both paths identical.
+
+    Shape: ONE tokenize pass emits ``(id, p, j)`` rows — word ``j`` of
+    the phrase occurs at position ``p + j`` — so a phrase occurrence at
+    ``p`` is exactly a ``(id, p)`` group with all ``k`` word-slots
+    present.  Rows shuffle ONCE by a coarse hash bucket of ``(id, p)``
+    (corpus-sized key -> bucketed vectorized reduce, the PERF.md #31/#37
+    device: lexsort + run-length inside the bucket, no per-group Python),
+    then phrase starts reduce per doc by a second coarse bucket on
+    ``id``.  Only integer triples ever move — never text, never
+    positions lists."""
+    import numpy as np
+
+    words = _TOKEN.findall(phrase)
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    k = len(words)
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "first_pos": pa.array([], pa.int64()),
+            "phrase_count": pa.array([], pa.int64()),
+        }
+    )
+
+    nb = n_buckets or max(
+        4, int(ray.cluster_resources().get("CPU", 8))
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = t.column(text_col).to_pylist()
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+        tok_lists = [_TOKEN.findall(x or "") for x in texts]
+        lens = np.fromiter(
+            (len(tl) for tl in tok_lists), np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "p": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        flat = pa.array([w for tl in tok_lists for w in tl], pa.string())
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        o_id: List[np.ndarray] = []
+        o_p: List[np.ndarray] = []
+        o_j: List[np.ndarray] = []
+        for j, w in enumerate(words):
+            idx = np.flatnonzero(pc.equal(flat, w).to_numpy(zero_copy_only=False))
+            if len(idx) == 0:
+                continue
+            docs = doc_of[idx]
+            p = (idx - starts[docs] + 1) - j  # phrase-start candidate
+            keep = p >= 1
+            o_id.append(ids[docs[keep]])
+            o_p.append(p[keep])
+            o_j.append(np.full(int(keep.sum()), j, np.int64))
+        if not o_id:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "p": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        ai = np.concatenate(o_id)
+        ap = np.concatenate(o_p)
+        return pa.table(
+            {
+                id_col: pa.array(ai, pa.int64()),
+                "p": pa.array(ap, pa.int64()),
+                "j": pa.array(np.concatenate(o_j), pa.int64()),
+                "bucket": pa.array(
+                    ((ai * 1_000_003 + ap) % nb + nb) % nb, pa.int64()
+                ),
+            }
+        )
+
+    slots = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    def starts_in_bucket(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        i = g.column(id_col).to_numpy(zero_copy_only=False)
+        p = g.column("p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, i))
+        i, p = i[order], p[order]
+        new = np.ones(len(i), bool)
+        new[1:] = (i[1:] != i[:-1]) | (p[1:] != p[:-1])
+        grp = np.cumsum(new) - 1
+        cnt = np.bincount(grp)
+        # distinct j per (id, p) is len of run IFF no duplicate (id,p,j)
+        # rows exist — true by construction (a word occupies one slot)
+        full = cnt == k
+        firsts = np.flatnonzero(new)
+        sel = firsts[full]
+        return pa.table(
+            {
+                id_col: pa.array(i[sel], pa.int64()),
+                "p": pa.array(p[sel], pa.int64()),
+            }
+        )
+
+    found = slots.groupby("bucket").map_groups(
+        starts_in_bucket, batch_format="pyarrow"
+    )
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "p": pa.array([], pa.int64()),
+                    "dbucket": pa.array([], pa.int64()),
+                }
+            )
+        i = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "p": t.column("p"),
+                "dbucket": pa.array((i % nb + nb) % nb, pa.int64()),
+            }
+        )
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        i = g.column(id_col).to_numpy(zero_copy_only=False)
+        p = g.column("p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, i))
+        i, p = i[order], p[order]
+        new = np.ones(len(i), bool)
+        new[1:] = i[1:] != i[:-1]
+        grp = np.cumsum(new) - 1
+        cnt = np.bincount(grp)
+        firsts = np.flatnonzero(new)
+        return pa.table(
+            {
+                id_col: pa.array(i[firsts], pa.int64()),
+                "first_pos": pa.array(p[firsts], pa.int64()),
+                "phrase_count": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    out = (
+        found.map_batches(doc_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dbucket")
+        .map_groups(per_doc, batch_format="pyarrow")
+    )
+
+    def strip(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "phrase_count" not in t.column_names:
+            return empty
+        return t.select([id_col, "first_pos", "phrase_count"])
+
+    return out.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)

@@ -86,7 +86,7 @@ SQL_NAMES = [
     "spell_suggest", "regex_search", "emb_covariance", "readability",
     "prefix_suggest", "balanced_shards", "significant_terms",
     "collapse_topk", "percentile_ranks", "events_moving",
-    "encoding_anomalies",
+    "encoding_anomalies", "positional_postings", "phrase_index",
 ]
 
 

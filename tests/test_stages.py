@@ -3924,3 +3924,49 @@ def test_encoding_anomalies_dirty_strings(ray_session):
     assert got.loc[2, "anomaly_ppm"] == (1_000_000 * 2) // len("bad � byte �")
     assert got.loc[3, "n_control"] == 3 and got.loc[3, "n_replacement"] == 0
     assert got.loc[4, "n_control"] == 0 and got.loc[4, "anomaly_ppm"] == 0
+
+
+def test_phrase_from_index_matches_direct_scan(ray_session):
+    """The positional-index phrase algorithm is pinned bit-identical to
+    the direct-scan phrase_search on overlap, repeats, boundaries, and
+    under repartitioning."""
+    from engine.stages.index_build import phrase_from_index
+    from engine.stages.search import phrase_search
+
+    rows = [
+        (1, "a a a b a a"),
+        (2, "x a"),
+        (3, "a y a a a"),
+        (4, None),
+        (5, "b a a b"),
+        (6, "a"),
+    ]
+    for phrase in ("a a", "a a a", "b a", "a"):
+        direct = (
+            phrase_search(_docs_ds(rows), phrase)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        via_index = (
+            phrase_from_index(_docs_ds(rows).repartition(4), phrase)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert direct.equals(via_index), phrase
+
+
+def test_positional_postings_literal(ray_session):
+    from engine.stages.index_build import positional_postings
+
+    rows = [(7, "w v w w"), (8, "v v"), (9, "zzz")]
+    got = positional_postings(_docs_ds(rows), ["w", "v"]).to_pandas()
+    recs = {(r.token, r.doc_id): (r.tf, r.positions) for r in got.itertuples()}
+    assert recs == {
+        ("w", 7): (3, "1,3,4"),
+        ("v", 7): (1, "2"),
+        ("v", 8): (2, "1,2"),
+    }
+    # sorted (token, doc_id)
+    assert got.token.tolist() == sorted(got.token.tolist())
