@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoding_anomalies": q.q_encoding_anomalies,
         "positional_postings": q.q_positional_postings,
         "phrase_index": q.q_phrase_index,
+        "rescore": q.q_rescore,
+        "fuzzy_search": q.q_fuzzy_search,
+        "bool_search": q.q_bool_search,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         "term_stats": q.q_term_stats,
@@ -1127,6 +1130,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, 'ta[bg]le')) AS BIGINT)
                      AS n_matches
             FROM documents WHERE regexp_matches(text, 'ta[bg]le')
+        """,
+        # two-phase ranking: phase-1 window by (tf1 desc, id), phase-2
+        # integer rescore INSIDE the window only (the ES rescore contract)
+        "rescore": r"""
+            WITH tf AS (
+              SELECT doc_id,
+                CAST(len(list_filter(regexp_extract_all(coalesce(text,''),
+                     '[^\t\n\x0b\x0c\r ]+'), t -> t = 'value'))
+                  AS BIGINT) AS tf1,
+                CAST(len(list_filter(regexp_extract_all(coalesce(text,''),
+                     '[^\t\n\x0b\x0c\r ]+'), t -> t = 'table'))
+                  AS BIGINT) AS tf2
+              FROM documents
+            ), nz AS (SELECT * FROM tf WHERE tf1 > 0),
+            win AS (SELECT * FROM nz ORDER BY tf1 DESC, doc_id LIMIT 50),
+            sc AS (SELECT doc_id, tf1, tf2,
+                          CAST(2*tf1 + 3*tf2 AS BIGINT) AS score2 FROM win)
+            SELECT CAST(row_number() OVER (ORDER BY score2 DESC, doc_id)
+                        AS BIGINT) AS rank,
+                   doc_id, tf1, tf2, score2
+            FROM sc ORDER BY rank LIMIT 10
+        """,
+        "fuzzy_search": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(coalesce(text,''),
+                     '[^\t\n\x0b\x0c\r ]+')) AS term
+              FROM documents
+            ), m AS (
+              SELECT doc_id, CAST(levenshtein(term, 'tble') AS BIGINT) AS d
+              FROM toks WHERE levenshtein(term, 'tble') <= 1
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fuzzy_tokens,
+                   CAST(min(d) AS BIGINT) AS best_dist
+            FROM m GROUP BY doc_id
+        """,
+        "bool_search": """
+            WITH lt AS (SELECT doc_id, lower(coalesce(text,'')) AS t
+                        FROM documents),
+            f AS (SELECT doc_id,
+                    CAST((position('batch' IN t) > 0)::BIGINT
+                       + (position('window' IN t) > 0)::BIGINT AS BIGINT)
+                      AS n_should,
+                    position('merge' IN t) > 0 AS m1,
+                    position('zebra' IN t) > 0 AS nn
+                  FROM lt)
+            SELECT doc_id, n_should
+            FROM f WHERE m1 AND NOT nn AND n_should >= 1
         """,
         "positional_postings": r"""
             WITH toks AS (

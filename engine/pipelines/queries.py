@@ -2872,3 +2872,42 @@ def q_phrase_index(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return phrase_from_index(ds, "key agg")
+
+
+def q_rescore(sf_dir: str):
+    """Two-phase ranking (search.rescore_topk): ES rescore — phase 1
+    tf('value') picks a top-50 window (per-block partial top-window, a
+    superset-safe merge), phase 2 re-ranks the WINDOW ONLY by
+    2*tf1 + 3*tf2 ('table').  Integer-exact.  SQL-verified."""
+    from engine.stages.search import rescore_topk
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return rescore_topk(ds, "value", "table", window=50, k=10)
+
+
+def q_fuzzy_search(sf_dir: str):
+    """Fuzzy term query (search.fuzzy_search): ES fuzzy — docs with >= 1
+    token within edit distance 1 of 'tble'; the query first REWRITES
+    against the term dictionary (vocab groupby + length-gated batched-DP
+    Levenshtein), then one vectorized scan counts matched occurrences
+    (index_in against the broadcast rewrite set).  SQL-verified."""
+    from engine.stages.search import fuzzy_search
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return fuzzy_search(ds, "tble", max_dist=1)
+
+
+def q_bool_search(sf_dir: str):
+    """Boolean query (search.bool_search): the ES bool query —
+    must 'merge', should ['batch','window'] with minimum_should_match 1,
+    must_not 'zebra'; one vectorized pass, no shuffle.  SQL-verified."""
+    from engine.stages.search import bool_search
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return bool_search(
+        ds,
+        must=["merge"],
+        should=["batch", "window"],
+        must_not=["zebra"],
+        min_should=1,
+    )

@@ -1183,3 +1183,290 @@ def _collapse_best(t: pa.Table, group_col: str, id_col: str) -> pa.Table:
     first = np.ones(len(g), bool)
     first[1:] = g[1:] != g[:-1]
     return s.filter(pa.array(first))
+
+
+def rescore_topk(
+    ds: ray.data.Dataset,
+    first_term: str,
+    second_term: str,
+    *,
+    window: int = 50,
+    k: int = 10,
+    w1: int = 2,
+    w2: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Two-phase ranking — the ES ``rescore`` feature: a cheap first
+    phase ranks everything, an expensive second phase re-ranks only the
+    top ``window``.  Integer-exact throughout so the oracle is
+    bit-for-bit: phase 1 score = tf(first_term), window by (tf1 desc, id
+    asc); phase 2 score = w1*tf1 + w2*tf2 over the window only; final
+    top-``k`` by (score2 desc, id asc) with 1-based rank.
+
+    Shape: ONE pass computes both term frequencies per doc (flattened-
+    stream kernel, two Arrow ``equal``s) and keeps a per-block partial
+    top-``window`` under the PHASE-1 order — so the driver merge sees
+    <= window x blocks integer rows and the phase-2 rescore runs on the
+    window only, exactly the ES contract (the expensive scorer never
+    touches the corpus).
+    """
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "tf1": pa.array([], pa.int64()),
+            "tf2": pa.array([], pa.int64()),
+            "score2": pa.array([], pa.int64()),
+        }
+    )
+    phase1_keys = [("tf1", "descending"), (id_col, "ascending")]
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return empty
+        texts = t.column(text_col).to_pylist()
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+        tok_lists = [_TOKEN.findall(x or "") for x in texts]
+        lens = np.fromiter(
+            (len(tl) for tl in tok_lists), np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = pa.array([w for tl in tok_lists for w in tl], pa.string())
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        pref1 = np.zeros(total + 1, np.int64)
+        np.cumsum(
+            pc.equal(flat, first_term).to_numpy(zero_copy_only=False),
+            out=pref1[1:],
+        )
+        pref2 = np.zeros(total + 1, np.int64)
+        np.cumsum(
+            pc.equal(flat, second_term).to_numpy(zero_copy_only=False),
+            out=pref2[1:],
+        )
+        tf1 = pref1[starts[1:]] - pref1[starts[:-1]]
+        tf2 = pref2[starts[1:]] - pref2[starts[:-1]]
+        keep = tf1 > 0
+        if not keep.any():
+            return empty
+        out = pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "tf1": pa.array(tf1[keep], pa.int64()),
+                "tf2": pa.array(tf2[keep], pa.int64()),
+            }
+        )
+        if out.num_rows <= window:
+            return out
+        import pyarrow.compute as pc2
+
+        return out.take(pc2.sort_indices(out, sort_keys=phase1_keys)[:window])
+
+    from engine.stages.common import collect_arrow_blocks
+
+    blocks = collect_arrow_blocks(
+        ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True),
+        required_col="tf1",
+    )
+    if not blocks:
+        return empty
+    import pyarrow.compute as pc
+
+    allc = pa.concat_tables(
+        [b.select([id_col, "tf1", "tf2"]) for b in blocks],
+        promote_options="default",
+    )
+    win = allc.take(pc.sort_indices(allc, sort_keys=phase1_keys)[:window])
+    score2 = pc.add(
+        pc.multiply(win.column("tf1"), w1), pc.multiply(win.column("tf2"), w2)
+    )
+    win = win.append_column("score2", pc.cast(score2, pa.int64()))
+    top = win.take(
+        pc.sort_indices(
+            win, sort_keys=[("score2", "descending"), (id_col, "ascending")]
+        )[:k]
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(1, top.num_rows + 1), pa.int64()),
+            id_col: top.column(id_col),
+            "tf1": top.column("tf1"),
+            "tf2": top.column("tf2"),
+            "score2": top.column("score2"),
+        }
+    )
+
+
+def fuzzy_search(
+    ds: ray.data.Dataset,
+    query: str,
+    *,
+    max_dist: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Fuzzy term query — the ES ``fuzzy`` query (AUTO fuzziness): docs
+    containing >= 1 token within Levenshtein ``max_dist`` of ``query``,
+    with the matching-occurrence count and the best (minimum) distance
+    present in the doc.
+
+    Two stages, same contract as a real engine's fuzzy rewrite: (1) the
+    query REWRITES against the term dictionary — ``_vocab_cf`` +
+    length-gated ``_lev_batch`` produce the matched-term set (a rewrite
+    is bounded by the vocabulary near the query, driver-sized by
+    construction); (2) one vectorized scan pass counts matched-term
+    occurrences per doc (flattened ``index_in`` against the broadcast
+    term list; per-doc best distance via ``np.minimum.at``).  Text never
+    shuffles; the only shuffle is the vocab groupby."""
+    import pyarrow.compute as pc
+
+    vocab_blocks = _vocab_cf(ds, text_col)
+    m = len(query)
+
+    def gate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.select(["term"])
+        lens = pc.utf8_length(t.column("term"))
+        g = t.filter(
+            pc.and_(
+                pc.greater_equal(lens, m - max_dist),
+                pc.less_equal(lens, m + max_dist),
+            )
+        )
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        terms = g.column("term").to_pylist()
+        d = _lev_batch(terms, query)
+        keep = d <= max_dist
+        return pa.table(
+            {
+                "term": pa.array([t_ for t_, kp in zip(terms, keep) if kp]),
+                "dist": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    from engine.stages.common import collect_arrow_blocks
+
+    blocks = collect_arrow_blocks(
+        vocab_blocks.map_batches(
+            gate, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        required_col="dist",
+    )
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_fuzzy_tokens": pa.array([], pa.int64()),
+            "best_dist": pa.array([], pa.int64()),
+        }
+    )
+    if not blocks:
+        return ray.data.from_arrow(empty)
+    matched = pa.concat_tables(blocks, promote_options="default")
+    terms_arr = matched.column("term").combine_chunks()
+    dists = matched.column("dist").to_numpy(zero_copy_only=False).astype(np.int64)
+    terms_ref = ray.put((terms_arr, dists))
+
+    def scan(t: pa.Table, ref=terms_ref) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return empty
+        tarr, tdist = ray.get(ref)
+        texts = t.column(text_col).to_pylist()
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+        tok_lists = [_TOKEN.findall(x or "") for x in texts]
+        lens = np.fromiter(
+            (len(tl) for tl in tok_lists), np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = pa.array([w for tl in tok_lists for w in tl], pa.string())
+        code = (
+            pc.fill_null(pc.index_in(flat, value_set=tarr), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        hit = code >= 0
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        cnt = np.bincount(doc_of[hit], minlength=len(lens))
+        best = np.full(len(lens), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(best, doc_of[hit], tdist[code[hit]])
+        keep = cnt > 0
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "n_fuzzy_tokens": pa.array(cnt[keep], pa.int64()),
+                "best_dist": pa.array(best[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bool_search(
+    ds: ray.data.Dataset,
+    *,
+    must: Sequence[str] = (),
+    should: Sequence[str] = (),
+    must_not: Sequence[str] = (),
+    min_should: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Boolean query — the ES ``bool`` query over case-insensitive
+    substring clauses: every ``must`` term present, no ``must_not`` term
+    present, and at least ``min_should`` of the ``should`` terms present
+    (``min_should`` is ignored when ``should`` is empty, like ES'
+    minimum_should_match default with must clauses).  Output ``(id,
+    n_should)`` for matching docs.
+
+    One map_batches pass, one Arrow ``find_substring`` per clause on the
+    lowercased text, boolean algebra in numpy — no Python per row, no
+    shuffle."""
+    must = [w.lower() for w in must]
+    should = [w.lower() for w in should]
+    must_not = [w.lower() for w in must_not]
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        low = pc.fill_null(pc.utf8_lower(t.column(text_col)), "")
+
+        def has(w: str) -> np.ndarray:
+            return (
+                pc.not_equal(pc.find_substring(low, pattern=w), -1)
+                .to_numpy(zero_copy_only=False)
+            )
+
+        n = t.num_rows
+        ok = np.ones(n, bool)
+        for w in must:
+            ok &= has(w)
+        for w in must_not:
+            ok &= ~has(w)
+        n_should = np.zeros(n, np.int64)
+        for w in should:
+            n_should += has(w)
+        if should:
+            ok &= n_should >= min_should
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()).filter(pa.array(ok)),
+                "n_should": pa.array(n_should[ok], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -3970,3 +3970,81 @@ def test_positional_postings_literal(ray_session):
     }
     # sorted (token, doc_id)
     assert got.token.tolist() == sorted(got.token.tolist())
+
+
+def test_rescore_topk_window_contract(ray_session):
+    """Phase-2 score can only reorder INSIDE the phase-1 window: a doc
+    with huge tf2 but tf1 below the window cut is excluded (the ES
+    rescore contract); partial per-block windows merge superset-safe."""
+    from engine.stages.search import rescore_topk
+
+    rows = [(i, "q " * (100 - i) + "r") for i in range(10)]          # tf1 desc
+    rows.append((99, "q " + "r " * 500))                             # tf1=1, huge tf2
+    got = rescore_topk(
+        _docs_ds(rows), "q", "r", window=5, k=5, w1=1, w2=1
+    ).to_pandas()
+    # window = docs 0..4 (tf1 100..96); doc 99 (tf1=1) outside
+    assert 99 not in set(got.doc_id)
+    assert set(got.doc_id) == {0, 1, 2, 3, 4}
+    # rescore with w2: each windowed doc has tf2=1, so order stays tf1
+    assert got.doc_id.tolist() == [0, 1, 2, 3, 4]
+    many = rescore_topk(
+        _docs_ds(rows).repartition(6), "q", "r", window=5, k=5, w1=1, w2=1
+    ).to_pandas()
+    assert got.equals(many)
+
+
+def test_fuzzy_search_rewrite_and_counts(ray_session):
+    """Rewrite set = vocab within max_dist; counts are OCCURRENCES; best
+    dist is the min present per doc; no-match docs absent."""
+    from engine.stages.search import fuzzy_search
+
+    rows = [
+        (1, "cat cat cut dog"),   # cat d0 x2, cut d1 -> n=3 best=0
+        (2, "cut cot"),           # both d1 -> n=2 best=1
+        (3, "dog dog"),           # no match
+        (4, None),
+    ]
+    got = (
+        fuzzy_search(_docs_ds(rows), "cat", max_dist=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert [tuple(r) for r in got.to_numpy()] == [(1, 3, 0), (2, 2, 1)]
+    many = (
+        fuzzy_search(_docs_ds(rows).repartition(3), "cat", max_dist=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(many)
+
+
+def test_bool_search_clauses(ray_session):
+    from engine.stages.search import bool_search
+
+    rows = [
+        (1, "A B C"),      # case-insensitive must a, should b+c
+        (2, "a x"),        # should misses min 2
+        (3, "a b bad"),    # must_not
+        (4, "b c"),        # must misses
+        (5, None),
+    ]
+    got = (
+        bool_search(
+            _docs_ds(rows),
+            must=["a"],
+            should=["b", "c"],
+            must_not=["bad"],
+            min_should=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert [tuple(r) for r in got.to_numpy()] == [(1, 2)]
+    # no should clauses: pure must/must_not filter, n_should = 0
+    g2 = bool_search(_docs_ds(rows), must=["a"], must_not=["bad"]).to_pandas()
+    assert sorted(g2.doc_id) == [1, 2]
+    assert (g2.n_should == 0).all()
