@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_search": q.q_bool_search,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
+        # rows-only (dHash has no SQL analog; brute-force oracle test)
+        "image_phash": q.q_image_phash,
         "term_stats": q.q_term_stats,
         "postings": q.q_postings,
         "unigram_nll": q.q_unigram_nll,

@@ -2911,3 +2911,52 @@ def q_bool_search(sf_dir: str):
         must_not=["zebra"],
         min_should=1,
     )
+
+
+def q_image_phash(sf_dir: str):
+    """Image near-dup pairs by 64-bit dHash (multimodal.image_phash_pairs)
+    over a deterministic synthetic media corpus with planted exact and
+    brightness-shifted clones: real BMP/PPM decode, integer-exact hash
+    (cross-multiplied cell comparisons), 4x16-bit pigeonhole banding
+    (lossless at hamming <= 3).  Rows-only; brute-force all-pairs oracle
+    test in tests/test_stages.py."""
+    import numpy as np
+
+    from engine.stages.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_ppm,
+        image_phash_pairs,
+    )
+
+    rs = np.random.RandomState(3)
+    ids, tys, payloads, mimes = [], [], [], []
+    imgs = {}
+    for i in range(24):
+        w, h = int(rs.randint(16, 48)), int(rs.randint(16, 48))
+        px = rs.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        imgs[f"i{i:02d}"] = px
+        ids.append(f"i{i:02d}")
+        tys.append("image")
+        payloads.append(encode_bmp(px))
+        mimes.append("image/bmp")
+    for i in (0, 3, 7):
+        ids.append(f"c{i:02d}")
+        tys.append("image")
+        payloads.append(encode_bmp(imgs[f"i{i:02d}"]))
+        mimes.append("image/bmp")
+    b = np.minimum(imgs["i05"].astype(np.int64) + 1, 255).astype(np.uint8)
+    ids.append("b05")
+    tys.append("image")
+    payloads.append(encode_ppm(b))
+    mimes.append("image/x-portable-pixmap")
+    t = pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(tys, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    return image_phash_pairs(ray.data.from_arrow(t).repartition(4))

@@ -370,3 +370,176 @@ def synth_media_table(n: int = 64, seed: int = 7) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+def image_dhash(px: np.ndarray) -> int:
+    """64-bit difference hash (dHash, public: Krawetz 2013) of an RGB
+    image, integer-exact: grayscale by the luma integer weights
+    (77R + 150G + 29B, the >> 8 fixed-point of Rec.601), box-downsample
+    to a 9x8 grid of exact integer cell sums, then bit (r, c) = 1 iff
+    cell (r, c) brighter than cell (r, c+1) — compared CROSS-MULTIPLIED
+    by the cell areas so unequal grid cells never need a division.  Same
+    bit order row-major, MSB first.  Deterministic for any input size
+    >= 9x8 pixels is NOT required — any h, w >= 1 works (cells are
+    [floor(k*h/8), floor((k+1)*h/8)) etc., empty cells impossible when
+    h >= 8; for tiny images cells repeat rows/cols via the same floor
+    grid, still deterministic)."""
+    h, w, _ = px.shape
+    lum = (
+        77 * px[:, :, 0].astype(np.int64)
+        + 150 * px[:, :, 1].astype(np.int64)
+        + 29 * px[:, :, 2].astype(np.int64)
+    )
+    # exact 2-D prefix sums -> integer cell sums of the 8x9 grid
+    P = np.zeros((h + 1, w + 1), np.int64)
+    np.cumsum(np.cumsum(lum, axis=0), axis=1, out=P[1:, 1:])
+    rb = [(k * h) // 8 for k in range(9)]
+    cb = [(k * w) // 9 for k in range(10)]
+    # guard degenerate tiny images: force non-empty cells by clamping
+    rb = [min(max(v, i), h) for i, v in enumerate(rb[:-1])] + [h]
+    cb = [min(max(v, i), w) for i, v in enumerate(cb[:-1])] + [w]
+    bits = 0
+    for r in range(8):
+        r0, r1 = rb[r], rb[r + 1]
+        if r1 <= r0:
+            r0, r1 = min(r, h - 1), min(r, h - 1) + 1
+        for c in range(8):
+            c0, c1 = cb[c], cb[c + 1]
+            c2, c3 = cb[c + 1], cb[c + 2]
+            if c1 <= c0:
+                c0, c1 = min(c, w - 1), min(c, w - 1) + 1
+            if c3 <= c2:
+                c2, c3 = min(c + 1, w - 1), min(c + 1, w - 1) + 1
+            s1 = P[r1, c1] - P[r0, c1] - P[r1, c0] + P[r0, c0]
+            a1 = (r1 - r0) * (c1 - c0)
+            s2 = P[r1, c3] - P[r0, c3] - P[r1, c2] + P[r0, c2]
+            a2 = (r1 - r0) * (c3 - c2)
+            bits = (bits << 1) | (1 if int(s1) * a2 > int(s2) * a1 else 0)
+    return bits
+
+
+def image_phash_pairs(
+    media: ray.data.Dataset,
+    *,
+    max_hamming: int = 3,
+) -> pa.Table:
+    """Near-duplicate image pairs by dHash — the multimodal analog of
+    simhash text dedup: decode (BMP/PPM only — the honest-decode
+    contract), 64-bit dHash per image, then 4x16-bit pigeonhole banding
+    (hamming <= 3 across 64 bits leaves >= 1 of 4 bands IDENTICAL, so
+    banding loses nothing at this threshold), all-pairs hamming inside
+    each band bucket only, driver dedupe of the (tiny) pair set.
+    Output ``(id_a, id_b, hamming)``, id_a < id_b, sorted.
+
+    Per block: decode + hash per image (CPU-bound actor-pool candidate at
+    scale); emit (band, key, media_id, hash64) — 4 small rows per image,
+    never pixels.  The band groupby is the only shuffle.
+    """
+    from engine.stages.common import collect_arrow_blocks
+
+    def hash_block(t: pa.Table) -> pa.Table:
+        ids: List[str] = []
+        hs: List[int] = []
+        for mid, mime, payload in zip(
+            t.column("media_id").to_pylist(),
+            t.column("mime").to_pylist(),
+            t.column("payload").to_pylist(),
+        ):
+            if payload is None:
+                continue
+            try:
+                if mime == "image/bmp":
+                    px = decode_bmp(payload)
+                elif mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+                    px = decode_ppm(payload)
+                else:
+                    continue
+            except (ValueError, NotImplementedError):
+                continue
+            ids.append(mid)
+            hs.append(image_dhash(px))
+        out_band: List[int] = []
+        out_key: List[int] = []
+        out_id: List[str] = []
+        out_h: List[int] = []
+        for mid, hv in zip(ids, hs):
+            for b in range(4):
+                out_band.append(b)
+                out_key.append((hv >> (16 * b)) & 0xFFFF)
+                out_id.append(mid)
+                # store the 64-bit pattern in int64 (two's complement view)
+                out_h.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int64()),
+                "key": pa.array(out_key, pa.int64()),
+                "media_id": pa.array(out_id, pa.string()),
+                "h64": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("media_id").to_pylist()
+        hs = g.column("h64").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_a: List[str] = []
+        out_b: List[str] = []
+        out_d: List[int] = []
+        n = len(ids)
+        for i in range(n):
+            x = np.bitwise_xor(hs[i + 1 :], hs[i])
+            d = np.array(
+                [bin(int(v) & ((1 << 64) - 1)).count("1") for v in x], np.int64
+            )
+            for j in np.flatnonzero(d <= max_hamming):
+                a, b = ids[i], ids[i + 1 + int(j)]
+                if a > b:
+                    a, b = b, a
+                out_a.append(a)
+                out_b.append(b)
+                out_d.append(int(d[j]))
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.string()),
+                "id_b": pa.array(out_b, pa.string()),
+                "hamming": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    hashed = media.map_batches(
+        hash_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs_ds = hashed.groupby(["band", "key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    blocks = collect_arrow_blocks(pairs_ds, required_col="hamming")
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.string()),
+            "id_b": pa.array([], pa.string()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+    if not blocks:
+        return empty
+    import pyarrow.compute as pc
+
+    allp = pa.concat_tables(
+        [b.select(["id_a", "id_b", "hamming"]) for b in blocks],
+        promote_options="default",
+    )
+    # a pair collides in up to 4 bands: dedupe on the driver (pair set is
+    # result-sized by the banding gate)
+    seen = set()
+    keep = []
+    for i, (a, b) in enumerate(
+        zip(allp.column("id_a").to_pylist(), allp.column("id_b").to_pylist())
+    ):
+        if (a, b) not in seen:
+            seen.add((a, b))
+            keep.append(i)
+    allp = allp.take(pa.array(keep, pa.int64()))
+    return allp.take(
+        pc.sort_indices(
+            allp, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]
+        )
+    )

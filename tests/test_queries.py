@@ -144,6 +144,7 @@ ROWS_ONLY = [
     ("neardup_incremental", 1),
     ("cdx_shards", 1),
     ("emb_pca", 1),
+    ("image_phash", 1),
 ]
 
 

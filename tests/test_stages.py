@@ -4048,3 +4048,84 @@ def test_bool_search_clauses(ray_session):
     g2 = bool_search(_docs_ds(rows), must=["a"], must_not=["bad"]).to_pandas()
     assert sorted(g2.doc_id) == [1, 2]
     assert (g2.n_should == 0).all()
+
+
+def test_image_phash_pairs_matches_bruteforce(ray_session):
+    """Banded dHash pairs == brute-force all-pairs hamming <= 3 (the
+    4x16 pigeonhole is lossless at that threshold); exact clones and a
+    +1-uniform-brightness clone (order-preserving: hamming 0) found."""
+    import ray.data
+
+    from engine.stages.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_ppm,
+        image_dhash,
+        image_phash_pairs,
+    )
+
+    rs = np.random.RandomState(3)
+    ids, payloads, mimes = [], [], []
+    imgs = {}
+    for i in range(12):
+        w, h = int(rs.randint(16, 48)), int(rs.randint(16, 48))
+        px = rs.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        imgs[f"i{i:02d}"] = px
+        ids.append(f"i{i:02d}")
+        payloads.append(encode_bmp(px))
+        mimes.append("image/bmp")
+    for i in (0, 3):
+        imgs[f"c{i:02d}"] = imgs[f"i{i:02d}"]
+        ids.append(f"c{i:02d}")
+        payloads.append(encode_bmp(imgs[f"i{i:02d}"]))
+        mimes.append("image/bmp")
+    b = np.minimum(imgs["i05"].astype(np.int64) + 1, 255).astype(np.uint8)
+    imgs["b05"] = b
+    ids.append("b05")
+    payloads.append(encode_ppm(b))
+    mimes.append("image/x-portable-pixmap")
+    t = pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    got = set(
+        map(
+            tuple,
+            image_phash_pairs(ray.data.from_arrow(t).repartition(4))
+            .to_pandas()
+            .to_numpy(),
+        )
+    )
+    hs = {k: image_dhash(v) for k, v in imgs.items()}
+    ks = sorted(hs)
+    exp = {
+        (ks[i], ks[j], bin(hs[ks[i]] ^ hs[ks[j]]).count("1"))
+        for i in range(len(ks))
+        for j in range(i + 1, len(ks))
+        if bin(hs[ks[i]] ^ hs[ks[j]]).count("1") <= 3
+    }
+    assert got == exp
+    assert ("b05", "i05", 0) in got and ("c00", "i00", 0) in got
+
+
+def test_image_dhash_properties():
+    """Deterministic; invariant to uniform brightness shift (exact
+    cross-multiplied comparisons); sensitive to content change; works on
+    tiny images."""
+    from engine.stages.multimodal import image_dhash
+
+    rs = np.random.RandomState(9)
+    px = rs.randint(0, 200, size=(33, 21, 3)).astype(np.uint8)
+    h1 = image_dhash(px)
+    assert h1 == image_dhash(px.copy())
+    assert image_dhash((px + 10).astype(np.uint8)) == h1
+    flipped = px.copy()
+    flipped[:16, :10] = 255 - flipped[:16, :10]
+    assert image_dhash(flipped) != h1
+    tiny = rs.randint(0, 256, size=(3, 5, 3)).astype(np.uint8)
+    assert 0 <= image_dhash(tiny) < (1 << 64)
