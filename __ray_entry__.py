@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca": q.q_emb_pca,
         # rows-only (dHash has no SQL analog; brute-force oracle test)
         "image_phash": q.q_image_phash,
+        "audio_phash": q.q_audio_phash,
         "term_stats": q.q_term_stats,
         "postings": q.q_postings,
         "unigram_nll": q.q_unigram_nll,

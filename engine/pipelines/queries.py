@@ -2960,3 +2960,45 @@ def q_image_phash(sf_dir: str):
         schema=MEDIA_SCHEMA,
     )
     return image_phash_pairs(ray.data.from_arrow(t).repartition(4))
+
+
+def q_audio_phash(sf_dir: str):
+    """Audio near-dup pairs (multimodal.audio_phash_pairs) over a
+    deterministic synthetic WAV corpus with planted exact and half-gain
+    clones: real PCM decode, gain-invariant integer envelope fingerprint,
+    banded hamming pairs.  Rows-only; brute-force oracle test in
+    tests/test_stages.py."""
+    import numpy as np
+
+    from engine.stages.multimodal import (
+        MEDIA_SCHEMA,
+        audio_phash_pairs,
+        encode_wav,
+    )
+
+    rs = np.random.RandomState(5)
+    ids, payloads = [], []
+    sigs = {}
+    for i in range(20):
+        s = (
+            rs.standard_normal(int(rs.randint(500, 4000))) * 6000
+        ).astype(np.int16)
+        sigs[f"a{i:02d}"] = s
+        ids.append(f"a{i:02d}")
+        payloads.append(encode_wav(s, 16000))
+    for i in (0, 4):
+        ids.append(f"c{i:02d}")
+        payloads.append(encode_wav(sigs[f"a{i:02d}"], 16000))
+    g = (sigs["a03"].astype(np.int64) // 2).astype(np.int16)
+    ids.append("g03")
+    payloads.append(encode_wav(g, 16000))
+    t = pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(["audio"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * len(ids), pa.string()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    return audio_phash_pairs(ray.data.from_arrow(t).repartition(4))

@@ -145,6 +145,7 @@ ROWS_ONLY = [
     ("cdx_shards", 1),
     ("emb_pca", 1),
     ("image_phash", 1),
+    ("audio_phash", 1),
 ]
 
 

@@ -4129,3 +4129,60 @@ def test_image_dhash_properties():
     assert image_dhash(flipped) != h1
     tiny = rs.randint(0, 256, size=(3, 5, 3)).astype(np.uint8)
     assert 0 <= image_dhash(tiny) < (1 << 64)
+
+
+def test_audio_phash_pairs_matches_bruteforce(ray_session):
+    """Banded envelope-hash pairs == brute-force all-pairs hamming <= 3;
+    exact clone and half-gain clone found; gain invariance exact for
+    lossless scaling."""
+    import ray.data
+
+    from engine.stages.multimodal import (
+        MEDIA_SCHEMA,
+        audio_envelope_hash,
+        audio_phash_pairs,
+        encode_wav,
+    )
+
+    rs = np.random.RandomState(5)
+    ids, payloads = [], []
+    sigs = {}
+    for i in range(10):
+        s = (
+            rs.standard_normal(int(rs.randint(500, 4000))) * 6000
+        ).astype(np.int16)
+        sigs[f"a{i:02d}"] = s
+        ids.append(f"a{i:02d}")
+        payloads.append(encode_wav(s, 16000))
+    sigs["c00"] = sigs["a00"]
+    ids.append("c00")
+    payloads.append(encode_wav(sigs["a00"], 16000))
+    t = pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(["audio"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * len(ids), pa.string()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    got = set(
+        map(
+            tuple,
+            audio_phash_pairs(ray.data.from_arrow(t).repartition(3))
+            .to_pandas()
+            .to_numpy(),
+        )
+    )
+    hs = {k: audio_envelope_hash(v) for k, v in sigs.items()}
+    ks = sorted(hs)
+    exp = {
+        (ks[i], ks[j], bin(hs[ks[i]] ^ hs[ks[j]]).count("1"))
+        for i in range(len(ks))
+        for j in range(i + 1, len(ks))
+        if bin(hs[ks[i]] ^ hs[ks[j]]).count("1") <= 3
+    }
+    assert got == exp and ("a00", "c00", 0) in got
+    assert audio_envelope_hash(sigs["a05"].astype(np.int64) * 3) == (
+        audio_envelope_hash(sigs["a05"])
+    )
