@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "positional_postings": q.q_positional_postings,
         "phrase_index": q.q_phrase_index,
         "rescore": q.q_rescore,
+        "index_size_est": q.q_index_size_est,
         "fuzzy_search": q.q_fuzzy_search,
         "bool_search": q.q_bool_search,
         # rows-only (float loadings; eigen-residual unit test)
@@ -1133,6 +1134,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, 'ta[bg]le')) AS BIGINT)
                      AS n_matches
             FROM documents WHERE regexp_matches(text, 'ta[bg]le')
+        """,
+        # exact varint byte counts: CASE thresholds mirror the engine's
+        # searchsorted table (ids here < 2^28 so 5 levels suffice)
+        "index_size_est": r"""
+            WITH tokd AS (
+              SELECT DISTINCT doc_id, unnest(regexp_extract_all(
+                     coalesce(text,''), '[^\t\n\x0b\x0c\r ]+')) AS token
+              FROM documents
+            ), p AS (
+              SELECT token, doc_id FROM tokd
+              WHERE token IN ('value', 'table', 'join', 'dup')
+            ), g AS (
+              SELECT token, doc_id,
+                     doc_id - lag(doc_id) OVER (PARTITION BY token
+                                                ORDER BY doc_id) AS gap
+              FROM p
+            ), v AS (SELECT token, greatest(coalesce(gap, doc_id), 0) AS val
+                     FROM g),
+            b AS (SELECT token,
+                         CASE WHEN val < 128 THEN 1 WHEN val < 16384 THEN 2
+                              WHEN val < 2097152 THEN 3
+                              WHEN val < 268435456 THEN 4
+                              ELSE 5 END AS nb
+                  FROM v)
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(nb) AS BIGINT) AS postings_bytes
+            FROM b GROUP BY token
         """,
         # two-phase ranking: phase-1 window by (tf1 desc, id), phase-2
         # integer rescore INSIDE the window only (the ES rescore contract)

@@ -3002,3 +3002,15 @@ def q_audio_phash(sf_dir: str):
         schema=MEDIA_SCHEMA,
     )
     return audio_phash_pairs(ray.data.from_arrow(t).repartition(4))
+
+
+def q_index_size_est(sf_dir: str):
+    """Postings size estimate under delta+varint coding
+    (index_build.index_size_est): per-term df and exact byte count — the
+    Lucene/ES cluster-sizing analytic.  Per-block vectorized gap bytes +
+    one boundary row per (block, term) stitched on the driver.
+    SQL-verified (lag window + CASE thresholds)."""
+    from engine.stages.index_build import index_size_est
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return index_size_est(ds, ["value", "table", "join", "dup"])

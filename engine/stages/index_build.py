@@ -513,3 +513,142 @@ def phrase_from_index(
         return t.select([id_col, "first_pos", "phrase_count"])
 
     return out.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def index_size_est(
+    ds: ray.data.Dataset,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Postings-list size estimate under delta + LEB128-varint coding —
+    the back-of-envelope every search-cluster sizing exercise runs
+    (Lucene's postings are delta+vint at heart): per term, the document
+    frequency and the EXACT byte count of varint-coding the sorted
+    doc-id gap sequence (first id absolute).  Integer arithmetic only.
+
+    Shape: the ``postings`` pass (tf rows, text never shuffles) -> one
+    (token, id) sort -> per-block run-aware gap bytes: block-local gaps
+    vectorized via searchsorted on the varint thresholds, plus ONE
+    boundary row per (block, token) carrying the block's first/last id so
+    the driver stitches cross-block gaps exactly — O(terms x blocks)
+    driver rows, not O(postings)."""
+    import numpy as np
+
+    plist = postings(ds, terms, id_col=id_col, text_col=text_col)
+    # varint byte count of value v (v >= 0): 1 + floor(log128(max(v,1)))
+    # (thresholds capped at 2^56 — int64 ids use at most 9 vint bytes)
+    TH = np.array([1 << (7 * k) for k in range(1, 9)], np.int64)
+
+    def vbytes(v: np.ndarray) -> np.ndarray:
+        return 1 + np.searchsorted(TH, np.maximum(v, 0), side="right").astype(
+            np.int64
+        )
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        toks = t.column("token").to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(toks)
+        if n == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "in_bytes": pa.array([], pa.int64()),
+                    "first_id": pa.array([], pa.int64()),
+                    "last_id": pa.array([], pa.int64()),
+                }
+            )
+        tok_arr = np.asarray(toks, dtype=object)
+        new = np.ones(n, bool)
+        new[1:] = tok_arr[1:] != tok_arr[:-1]
+        grp = np.cumsum(new) - 1
+        gaps = np.zeros(n, np.int64)
+        gaps[1:] = ids[1:] - ids[:-1]
+        gaps[new] = 0  # run-internal gaps only; boundaries stitched later
+        gb = vbytes(gaps)
+        gb[new] = 0
+        sums = np.bincount(grp, weights=gb).astype(np.int64)
+        cnts = np.bincount(grp).astype(np.int64)
+        firsts = np.flatnonzero(new)
+        lasts = np.concatenate((firsts[1:] - 1, [n - 1]))
+        return pa.table(
+            {
+                "token": pa.array([toks[i] for i in firsts], pa.string()),
+                "df": pa.array(cnts, pa.int64()),
+                "in_bytes": pa.array(sums, pa.int64()),
+                "first_id": pa.array(ids[firsts], pa.int64()),
+                "last_id": pa.array(ids[lasts], pa.int64()),
+            }
+        )
+
+    from engine.stages.common import collect_arrow_blocks
+
+    blocks = collect_arrow_blocks(
+        plist.map_batches(
+            block_partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        ),
+        required_col="in_bytes",
+    )
+    empty = pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "postings_bytes": pa.array([], pa.int64()),
+        }
+    )
+    if not blocks:
+        return empty
+    import pyarrow.compute as pc
+
+    allp = pa.concat_tables(blocks, promote_options="default")
+    # stitch: per token, blocks arrive in (token, id)-sorted runs; order
+    # rows by first_id within token and add cross-boundary gap bytes +
+    # the absolute first id's bytes
+    allp = allp.take(
+        pc.sort_indices(
+            allp,
+            sort_keys=[("token", "ascending"), ("first_id", "ascending")],
+        )
+    )
+    toks = allp.column("token").to_pylist()
+    df = allp.column("df").to_numpy(zero_copy_only=False)
+    ib = allp.column("in_bytes").to_numpy(zero_copy_only=False)
+    fi = allp.column("first_id").to_numpy(zero_copy_only=False)
+    li = allp.column("last_id").to_numpy(zero_copy_only=False)
+    out_t: List[str] = []
+    out_df: List[int] = []
+    out_b: List[int] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        j = i
+        total_df = 0
+        total_b = 0
+        prev_last = None
+        while j < n and toks[j] == toks[i]:
+            total_df += int(df[j])
+            total_b += int(ib[j])
+            if prev_last is None:
+                total_b += int(vbytes(np.array([fi[j]], np.int64))[0])
+            else:
+                total_b += int(
+                    vbytes(np.array([fi[j] - prev_last], np.int64))[0]
+                )
+            prev_last = int(li[j])
+            j += 1
+        out_t.append(toks[i])
+        out_df.append(total_df)
+        out_b.append(total_b)
+        i = j
+    return pa.table(
+        {
+            "token": pa.array(out_t, pa.string()),
+            "df": pa.array(out_df, pa.int64()),
+            "postings_bytes": pa.array(out_b, pa.int64()),
+        }
+    )

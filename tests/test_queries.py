@@ -87,7 +87,7 @@ SQL_NAMES = [
     "prefix_suggest", "balanced_shards", "significant_terms",
     "collapse_topk", "percentile_ranks", "events_moving",
     "encoding_anomalies", "positional_postings", "phrase_index",
-    "rescore", "fuzzy_search", "bool_search",
+    "rescore", "fuzzy_search", "bool_search", "index_size_est",
 ]
 
 

@@ -4186,3 +4186,45 @@ def test_audio_phash_pairs_matches_bruteforce(ray_session):
     assert audio_envelope_hash(sigs["a05"].astype(np.int64) * 3) == (
         audio_envelope_hash(sigs["a05"])
     )
+
+
+def test_index_size_est_varints_and_stitching(ray_session):
+    """Multi-byte varint gaps and cross-block stitching: sparse large ids
+    vs a per-token Python varint oracle, identical at 1 and 7 blocks."""
+    from engine.stages.index_build import index_size_est
+
+    def vb(v):
+        v = max(v, 0)
+        n = 1
+        while v >= 128:
+            v >>= 7
+            n += 1
+        return n
+
+    rows = []
+    ids_w, ids_v = [], []
+    for i in range(60):
+        did = i * (1 << (i % 3 * 7))  # gaps spanning 1-3 varint bytes
+        txt = "w" if i % 2 else "w v"
+        rows.append((did, txt))
+        ids_w.append(did)
+        if i % 2 == 0:
+            ids_v.append(did)
+
+    def oracle(ids):
+        ids = sorted(ids)
+        total = vb(ids[0])
+        for a, b in zip(ids, ids[1:]):
+            total += vb(b - a)
+        return len(ids), total
+
+    for nparts in (1, 7):
+        got = (
+            index_size_est(_docs_ds(rows).repartition(nparts), ["w", "v"])
+            .to_pandas()
+            .set_index("token")
+        )
+        for tok, ids in (("w", ids_w), ("v", ids_v)):
+            df, bytes_ = oracle(ids)
+            assert got.loc[tok, "df"] == df, (nparts, tok)
+            assert got.loc[tok, "postings_bytes"] == bytes_, (nparts, tok)
