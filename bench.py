@@ -252,6 +252,10 @@ def run_bench(extract_only: bool = False) -> dict:
     timed("dup_spans", q.q_dup_spans)
     timed("novelty", q.q_novelty)
     timed("quality_classifier", q.q_quality_classifier)
+    # round-5 search-parity family: vectorized phrase scan + the
+    # two-groupby significant-terms aggregation at corpus scale
+    timed("phrase_search", q.q_phrase_search)
+    timed("significant_terms", q.q_significant_terms)
 
     headline = extract_sec + crawl_sec
     result = {
