@@ -4228,3 +4228,72 @@ def test_index_size_est_varints_and_stitching(ray_session):
             df, bytes_ = oracle(ids)
             assert got.loc[tok, "df"] == df, (nparts, tok)
             assert got.loc[tok, "postings_bytes"] == bytes_, (nparts, tok)
+
+
+def test_round5_ops_empty_corpus(ray_session):
+    """Zero-row hardening for the round-5 session-5 operator batch: every
+    new operator must return its TYPED empty output on an empty corpus
+    (zero-row blocks bypass map_batches; empty materialized datasets lose
+    schemas — CLAUDE.md)."""
+    import ray.data
+
+    from engine.stages.clean import encoding_anomalies
+    from engine.stages.export import balanced_shards
+    from engine.stages.index_build import (
+        index_size_est,
+        phrase_from_index,
+        positional_postings,
+    )
+    from engine.stages.quantiles import percentile_ranks
+    from engine.stages.search import (
+        bool_search,
+        collapse_topk,
+        fuzzy_search,
+        phrase_search,
+        regex_search,
+        rescore_topk,
+        search_facets,
+        significant_terms,
+        snippet_search,
+        spell_suggest,
+        prefix_suggest,
+    )
+    from engine.stages.text import readability
+
+    empty_docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+    def rows(x):
+        import pyarrow as _pa
+
+        if isinstance(x, _pa.Table):
+            return x.num_rows
+        return x.count()
+
+    assert rows(phrase_search(empty_docs, "a b")) == 0
+    assert rows(snippet_search(empty_docs, ["a"])) == 0
+    assert rows(search_facets(empty_docs, "a", facets=("lang", "source"))) == 0
+    assert rows(spell_suggest(empty_docs, "abc")) == 0
+    assert rows(prefix_suggest(empty_docs, "a")) == 0
+    assert rows(regex_search(empty_docs, "a+")) == 0
+    assert rows(significant_terms(empty_docs, "a")) == 0
+    assert rows(collapse_topk(empty_docs, "a")) == 0
+    assert rows(rescore_topk(empty_docs, "a", "b")) == 0
+    assert rows(fuzzy_search(empty_docs, "abc")) == 0
+    assert rows(bool_search(empty_docs, must=["a"], should=["b"])) == 0
+    assert rows(readability(empty_docs)) == 0
+    assert rows(encoding_anomalies(empty_docs)) == 0
+    assert rows(balanced_shards(empty_docs)) == 0
+    assert rows(percentile_ranks(empty_docs, [1, 2], col="n_chars")) == 0
+    assert rows(positional_postings(empty_docs, ["a"])) == 0
+    assert rows(phrase_from_index(empty_docs, "a b")) == 0
+    assert rows(index_size_est(empty_docs, ["a"])) == 0
