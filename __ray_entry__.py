@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_size_est": q.q_index_size_est,
         "fuzzy_search": q.q_fuzzy_search,
         "bool_search": q.q_bool_search,
+        "percolate": q.q_percolate,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (dHash has no SQL analog; brute-force oracle test)
@@ -1195,6 +1196,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fuzzy_tokens,
                    CAST(min(d) AS BIGINT) AS best_dist
             FROM m GROUP BY doc_id
+        """,
+        "percolate": """
+            WITH lt AS (SELECT doc_id, lower(coalesce(text,'')) AS t
+                        FROM documents),
+            q(query_id) AS (VALUES (1), (2), (3), (4))
+            SELECT doc_id, CAST(query_id AS BIGINT) AS query_id
+            FROM lt, q
+            WHERE (query_id = 1 AND position('merge' IN t) > 0)
+               OR (query_id = 2 AND position('batch' IN t) > 0
+                               AND position('window' IN t) > 0)
+               OR (query_id = 3 AND position('table' IN t) > 0
+                               AND position('merge' IN t) = 0)
+               OR (query_id = 4 AND position('zebra' IN t) > 0)
         """,
         "bool_search": """
             WITH lt AS (SELECT doc_id, lower(coalesce(text,'')) AS t

@@ -3014,3 +3014,23 @@ def q_index_size_est(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return index_size_est(ds, ["value", "table", "join", "dup"])
+
+
+def q_percolate(sf_dir: str):
+    """Percolation (search.percolate): the ES percolator — four stored
+    boolean queries matched against every document (alerting/saved-search
+    primitive); the query registry broadcasts in the closure, each
+    distinct clause term costs one Arrow find_substring, matching is
+    numpy boolean algebra.  SQL-verified."""
+    from engine.stages.search import percolate
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return percolate(
+        ds,
+        [
+            (1, ["merge"], []),
+            (2, ["batch", "window"], []),
+            (3, ["table"], ["merge"]),
+            (4, ["zebra"], []),
+        ],
+    )

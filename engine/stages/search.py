@@ -1470,3 +1470,74 @@ def bool_search(
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def percolate(
+    ds: ray.data.Dataset,
+    stored_queries: Sequence[Tuple[int, Sequence[str], Sequence[str]]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Percolation — the ES percolator, search INVERTED: the queries are
+    stored, each incoming document is matched against all of them (the
+    alerting/saved-search/routing primitive).  ``stored_queries`` is a
+    driver-sized registry of ``(query_id, must_terms, must_not_terms)``
+    with case-insensitive substring clauses; output is one row per
+    (doc, matching query): ``(id, query_id)``.
+
+    The registry broadcasts in the task closure (small by definition —
+    it is authored by humans); per batch each clause costs ONE Arrow
+    ``find_substring`` over the lowercased column and the doc x query
+    match matrix is numpy boolean algebra — no shuffle, no Python per
+    row, output grows only with matches."""
+    reg = [
+        (int(qid), [w.lower() for w in must], [w.lower() for w in must_not])
+        for qid, must, must_not in stored_queries
+    ]
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "query_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return empty
+        low = pc.fill_null(pc.utf8_lower(t.column(text_col)), "")
+        n = t.num_rows
+        # each distinct clause term evaluated once across all queries
+        terms = sorted(
+            {w for _, mu, mn in reg for w in mu}
+            | {w for _, mu, mn in reg for w in mn}
+        )
+        has = {
+            w: pc.not_equal(pc.find_substring(low, pattern=w), -1)
+            .to_numpy(zero_copy_only=False)
+            for w in terms
+        }
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+        out_id: List[np.ndarray] = []
+        out_q: List[np.ndarray] = []
+        for qid, must, must_not in reg:
+            ok = np.ones(n, bool)
+            for w in must:
+                ok &= has[w]
+            for w in must_not:
+                ok &= ~has[w]
+            if ok.any():
+                out_id.append(ids[ok])
+                out_q.append(np.full(int(ok.sum()), qid, np.int64))
+        if not out_id:
+            return empty
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -4297,3 +4297,18 @@ def test_round5_ops_empty_corpus(ray_session):
     assert rows(positional_postings(empty_docs, ["a"])) == 0
     assert rows(phrase_from_index(empty_docs, "a b")) == 0
     assert rows(index_size_est(empty_docs, ["a"])) == 0
+
+
+def test_percolate_registry_and_empty(ray_session):
+    from engine.stages.search import percolate
+
+    rows = [(1, "Alpha beta"), (2, "beta gamma"), (3, None)]
+    reg = [(10, ["alpha"], []), (20, ["beta"], ["gamma"]), (30, ["x"], [])]
+    got = (
+        percolate(_docs_ds(rows), reg)
+        .to_pandas()
+        .sort_values(["doc_id", "query_id"])
+        .reset_index(drop=True)
+    )
+    assert [tuple(r) for r in got.to_numpy()] == [(1, 10), (1, 20)]
+    assert percolate(_docs_ds([]), reg).count() == 0
