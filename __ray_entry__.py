@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": q.q_fuzzy_search,
         "bool_search": q.q_bool_search,
         "percolate": q.q_percolate,
+        "graph_components": q.q_graph_components,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (dHash has no SQL analog; brute-force oracle test)
@@ -1196,6 +1197,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fuzzy_tokens,
                    CAST(min(d) AS BIGINT) AS best_dist
             FROM m GROUP BY doc_id
+        """,
+        # CC with a FULL SQL oracle: closure with min-label pruning
+        # (r.lbl < u.b keeps only useful propagations; the component min
+        # always passes).  NB the und/nodes CTEs use SELECT DISTINCT over
+        # UNION ALL -- inside WITH RECURSIVE a bare UNION is parsed as an
+        # anchor/recursive pair and skips dedup (CLAUDE.md).
+        "graph_components": """
+            WITH RECURSIVE m AS (SELECT doc_id, source,
+                    CAST(row_number() OVER (
+                        PARTITION BY source ORDER BY doc_id) - 1
+                        AS BIGINT) AS pos,
+                    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+                FROM documents),
+            offs(d) AS (VALUES (1), (2), (3)),
+            ring AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                     FROM m a JOIN m b ON a.source = b.source
+                     CROSS JOIN offs
+                     WHERE b.pos = (a.pos + offs.d) % a.n
+                       AND b.doc_id != a.doc_id),
+            ord AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1
+                                   AS BIGINT) AS idx FROM documents),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+            crosse AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                       FROM documents a CROSS JOIN nn
+                       JOIN ord b ON b.idx = (a.doc_id * 7 + 3) % nn.c
+                       WHERE b.doc_id != a.doc_id),
+            edges AS (SELECT DISTINCT src, dst
+                      FROM (SELECT * FROM ring UNION ALL SELECT * FROM crosse)
+                      WHERE (src + dst) % 3 != 0),
+            und AS (SELECT DISTINCT a, b FROM
+                    (SELECT src AS a, dst AS b FROM edges
+                     UNION ALL SELECT dst, src FROM edges)),
+            nodes AS (SELECT DISTINCT a AS node FROM und),
+            reach(node, lbl) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+              WHERE r.lbl < u.b
+            )
+            SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "percolate": """
             WITH lt AS (SELECT doc_id, lower(coalesce(text,'')) AS t

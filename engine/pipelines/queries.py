@@ -3034,3 +3034,23 @@ def q_percolate(sf_dir: str):
             (4, ["zebra"], []),
         ],
     )
+
+
+def q_graph_components(sf_dir: str):
+    """Weakly-connected components of the derived link graph
+    (dedup.connected_components over _derived_edges, undirected): the
+    mirror-site / duplicate-cluster grouping step, here with a FULL SQL
+    oracle (recursive-CTE reachability with min-label pruning) — the
+    SQL-verified instance of the CC operator the dedup family uses
+    rows-only.  SQL-verified."""
+    from engine.stages.dedup import connected_components
+
+    edges = _derived_edges(sf_dir)
+    pairs = edges.map_batches(
+        lambda t: pa.table(
+            {"doc_a": t.column("src"), "doc_b": t.column("dst")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return connected_components(pairs)
