@@ -14,6 +14,7 @@ guaranteed dependency here; the subcommand surface is preserved):
   parse-robots     robots.txt corpus -> politeness parquet
   cdx              .warc.gz shards -> sorted CDX parquet (random-access index)
   search           BM25 top-k over a docs table, with snippets and facets
+  query            run a JSON search-DSL clause (bool/phrase/fuzzy/regexp/match)
 
 Run under a Ray job:  ray job submit -- python -m engine.cli index ...
 Owns its own Ray session (guarded init; the library never calls ray.init).
@@ -478,6 +479,46 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run one JSON query-DSL clause (engine.stages.dsl) against a docs
+    parquet — the ES `_search` request-body analog; prints the match
+    count, the first rows, and optional facet counts."""
+    ray = _ray_session(args.num_cpus)
+    from engine.stages.dsl import run_query_dsl
+    from engine.stages.search import search_facets
+
+    t0 = time.monotonic()
+    if args.dsl_file:
+        with open(args.dsl_file) as f:
+            dsl = json.load(f)
+    else:
+        dsl = json.loads(args.dsl)
+    ds = ray.data.read_parquet(args.docs)
+    res = run_query_dsl(ds, dsl).materialize()
+    n = res.count()
+    for row in res.take(args.head):
+        print(row)
+    if args.facets:
+        kind, body = next(iter(dsl.items()))
+        term = (
+            body.get("must", body.get("terms", [""]))[0]
+            if isinstance(body, dict)
+            else str(body).split()[0]
+        )
+        fac = search_facets(
+            ray.data.read_parquet(args.docs),
+            term,
+            facets=tuple(args.facets.split(",")),
+        )
+        for row in fac.sort_by(
+            [("facet", "ascending"), ("doc_count", "descending")]
+        ).to_pylist():
+            print(f"  [{row['facet']}] {row['value']}: {row['doc_count']}")
+    print(f"Time taken: {time.monotonic() - t0:.2f}s — {n} matches")
+    _shutdown(ray)
+    return 0
+
+
 def cmd_clean(args) -> int:
     """The reference's clear-redis analog (index.py:245-282): drop state."""
     if os.path.isdir(args.path):
@@ -602,6 +643,14 @@ def main(argv=None) -> int:
     se.add_argument("--snippet-before", type=int, default=40)
     se.add_argument("--snippet-width", type=int, default=120)
     se.set_defaults(fn=cmd_search)
+
+    qy = sub.add_parser("query", help="run a JSON search-DSL clause")
+    qy.add_argument("docs")
+    qy.add_argument("--dsl", default=None, help="inline JSON clause")
+    qy.add_argument("--dsl-file", default=None, help="path to JSON clause")
+    qy.add_argument("--head", type=int, default=5)
+    qy.add_argument("--facets", default="")
+    qy.set_defaults(fn=cmd_query)
 
     cx = sub.add_parser("cdx", help=".warc.gz shards -> sorted CDX parquet")
     cx.add_argument("warcs", help=".warc.gz file or directory of shards")

@@ -154,3 +154,30 @@ def test_search_cli(ray_session, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "1. doc" in out and "target" in out
     assert "[lang]" in out and "hits" in out
+
+
+def test_query_dsl_cli(ray_session, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = tmp_path / "qdocs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(12), pa.int64()),
+                "text": pa.array(
+                    [f"alpha beta {'gamma' if i % 3 else 'delta'}" for i in range(12)],
+                    pa.string(),
+                ),
+                "lang": pa.array(["en"] * 12, pa.string()),
+            }
+        ),
+        docs,
+    )
+    rc = main(
+        ["query", str(docs), "--dsl",
+         '{"bool": {"must": ["alpha"], "must_not": ["delta"]}}']
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "8 matches" in out

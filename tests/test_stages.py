@@ -4312,3 +4312,45 @@ def test_percolate_registry_and_empty(ray_session):
     )
     assert [tuple(r) for r in got.to_numpy()] == [(1, 10), (1, 20)]
     assert percolate(_docs_ds([]), reg).count() == 0
+
+
+def test_query_dsl_dispatch(ray_session):
+    """Every DSL clause routes to the verified operator and matches a
+    direct call; unknown clauses rejected loudly."""
+    import pytest
+
+    from engine.stages import search as s
+    from engine.stages.dsl import run_query_dsl
+
+    rows = [(1, "alpha beta gamma"), (2, "beta beta"), (3, "delta")]
+    ds = _docs_ds(rows)
+
+    def pdf(x):
+        return (
+            x.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            if hasattr(x, "to_pandas")
+            else x
+        )
+
+    assert pdf(run_query_dsl(_docs_ds(rows), {"phrase": "beta beta"})).equals(
+        pdf(s.phrase_search(_docs_ds(rows), "beta beta"))
+    )
+    assert pdf(
+        run_query_dsl(
+            _docs_ds(rows),
+            {"bool": {"must": ["beta"], "must_not": ["delta"]}},
+        )
+    ).equals(pdf(s.bool_search(_docs_ds(rows), must=["beta"], must_not=["delta"])))
+    assert pdf(
+        run_query_dsl(_docs_ds(rows), {"fuzzy": {"term": "bita"}})
+    ).equals(pdf(s.fuzzy_search(_docs_ds(rows), "bita", max_dist=1)))
+    assert pdf(run_query_dsl(_docs_ds(rows), {"regexp": "be+ta"})).equals(
+        pdf(s.regex_search(_docs_ds(rows), "be+ta"))
+    )
+    assert pdf(
+        run_query_dsl(_docs_ds(rows), {"match": {"terms": ["alpha", "beta"]}})
+    ).equals(pdf(s.snippet_search(_docs_ds(rows), ["alpha", "beta"])))
+    with pytest.raises(ValueError):
+        run_query_dsl(ds, {"nope": 1})
+    with pytest.raises(ValueError):
+        run_query_dsl(ds, {"phrase": "a", "regexp": "b"})
