@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_search": q.q_bool_search,
         "percolate": q.q_percolate,
         "graph_components": q.q_graph_components,
+        "shipping_priority": q.q_shipping_priority,
+        "late_orders": q.q_late_orders,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (dHash has no SQL analog; brute-force oracle test)
@@ -1197,6 +1199,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fuzzy_tokens,
                    CAST(min(d) AS BIGINT) AS best_dist
             FROM m GROUP BY doc_id
+        """,
+        # integer revenue cents: floor(p*(1-d)*100+0.5) is the identical
+        # IEEE float64 expression on both sides; sums exact int64
+        "shipping_priority": """
+            WITH c AS (SELECT c_custkey FROM customer
+                       WHERE c_mktsegment = 'BUILDING'),
+            o AS (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+                  WHERE o_orderdate < TIMESTAMP '1995-03-15'
+                    AND o_custkey IN (SELECT c_custkey FROM c)),
+            l AS (SELECT l_orderkey,
+                         CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT) AS cents
+                  FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-03-15'
+                    AND l_orderkey IN (SELECT o_orderkey FROM o))
+            SELECT l.l_orderkey, CAST(sum(l.cents) AS BIGINT) AS revenue_c,
+                   CAST(epoch_us(any_value(o.o_orderdate)) // 86400000000
+                        AS BIGINT) AS order_day,
+                   any_value(o.o_orderpriority) AS o_orderpriority
+            FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+            GROUP BY l.l_orderkey
+            ORDER BY revenue_c DESC, l_orderkey LIMIT 10
+        """,
+        "late_orders": """
+            WITH late AS (
+              SELECT o.o_orderkey FROM orders o
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE epoch_us(l.l_shipdate) // 86400000000
+                    > epoch_us(o.o_orderdate) // 86400000000 + 120
+              GROUP BY o.o_orderkey)
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+            FROM orders
+            WHERE o_orderkey IN (SELECT o_orderkey FROM late)
+            GROUP BY o_orderpriority
         """,
         # CC with a FULL SQL oracle: closure with min-label pruning
         # (r.lbl < u.b keeps only useful propagations; the component min

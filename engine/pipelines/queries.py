@@ -3054,3 +3054,264 @@ def q_graph_components(sf_dir: str):
         zero_copy_batch=True,
     )
     return connected_components(pairs)
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped multi-join: top-10 unshipped orders by revenue for
+    one market segment — customer (dimension) filters broadcast as a key
+    set, filtered orders broadcast as a {orderkey: (day, priority)} map
+    (the lookup_join device — dimension sides are small by schema
+    design), lineitem pre-aggregates integer revenue cents per batch
+    (floor(p*(1-d)*100+0.5): the same IEEE float64 expression DuckDB
+    evaluates, summed exactly as int64), ONE groupby(l_orderkey), then
+    per-block partial top-10 merged on the driver (ann._PartialTopK
+    pattern — no global sort).  SQL-verified."""
+    import datetime as _dt
+
+    import numpy as np
+
+    from engine.stages.common import collect_arrow_blocks
+    from ray.data.aggregate import Sum
+
+    CUT = _dt.datetime(1995, 3, 15)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    ckeys = set()
+    for b in collect_arrow_blocks(
+        cust.map_batches(
+            lambda t: t.filter(
+                pc.equal(t.column("c_mktsegment"), "BUILDING")
+            ).select(["c_custkey"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        required_col="c_custkey",
+    ):
+        ckeys.update(b.column("c_custkey").to_pylist())
+    ckey_arr = pa.array(sorted(ckeys), pa.int64())
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    omap = {}
+    for b in collect_arrow_blocks(
+        orders.map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.less(t.column("o_orderdate"), pa.scalar(CUT)),
+                    pc.is_in(t.column("o_custkey"), value_set=ckey_arr),
+                )
+            ).select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        required_col="o_orderkey",
+    ):
+        for ok, od, op in zip(
+            b.column("o_orderkey").to_pylist(),
+            b.column("o_orderdate").to_pylist(),
+            b.column("o_orderpriority").to_pylist(),
+        ):
+            epoch_us = int(od.timestamp() * 1_000_000) if od.tzinfo else int(
+                (od - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+            )
+            omap[ok] = (epoch_us // 86_400_000_000, op)
+    okey_arr = pa.array(sorted(omap), pa.int64())
+    omap_ref = ray.put(omap)
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        kept = t.filter(
+            pc.and_(
+                pc.greater(t.column("l_shipdate"), pa.scalar(CUT)),
+                pc.is_in(t.column("l_orderkey"), value_set=okey_arr),
+            )
+        )
+        if kept.num_rows == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "revenue_c": pa.array([], pa.int64()),
+                }
+            )
+        p = kept.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = kept.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        return (
+            pa.table(
+                {
+                    "l_orderkey": kept.column("l_orderkey").cast(pa.int64()),
+                    "revenue_c": pa.array(cents, pa.int64()),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("revenue_c", "sum")])
+            .select(["l_orderkey", "revenue_c_sum"])
+            .rename_columns(["l_orderkey", "revenue_c"])
+        )
+
+    agg = (
+        line.map_batches(
+            cents_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    )
+
+    keys = [("revenue_c", "descending"), ("l_orderkey", "ascending")]
+
+    def topk_partial(t: pa.Table, ref=omap_ref) -> pa.Table:
+        t = t.select(["l_orderkey", "revenue_c"])
+        if t.num_rows > 10:
+            t = t.take(pc.sort_indices(t, sort_keys=keys)[:10])
+        om = ray.get(ref)
+        days, prios = [], []
+        for ok in t.column("l_orderkey").to_pylist():
+            day, op = om[ok]
+            days.append(day)
+            prios.append(op)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "revenue_c": pc.cast(t.column("revenue_c"), pa.int64()),
+                "order_day": pa.array(days, pa.int64()),
+                "o_orderpriority": pa.array(prios, pa.string()),
+            }
+        )
+
+    blocks = collect_arrow_blocks(
+        agg.map_batches(topk_partial, batch_format="pyarrow", zero_copy_batch=True),
+        required_col="revenue_c",
+    )
+    empty = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "revenue_c": pa.array([], pa.int64()),
+            "order_day": pa.array([], pa.int64()),
+            "o_orderpriority": pa.array([], pa.string()),
+        }
+    )
+    if not blocks:
+        return empty
+    allc = pa.concat_tables(blocks, promote_options="default")
+    return allc.take(pc.sort_indices(allc, sort_keys=keys)[:10])
+
+
+def q_late_orders(sf_dir: str):
+    """TPC-H Q4-shaped order-priority count: orders with >= 1 lineitem
+    shipped more than 120 days after the order date, counted per
+    priority.  The order-lineitem join is the UNION + coarse-bucket
+    groupby semi-join (clean.line_dedup's device — NO broadcast, both
+    sides shuffle only (key, day) integer rows), the per-priority count
+    is a per-bucket partial + driver merge (priority cardinality is 5).
+    SQL-verified."""
+    import numpy as np
+
+    from engine.stages.common import collect_arrow_blocks
+
+    DAY_US = 86_400_000_000
+    nb = _cpus() * 4
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def _day(col) -> pa.Array:
+        # pin the unit BEFORE the integer cast: parquet may store ns
+        us = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        return pc.cast(pc.divide(us, DAY_US), pa.int64())
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").cast(pa.int64())
+        return pa.table(
+            {
+                "key": k,
+                "bucket": pa.array(
+                    k.to_numpy(zero_copy_only=False) % nb, pa.int64()
+                ),
+                "kind": pa.array([0] * t.num_rows, pa.int8()),
+                "day": _day(t.column("o_orderdate")),
+                "prio": t.column("o_orderpriority"),
+            }
+        )
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").cast(pa.int64())
+        day = _day(t.column("l_shipdate"))
+        return pa.table(
+            {
+                "key": k,
+                "bucket": pa.array(
+                    (k.to_numpy(zero_copy_only=False) % nb), pa.int64()
+                ),
+                "kind": pa.array([1] * t.num_rows, pa.int8()),
+                "day": day,
+                "prio": pa.array([None] * t.num_rows, pa.string()),
+            }
+        )
+
+    both = orders.map_batches(
+        o_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(line.map_batches(l_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = g.column("key").to_numpy(zero_copy_only=False)
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((kind, k))  # order row (kind 0) first per key
+        k, kind, day = k[order], kind[order], day[order]
+        prio = np.asarray(g.column("prio").to_pylist(), dtype=object)[order]
+        new = np.ones(len(k), bool)
+        new[1:] = k[1:] != k[:-1]
+        grp = np.cumsum(new) - 1
+        firsts = np.flatnonzero(new)
+        oday = day[firsts]  # per-key order date (kind 0 sorts first)
+        # max ship day per key over lineitem rows only
+        sday = np.where(kind == 1, day, np.int64(-(1 << 62)))
+        maxship = np.maximum.reduceat(sday, firsts)
+        late = maxship > oday + 120
+        # guard: keys lacking an order row (none in valid data) excluded
+        late &= kind[firsts] == 0
+        from collections import Counter
+
+        c = Counter(prio[firsts[late]])
+        ps = sorted(c)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(ps, pa.string()),
+                "n_late": pa.array([c[p] for p in ps], pa.int64()),
+            }
+        )
+
+    blocks = collect_arrow_blocks(
+        both.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow"),
+        required_col="n_late",
+    )
+    empty = pa.table(
+        {
+            "o_orderpriority": pa.array([], pa.string()),
+            "n_late": pa.array([], pa.int64()),
+        }
+    )
+    if not blocks:
+        return empty
+    allp = pa.concat_tables(blocks, promote_options="default")
+    merged = (
+        allp.group_by("o_orderpriority")
+        .aggregate([("n_late", "sum")])
+        .select(["o_orderpriority", "n_late_sum"])
+        .rename_columns(["o_orderpriority", "n_late"])
+    )
+    return merged.set_column(
+        1, "n_late", pc.cast(merged.column("n_late"), pa.int64())
+    )

@@ -88,7 +88,7 @@ SQL_NAMES = [
     "collapse_topk", "percentile_ranks", "events_moving",
     "encoding_anomalies", "positional_postings", "phrase_index",
     "rescore", "fuzzy_search", "bool_search", "index_size_est",
-    "percolate", "graph_components",
+    "percolate", "graph_components", "shipping_priority", "late_orders",
 ]
 
 
