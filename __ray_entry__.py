@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": q.q_graph_components,
         "shipping_priority": q.q_shipping_priority,
         "late_orders": q.q_late_orders,
+        "oov_rate": q.q_oov_rate,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (dHash has no SQL analog; brute-force oracle test)
@@ -1199,6 +1200,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fuzzy_tokens,
                    CAST(min(d) AS BIGINT) AS best_dist
             FROM m GROUP BY doc_id
+        """,
+        "oov_rate": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(coalesce(text,''),
+                     '[^\t\n\x0b\x0c\r ]+')) AS term
+              FROM documents
+            ), vocab AS (
+              SELECT term FROM (SELECT term, count(*) AS cf FROM tok
+                                GROUP BY term)
+              ORDER BY cf DESC, term LIMIT 20
+            ), per AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(count(*) FILTER (WHERE term NOT IN
+                          (SELECT term FROM vocab)) AS BIGINT) AS n_oov
+              FROM tok GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, n_oov,
+                   (1000000 * n_oov) // n_tokens AS oov_ppm
+            FROM per WHERE n_tokens > 0
         """,
         # integer revenue cents: floor(p*(1-d)*100+0.5) is the identical
         # IEEE float64 expression on both sides; sums exact int64

@@ -3315,3 +3315,14 @@ def q_late_orders(sf_dir: str):
     return merged.set_column(
         1, "n_late", pc.cast(merged.column("n_late"), pa.int64())
     )
+
+
+def q_oov_rate(sf_dir: str):
+    """Vocabulary coverage (text.oov_rate): per-doc OOV token count and
+    exact integer-ppm rate against the top-20 cf vocabulary — the
+    tokenizer vocab-size analytic.  Shared _vocab_cf groupby + partial
+    top-k head, then one vectorized index_in scan.  SQL-verified."""
+    from engine.stages.text import oov_rate
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return oov_rate(ds, vocab_size=20)

@@ -439,3 +439,92 @@ def readability(
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def oov_rate(
+    ds: "ray.data.Dataset",
+    *,
+    vocab_size: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Vocabulary coverage — the analytic behind every tokenizer
+    vocab-size decision: build the top-``vocab_size`` term dictionary by
+    (cf desc, term asc), then report each document's out-of-vocabulary
+    token count and rate (exact integer ppm).  Two passes: the
+    suggesters' shared ``_vocab_cf`` groupby + partial top-k head, then
+    one vectorized scan (``index_in`` against the broadcast vocab).
+    Docs with zero tokens drop.  SQL-verified."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from engine.stages.common import collect_arrow_blocks
+    from engine.stages.search import _vocab_cf
+
+    keys = [("cf", "descending"), ("term", "ascending")]
+
+    def head_partial(t: pa.Table) -> pa.Table:
+        t = t.select(["term", "cf"])
+        if t.num_rows <= vocab_size:
+            return t
+        return t.take(pc.sort_indices(t, sort_keys=keys)[:vocab_size])
+
+    blocks = collect_arrow_blocks(
+        _vocab_cf(ds, text_col).map_batches(
+            head_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        required_col="cf",
+    )
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_oov": pa.array([], pa.int64()),
+            "oov_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if not blocks:
+        return ray.data.from_arrow(empty)
+    allc = pa.concat_tables(blocks, promote_options="default")
+    head = allc.take(pc.sort_indices(allc, sort_keys=keys)[:vocab_size])
+    vocab_arr = head.column("term").combine_chunks()
+    vocab_ref = ray.put(vocab_arr)
+
+    def scan(t: pa.Table, ref=vocab_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        va = ray.get(ref)
+        texts = t.column(text_col).to_pylist()
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+        tok_lists = [_TOKEN.findall(x or "") for x in texts]
+        lens = np.fromiter(
+            (len(tl) for tl in tok_lists), np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = pa.array([w for tl in tok_lists for w in tl], pa.string())
+        inv = (
+            pc.fill_null(pc.index_in(flat, value_set=va), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            >= 0
+        )
+        pref = np.zeros(total + 1, np.int64)
+        np.cumsum(~inv, out=pref[1:])
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        oov = pref[starts[1:]] - pref[starts[:-1]]
+        keep = lens > 0
+        nk, ok = lens[keep], oov[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(nk, pa.int64()),
+                "n_oov": pa.array(ok, pa.int64()),
+                "oov_ppm": pa.array((1_000_000 * ok) // nk, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)

@@ -4354,3 +4354,31 @@ def test_query_dsl_dispatch(ray_session):
         run_query_dsl(ds, {"nope": 1})
     with pytest.raises(ValueError):
         run_query_dsl(ds, {"phrase": "a", "regexp": "b"})
+
+
+def test_oov_rate_boundary_ties_and_empty(ray_session):
+    """Vocab head ties at the size boundary break by term asc (both
+    sides); zero-token docs drop; empty corpus typed-empty."""
+    from engine.stages.text import oov_rate
+
+    rows = [
+        (1, "a a b b c"),   # cf: a2 b2 c1
+        (2, "c d"),
+        (3, "   "),
+        (4, None),
+    ]
+    # vocab_size=2: cf ties a=2,b=2 -> both in; c,d out
+    got = (
+        oov_rate(_docs_ds(rows), vocab_size=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert [tuple(r) for r in got.to_numpy()] == [
+        (1, 5, 1, 200000),
+        (2, 2, 2, 1000000),
+    ]
+    # vocab_size=3 boundary tie between c(1) and d(1) -> c by term asc
+    g3 = oov_rate(_docs_ds(rows), vocab_size=3).to_pandas().set_index("doc_id")
+    assert g3.loc[2, "n_oov"] == 1
+    assert oov_rate(_docs_ds([]), vocab_size=2).count() == 0
