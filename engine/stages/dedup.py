@@ -1829,3 +1829,51 @@ def winnow_overlap_pairs(
         label="winnow_overlap_pairs",
     )
     return _rename_pairs(pairs, "shared_fps", "overlap_ppm")
+
+
+def plan_lsh(
+    num_perm: int,
+    threshold: float,
+    *,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> Tuple[int, int]:
+    """Choose (bands, rows_per_band) for MinHash LSH — the standard
+    S-curve optimizer (public: Leskovec/Rajaraman/Ullman MMDS §3.4;
+    datasketch's `_optimal_param`): collision probability at similarity
+    ``s`` is ``1 - (1 - s^r)^b``; pick the factorization minimizing the
+    weighted false-positive integral below ``threshold`` plus the
+    false-negative integral above it (midpoint rule, 512 steps —
+    deterministic, no RNG).  Only EXACT factorizations ``b * r ==
+    num_perm`` are considered — the banded implementation slices every
+    signature completely, wasting no permutations.
+
+    Returns ``(bands, rows_per_band)``.  The repo default
+    (_LSH_BANDS=16 x _ROWS_PER_BAND=4 over _N_PERM=64) matches this
+    planner's output for the default 0.5 threshold — asserted in tests
+    so the shipped constants can never silently drift from the math."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    steps = 512
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        # false positive area: s in (0, threshold)
+        fp = 0.0
+        for i in range(steps):
+            s = threshold * (i + 0.5) / steps
+            fp += 1.0 - (1.0 - s**r) ** b
+        fp *= threshold / steps
+        # false negative area: s in (threshold, 1)
+        fn = 0.0
+        for i in range(steps):
+            s = threshold + (1.0 - threshold) * (i + 0.5) / steps
+            fn += (1.0 - s**r) ** b
+        fn *= (1.0 - threshold) / steps
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0] - 1e-15:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]

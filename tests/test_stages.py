@@ -4382,3 +4382,21 @@ def test_oov_rate_boundary_ties_and_empty(ray_session):
     g3 = oov_rate(_docs_ds(rows), vocab_size=3).to_pandas().set_index("doc_id")
     assert g3.loc[2, "n_oov"] == 1
     assert oov_rate(_docs_ds([]), vocab_size=2).count() == 0
+
+
+def test_plan_lsh_matches_shipped_constants():
+    """The S-curve planner reproduces the shipped LSH banding at the
+    default 0.5 threshold (constants can't silently drift from the math),
+    is monotone in threshold (higher threshold -> more rows per band),
+    and rejects bad thresholds."""
+    import pytest
+
+    from engine.stages.dedup import _LSH_BANDS, _N_PERM, _ROWS_PER_BAND, plan_lsh
+
+    assert plan_lsh(_N_PERM, 0.5) == (_LSH_BANDS, _ROWS_PER_BAND)
+    rows = [plan_lsh(64, th)[1] for th in (0.3, 0.5, 0.7, 0.9)]
+    assert rows == sorted(rows) and rows[0] < rows[-1]
+    b, r = plan_lsh(128, 0.5)
+    assert b * r == 128
+    with pytest.raises(ValueError):
+        plan_lsh(64, 1.0)
