@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (dHash has no SQL analog; brute-force oracle test)
         "image_phash": q.q_image_phash,
         "audio_phash": q.q_audio_phash,
+        # rows-only (gear rolling hash has no SQL analog; oracle tests)
+        "cdc_stats": q.q_cdc_stats,
         "term_stats": q.q_term_stats,
         "postings": q.q_postings,
         "unigram_nll": q.q_unigram_nll,

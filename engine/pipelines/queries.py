@@ -3326,3 +3326,17 @@ def q_oov_rate(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return oov_rate(ds, vocab_size=20)
+
+
+def q_cdc_stats(sf_dir: str):
+    """Content-defined-chunking storage-dedup estimate (cdc.cdc_chunk_stats)
+    over the documents corpus: vectorized gear rolling hash (W shifted
+    adds per batch, no per-byte Python), greedy min/max enforcement over
+    sparse candidates, md5 chunk digests, one digest groupby — payload
+    bytes never shuffle.  Rows-only (rolling hash has no SQL analog);
+    sequential-oracle + edit-locality + distributed-vs-driver tests in
+    tests/test_stages.py."""
+    from engine.stages.cdc import cdc_chunk_stats
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return cdc_chunk_stats(ds)

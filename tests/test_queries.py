@@ -148,6 +148,7 @@ ROWS_ONLY = [
     ("emb_pca", 1),
     ("image_phash", 1),
     ("audio_phash", 1),
+    ("cdc_stats", 1),
 ]
 
 

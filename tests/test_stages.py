@@ -4400,3 +4400,91 @@ def test_plan_lsh_matches_shipped_constants():
     assert b * r == 128
     with pytest.raises(ValueError):
         plan_lsh(64, 1.0)
+
+
+def test_cdc_boundaries_match_sequential_oracle(ray_session):
+    """Vectorized windowed gear hash == per-byte sequential formulation;
+    min/max enforcement; edit locality (middle insert disturbs O(1)
+    chunks); empty payload."""
+    from engine.stages.cdc import _GEAR, _W, cdc_boundaries
+
+    def oracle(data, mask_bits=8, min_size=64, max_size=1024):
+        n = len(data)
+        cand = []
+        for i in range(n):
+            h = 0
+            for k in range(_W):
+                if i - k < 0:
+                    break
+                h = (h + (int(_GEAR[data[i - k]]) << k)) % (1 << 64)
+            if h & ((1 << mask_bits) - 1) == 0:
+                cand.append(i + 1)
+        ends, start = [], 0
+        for c in cand:
+            if c - start < min_size:
+                continue
+            while c - start > max_size:
+                start += max_size
+                ends.append(start)
+            ends.append(c)
+            start = c
+        while n - start > max_size:
+            start += max_size
+            ends.append(start)
+        if start < n:
+            ends.append(n)
+        return ends
+
+    rng = np.random.RandomState(1)
+    for _ in range(3):
+        data = bytes(
+            rng.randint(0, 256, size=rng.randint(0, 3000)).astype(np.uint8)
+        )
+        assert cdc_boundaries(data) == oracle(data)
+    assert cdc_boundaries(b"") == []
+    for ends, data in [(cdc_boundaries(b"x" * 5000), b"x" * 5000)]:
+        sizes = np.diff([0] + ends)
+        assert (sizes <= 1024).all() and ends[-1] == len(data)
+
+    base = bytes(rng.randint(0, 256, size=5000).astype(np.uint8))
+    edited = base[:2500] + b"XXXX" + base[2500:]
+
+    def chunks(d):
+        out, s = [], 0
+        for e in cdc_boundaries(d):
+            out.append(d[s:e])
+            s = e
+        return out
+
+    assert len(set(chunks(base)) & set(chunks(edited))) >= len(chunks(base)) - 4
+
+
+def test_cdc_chunk_stats_distributed_matches_driver(ray_session):
+    from collections import Counter
+    from hashlib import md5
+
+    import ray.data
+
+    from engine.stages.cdc import cdc_boundaries, cdc_chunk_stats
+
+    base = "lorem ipsum dolor sit amet " * 40
+    rows = [(i, base + f" unique tail {i} " * 10) for i in range(30)]
+    got = cdc_chunk_stats(_docs_ds(rows).repartition(5)).to_pandas()
+    c: Counter = Counter()
+    sizes = {}
+    for _, txt in rows:
+        d = txt.encode()
+        s = 0
+        for e in cdc_boundaries(d):
+            h = md5(d[s:e]).hexdigest()
+            c[h] += 1
+            sizes[h] = e - s
+            s = e
+    total = sum(sizes[h] * n for h, n in c.items())
+    uniq = sum(sizes.values())
+    exp = (
+        sum(c.values()), len(c), total, uniq,
+        ((total - uniq) * 1_000_000) // total,
+    )
+    assert tuple(got.iloc[0]) == exp
+    assert got.iloc[0]["saved_ppm"] > 300_000
