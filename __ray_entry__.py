@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q.q_shipping_priority,
         "late_orders": q.q_late_orders,
         "oov_rate": q.q_oov_rate,
+        "search_after": q.q_search_after,
+        "multi_match": q.q_multi_match,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (dHash has no SQL analog; brute-force oracle test)
@@ -1221,6 +1223,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, n_oov,
                    (1000000 * n_oov) // n_tokens AS oov_ppm
             FROM per WHERE n_tokens > 0
+        """,
+        # keyset pagination: strictly-after-cursor filter, page-local rank
+        "search_after": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(coalesce(text,''),
+                          '[^\t\n\x0b\x0c\r ]+')) AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM t WHERE n_tokens < 60 OR (n_tokens = 60 AND doc_id > 0)
+            ORDER BY n_tokens DESC, doc_id LIMIT 10
+        """,
+        # multi_match title^3+body: title = first 6 tokens (list slice is
+        # 1-based inclusive), integer field-boost scoring
+        "multi_match": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(coalesce(text,''),
+                     '[^\t\n\x0b\x0c\r ]+') AS tk
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(tk[1:6], x -> x = 'merge'))
+                          AS BIGINT) AS tf_title,
+                     CAST(len(list_filter(tk[7:], x -> x = 'merge'))
+                          AS BIGINT) AS tf_body
+              FROM t
+            )
+            SELECT doc_id, tf_title, tf_body,
+                   CAST(3*tf_title + tf_body AS BIGINT) AS score,
+                   CAST(row_number() OVER (
+                        ORDER BY 3*tf_title + tf_body DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM s WHERE tf_title + tf_body > 0
+            ORDER BY score DESC, doc_id LIMIT 10
         """,
         # integer revenue cents: floor(p*(1-d)*100+0.5) is the identical
         # IEEE float64 expression on both sides; sums exact int64

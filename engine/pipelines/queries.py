@@ -3340,3 +3340,28 @@ def q_cdc_stats(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return cdc_chunk_stats(ds)
+
+
+def q_search_after(sf_dir: str):
+    """ES search_after keyset pagination (search.search_after_page): the
+    next 10 hits strictly after cursor (n_tokens=60, doc_id=0) in
+    (n_tokens DESC, doc_id ASC) order — deep paging without from/size
+    window limits.  One vectorized count+filter pass, then the
+    global_topk candidate merge (each block ships <= page rows).
+    SQL-verified (keyset WHERE + row_number)."""
+    from engine.stages.search import search_after_page
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return search_after_page(ds, after=(60, 0), size=10)
+
+
+def q_multi_match(sf_dir: str):
+    """ES multi_match with field boosts (search.multi_match): title^3 +
+    body for the term 'merge', where title := the doc's first 6 tokens
+    (deterministic, SQL-replayable).  Integer scoring keeps every value
+    bit-verifiable; flattened-token kernel + global_topk merge.
+    SQL-verified (DuckDB list slice + list_filter)."""
+    from engine.stages.search import multi_match
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return multi_match(ds, "merge", title_tokens=6, title_weight=3, k=10)

@@ -1541,3 +1541,141 @@ def percolate(
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def search_after_page(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    after: Tuple[int, int] | None = None,
+    size: int = 10,
+) -> ray.data.Dataset:
+    """ES ``search_after`` keyset pagination — the deep-paging protocol the
+    ChatNoir frontend uses against the reference's ES index (from/size
+    breaks past window limits; search_after threads the last hit's sort
+    values as a cursor).  Sort order is ``(n_tokens DESC, id ASC)`` — an
+    integer relevance proxy plus the unique tiebreaker ES requires — and
+    ``after=(count, id)`` keeps only rows STRICTLY after the cursor in
+    that order.
+
+    Shape: one vectorized map_batches pass (token counts via
+    ``pc.count_substring_regex``, cursor filter as boolean algebra on
+    int64 arrays), then the ``global_topk`` candidate pattern — each block
+    forwards <= size rows, one tiny final resolve; no all-to-all sort, the
+    text never leaves its block.  Page-local 1-based ``rank``."""
+    from engine.stages.topk import global_topk
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(t.column(text_col), "")
+        n_tok = (
+            pc.count_substring_regex(col, pattern=_TOKEN.pattern)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.ones(len(ids), bool)
+        if after is not None:
+            c0, i0 = int(after[0]), int(after[1])
+            keep = (n_tok < c0) | ((n_tok == c0) & (ids > i0))
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(n_tok[keep], pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return global_topk(
+        scored,
+        order_cols=["n_tokens", id_col],
+        descending=[True, False],
+        k=size,
+    )
+
+
+def multi_match(
+    ds: ray.data.Dataset,
+    term: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    title_tokens: int = 6,
+    title_weight: int = 3,
+    body_weight: int = 1,
+    k: int = 10,
+) -> ray.data.Dataset:
+    """ES ``multi_match`` with per-field boosts (``title^3`` + body), the
+    canonical web-search field weighting (the reference's ES mapping
+    indexes title and body as separate fields, es_sink mappings).  The
+    corpus table has one text column, so the "title" field is the
+    document's first ``title_tokens`` tokens — deterministic and
+    SQL-replayable (DuckDB list slice).  Integer scoring
+    ``title_weight*tf_title + body_weight*tf_body`` keeps the result
+    bit-verifiable (no float BM25 here; rank-verified BM25 lives in
+    bm25_topk).
+
+    Shape: phrase_search's flattened-token device — one Arrow ``equal``
+    over the concatenated token stream, per-doc tf split at the title
+    boundary via the repeat/cumsum offsets, ``np.bincount`` partial
+    scores — then the global_topk candidate merge.  No shuffle of text.
+    """
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "tf_title": pa.array([], pa.int64()),
+            "tf_body": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return empty
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_lists = [_TOKEN.findall(x or "") for x in texts]
+        lens = np.fromiter(
+            (len(tl) for tl in tok_lists), np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = pa.array([w for tl in tok_lists for w in tl], pa.string())
+        hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+        hit = np.asarray(hit, bool)
+        if not hit.any():
+            return empty
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pos_in_doc = np.arange(total, dtype=np.int64) - starts[doc_of]
+        hit_idx = np.flatnonzero(hit)
+        hd = doc_of[hit_idx]
+        in_title = pos_in_doc[hit_idx] < title_tokens
+        tf_title = np.bincount(hd[in_title], minlength=len(lens)).astype(np.int64)
+        tf_body = np.bincount(hd[~in_title], minlength=len(lens)).astype(np.int64)
+        keep = (tf_title + tf_body) > 0
+        score = title_weight * tf_title + body_weight * tf_body
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "tf_title": pa.array(tf_title[keep], pa.int64()),
+                "tf_body": pa.array(tf_body[keep], pa.int64()),
+                "score": pa.array(score[keep], pa.int64()),
+            }
+        )
+
+    from engine.stages.topk import global_topk
+
+    scored = ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return global_topk(
+        scored,
+        order_cols=["score", id_col],
+        descending=[True, False],
+        k=k,
+    )

@@ -4488,3 +4488,58 @@ def test_cdc_chunk_stats_distributed_matches_driver(ray_session):
     )
     assert tuple(got.iloc[0]) == exp
     assert got.iloc[0]["saved_ppm"] > 300_000
+
+
+def test_search_after_and_multi_match_edges(ray_session):
+    """Keyset pagination: page 1 (no cursor) + page 2 (cursor = page 1's
+    last sort values) tile the corpus without overlap or gap; exhausted
+    cursor and empty corpus return typed empties.  multi_match: the
+    title/body split lands exactly at title_tokens; absent term is
+    empty."""
+    import ray.data
+
+    from engine.stages.search import multi_match, search_after_page
+
+    def docs(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+                    "text": pa.array([t for _, t in rows], pa.string()),
+                }
+            )
+        )
+
+    corpus = docs([(i, "w " * (5 + (i * 3) % 7) + f"tail{i}") for i in range(12)])
+    p1 = search_after_page(corpus, size=5).to_pandas().sort_values("rank")
+    cursor = (int(p1.iloc[-1]["n_tokens"]), int(p1.iloc[-1]["doc_id"]))
+    p2 = search_after_page(corpus, after=cursor, size=5).to_pandas().sort_values("rank")
+    p3 = search_after_page(
+        corpus,
+        after=(int(p2.iloc[-1]["n_tokens"]), int(p2.iloc[-1]["doc_id"])),
+        size=5,
+    ).to_pandas().sort_values("rank")
+    seen = list(p1["doc_id"]) + list(p2["doc_id"]) + list(p3["doc_id"])
+    assert len(seen) == 12 and sorted(seen) == list(range(12))
+    # fully ordered across pages: (n_tokens desc, id asc)
+    keys = [
+        (-int(n), int(i))
+        for n, i in zip(
+            list(p1["n_tokens"]) + list(p2["n_tokens"]) + list(p3["n_tokens"]), seen
+        )
+    ]
+    assert keys == sorted(keys)
+    exhausted = search_after_page(corpus, after=(0, 10**9), size=5)
+    assert exhausted.count() == 0
+
+    empty = docs([])
+    assert search_after_page(empty, size=3).count() == 0
+    assert multi_match(empty, "x").count() == 0
+
+    # doc 1: 'q' at positions 0 and 5 (title, title_tokens=6) and 6, 8 (body)
+    mm = docs([(1, "q a b c d q q z q"), (2, "a b c")])
+    got = multi_match(mm, "q", title_tokens=6, title_weight=3).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["tf_title"], r["tf_body"], r["score"]) == (2, 2, 8)
+    assert multi_match(mm, "absent").count() == 0
