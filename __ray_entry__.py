@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": q.q_oov_rate,
         "search_after": q.q_search_after,
         "multi_match": q.q_multi_match,
+        "decay_scores": q.q_decay_scores,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (dHash has no SQL analog; brute-force oracle test)
@@ -1237,6 +1238,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rank
             FROM t WHERE n_tokens < 60 OR (n_tokens = 60 AND doc_id > 0)
             ORDER BY n_tokens DESC, doc_id LIMIT 10
+        """,
+        # integer half-life decay: 1e6 >> (age//7) is exact on both sides
+        # (float exp is not); CAST(ts AS DATE) truncation == floor for
+        # positive timestamps, age clamped at 0
+        "decay_scores": """
+            WITH e AS (
+              SELECT user_id,
+                     GREATEST(date_diff('day', CAST(ts AS DATE),
+                              DATE '2024-02-01'), 0) AS age
+              FROM events
+            ), s AS (
+              SELECT user_id,
+                     CAST(sum(1000000 >> LEAST(age // 7, 62)) AS BIGINT)
+                         AS score
+              FROM e GROUP BY user_id
+            )
+            SELECT user_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, user_id)
+                        AS BIGINT) AS rank
+            FROM s ORDER BY score DESC, user_id LIMIT 20
         """,
         # multi_match title^3+body: title = first 6 tokens (list slice is
         # 1-based inclusive), integer field-boost scoring

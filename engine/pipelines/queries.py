@@ -3365,3 +3365,21 @@ def q_multi_match(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return multi_match(ds, "merge", title_tokens=6, title_weight=3, k=10)
+
+
+def q_decay_scores(sf_dir: str):
+    """Recency-decayed engagement scores (topk.decay_topk): ES
+    function_score decay analog — per-user sum of 1e6 >> (age_days //
+    7) from the fixed anchor 2024-02-01, top-20.  Integer half-life
+    decay is bit-verifiable where float exp is not.  One vectorized
+    pass + per-batch partials, one user-keyed groupby Sum, global_topk
+    merge.  SQL-verified."""
+    from datetime import date
+
+    from engine.stages.topk import decay_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    anchor = (date(2024, 2, 1) - date(1970, 1, 1)).days
+    return decay_topk(ds, anchor_days=anchor, halflife_days=7, k=20)

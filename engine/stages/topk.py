@@ -141,3 +141,63 @@ def global_topk(
         lambda t: t.drop_columns(["_g"]), batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def decay_topk(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    anchor_days: int,
+    halflife_days: int = 7,
+    k: int = 20,
+) -> ray.data.Dataset:
+    """ES ``function_score`` decay analog (the recency boost ChatNoir-style
+    frontends layer over BM25): each event contributes
+    ``1_000_000 >> (age_days // halflife)`` — an exact INTEGER half-life
+    decay (float ``exp`` decays are not bit-stable across engines; the
+    shift form is, and is the same curve sampled at half-life steps).
+    ``age_days`` counts from the fixed ``anchor_days`` (days since epoch),
+    clamped at 0 and capped at 62 half-lives so the shift stays defined.
+
+    Shape: one vectorized map_batches pass (int64 µs -> epoch days ->
+    per-batch (key, partial score) via pyarrow group_by), ONE
+    corpus-keyed groupby Sum — keys are users, corpus-sized at scale —
+    then the global_topk candidate merge.  (key, score desc) ties break
+    key-ascending via the total order (score DESC, key ASC)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        us = pc.cast(t.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        age = np.maximum(anchor_days - day, 0)
+        w = np.int64(1_000_000) >> np.minimum(age // halflife_days, 62)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype("int64")
+        part = pa.table(
+            {key_col: pa.array(keys, pa.int64()), "score": pa.array(w, pa.int64())}
+        )
+        return (
+            part.group_by(key_col)
+            .aggregate([("score", "sum")])
+            .select([key_col, "score_sum"])
+            .rename_columns([key_col, "score"])
+        )
+
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(_Sum("score", alias_name="score"))
+    )
+    return global_topk(
+        summed, order_cols=["score", key_col], descending=[True, False], k=k
+    )

@@ -89,7 +89,7 @@ SQL_NAMES = [
     "encoding_anomalies", "positional_postings", "phrase_index",
     "rescore", "fuzzy_search", "bool_search", "index_size_est",
     "percolate", "graph_components", "shipping_priority", "late_orders",
-    "oov_rate", "search_after", "multi_match",
+    "oov_rate", "search_after", "multi_match", "decay_scores",
 ]
 
 

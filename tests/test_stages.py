@@ -4543,3 +4543,37 @@ def test_search_after_and_multi_match_edges(ray_session):
     r = got.iloc[0]
     assert (r["tf_title"], r["tf_body"], r["score"]) == (2, 2, 8)
     assert multi_match(mm, "absent").count() == 0
+
+
+def test_decay_topk_clamps_and_caps(ray_session):
+    """Future events decay as age 0 (full weight); ancient events hit the
+    62-half-life shift cap (weight 0); empty input is a typed empty."""
+    import ray.data
+
+    from engine.stages.topk import decay_topk
+
+    us_day = 86_400_000_000
+    anchor = 20_000
+    rows = [
+        (1, (anchor + 5) * us_day),    # future -> age 0 -> 1_000_000
+        (1, (anchor - 7) * us_day),    # one half-life -> 500_000
+        (2, (anchor - 14) * us_day),   # two -> 250_000
+        (3, (anchor - 7 * 100) * us_day),  # capped -> 0
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "ts": pa.array([ts for _, ts in rows], pa.timestamp("us")),
+        }
+    )
+    got = (
+        decay_topk(
+            ray.data.from_arrow(t), anchor_days=anchor, halflife_days=7, k=10
+        )
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert list(got["user_id"]) == [1, 2, 3]
+    assert list(got["score"]) == [1_500_000, 250_000, 0]
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    assert decay_topk(empty, anchor_days=anchor).count() == 0
