@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after": q.q_search_after,
         "multi_match": q.q_multi_match,
         "decay_scores": q.q_decay_scores,
+        "zone_prune": q.q_zone_prune,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (dHash has no SQL analog; brute-force oracle test)
@@ -3150,5 +3151,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN norm_text <> txt THEN 1 ELSE 0 END AS changed,
                    length(norm_text) AS n_chars
             FROM norm
+        """,
+        # zone maps: per-500-event shard (count,min,max) of epoch-us ts +
+        # the disjointness verdict for [2024-01-10, 2024-01-16); all int64
+        "zone_prune": """
+            WITH z AS (
+              SELECT event_id // 500 AS shard,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(min(epoch_us(ts)) AS BIGINT) AS vmin,
+                     CAST(max(epoch_us(ts)) AS BIGINT) AS vmax
+              FROM events GROUP BY shard
+            )
+            SELECT shard, n_rows, vmin, vmax,
+                   (vmax < epoch_us(TIMESTAMP '2024-01-10')
+                    OR vmin >= epoch_us(TIMESTAMP '2024-01-16')) AS skipped
+            FROM z ORDER BY shard
         """,
     }

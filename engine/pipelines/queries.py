@@ -3383,3 +3383,33 @@ def q_decay_scores(sf_dir: str):
     )
     anchor = (date(2024, 2, 1) - date(1970, 1, 1)).days
     return decay_topk(ds, anchor_days=anchor, halflife_days=7, k=20)
+
+
+def q_zone_prune(sf_dir: str):
+    """Zone-map shard pruning (zonemap.zone_map_prune) over events:
+    per-500-event shard ``(n_rows, min, max)`` of epoch-us ``ts``, plus
+    the skip verdict for the window [2024-01-10, 2024-01-16) — the
+    Parquet row-group-skipping / small-materialized-aggregates primitive
+    (Moerkotte VLDB'98) that tells a time-bounded reprocess which export
+    shards it must open at all.  One vectorized per-batch ``group_by``
+    partial + one shard-keyed groupby of zone rows only — row values
+    never shuffle.  SQL-verified."""
+    from datetime import datetime, timedelta
+
+    from engine.stages.zonemap import zone_map_prune
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    def us(d):
+        return (d - datetime(1970, 1, 1)) // timedelta(microseconds=1)
+
+    return zone_map_prune(
+        ds,
+        key_col="event_id",
+        val_col="ts",
+        shard_size=500,
+        lo=us(datetime(2024, 1, 10)),
+        hi=us(datetime(2024, 1, 16)),
+    )

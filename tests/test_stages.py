@@ -4577,3 +4577,45 @@ def test_decay_topk_clamps_and_caps(ray_session):
     assert list(got["score"]) == [1_500_000, 250_000, 0]
     empty = ray.data.from_arrow(t.slice(0, 0))
     assert decay_topk(empty, anchor_days=anchor).count() == 0
+
+
+def test_zone_map_prune(ray_session):
+    """Zone maps (zonemap.zone_map_prune): per-shard (count,min,max) zones
+    plus the disjointness verdict for a half-open window, vs hand-computed
+    zones; multi-block input exercises the partial+merge path; empty input
+    returns the typed empty table."""
+    import ray.data
+
+    from engine.stages.zonemap import zone_map_prune
+
+    t = pa.table(
+        {
+            "k": pa.array([0, 1, 2, 10, 11, 25], pa.int64()),
+            "v": pa.array([5, 3, 9, 100, 120, 300], pa.int64()),
+        }
+    )
+    got = zone_map_prune(
+        ray.data.from_arrow(t).repartition(4),
+        key_col="k",
+        val_col="v",
+        shard_size=10,
+        lo=50,
+        hi=200,
+    ).to_pandas()
+    assert got["shard"].tolist() == [0, 1, 2]
+    assert got["n_rows"].tolist() == [3, 2, 1]
+    assert got["vmin"].tolist() == [3, 100, 300]
+    assert got["vmax"].tolist() == [9, 120, 300]
+    # shard 0 entirely below lo, shard 2 entirely at/above hi -> skipped
+    assert got["skipped"].tolist() == [True, False, True]
+
+    empty = zone_map_prune(
+        ray.data.from_arrow(t.slice(0, 0)),
+        key_col="k",
+        val_col="v",
+        shard_size=10,
+        lo=50,
+        hi=200,
+    ).to_pandas()
+    assert len(empty) == 0
+    assert list(empty.columns) == ["shard", "n_rows", "vmin", "vmax", "skipped"]
