@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_match": q.q_multi_match,
         "decay_scores": q.q_decay_scores,
         "zone_prune": q.q_zone_prune,
+        "bloom_route": q.q_bloom_route,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (dHash has no SQL analog; brute-force oracle test)
@@ -506,6 +507,66 @@ def _sql_fnv(s: str) -> str:
         list_prepend(CAST(14695981039346656037 AS HUGEINT),
                      list_transform({_sql_utf8_bytes(s)}, b -> CAST(b AS HUGEINT))),
         (a, b) -> (xor(a, b) * 1099511628211) % 18446744073709551616)"""
+
+
+def _bloom_sql() -> str:
+    """Generate the bloom_route oracle: rebuild the per-shard 4x63-bit
+    term bloom (k=2 positions from one FNV-1a, bit-identical to
+    bloomindex._positions) with bit_or aggregates, then route the five
+    probe terms and attach true containment."""
+    fnv_tok = _sql_fnv("tok")
+    fnv_term = _sql_fnv("term")
+    word = lambda p: (  # noqa: E731
+        f"(CASE {p} // 63 WHEN 0 THEN w.b0 WHEN 1 THEN w.b1 "
+        f"WHEN 2 THEN w.b2 ELSE w.b3 END)"
+    )
+    bit = lambda p: (  # noqa: E731
+        f"((({word(p)} >> CAST({p} % 63 AS INTEGER)) & 1) = 1)"
+    )
+    return f"""
+        WITH tokx AS (
+          SELECT doc_id // 50 AS shard,
+                 unnest(regexp_extract_all(coalesce(text,''),
+                        '[^\t\n\x0b\x0c\r ]+')) AS tok
+          FROM documents
+        ), d AS (SELECT DISTINCT shard, tok FROM tokx),
+        h AS (SELECT shard, {fnv_tok} AS hh FROM d),
+        bits AS (
+          SELECT shard, CAST(hh % 252 AS BIGINT) AS p FROM h
+          UNION ALL
+          SELECT shard, CAST((hh // 4294967296) % 252 AS BIGINT) FROM h
+        ),
+        words AS (
+          SELECT shard,
+            bit_or(CASE WHEN p // 63 = 0
+                   THEN CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)
+                   ELSE 0 END) AS b0,
+            bit_or(CASE WHEN p // 63 = 1
+                   THEN CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)
+                   ELSE 0 END) AS b1,
+            bit_or(CASE WHEN p // 63 = 2
+                   THEN CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)
+                   ELSE 0 END) AS b2,
+            bit_or(CASE WHEN p // 63 = 3
+                   THEN CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)
+                   ELSE 0 END) AS b3
+          FROM bits GROUP BY shard
+        ),
+        probes AS (SELECT unnest(['merge','scan','window','zebra','quantum'])
+                   AS term),
+        pb AS (
+          SELECT term,
+                 CAST(hh % 252 AS BIGINT) AS p1,
+                 CAST((hh // 4294967296) % 252 AS BIGINT) AS p2
+          FROM (SELECT term, {fnv_term} AS hh FROM probes)
+        )
+        SELECT w.shard, p.term,
+               ({bit("p.p1")} AND {bit("p.p2")}) AS maybe,
+               EXISTS (SELECT 1 FROM d
+                       WHERE d.shard = w.shard AND d.tok = p.term) AS actual
+        FROM words w CROSS JOIN pb p
+        ORDER BY shard, term
+    """
 
 
 def _dsir_sql() -> str:
@@ -3167,4 +3228,5 @@ def oracle_sql() -> dict[str, str]:
                     OR vmin >= epoch_us(TIMESTAMP '2024-01-16')) AS skipped
             FROM z ORDER BY shard
         """,
+        "bloom_route": _bloom_sql(),
     }

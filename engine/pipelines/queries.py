@@ -3413,3 +3413,22 @@ def q_zone_prune(sf_dir: str):
         lo=us(datetime(2024, 1, 10)),
         hi=us(datetime(2024, 1, 16)),
     )
+
+
+def q_bloom_route(sf_dir: str):
+    """Per-shard term Bloom routing (bloomindex.shard_term_bloom): 4x63-bit
+    blooms (k=2 FNV-1a probes) over each 50-doc shard's distinct tokens,
+    then the (shard, term, maybe, actual) routing table for five probe
+    terms — the equality-predicate companion to zone_prune (ES can-match
+    shard pre-filtering / Parquet bloom filters).  One tokenize pass
+    emitting (shard, 4 words, probe mask) partials; the index is
+    driver-sized (rows/shard_size entries) so the merge is a driver
+    bitwise-OR, never a shuffle; token text never leaves its block.
+    SQL-verified (the oracle rebuilds the identical bloom via _sql_fnv +
+    bit_or).  No-false-negative property pinned in tests."""
+    from engine.stages.bloomindex import shard_term_bloom
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return shard_term_bloom(
+        ds, ["merge", "scan", "window", "zebra", "quantum"], shard_size=50
+    )

@@ -90,7 +90,7 @@ SQL_NAMES = [
     "rescore", "fuzzy_search", "bool_search", "index_size_est",
     "percolate", "graph_components", "shipping_priority", "late_orders",
     "oov_rate", "search_after", "multi_match", "decay_scores",
-    "zone_prune",
+    "zone_prune", "bloom_route",
 ]
 
 

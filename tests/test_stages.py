@@ -4619,3 +4619,53 @@ def test_zone_map_prune(ray_session):
     ).to_pandas()
     assert len(empty) == 0
     assert list(empty.columns) == ["shard", "n_rows", "vmin", "vmax", "skipped"]
+
+
+def test_shard_term_bloom(ray_session):
+    """Per-shard term blooms (bloomindex.shard_term_bloom): the routing
+    table has one row per (shard, probe); `actual` matches exact
+    containment computed by a Python oracle; the bloom NEVER false-negates
+    (actual implies maybe); multi-block input exercises the partial
+    bitwise-OR merge; empty input returns the typed empty table."""
+    import ray.data
+
+    from engine.stages.bloomindex import shard_term_bloom
+    from engine.stages.text import _TOKEN
+
+    texts = [
+        "merge sort is stable",
+        "window functions scan rows",
+        "the quick brown fox",
+        "quantum leap over merge",
+        "zebra stripes",
+        "",
+    ]
+    ids = [0, 1, 49, 50, 99, 100]
+    probes = ["merge", "scan", "window", "zebra", "quantum", "absent"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = shard_term_bloom(
+        ray.data.from_arrow(t).repartition(3), probes, shard_size=50
+    ).to_pandas()
+
+    # oracle: exact containment per shard
+    shard_toks: dict = {}
+    for i, txt in zip(ids, texts):
+        shard_toks.setdefault(i // 50, set()).update(_TOKEN.findall(txt))
+    shards = sorted(shard_toks)
+    assert got["shard"].tolist() == [s for s in shards for _ in probes]
+    for _, row in got.iterrows():
+        want = row["term"] in shard_toks[row["shard"]]
+        assert row["actual"] == want
+        if row["actual"]:
+            assert row["maybe"], "bloom false negative"
+
+    empty = shard_term_bloom(
+        ray.data.from_arrow(t.slice(0, 0)), probes, shard_size=50
+    ).to_pandas()
+    assert len(empty) == 0
+    assert list(empty.columns) == ["shard", "term", "maybe", "actual"]
