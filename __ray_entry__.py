@@ -110,8 +110,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decay_scores": q.q_decay_scores,
         "zone_prune": q.q_zone_prune,
         "bloom_route": q.q_bloom_route,
+        "span_near": q.q_span_near,
+        "rank_eval": q.q_rank_eval,
+        "reshard_moves": q.q_reshard_moves,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
+        # rows-only (float MMR scores; full-corpus numpy oracle test)
+        "mmr_rerank": q.q_mmr_rerank,
         # rows-only (dHash has no SQL analog; brute-force oracle test)
         "image_phash": q.q_image_phash,
         "audio_phash": q.q_audio_phash,
@@ -507,6 +512,79 @@ def _sql_fnv(s: str) -> str:
         list_prepend(CAST(14695981039346656037 AS HUGEINT),
                      list_transform({_sql_utf8_bytes(s)}, b -> CAST(b AS HUGEINT))),
         (a, b) -> (xor(a, b) * 1099511628211) % 18446744073709551616)"""
+
+
+def _reshard_sql() -> str:
+    """Generate the reshard_moves oracle from engine.stages.reshard's HRW
+    constants (single source of truth): per doc the 9 rendezvous weights
+    are FNV-1a("{id}:{salted_shard}") via the exact _sql_fnv fold (salt =
+    sh * _HRW_SALT mod 2^63, rendered in decimal by CAST-to-VARCHAR on
+    both engines); argmax-first via list_position(list_max)."""
+    from engine.stages.reshard import _HRW_MOD, _HRW_SALT
+
+    n = 8
+    fnv = _sql_fnv(
+        f"(CAST(doc_id AS VARCHAR) || ':' || "
+        f"CAST(CAST(sh AS HUGEINT) * {_HRW_SALT} % {_HRW_MOD} AS VARCHAR))"
+    )
+    return f"""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(range(0, {n + 1}), sh -> {fnv}) AS hs
+          FROM documents
+        ), asg AS (
+          SELECT doc_id,
+             CAST(list_position(hs[1:{n}], list_max(hs[1:{n}])) - 1
+                  AS BIGINT) AS old_shard,
+             CAST(list_position(hs, list_max(hs)) - 1 AS BIGINT) AS new_shard
+          FROM h
+        )
+        SELECT old_shard AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN old_shard != new_shard THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved
+        FROM asg GROUP BY old_shard ORDER BY shard
+    """
+
+
+def _rank_eval_sql() -> str:
+    """Generate the rank_eval oracle from engine.stages.search's constants
+    (single source of truth): tf ranking, title-proxy relevance, integer
+    precision@k basis points and fixed-point MRR."""
+    from engine.stages.search import (
+        RANK_EVAL_K,
+        RANK_EVAL_TERMS,
+        RANK_EVAL_TITLE_TOKENS,
+    )
+
+    vals = ",".join(f"('{t}')" for t in RANK_EVAL_TERMS)
+    return rf"""
+        WITH d AS (SELECT doc_id,
+                          regexp_extract_all(coalesce(text,''),
+                                             '[^\t\n\x0b\x0c\r ]+') AS w
+                   FROM documents),
+        per AS (
+          SELECT t.term AS term, doc_id,
+                 CAST(len(list_filter(w, x -> x = t.term)) AS BIGINT) AS tf,
+                 CASE WHEN len(list_filter(w[1:{RANK_EVAL_TITLE_TOKENS}],
+                                           x -> x = t.term)) > 0
+                      THEN 1 ELSE 0 END AS rel
+          FROM d, (VALUES {vals}) AS t(term)
+        ),
+        ranked AS (
+          SELECT term, doc_id, tf, rel,
+                 row_number() OVER (PARTITION BY term
+                                    ORDER BY tf DESC, doc_id) AS rn
+          FROM per WHERE tf > 0
+        ),
+        topk AS (SELECT * FROM ranked WHERE rn <= {RANK_EVAL_K})
+        SELECT term,
+          CAST(count(*) AS BIGINT) AS n_ret,
+          CAST(sum(rel) AS BIGINT) AS n_rel,
+          CAST((sum(rel) * 10000) // count(*) AS BIGINT) AS prec_bp,
+          CAST(coalesce(1000000 // min(CASE WHEN rel = 1 THEN rn END), 0)
+               AS BIGINT) AS mrr_fp
+        FROM topk GROUP BY term ORDER BY term
+    """
 
 
 def _bloom_sql() -> str:
@@ -3229,4 +3307,32 @@ def oracle_sql() -> dict[str, str]:
             FROM z ORDER BY shard
         """,
         "bloom_route": _bloom_sql(),
+        "reshard_moves": _reshard_sql(),
+        "rank_eval": _rank_eval_sql(),
+        # span_near: position-list cross join per doc, min |pa-pb| <= slop+1
+        "span_near": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text,''),
+                                        '[^\t\n\x0b\x0c\r ]+') AS tk
+              FROM documents
+            ), ap AS (
+              SELECT doc_id, unnest(list_filter(list_transform(
+                       range(1, len(tk)+1),
+                       i -> CASE WHEN tk[i] = 'value' THEN i END),
+                     x -> x IS NOT NULL)) AS p
+              FROM toks
+            ), bp AS (
+              SELECT doc_id, unnest(list_filter(list_transform(
+                       range(1, len(tk)+1),
+                       i -> CASE WHEN tk[i] = 'table' THEN i END),
+                     x -> x IS NOT NULL)) AS p
+              FROM toks
+            ), g AS (
+              SELECT ap.doc_id AS doc_id,
+                     CAST(min(abs(ap.p - bp.p)) AS BIGINT) AS min_gap
+              FROM ap JOIN bp USING (doc_id) GROUP BY ap.doc_id
+            )
+            SELECT doc_id, min_gap FROM g WHERE min_gap <= 4
+        """,
     }

@@ -3432,3 +3432,69 @@ def q_bloom_route(sf_dir: str):
     return shard_term_bloom(
         ds, ["merge", "scan", "window", "zebra", "quantum"], shard_size=50
     )
+
+
+def q_span_near(sf_dir: str):
+    """Lucene/ES span_near proximity query (search.span_near): docs where
+    'value' and 'table' occur within slop=3 (+1) token positions in
+    either order, with the minimum position gap — the positional-index
+    query family's third member (phrase = ordered adjacency, span_near =
+    windowed, bool = positionless).  One map_batches pass; segmented
+    ffill/bfill nearest-occurrence kernel on the flattened token stream,
+    per-doc min via np.minimum.reduceat — no shuffle, text never leaves
+    its block.  SQL-verified (position-list cross join + min)."""
+    from engine.stages.search import span_near
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return span_near(ds, "value", "table", slop=3)
+
+
+def q_rank_eval(sf_dir: str):
+    """ES _rank_eval (search.rank_eval): precision@10 (basis points) and
+    fixed-point MRR for three single-term queries ranked by integer tf,
+    judged against the deterministic title-proxy relevance label (term in
+    the first 6 tokens, multi_match's device).  One flattened-token pass
+    emitting only hit rows, grouped_topk candidates (<= k x terms x
+    blocks), driver-sized metric fold.  SQL-verified — every metric is an
+    integer."""
+    from engine.stages.search import rank_eval
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return rank_eval(ds)
+
+
+def q_reshard_moves(sf_dir: str):
+    """Rendezvous-hash resharding cost (reshard.reshard_moves): per-shard
+    (n_docs, n_moved) when an 8-shard HRW layout grows to 9 — the
+    consistent-hashing rebalance analytic (only ~1/9 of docs move, all to
+    the new shard; modulo sharding would move ~8/9).  Vectorized FNV
+    prefix hashes extended per salted shard suffix, np.bincount partials,
+    guarded driver reduce (shard count is driver-sized by construction).
+    SQL-verified bit-for-bit via the _sql_fnv fold."""
+    from engine.stages.reshard import reshard_moves
+
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+    return reshard_moves(ds, n_shards=8)
+
+
+def q_mmr_rerank(sf_dir: str):
+    """MMR diversity rerank (ann.mmr_rerank, Carbonell & Goldstein
+    SIGIR'98): top-10 by greedy lambda*rel - (1-lambda)*max-sim-to-
+    selected over the exact top-50 cosine candidates for the mean of the
+    first 8 embeddings.  Distributed candidate fetch (partial-top-k
+    merge), driver-sized greedy window.  Rows-only (float scores); the
+    full-corpus numpy reference oracle is pinned in tests."""
+    import pyarrow.parquet as pq
+
+    from engine.stages.ann import mmr_rerank
+
+    t = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+        .slice(0, 8)
+    )
+    q = np.array(t.column("embedding").to_pylist(), dtype=np.float64).mean(axis=0)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return mmr_rerank(ds, q, k=10, n_candidates=50)

@@ -616,3 +616,105 @@ def pq_topk(
         partial.groupby("query_id").map_groups(merge_adc, batch_format="pandas")
     ).to_pandas()
     return _exact_rerank(ds, cand, list(query_ids), qm, k, id_col, vec_col)
+
+
+def mmr_rerank(
+    ds: ray.data.Dataset,
+    query_vec: np.ndarray,
+    *,
+    k: int = 10,
+    n_candidates: int = 100,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR'98)
+    — diversity-aware final ranking over an ANN candidate set, the
+    standard answer to near-duplicate-saturated retrieval results (a
+    training-data sampler that takes only cosine top-k from a crawl
+    corpus gets k near-copies; MMR trades relevance against novelty):
+    greedily pick ``argmax_d  lam * sim(q, d) - (1 - lam) * max_{s in
+    selected} sim(d, s)``, ties broken id-ascending.
+
+    Output ``(rank, vec_id, relevance, mmr)`` for the k selected
+    candidates in selection order (floats — rows-only; the numpy
+    reference oracle is pinned in tests).
+
+    Shape: the candidate FETCH is the distributed part and reuses the
+    exact machinery — ``brute_force_topk`` partial-top-k merge for the
+    top ``n_candidates`` (shuffle volume O(k x blocks), corpus never
+    concentrates), then one ``pc.is_in`` filtered pass ships ONLY the
+    candidate vectors (n_candidates x dim — driver-sized by construction)
+    for the greedy loop, which is inherently sequential and O(k *
+    n_candidates) — the standard rerank-window design (rerank depth
+    bounds driver work, not corpus size)."""
+    q = np.asarray(query_vec, dtype=np.float64).reshape(1, -1)
+    cand = (
+        brute_force_topk(
+            ds, [0], q, k=n_candidates, id_col=id_col, vec_col=vec_col
+        )
+        .to_pandas()
+        .sort_values("rank")
+    )
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "relevance": pa.array([], pa.float64()),
+            "mmr": pa.array([], pa.float64()),
+        }
+    )
+    if len(cand) == 0:
+        return empty
+    ids_ref = ray.put(pa.array(sorted(int(i) for i in cand["vec_id"])))
+
+    def fetch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(t.column(id_col), value_set=ray.get(ids_ref))
+        return t.filter(keep).select([id_col, vec_col])
+
+    rows = ds.map_batches(
+        fetch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    vmap = {
+        int(i): v
+        for i, v in zip(
+            rows[id_col],
+            _normalize(np.asarray(rows[vec_col].tolist(), dtype=np.float64)),
+        )
+    }
+    cand_ids = [int(i) for i in cand["vec_id"] if int(i) in vmap]
+    cm = np.stack([vmap[i] for i in cand_ids])  # (n_cand, dim), normalized
+    qn = _normalize(q)[0]
+    rel = cm @ qn  # cosine relevance
+    pair = cm @ cm.T  # candidate-candidate cosines
+    n = len(cand_ids)
+    selected: List[int] = []
+    max_div = np.full(n, -np.inf)
+    picked = np.zeros(n, bool)
+    out = {"rank": [], "id": [], "rel": [], "mmr": []}
+    id_arr = np.asarray(cand_ids, dtype=np.int64)
+    for r in range(1, min(k, n) + 1):
+        if selected:
+            score = lam * rel - (1.0 - lam) * max_div
+        else:
+            score = lam * rel  # first pick: pure relevance
+        score = np.where(picked, -np.inf, score)
+        # argmax with id-ascending ties: lexsort order
+        best = np.lexsort((id_arr, -score))[0]
+        picked[best] = True
+        selected.append(best)
+        out["rank"].append(r)
+        out["id"].append(int(id_arr[best]))
+        out["rel"].append(float(rel[best]))
+        out["mmr"].append(float(score[best]))
+        max_div = np.maximum(max_div, pair[:, best])
+    return pa.table(
+        {
+            "rank": pa.array(out["rank"], pa.int64()),
+            id_col: pa.array(out["id"], pa.int64()),
+            "relevance": pa.array(out["rel"], pa.float64()),
+            "mmr": pa.array(out["mmr"], pa.float64()),
+        }
+    )

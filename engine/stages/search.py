@@ -1679,3 +1679,234 @@ def multi_match(
         descending=[True, False],
         k=k,
     )
+
+
+def span_near(
+    ds: ray.data.Dataset,
+    term_a: str,
+    term_b: str,
+    *,
+    slop: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """ES/Lucene ``span_near`` (unordered) — proximity search: a doc
+    matches when ``term_a`` and ``term_b`` occur within ``slop + 1`` token
+    positions of each other, in either order (``slop`` counts the
+    positions BETWEEN the two spans, Lucene's convention; adjacency is
+    ``min_gap == 1``).  Output ``(id, min_gap)`` with the doc's MINIMUM
+    position distance over all occurrence pairs — the quantity Lucene's
+    SpanNearQuery iterates spans to find.  Complements phrase_search
+    (exact adjacency in fixed order) and bool_search (bag-of-substrings,
+    no positions); the reference's ES mapping indexes positions
+    (es_sink.py mappings, index_options defaults) so its terminal store
+    answers the server-side equivalent.
+
+    Shape: embarrassingly parallel — one map_batches pass, no shuffle,
+    nothing leaves the block but (id, gap) int64 pairs.  Per batch the
+    kernel runs on the FLATTENED token stream (phrase_search's device):
+    one Arrow ``equal`` per term, then the min distance from every
+    ``term_a`` position to the nearest ``term_b`` via segmented
+    forward/backward fills (``np.maximum.accumulate`` of last-b indices,
+    reversed ``np.minimum.accumulate`` of next-b indices, invalidated
+    across doc boundaries by the repeat/cumsum offsets), and the per-doc
+    minimum via ``np.minimum.reduceat`` — no per-doc Python loop beyond
+    tokenization itself."""
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    window = slop + 1
+    _HUGE = np.int64(2**62)
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "min_gap": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return empty
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_lists = [_TOKEN.findall(x or "") for x in texts]
+        lens = np.fromiter(
+            (len(tl) for tl in tok_lists), np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = pa.array([w for tl in tok_lists for w in tl], pa.string())
+        a = np.asarray(
+            pc.equal(flat, term_a).to_numpy(zero_copy_only=False), bool
+        )
+        b = np.asarray(
+            pc.equal(flat, term_b).to_numpy(zero_copy_only=False), bool
+        )
+        if not (a.any() and b.any()):
+            return empty
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        idx = np.arange(total, dtype=np.int64)
+        # last b at or before each position (global ffill, then doc-gated)
+        last_b = np.maximum.accumulate(np.where(b, idx, np.int64(-1)))
+        dist_l = np.where(last_b >= starts[doc_of], idx - last_b, _HUGE)
+        # next b at or after each position (reversed cummin, doc-gated)
+        next_b = np.minimum.accumulate(
+            np.where(b, idx, np.int64(total))[::-1]
+        )[::-1]
+        dist_r = np.where(next_b < starts[doc_of + 1], next_b - idx, _HUGE)
+        d = np.where(a, np.minimum(dist_l, dist_r), _HUGE)
+        # per-doc minimum over a-positions (empty docs clip to a dummy
+        # segment and are masked right after)
+        seg = np.minimum(starts[:-1], np.int64(total - 1))
+        min_gap = np.minimum.reduceat(d, seg)
+        min_gap[lens == 0] = _HUGE
+        keep = min_gap <= window
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "min_gap": pa.array(min_gap[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+RANK_EVAL_TERMS = ("merge", "batch", "value")
+RANK_EVAL_K = 10
+RANK_EVAL_TITLE_TOKENS = 6
+
+
+def rank_eval(
+    ds: ray.data.Dataset,
+    terms: Sequence[str] = RANK_EVAL_TERMS,
+    *,
+    k: int = RANK_EVAL_K,
+    title_tokens: int = RANK_EVAL_TITLE_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """ES ``_rank_eval`` — ranking-quality evaluation of the search system
+    itself: for each query term, run the ranking (integer term frequency
+    DESC, id ASC — the bit-exact relevance proxy; float BM25 rank parity
+    lives in bm25_topk), judge each retrieved doc against a deterministic
+    relevance label (term present in the doc's first ``title_tokens``
+    tokens — the same title proxy as multi_match), and emit the standard
+    metrics per query: ``(term, n_ret, n_rel, prec_bp, mrr_fp)`` where
+    ``prec_bp`` is precision@k in basis points (``n_rel * 10000 //
+    n_ret``) and ``mrr_fp`` is fixed-point reciprocal rank (``1_000_000
+    // first_relevant_rank``, 0 when nothing relevant) — all integers, so
+    every value is bit-verifiable against the SQL oracle.
+
+    Shape: ONE map_batches pass evaluates every query term over the
+    flattened token stream (multi_match's device: one Arrow ``equal`` per
+    term, per-doc tf by ``np.bincount``, title membership from the
+    repeat/cumsum position offsets), emitting only (term, id, tf, rel)
+    hit rows; ``grouped_topk`` keeps <= k rows per term per block, so the
+    final resolve and the metric fold see <= k x terms rows — driver-sized
+    by construction, never a corpus sort."""
+    from engine.stages.common import collect_arrow_blocks
+    from engine.stages.topk import grouped_topk
+
+    terms = list(terms)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+                "rel": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_lists = [_TOKEN.findall(x or "") for x in texts]
+        lens = np.fromiter(
+            (len(tl) for tl in tok_lists), np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = pa.array([w for tl in tok_lists for w in tl], pa.string())
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pos_in_doc = np.arange(total, dtype=np.int64) - starts[doc_of]
+        out_term: List[str] = []
+        out_id: List[np.ndarray] = []
+        out_tf: List[np.ndarray] = []
+        out_rel: List[np.ndarray] = []
+        for term in terms:
+            hit = np.asarray(
+                pc.equal(flat, term).to_numpy(zero_copy_only=False), bool
+            )
+            if not hit.any():
+                continue
+            hit_idx = np.flatnonzero(hit)
+            hd = doc_of[hit_idx]
+            tf = np.bincount(hd, minlength=len(lens)).astype(np.int64)
+            in_title = pos_in_doc[hit_idx] < title_tokens
+            rel_cnt = np.bincount(hd[in_title], minlength=len(lens))
+            keep = tf > 0
+            out_term.extend([term] * int(keep.sum()))
+            out_id.append(ids[keep])
+            out_tf.append(tf[keep])
+            out_rel.append((rel_cnt[keep] > 0).astype(np.int64))
+        if not out_id:
+            return empty
+        return pa.table(
+            {
+                "term": pa.array(out_term, pa.string()),
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+                "rel": pa.array(np.concatenate(out_rel), pa.int64()),
+            }
+        )
+
+    hits = ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+    topk = grouped_topk(
+        hits,
+        group_col="term",
+        order_cols=["tf", id_col],
+        descending=[True, False],
+        k=k,
+    )
+    blocks = collect_arrow_blocks(topk, required_col="rank")
+    rows = {"term": [], "n_ret": [], "n_rel": [], "prec_bp": [], "mrr_fp": []}
+    if blocks:
+        merged = pa.concat_tables(blocks)
+        tcol = np.asarray(merged.column("term").to_pylist())
+        rel = merged.column("rel").to_numpy(zero_copy_only=False)
+        rank = merged.column("rank").to_numpy(zero_copy_only=False)
+        for term in sorted(set(tcol.tolist())):
+            m = tcol == term
+            n_ret = int(m.sum())
+            n_rel = int(rel[m].sum())
+            rel_ranks = rank[m][rel[m] == 1]
+            rows["term"].append(term)
+            rows["n_ret"].append(n_ret)
+            rows["n_rel"].append(n_rel)
+            rows["prec_bp"].append(n_rel * 10000 // n_ret)
+            rows["mrr_fp"].append(
+                1_000_000 // int(rel_ranks.min()) if len(rel_ranks) else 0
+            )
+    return pa.table(
+        {
+            "term": pa.array(rows["term"], pa.string()),
+            "n_ret": pa.array(rows["n_ret"], pa.int64()),
+            "n_rel": pa.array(rows["n_rel"], pa.int64()),
+            "prec_bp": pa.array(rows["prec_bp"], pa.int64()),
+            "mrr_fp": pa.array(rows["mrr_fp"], pa.int64()),
+        }
+    )

@@ -90,7 +90,8 @@ SQL_NAMES = [
     "rescore", "fuzzy_search", "bool_search", "index_size_est",
     "percolate", "graph_components", "shipping_priority", "late_orders",
     "oov_rate", "search_after", "multi_match", "decay_scores",
-    "zone_prune", "bloom_route",
+    "zone_prune", "bloom_route", "span_near", "rank_eval",
+    "reshard_moves",
 ]
 
 
@@ -150,6 +151,7 @@ ROWS_ONLY = [
     ("image_phash", 1),
     ("audio_phash", 1),
     ("cdc_stats", 1),
+    ("mmr_rerank", 10),
 ]
 
 

@@ -4669,3 +4669,181 @@ def test_shard_term_bloom(ray_session):
     ).to_pandas()
     assert len(empty) == 0
     assert list(empty.columns) == ["shard", "term", "maybe", "actual"]
+
+
+def test_span_near_gaps_boundaries_and_empty(ray_session):
+    """span_near: exact min gaps, either-order matching, doc-boundary
+    isolation (a at end of one doc + b at start of the next must NOT
+    pair), slop filtering, typed zero-row output."""
+    import ray.data
+
+    from engine.stages.search import span_near
+
+    texts = [
+        "value x table",            # gap 2
+        "table value",              # gap 1 (reversed order counts)
+        "value a b c d e table",    # gap 6 — beyond slop=3 window (4)
+        "value only here",          # no b term
+        "x y value",                # a at END of this doc ...
+        "table z z",                # ... b at START of next: must not pair
+        "",                         # empty doc
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        span_near(ray.data.from_arrow(t).repartition(2), "value", "table", slop=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 1]
+    assert got["min_gap"].tolist() == [2, 1]
+    # widen the slop: doc 2's gap-6 pair appears
+    wide = (
+        span_near(ray.data.from_arrow(t), "value", "table", slop=5)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert wide["doc_id"].tolist() == [0, 1, 2]
+    # no-match input exercises the typed-empty path (zero-row INPUT
+    # blocks bypass map_batches entirely — CLAUDE.md)
+    nomatch = span_near(
+        ray.data.from_arrow(t), "value", "zebra_absent"
+    ).to_pandas()
+    assert len(nomatch) == 0  # (column names drop on zero-row Datasets
+    # in to_pandas — known Ray block-less schema loss, CLAUDE.md)
+    assert len(span_near(ray.data.from_arrow(t.slice(0, 0)), "value",
+                         "table").to_pandas()) == 0
+
+
+def test_reshard_moves_hrw_invariants(ray_session):
+    """HRW rendezvous property: growing N -> N+1 moves ONLY docs whose
+    winner is the new shard (every move targets shard N), the move rate
+    is ~1/(N+1) not ~N/(N+1), and the per-batch partial + driver reduce
+    equals a single-batch run under any partitioning."""
+    import numpy as np
+
+    import ray.data
+
+    from engine.stages.reshard import _hrw_assign, reshard_moves
+
+    ids = np.arange(5000, dtype=np.int64)
+    old, new = _hrw_assign(ids, 8)
+    moved = old != new
+    assert (new[moved] == 8).all(), "HRW move must target the added shard"
+    frac = moved.mean()
+    assert 0.05 < frac < 0.20, f"move rate {frac} not ~1/9 (salt regression)"
+    # per-row reference fold == the vectorized prefix-extension path
+    from engine.stages.reshard import _HRW_MOD, _HRW_SALT
+
+    def ref_weight(i: int, s: int) -> int:
+        h = 0xCBF29CE484222325
+        for byte in f"{i}:{(s * _HRW_SALT) % _HRW_MOD}".encode():
+            h = ((h ^ byte) * 0x100000001B3) % (1 << 64)
+        return h
+
+    for i in [0, 1, 17, 4999]:
+        ws = [ref_weight(i, s) for s in range(9)]
+        assert old[i] == int(np.argmax(ws[:8]))
+        assert new[i] == int(np.argmax(ws))
+
+    t = pa.table({"doc_id": pa.array(ids)})
+    a = reshard_moves(ray.data.from_arrow(t), n_shards=8).to_pandas()
+    b = reshard_moves(
+        ray.data.from_arrow(t).repartition(7), n_shards=8
+    ).to_pandas()
+    assert a.equals(b)
+    assert int(a["n_docs"].sum()) == len(ids)
+    assert int(a["n_moved"].sum()) == int(moved.sum())
+    empty = reshard_moves(
+        ray.data.from_arrow(t.slice(0, 0)), n_shards=8
+    ).to_pandas()
+    assert len(empty) == 0
+    assert list(empty.columns) == ["shard", "n_docs", "n_moved"]
+
+
+def test_rank_eval_metrics(ray_session):
+    """rank_eval: hand-computed precision@k / MRR on a tiny corpus where
+    the tf ranking and the title labels are obvious."""
+    import ray.data
+
+    from engine.stages.search import rank_eval
+
+    texts = [
+        "merge a b c d e merge merge",   # tf=3, 'merge' in first 6 -> rel
+        "x y z merge merge",             # tf=2, not in first 6... pos 4 IS in first 6 -> rel
+        "a b c d e f merge",             # tf=1, pos 7 -> not rel
+        "no hits here",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = rank_eval(
+        ray.data.from_arrow(t).repartition(2), ["merge"], k=2
+    ).to_pandas()
+    # ranking by tf desc: doc0 (rel), doc1 (rel); k=2 -> prec 100%, MRR 1
+    assert got.iloc[0].tolist() == ["merge", 2, 2, 10000, 1_000_000]
+    # k=3: doc2 enters unrelevant -> prec 2/3
+    got3 = rank_eval(ray.data.from_arrow(t), ["merge"], k=3).to_pandas()
+    assert got3.iloc[0].tolist() == ["merge", 3, 2, 6666, 1_000_000]
+    emptyc = rank_eval(
+        ray.data.from_arrow(t), ["zebra_absent"], k=3
+    ).to_pandas()
+    assert len(emptyc) == 0
+
+
+def test_mmr_rerank_matches_numpy_oracle(ray_session):
+    """mmr_rerank == the full-corpus numpy greedy MMR reference (same
+    candidate pool, same lambda, same tie rule) on planted vectors with
+    a near-duplicate cluster — and actually diversifies (the dup's copy
+    is deferred past its pure-cosine rank)."""
+    import numpy as np
+
+    import ray.data
+
+    from engine.stages.ann import _normalize, mmr_rerank
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    base[1] = base[0] + 1e-3 * rng.randn(16)  # near-dup of vec 0
+    q = base[0] + 0.1 * rng.randn(16)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, v)) for v in base]),
+        }
+    )
+    got = mmr_rerank(
+        ray.data.from_arrow(t).repartition(4), q, k=6, n_candidates=20,
+        lam=0.5,
+    ).to_pandas()
+
+    qn = _normalize(q.reshape(1, -1))[0]
+    Vn = _normalize(base.astype(np.float64))
+    sims = Vn @ qn
+    ids = np.arange(40)
+    order = np.lexsort((ids, -sims))[:20]
+    cid, cm = ids[order], Vn[order]
+    rel, pair = cm @ qn, cm @ cm.T
+    lam, picked = 0.5, np.zeros(20, bool)
+    max_div = np.full(20, -np.inf)
+    sel = []
+    for _ in range(6):
+        score = lam * rel - ((1 - lam) * max_div if sel else 0)
+        score = np.where(picked, -np.inf, score)
+        b = np.lexsort((cid, -score))[0]
+        picked[b] = True
+        sel.append(int(cid[b]))
+        max_div = np.maximum(max_div, pair[:, b])
+    assert got["vec_id"].tolist() == sel
+    # pure cosine would put the near-dup (vec 1) adjacent to vec 0;
+    # MMR must NOT pick it second
+    assert got["vec_id"].tolist()[1] != 1
+    assert got["rank"].tolist() == [1, 2, 3, 4, 5, 6]
