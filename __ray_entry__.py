@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near": q.q_span_near,
         "rank_eval": q.q_rank_eval,
         "reshard_moves": q.q_reshard_moves,
+        "robots_wildcards": q.q_robots_wildcards,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (float MMR scores; full-corpus numpy oracle test)
@@ -3308,6 +3309,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_route": _bloom_sql(),
         "reshard_moves": _reshard_sql(),
+        # robots_wildcards: expected decisions hand-resolved per RFC 9309
+        # §2.2.2 from the four fixed bodies x five paths (variant =
+        # doc_id%4, path = doc_id%5) — independent of the engine's parser
+        "robots_wildcards": """
+            SELECT doc_id,
+              CAST(CASE doc_id % 4
+                WHEN 0 THEN CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                WHEN 1 THEN CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 1 END
+                WHEN 2 THEN CASE WHEN doc_id % 5 = 3 THEN 0 ELSE 1 END
+                ELSE 1 END AS BIGINT) AS allowed,
+              CAST(CASE doc_id % 4
+                WHEN 0 THEN CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 1 END
+                WHEN 1 THEN CASE doc_id % 5 WHEN 1 THEN 10 WHEN 2 THEN 15
+                            ELSE 0 END
+                WHEN 2 THEN CASE WHEN doc_id % 5 = 3 THEN 7 ELSE 0 END
+                ELSE 0 END AS BIGINT) AS rule_len
+            FROM documents
+        """,
         "rank_eval": _rank_eval_sql(),
         # span_near: position-list cross join per doc, min |pa-pb| <= slop+1
         "span_near": r"""

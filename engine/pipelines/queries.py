@@ -3498,3 +3498,56 @@ def q_mmr_rerank(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return mmr_rerank(ds, q, k=10, n_candidates=50)
+
+
+_RFC9309_BODIES = (
+    # v0: Allow out-ranks the blanket Disallow by pattern length
+    "User-agent: *\nAllow: /public*\nDisallow: /\n",
+    # v1: $-anchored Allow out-ranks the wildcard Disallow (15 > 10)
+    "User-agent: raycrawler\nDisallow: /private/*\nAllow: /private/stats$\n",
+    # v2: wildcard + end anchor
+    "User-agent: *\nDisallow: /*.pdf$\n",
+    # v3: group for a DIFFERENT agent -> no rules apply to ours
+    "User-agent: otherbot\nDisallow: /\n",
+)
+_RFC9309_PATHS = (
+    "/public/a.html",
+    "/private/x",
+    "/private/stats",
+    "/docs/file.pdf",
+    "/index.html",
+)
+
+
+def q_robots_wildcards(sf_dir: str):
+    """RFC 9309 full path matching (robots.rfc9309_match): Allow rules,
+    ``*`` wildcards, and the ``$`` end anchor with most-specific-match
+    conflict resolution (longest pattern wins, Allow wins length ties) —
+    the real-web semantics the crawl pipeline's pinned prefix-Disallow
+    subset deliberately omits.  Bodies/paths synthesized per doc_id from
+    four fixed variants x five paths covering each precedence case; the
+    oracle derives the expected decision table independently (hand-
+    resolved per RFC 9309 SS2.2.2).  Dictionary-grouped kernel: distinct
+    bodies parse once per batch, every rule is ONE vectorized
+    match_substring_regex over the group's paths.  SQL-verified."""
+    from engine.stages.robots import rfc9309_match
+
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "robots_txt": pa.array(
+                    [_RFC9309_BODIES[int(i) % 4] for i in d], pa.string()
+                ),
+                "path": pa.array(
+                    [_RFC9309_PATHS[int(i) % 5] for i in d], pa.string()
+                ),
+            }
+        )
+
+    return rfc9309_match(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -231,3 +231,180 @@ def robots_sitemaps(
         )
 
     return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 full path matching (Allow + wildcards + $ anchor)
+# ---------------------------------------------------------------------------
+#
+# The politeness pipeline above uses the prefix-Disallow subset (matching
+# the crawl oracle's pinned semantics).  Real-web robots.txt also carries
+# ``Allow:`` rules, ``*`` wildcards, and the ``$`` end anchor; RFC 9309
+# §2.2.2 resolves conflicts by MOST-SPECIFIC MATCH — the rule with the
+# longest pattern (in octets) wins, and on an exact length tie the Allow
+# rule wins.  No rule matching means allowed.  These functions implement
+# that full matcher WITHOUT changing parse_robots_txt (whose behavior is
+# pinned against the crawl conformance oracle).
+
+import re as _re
+
+
+def parse_robots_rules(
+    body: str, user_agent: str = "raycrawler"
+) -> Tuple[Tuple[bool, str], ...]:
+    """Ordered ``(is_allow, pattern)`` rules of the winning agent group(s)
+    — same group grammar and longest-agent-token selection as
+    parse_robots_txt, but keeping Allow AND Disallow patterns verbatim
+    (wildcards intact) for the RFC 9309 matcher."""
+    ua = user_agent.lower()
+    groups: List[Tuple[List[str], List[Tuple[bool, str]]]] = []
+    cur_agents: List[str] = []
+    cur_rules: List[Tuple[bool, str]] = []
+    in_group_body = False
+
+    def flush():
+        nonlocal cur_agents, cur_rules, in_group_body
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+        cur_agents, cur_rules = [], []
+        in_group_body = False
+
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                flush()
+            cur_agents.append(val.lower())
+        elif key in ("disallow", "allow", "crawl-delay"):
+            if not cur_agents:
+                continue
+            in_group_body = True
+            if key in ("disallow", "allow") and val:
+                cur_rules.append((key == "allow", val))
+    flush()
+
+    best_len = -1
+    for agents, _ in groups:
+        for a in agents:
+            if a == "*":
+                best_len = max(best_len, 0)
+            elif a and ua.startswith(a):
+                best_len = max(best_len, len(a))
+    if best_len < 0:
+        return ()
+    rules: List[Tuple[bool, str]] = []
+    for agents, r in groups:
+        if any(
+            (a == "*" and best_len == 0)
+            or (a != "*" and ua.startswith(a) and len(a) == best_len)
+            for a in agents
+        ):
+            rules.extend(r)
+    return tuple(rules)
+
+
+def _rfc9309_regex(pattern: str) -> str:
+    """Pattern -> anchored regex: ``*`` matches any run, trailing ``$``
+    anchors the end, otherwise the pattern matches a PREFIX of the path."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(_re.escape(p) for p in body.split("*"))
+    return rx + "$" if anchored else rx
+
+
+def rfc9309_decision(
+    rules: Tuple[Tuple[bool, str], ...], path: str
+) -> Tuple[bool, int]:
+    """Scalar reference matcher: (allowed, winning_rule_len).  Longest
+    matching pattern wins; Allow wins exact-length ties; no match ->
+    (True, 0)."""
+    best_len, allowed = 0, True
+    for is_allow, pattern in rules:
+        if not pattern:
+            continue
+        if _re.match(_rfc9309_regex(pattern), path):
+            plen = len(pattern)
+            if plen > best_len:
+                best_len, allowed = plen, is_allow
+            elif plen == best_len and best_len > 0:
+                allowed = allowed or is_allow
+    return allowed, best_len
+
+
+def rfc9309_match(
+    ds: ray.data.Dataset,
+    *,
+    body_col: str = "robots_txt",
+    path_col: str = "path",
+    id_col: str = "doc_id",
+    user_agent: str = "raycrawler",
+) -> ray.data.Dataset:
+    """Distributed RFC 9309 decision table: for each (robots body, path)
+    row emit ``(id, allowed, rule_len)``.
+
+    Shape: one map_batches pass, no shuffle.  Bodies on a crawl corpus
+    are HIGH-REPEAT (one per host, many paths) — the kernel dictionary-
+    groups the batch by body, parses + compiles each distinct body ONCE,
+    then evaluates every rule as one vectorized
+    ``pc.match_substring_regex`` over that group's path slice
+    (CLAUDE.md's dictionary-encode device); the per-rule fold keeps
+    best-length/allow vectors in numpy.  Per-row Python touches only
+    distinct bodies, never paths."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "allowed": pa.array([], pa.int64()),
+                "rule_len": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(t.column(body_col)).combine_chunks()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False))
+        bodies = enc.dictionary.to_pylist()
+        paths = t.column(path_col)
+        n = t.num_rows
+        allowed = np.ones(n, bool)
+        rule_len = np.zeros(n, np.int64)
+        for code, body in enumerate(bodies):
+            sel = codes == code
+            sub = paths.filter(pa.array(sel))
+            best = np.zeros(int(sel.sum()), np.int64)
+            allow = np.ones(int(sel.sum()), bool)
+            for is_allow, pattern in parse_robots_rules(body, user_agent):
+                if not pattern:
+                    continue
+                m = np.asarray(
+                    pc.match_substring_regex(
+                        sub, pattern=_rfc9309_regex(pattern)
+                    ).to_numpy(zero_copy_only=False),
+                    bool,
+                )
+                plen = len(pattern)
+                gt = m & (plen > best)
+                eq = m & (plen == best) & (best > 0)
+                allow[gt] = is_allow
+                if is_allow:
+                    allow[eq] = True
+                best[gt] = plen
+            allowed[sel] = allow
+            rule_len[sel] = best
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "allowed": pa.array(allowed.astype(np.int64), pa.int64()),
+                "rule_len": pa.array(rule_len, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -210,3 +210,78 @@ def test_parse_robots_sitemaps():
     )
     assert parse_robots_sitemaps("") == ()
     assert parse_robots_sitemaps(None) == ()
+
+
+def test_rfc9309_decision_precedence():
+    """Most-specific-match resolution (RFC 9309 §2.2.2): longest pattern
+    wins, Allow wins exact-length ties, no match -> allowed."""
+    from engine.stages.robots import parse_robots_rules, rfc9309_decision
+
+    rules = parse_robots_rules(
+        "User-agent: *\nAllow: /public*\nDisallow: /\n"
+    )
+    assert rules == ((True, "/public*"), (False, "/"))
+    assert rfc9309_decision(rules, "/public/a.html") == (True, 8)
+    assert rfc9309_decision(rules, "/private/x") == (False, 1)
+
+    # $-anchored Allow (15) out-ranks the wildcard Disallow (10)
+    r2 = parse_robots_rules(
+        "User-agent: raycrawler\nDisallow: /private/*\nAllow: /private/stats$\n"
+    )
+    assert rfc9309_decision(r2, "/private/stats") == (True, 15)
+    assert rfc9309_decision(r2, "/private/stats2") == (False, 10)  # anchor!
+    assert rfc9309_decision(r2, "/other") == (True, 0)
+
+    # exact-length tie: Allow wins, in either rule order
+    tie_a = ((True, "/a/b"), (False, "/a/*"))
+    tie_b = ((False, "/a/*"), (True, "/a/b"))
+    assert rfc9309_decision(tie_a, "/a/b")[0] is True
+    assert rfc9309_decision(tie_b, "/a/b")[0] is True
+
+    # wildcard + anchor; literal regex chars in the path are escaped
+    r3 = parse_robots_rules("User-agent: *\nDisallow: /*.pdf$\n")
+    assert rfc9309_decision(r3, "/docs/file.pdf") == (False, 7)
+    assert rfc9309_decision(r3, "/docs/file.pdfx") == (True, 0)
+    assert rfc9309_decision(r3, "/docs/fileXpdf") == (True, 0)  # '.' escaped
+
+    # group for a different agent: no rules -> allowed
+    assert parse_robots_rules("User-agent: otherbot\nDisallow: /\n") == ()
+
+
+def test_rfc9309_match_distributed(ray_session):
+    """The dictionary-grouped vectorized kernel == the scalar reference
+    on a mixed batch, under repartitioning."""
+    from engine.stages.robots import (
+        parse_robots_rules,
+        rfc9309_decision,
+        rfc9309_match,
+    )
+
+    bodies = [
+        "User-agent: *\nAllow: /public*\nDisallow: /\n",
+        "User-agent: raycrawler\nDisallow: /private/*\nAllow: /private/stats$\n",
+        "User-agent: *\nDisallow: /*.pdf$\n",
+        "",
+    ]
+    paths = ["/public/a.html", "/private/x", "/private/stats",
+             "/docs/file.pdf", "/index.html"]
+    rows = [(i, bodies[i % 4], paths[i % 5]) for i in range(40)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "robots_txt": pa.array([r[1] for r in rows], pa.string()),
+            "path": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    got = (
+        rfc9309_match(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, body, path in rows:
+        exp_allowed, exp_len = rfc9309_decision(
+            parse_robots_rules(body), path
+        )
+        assert got.loc[i, "allowed"] == int(exp_allowed), (i, body, path)
+        assert got.loc[i, "rule_len"] == exp_len, (i, body, path)
