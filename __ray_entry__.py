@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval": q.q_rank_eval,
         "reshard_moves": q.q_reshard_moves,
         "robots_wildcards": q.q_robots_wildcards,
+        "canonical_groups": q.q_canonical_groups,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (float MMR scores; full-corpus numpy oracle test)
@@ -3309,6 +3310,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_route": _bloom_sql(),
         "reshard_moves": _reshard_sql(),
+        # canonical_groups: targets re-derived from doc_id arithmetic
+        # (v0/v2 self, v1 -> previous doc's url, v3 -> relative /c/ path)
+        "canonical_groups": """
+            WITH c AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 1 THEN 'https://s' || CAST((doc_id - 1) % 7 AS VARCHAR)
+                              || '.example.com/p/' || CAST(doc_id - 1 AS VARCHAR)
+                  WHEN 3 THEN 'https://s' || CAST(doc_id % 7 AS VARCHAR)
+                              || '.example.com/c/' || CAST(doc_id // 4 AS VARCHAR)
+                  ELSE 'https://s' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                END AS canonical
+              FROM documents
+            )
+            SELECT canonical, CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(min(doc_id) AS BIGINT) AS rep_doc
+            FROM c GROUP BY canonical
+        """,
         # robots_wildcards: expected decisions hand-resolved per RFC 9309
         # §2.2.2 from the four fixed bodies x five paths (variant =
         # doc_id%4, path = doc_id%5) — independent of the engine's parser

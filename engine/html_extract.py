@@ -633,6 +633,23 @@ def get_document_headings(tree: HTMLTree, max_level: int = 3) -> List[str]:
     return [ws_collapse(h.text_content()) for h in tree.body.find_all(tags)]
 
 
+def get_document_canonical(tree: HTMLTree) -> str:
+    """``<link rel="canonical" href=...>`` from head — the canonical-URL
+    consolidation signal search engines honor for duplicate pages (new:
+    no reference analog; the reference's ES mapping carries no canonical
+    field).  First canonical link wins (browser/Google behavior); ``rel``
+    matching is case-insensitive and TOKEN-based, so
+    ``rel="canonical alternate"`` counts and ``rel="stylesheet"`` never
+    does.  Raw href (trimmed); callers resolve relative references
+    against the page URL.  Empty string when absent."""
+    if tree.head is None:
+        return ""
+    for n in tree.head.find_all(("link",)):
+        if "canonical" in n.attrs.get("rel", "").lower().split():
+            return n.attrs.get("href", "").strip()
+    return ""
+
+
 def get_links(tree: HTMLTree) -> List[str]:
     """All <a href> values in document order (new: crawl link discovery).
 

@@ -3551,3 +3551,75 @@ def q_robots_wildcards(sf_dir: str):
     return rfc9309_match(
         ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def q_canonical_groups(sf_dir: str):
+    """Canonical-URL consolidation (html_extract.get_document_canonical):
+    pages synthesized with <link rel=canonical> variants (self-canonical,
+    cross-page canonical, absent -> self, multi-token rel + RELATIVE href
+    resolved against the page host), parsed by the REAL html tree
+    builder distributed, grouped by resolved canonical target:
+    (canonical, n_pages, rep_doc) — the duplicate-consolidation signal
+    search engines honor, here as a corpus-keyed groupby (canonical
+    targets are corpus-sized).  The oracle re-derives each target from
+    doc_id arithmetic, independent of the parser.  SQL-verified."""
+    from ray.data.aggregate import Count, Min
+
+    from engine.html_extract import HTMLTree, get_document_canonical
+    from engine.stages.common import as_arrow
+
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = []
+        for d in ids:
+            d = int(d)
+            host = f"s{d % 7}.example.com"
+            url = f"https://{host}/p/{d}"
+            v = d % 4
+            if v == 0:
+                html = (f'<html><head><link rel="canonical" href="{url}">'
+                        f"</head><body><p>x</p></body></html>")
+            elif v == 1:
+                prev = f"https://s{(d - 1) % 7}.example.com/p/{d - 1}"
+                html = (f'<html><head><link rel="canonical" href="{prev}">'
+                        f"</head><body><p>x</p></body></html>")
+            elif v == 2:
+                html = "<html><head><title>t</title></head><body></body></html>"
+            else:
+                html = ('<html><head><link rel="stylesheet" href="/s.css">'
+                        f'<link rel="canonical alternate" href="/c/{d // 4}">'
+                        "</head><body></body></html>")
+            href = get_document_canonical(HTMLTree.parse(html))
+            if not href:
+                canon = url
+            elif href.startswith("/"):
+                canon = f"https://{host}{href}"
+            else:
+                canon = href
+            out.append((d, canon))
+        return pa.table(
+            {
+                "doc_id": pa.array([o[0] for o in out], pa.int64()),
+                "canonical": pa.array([o[1] for o in out], pa.string()),
+            }
+        )
+
+    parsed = ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+    grouped = parsed.groupby("canonical").aggregate(
+        Count(alias_name="n_pages"), Min("doc_id", alias_name="rep_doc")
+    )
+    return as_arrow(grouped).map_batches(
+        lambda t: t.select(["canonical", "n_pages", "rep_doc"]).cast(
+            pa.schema(
+                [
+                    ("canonical", pa.string()),
+                    ("n_pages", pa.int64()),
+                    ("rep_doc", pa.int64()),
+                ]
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -293,3 +293,23 @@ def test_fast_tokenizer_marked_section_edges():
     ]
     for s in cases:
         assert tree_sig(parse_with(s, True)) == tree_sig(parse_with(s, False)), s
+
+
+def test_get_document_canonical_edges():
+    """rel token matching, first-wins, trimming, absent-head fallback."""
+    from engine.html_extract import HTMLTree, get_document_canonical
+
+    t = HTMLTree.parse(
+        '<html><head><link rel="stylesheet" href="/s.css">'
+        '<link rel="CANONICAL alternate" href="  https://a.com/x  ">'
+        '<link rel="canonical" href="https://a.com/second">'
+        "</head><body></body></html>"
+    )
+    assert get_document_canonical(t) == "https://a.com/x"  # first + tokens
+    assert get_document_canonical(HTMLTree.parse("<p>no head</p>")) == ""
+    assert (
+        get_document_canonical(
+            HTMLTree.parse('<head><link rel="alternate" href="/y"></head>')
+        )
+        == ""
+    )
