@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reshard_moves": q.q_reshard_moves,
         "robots_wildcards": q.q_robots_wildcards,
         "canonical_groups": q.q_canonical_groups,
+        "cache_control": q.q_cache_control,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (float MMR scores; full-corpus numpy oracle test)
@@ -3310,6 +3311,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_route": _bloom_sql(),
         "reshard_moves": _reshard_sql(),
+        # cache_control: RFC 9111 decisions re-derived per header variant
+        # (doc_id % 8); see queries._CACHE_HEADERS for the eight cases
+        "cache_control": """
+            SELECT doc_id,
+              CAST(CASE doc_id % 8
+                WHEN 0 THEN 3600 WHEN 1 THEN -1 WHEN 2 THEN 600
+                WHEN 3 THEN -1   WHEN 4 THEN 120 WHEN 5 THEN 45
+                WHEN 6 THEN 7200 ELSE 10 END AS BIGINT) AS max_age,
+              CAST(CASE WHEN doc_id % 8 IN (1, 2, 4) THEN 1 ELSE 0
+                   END AS BIGINT) AS no_store,
+              CAST(CASE doc_id % 8
+                WHEN 0 THEN 3600 WHEN 1 THEN 0  WHEN 2 THEN 0
+                WHEN 3 THEN 86400 WHEN 4 THEN 0 WHEN 5 THEN 45
+                WHEN 6 THEN 7200 ELSE 10 END AS BIGINT) AS revisit_s
+            FROM documents
+        """,
         # canonical_groups: targets re-derived from doc_id arithmetic
         # (v0/v2 self, v1 -> previous doc's url, v3 -> relative /c/ path)
         "canonical_groups": """

@@ -3623,3 +3623,44 @@ def q_canonical_groups(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+_CACHE_HEADERS = (
+    "max-age=3600, public",
+    "no-store",
+    "no-cache, max-age=600",   # no-cache wins over max-age
+    "",                        # absent -> crawl default
+    "private, max-age=120",    # private excludes a shared cache
+    "s-maxage=30, max-age=45", # only max-age honored (s-maxage ignored)
+    "MAX-AGE=7200",            # case-insensitive
+    "no-cachex, max-age=10",   # token boundary: not a no-cache directive
+)
+
+
+def q_cache_control(sf_dir: str):
+    """HTTP Cache-Control -> revisit policy (cachecontrol.cache_policy,
+    RFC 9111 shared-cache subset): per doc, parsed max-age (-1 absent),
+    no-store/no-cache/private flag (token-boundary matched), and the
+    derived revisit_s (0 when uncacheable, max-age when bounded, 86400
+    default).  Headers synthesized from eight fixed variants covering
+    precedence, case, and boundary traps.  ZERO per-row Python — one
+    match_substring_regex + one extract_regex per batch.  SQL-verified
+    (the oracle re-derives the decisions from doc_id arithmetic)."""
+    from engine.stages.cachecontrol import cache_policy
+
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "cache_control": pa.array(
+                    [_CACHE_HEADERS[int(i) % 8] for i in d], pa.string()
+                ),
+            }
+        )
+
+    return cache_policy(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    )
