@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_wildcards": q.q_robots_wildcards,
         "canonical_groups": q.q_canonical_groups,
         "cache_control": q.q_cache_control,
+        "charset_sniff": q.q_charset_sniff,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (float MMR scores; full-corpus numpy oracle test)
@@ -3311,6 +3312,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_route": _bloom_sql(),
         "reshard_moves": _reshard_sql(),
+        # charset_sniff: WHATWG ladder decisions re-derived per payload
+        # variant (doc_id % 8); see queries._CHARSET_BODIES/_CHARSET_EXPECT
+        "charset_sniff": """
+            SELECT doc_id,
+              CASE doc_id % 8
+                WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'windows-1251'
+                WHEN 4 THEN 'ascii' WHEN 5 THEN 'utf-8'
+                WHEN 6 THEN 'utf-8' ELSE 'shift_jis' END AS encoding,
+              CAST(CASE WHEN doc_id % 8 IN (0, 1, 6) THEN 1 ELSE 0
+                   END AS BIGINT) AS bom,
+              CAST(CASE WHEN doc_id % 8 IN (2, 3, 7) THEN 1 ELSE 0
+                   END AS BIGINT) AS declared
+            FROM documents
+        """,
         # cache_control: RFC 9111 decisions re-derived per header variant
         # (doc_id % 8); see queries._CACHE_HEADERS for the eight cases
         "cache_control": """

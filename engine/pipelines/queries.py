@@ -3664,3 +3664,56 @@ def q_cache_control(sf_dir: str):
     return cache_policy(
         ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+_CHARSET_BODIES = (
+    b"\xef\xbb\xbf<html><body>bom utf8</body></html>",          # BOM utf-8
+    b"\xff\xfe<\x00h\x00t\x00m\x00l\x00>\x00",                  # BOM utf-16le
+    b'<html><head><meta charset="ISO-8859-1"></head></html>',    # quoted decl
+    b"<html><head><meta CHARSET=windows-1251></head></html>",    # unquoted+case
+    b"<html><body>plain ascii only</body></html>",               # ascii
+    b"<html><body>caf\xc3\xa9 high bytes</body></html>",         # utf-8 heur.
+    b'\xef\xbb\xbf<meta charset="ISO-8859-1">conflict</meta>',   # BOM wins
+    b'<meta http-equiv="Content-Type" content="text/html; '
+    b'charset=shift_jis">',                                      # http-equiv
+)
+_CHARSET_EXPECT = (
+    ("utf-8", 1, 0),
+    ("utf-16le", 1, 0),
+    ("iso-8859-1", 0, 1),
+    ("windows-1251", 0, 1),
+    ("ascii", 0, 0),
+    ("utf-8", 0, 0),
+    ("utf-8", 1, 0),
+    ("shift_jis", 0, 1),
+)
+
+
+def q_charset_sniff(sf_dir: str):
+    """WHATWG charset sniffing (charset.charset_sniff) over binary HTML
+    payloads: BOM (overrides everything) -> in-document charset=
+    declaration (meta and http-equiv forms) -> ascii/utf-8 high-byte
+    heuristic, with 0/1 provenance flags for which rung decided.  Eight
+    payload variants cover each rung plus the BOM-vs-meta conflict.
+    ZERO per-row Python: binary_slice + equal BOM checks, one
+    extract_regex on the sniff prefix, one high-byte regex, np.select
+    ladder.  SQL-verified (decisions re-derived from doc_id
+    arithmetic)."""
+    from engine.stages.charset import charset_sniff
+
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "html": pa.array(
+                    [_CHARSET_BODIES[int(i) % 8] for i in d], pa.binary()
+                ),
+            }
+        )
+
+    return charset_sniff(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -91,7 +91,7 @@ SQL_NAMES = [
     "percolate", "graph_components", "shipping_priority", "late_orders",
     "oov_rate", "search_after", "multi_match", "decay_scores",
     "zone_prune", "bloom_route", "span_near", "rank_eval",
-    "reshard_moves", "robots_wildcards", "canonical_groups", "cache_control",
+    "reshard_moves", "robots_wildcards", "canonical_groups", "cache_control", "charset_sniff",
 ]
 
 

@@ -4847,3 +4847,41 @@ def test_mmr_rerank_matches_numpy_oracle(ray_session):
     # MMR must NOT pick it second
     assert got["vec_id"].tolist()[1] != 1
     assert got["rank"].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_charset_sniff_ladder(ray_session):
+    """WHATWG ladder: BOM > declaration > heuristic; provenance flags;
+    truncated/empty payloads never crash."""
+    import ray.data
+
+    from engine.stages.charset import charset_sniff
+
+    payloads = [
+        b"\xef\xbb\xbfx",                                   # utf-8 BOM
+        b"\xff\xfe",                                        # bare utf-16le BOM
+        b"\xfe\xffB",                                       # utf-16be BOM
+        b'<meta charset="ISO-8859-1">',                     # declaration
+        b"\xef\xbb\xbf<meta charset=latin-1>",              # BOM beats meta
+        b"ascii only",
+        b"caf\xc3\xa9",                                     # high byte -> utf-8
+        b"",                                                # empty
+        b'<meta content="a/b; charset=EUC-JP">tail',        # http-equiv form
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(payloads))), pa.int64()),
+            "html": pa.array(payloads, pa.binary()),
+        }
+    )
+    got = (
+        charset_sniff(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = [
+        ("utf-8", 1, 0), ("utf-16le", 1, 0), ("utf-16be", 1, 0),
+        ("iso-8859-1", 0, 1), ("utf-8", 1, 0), ("ascii", 0, 0),
+        ("utf-8", 0, 0), ("ascii", 0, 0), ("euc-jp", 0, 1),
+    ]
+    assert list(zip(got.encoding, got.bom, got.declared)) == exp
