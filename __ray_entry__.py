@@ -117,6 +117,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_groups": q.q_canonical_groups,
         "cache_control": q.q_cache_control,
         "charset_sniff": q.q_charset_sniff,
+        "segment_merge": q.q_segment_merge,
+        "doc_deletes": q.q_doc_deletes,
+        "c4_line_filter": q.q_c4_line_filter,
+        "badwords": q.q_badwords,
+        "mirror_detect": q.q_mirror_detect,
+        "soft404": q.q_soft404,
+        "stopword_gen": q.q_stopword_gen,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (float MMR scores; full-corpus numpy oracle test)
@@ -3312,6 +3319,176 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_route": _bloom_sql(),
         "reshard_moves": _reshard_sql(),
+        # segment_merge: per-segment and merged term dictionaries
+        # re-derived with dense_rank; the remap is checked row-by-row
+        "segment_merge": r"""
+            WITH toks AS (
+              SELECT doc_id, doc_id % 3 AS seg,
+                     unnest(regexp_extract_all(coalesce(text,''),
+                            '[^\t\n\x0b\x0c\r ]+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT seg, token, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY 1, 2, 3
+            ), segdict AS (
+              SELECT seg, token,
+                     CAST(dense_rank() OVER (PARTITION BY seg ORDER BY token)
+                          - 1 AS BIGINT) AS local_term_id
+              FROM (SELECT DISTINCT seg, token FROM tf)
+            ), mdict AS (
+              SELECT token,
+                     CAST(dense_rank() OVER (ORDER BY token) - 1
+                          AS BIGINT) AS term_id
+              FROM (SELECT DISTINCT token FROM tf)
+            )
+            SELECT m.term_id, t.token, CAST(t.seg AS BIGINT) AS seg,
+                   s.local_term_id, t.doc_id, t.tf
+            FROM tf t
+            JOIN segdict s USING (seg, token)
+            JOIN mdict m USING (token)
+        """,
+        # doc_deletes: tombstones are doc_id % 13 == 0
+        "doc_deletes": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text,''),
+                            '[^\t\n\x0b\x0c\r ]+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS df_total,
+                   CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS df_live,
+                   CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN tf ELSE 0 END)
+                        AS BIGINT) AS cf_live
+            FROM tf GROUP BY token
+        """,
+        # c4_line_filter: the oracle RE-SYNTHESIZES the 8-token lines
+        # (same doc_id arithmetic as the query's synth) and re-applies
+        # the C4 rules with DuckDB list/regexp kernels
+        "c4_line_filter": r"""
+            WITH tkt AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text,''),
+                                        '[^\t\n\x0b\x0c\r ]+') AS tk
+              FROM documents
+            ), ln AS (
+              SELECT doc_id, i,
+                array_to_string(tk[(i*8+1):(i*8+8)], ' ')
+                  || CASE WHEN (doc_id+i)%17=0 THEN ' javascript' ELSE '' END
+                  || CASE WHEN (doc_id+i)%3<>2 THEN '.' ELSE '' END
+                  || CASE WHEN doc_id%31=0 AND i=0 THEN ' {' ELSE '' END
+                  AS line
+              FROM tkt,
+                   UNNEST(range(0, greatest((len(tk)+7)//8, 1))) AS u(i)
+            ), b AS (
+              SELECT doc_id, line, contains(line, '{') AS curly,
+                     length(line) AS nch,
+                CASE WHEN regexp_matches(line, '(?i)javascript') THEN 'ban'
+                     WHEN len(regexp_extract_all(line,
+                          '[^\t\n\x0b\x0c\r ]+')) < 5 THEN 'short'
+                     WHEN NOT regexp_matches(line, '[.!?"]$') THEN 'punct'
+                     ELSE 'keep' END AS verdict
+              FROM ln
+            )
+            SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(CASE WHEN verdict='keep' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS kept_lines,
+              CAST(sum(CASE WHEN verdict='ban' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS drop_banned,
+              CAST(sum(CASE WHEN verdict='short' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS drop_short,
+              CAST(sum(CASE WHEN verdict='punct' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS drop_punct,
+              CAST(CASE WHEN NOT bool_or(curly)
+                    AND sum(CASE WHEN verdict='keep' THEN 1 ELSE 0 END) >= 3
+                    THEN 1 ELSE 0 END AS BIGINT) AS doc_kept,
+              CAST(sum(CASE WHEN verdict='keep' THEN nch ELSE 0 END)
+                   + greatest(sum(CASE WHEN verdict='keep' THEN 1 ELSE 0 END)
+                              - 1, 0) AS BIGINT) AS clean_chars
+            FROM b GROUP BY doc_id
+        """,
+        # badwords: exact token membership via list_filter
+        "badwords": r"""
+            WITH s AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(coalesce(text,''),
+                     '[^\t\n\x0b\x0c\r ]+')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(regexp_extract_all(coalesce(text,''),
+                     '[^\t\n\x0b\x0c\r ]+'),
+                     t -> t IN ('dup','spark','null'))) AS BIGINT) AS n_bad
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, n_bad,
+              CAST(floor(1000000.0 * n_bad / greatest(n_tokens, 1))
+                   AS BIGINT) AS bad_ppm,
+              CAST(CASE WHEN floor(1000000.0 * n_bad / greatest(n_tokens, 1))
+                   >= 50000 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+            FROM s
+        """,
+        # mirror_detect: content/host synth re-derived from doc_id
+        # arithmetic; the md5 and the distinct-host group run for real
+        "mirror_detect": """
+            WITH c AS (
+              SELECT doc_id,
+                md5(CASE WHEN doc_id % 3 = 0
+                     THEN 'u-' || CAST(doc_id AS VARCHAR)
+                     ELSE 'page-' || CAST(doc_id // 4 AS VARCHAR) || '-body'
+                    END) AS content_md5,
+                'h' || CAST(doc_id % 7 AS VARCHAR) AS host
+              FROM documents
+            )
+            SELECT content_md5,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(min(doc_id) AS BIGINT) AS rep_doc
+            FROM c GROUP BY content_md5
+            HAVING count(DISTINCT host) > 1
+        """,
+        # soft404: title synth re-derived from doc_id % 6; the marker
+        # regex and the thin-body gate (REAL n_chars) run for real
+        "soft404": """
+            WITH s AS (
+              SELECT doc_id, n_chars,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'Page Not Found'
+                  WHEN 1 THEN '404 - missing'
+                  WHEN 2 THEN 'Internal Server Error'
+                  WHEN 3 THEN 'Product page ' || CAST(doc_id AS VARCHAR)
+                  WHEN 4 THEN 'File does not exist'
+                  ELSE 'Home ' || CAST(doc_id AS VARCHAR) END AS title
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(CASE WHEN regexp_matches(title,
+                   '(?i)(not found|404|error|does not exist|no longer available)')
+                   THEN 1 ELSE 0 END AS BIGINT) AS marker,
+              CAST(CASE WHEN regexp_matches(title,
+                   '(?i)(not found|404|error|does not exist|no longer available)')
+                   AND n_chars < 600 THEN 1 ELSE 0 END AS BIGINT) AS soft404
+            FROM s
+        """,
+        # stopword_gen: df over distinct per-doc tokens, 40% threshold
+        "stopword_gen": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(
+                            coalesce(text,''),
+                            '[^\t\n\x0b\x0c\r ]+'))) AS token
+              FROM documents
+            ), n AS (SELECT count(*) AS nd FROM documents),
+            d AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM toks GROUP BY token
+            )
+            SELECT token, df,
+                   CAST(floor(1000000.0 * df / (SELECT nd FROM n))
+                        AS BIGINT) AS df_ppm
+            FROM d
+            WHERE floor(1000000.0 * df / (SELECT nd FROM n)) >= 400000
+        """,
         # charset_sniff: WHATWG ladder decisions re-derived per payload
         # variant (doc_id % 8); see queries._CHARSET_BODIES/_CHARSET_EXPECT
         "charset_sniff": """

@@ -3717,3 +3717,184 @@ def q_charset_sniff(sf_dir: str):
     return charset_sniff(
         ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# index-segment lifecycle + web-corpus filters (round-5 seventh session)
+# ---------------------------------------------------------------------------
+
+def q_segment_merge(sf_dir: str):
+    """Lucene/ES segment merge (segments.segment_merge): three immutable
+    segments (doc_id % 3), each with its OWN sorted term dictionary and
+    local term ids, merged by remapping every posting through the sorted
+    union dictionary — output carries (term_id, local_term_id) so the
+    remap is verified row-by-row.  Dictionaries are the vocab-sized
+    small side (driver reduce behind dict_max, remap broadcast once via
+    ray.put); postings rows shuffle once for the final (term_id, doc_id)
+    order, text never shuffles.  SQL-verified (dense_rank oracle)."""
+    from engine.stages.segments import segment_merge
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return segment_merge(ds, id_col="doc_id", text_col="text", n_segments=3)
+
+
+def q_doc_deletes(sf_dir: str):
+    """Tombstone merge-on-read (segments.apply_deletes): per-token stored
+    df vs live df/cf after filtering the deleted-doc set (doc_id % 13 ==
+    0) — ES's docs.count/docs.deleted split at term granularity.  The
+    tombstone set ships once via ray.put; per-batch Counter partials
+    mean the groupby moves (token, 3 ints) rows only.  SQL-verified."""
+    from engine.stages.segments import apply_deletes
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    dels = range(0, 1_000_000, 13)
+    return apply_deletes(ds, dels, id_col="doc_id", text_col="text")
+
+
+def q_c4_line_filter(sf_dir: str):
+    """C4 line-level cleaning ledger (c4.c4_line_filter, arXiv:1910.10683
+    §2.2) over synthesized multi-line documents (8-token lines; a
+    deterministic mix of missing terminal punctuation, 'javascript'
+    lines, short tails, and '{' code markers derived from doc_id
+    arithmetic so every drop bucket executes).  Per doc: line counts by
+    drop reason, the doc-level verdict, and the cleaned-text length.
+    ONE vectorized pass — split_pattern, three regex kernels over the
+    flattened lines, reduceat rollups; no shuffle.  SQL-verified (the
+    oracle re-synthesizes the lines and applies the same rules with
+    DuckDB list/regexp kernels — a REAL re-computation, not arithmetic
+    re-derivation)."""
+    from engine.stages.c4 import c4_line_filter
+    from engine.stages.text import _TOKEN
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out = []
+        for d, txt in zip(ids, texts):
+            tk = _TOKEN.findall(txt or "")
+            nl = max((len(tk) + 7) // 8, 1)
+            lines = []
+            for i in range(nl):
+                base = " ".join(tk[8 * i : 8 * i + 8])
+                if (d + i) % 17 == 0:
+                    base += " javascript"
+                if (d + i) % 3 != 2:
+                    base += "."
+                if d % 31 == 0 and i == 0:
+                    base += " {"
+                lines.append(base)
+            out.append("\n".join(lines))
+        return pa.table(
+            {
+                "doc_id": pa.array([int(x) for x in ids], pa.int64()),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    return c4_line_filter(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True),
+        min_words=5,
+        min_lines=3,
+    )
+
+
+_BADWORDS = ("dup", "spark", "null")
+
+
+def q_badwords(sf_dir: str):
+    """Dictionary badword stats (webfilter.badword_stats) over the real
+    corpus text: exact token membership counts against a blocklist plus
+    the fixed-point bad_ppm and a threshold flag.  Fully vectorized
+    (split_pattern_regex -> is_in -> reduceat), no shuffle.
+    SQL-verified (list_filter membership oracle)."""
+    from engine.stages.webfilter import badword_stats
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return badword_stats(ds, _BADWORDS, max_bad_ppm=50_000)
+
+
+def q_mirror_detect(sf_dir: str):
+    """Mirrored-content detection (webfilter.mirror_detect): content md5
+    grouped across hosts, emitting every hash served by more than one
+    distinct host.  Content/host are synthesized deterministically
+    (groups of 4 consecutive ids share a page body, one third are
+    unique; host = doc_id % 7) so both the mirror and singleton paths
+    execute; the md5 itself is computed for real on both sides.
+    Coarse-bucket map_groups reduce (PERF.md #31) — only (md5, host,
+    id) rows shuffle.  SQL-verified."""
+    from engine.stages.webfilter import mirror_detect
+
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        content = [
+            "u-%d" % i if i % 3 == 0 else "page-%d-body" % (i // 4)
+            for i in d
+        ]
+        host = ["h%d" % (i % 7) for i in d]
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "text": pa.array(content, pa.string()),
+                "host": pa.array(host, pa.string()),
+            }
+        )
+
+    return mirror_detect(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_soft404(sf_dir: str):
+    """Soft-404 classification (webfilter.soft404_detect): error-marker
+    regex over the title plus a thin-body gate against the REAL n_chars
+    column.  Titles are synthesized over six variants (doc_id % 6:
+    three error forms, 'does not exist', two legit titles) so both
+    marker paths and the body gate execute; the regex runs for real on
+    both sides.  One stateless vectorized pass.  SQL-verified."""
+    from engine.stages.webfilter import soft404_detect
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"], num_blocks=_cpus())
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        titles = []
+        for i in d:
+            v = int(i) % 6
+            titles.append(
+                [
+                    "Page Not Found",
+                    "404 - missing",
+                    "Internal Server Error",
+                    "Product page %d" % i,
+                    "File does not exist",
+                    "Home %d" % i,
+                ][v]
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "title": pa.array(titles, pa.string()),
+                "n_chars": t.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    return soft404_detect(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True),
+        thin_chars=600,
+    )
+
+
+def q_stopword_gen(sf_dir: str):
+    """Corpus-driven stopword list (index_build.stopword_list): every
+    token whose document frequency is >= 40% of the corpus, with exact
+    df and fixed-point df_ppm — the analyzer-side stop filter a search
+    stack derives from its own index.  term_stats shuffle shape
+    ((token, df) partials only).  SQL-verified."""
+    from engine.stages.index_build import stopword_list
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return stopword_list(ds, min_df_ppm=400_000)

@@ -652,3 +652,71 @@ def index_size_est(
             "postings_bytes": pa.array(out_b, pa.int64()),
         }
     )
+
+
+def stopword_list(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df_ppm: int = 500_000,
+) -> ray.data.Dataset:
+    """Corpus-driven stopword candidates: (token, df, df_ppm) for every
+    token whose document frequency is at least ``min_df_ppm`` parts per
+    million of the corpus (``df_ppm = floor(1e6 * df / n_docs)`` — the
+    bit-reproducible fixed-point convention of text.quality_scores).
+
+    The analyzer-side artifact ES derives implicitly (`common terms` /
+    `cutoff_frequency`): the list a search stack feeds back into its
+    analyzer as a stop filter.  Same shuffle shape as ``term_stats`` —
+    per-batch Counter partials, one (token, df) groupby; the threshold
+    filter runs post-aggregate so no sort and no driver funnel.
+    """
+    n_docs = ds.count()
+
+    def partials(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        df: Counter = Counter()
+        for txt in texts:
+            df.update(set(_TOKEN.findall(txt or "")))
+        toks = list(df.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "df": pa.array([df[tok] for tok in toks], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    def threshold(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "df_ppm": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or "token" not in t.column_names or n_docs == 0:
+            return empty
+        import numpy as np
+        import pyarrow.compute as pc
+
+        df = t.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = np.floor(1_000_000.0 * df / float(n_docs)).astype(np.int64)
+        keep = ppm >= min_df_ppm
+        return pa.table(
+            {
+                "token": t.column("token").filter(pa.array(keep)),
+                "df": pa.array(df[keep], pa.int64()),
+                "df_ppm": pa.array(ppm[keep], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(
+        threshold, batch_format="pyarrow", zero_copy_batch=True
+    )

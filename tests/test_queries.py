@@ -92,6 +92,8 @@ SQL_NAMES = [
     "oov_rate", "search_after", "multi_match", "decay_scores",
     "zone_prune", "bloom_route", "span_near", "rank_eval",
     "reshard_moves", "robots_wildcards", "canonical_groups", "cache_control", "charset_sniff",
+    "segment_merge", "doc_deletes", "c4_line_filter", "badwords",
+    "mirror_detect", "soft404", "stopword_gen",
 ]
 
 

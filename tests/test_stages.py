@@ -4885,3 +4885,281 @@ def test_charset_sniff_ladder(ray_session):
         ("utf-8", 0, 0), ("ascii", 0, 0), ("euc-jp", 0, 1),
     ]
     assert list(zip(got.encoding, got.bom, got.declared)) == exp
+
+
+# ---------------------------------------------------------------------------
+# round-5 session-7 batch: segments / c4 / webfilter / stopwords
+# ---------------------------------------------------------------------------
+
+
+def test_segment_merge_remap(ray_session):
+    """The merged dictionary is the sorted token union with dense global
+    ids; each posting's local_term_id is the token's rank in its OWN
+    segment dictionary; output is (term_id, doc_id)-sorted."""
+    import ray.data
+
+    from engine.stages.segments import segment_merge
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["b a b", "c b", "a", "d a"], pa.string()
+            ),
+        }
+    )
+    out = segment_merge(
+        ray.data.from_arrow(t).repartition(2), n_segments=2
+    ).to_pandas()
+    # seg 0 docs {0, 2}: dict [a, b]; seg 1 docs {1, 3}: dict [a, b, c, d]
+    # merged dict [a, b, c, d]
+    by = {
+        (r.token, r.doc_id): (r.term_id, r.seg, r.local_term_id, r.tf)
+        for r in out.itertuples()
+    }
+    assert by[("b", 0)] == (1, 0, 1, 2)
+    assert by[("a", 0)] == (0, 0, 0, 1)
+    assert by[("a", 2)] == (0, 0, 0, 1)
+    assert by[("c", 1)] == (2, 1, 2, 1)
+    assert by[("b", 1)] == (1, 1, 1, 1)
+    assert by[("d", 3)] == (3, 1, 3, 1)
+    assert by[("a", 3)] == (0, 1, 0, 1)
+    # sorted by (term_id, doc_id)
+    pairs = list(zip(out["term_id"], out["doc_id"]))
+    assert pairs == sorted(pairs)
+
+
+def test_segment_merge_dict_gate(ray_session):
+    import ray.data
+
+    from engine.stages.segments import segment_merge
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b c", "d e f"], pa.string()),
+        }
+    )
+    with pytest.raises(ValueError, match="dict_max"):
+        segment_merge(ray.data.from_arrow(t), n_segments=2, dict_max=3)
+
+
+def test_apply_deletes_counts(ray_session):
+    import ray.data
+
+    from engine.stages.segments import apply_deletes
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["x x y", "x z", "y"], pa.string()),
+        }
+    )
+    out = (
+        apply_deletes(ray.data.from_arrow(t).repartition(2), [2])
+        .to_pandas()
+        .set_index("token")
+    )
+    assert out.loc["x", "df_total"] == 2
+    assert out.loc["x", "df_live"] == 1
+    assert out.loc["x", "cf_live"] == 2  # doc 1 has x twice
+    assert out.loc["z", "df_live"] == 0
+    assert out.loc["z", "cf_live"] == 0
+    assert out.loc["y", "df_live"] == 2
+    with pytest.raises(ValueError, match="deleted_max"):
+        apply_deletes(ray.data.from_arrow(t), range(10), deleted_max=5)
+
+
+def test_c4_line_filter_buckets(ray_session):
+    """Each drop bucket, the banned>short>punct precedence, the curly
+    doc-drop, and the joined clean_chars arithmetic."""
+    import ray.data
+
+    from engine.stages.c4 import c4_line_filter
+
+    docs = [
+        # 3 keepable lines -> kept; one short, one punct-less, one banned
+        (
+            0,
+            "one two three four five.\nsix seven eight nine ten!\n"
+            'eleven twelve thirteen fourteen fifteen"\nshort line.\n'
+            "no terminal punctuation here at all\n"
+            "enable javascript please now.",
+        ),
+        # banned AND short: counted banned (precedence)
+        (1, "javascript.\ngood line with five words."),
+        # curly marker kills the doc even with 3 kept lines
+        (
+            2,
+            "one two three four five.\nsix seven eight nine ten.\n"
+            "this has a { marker and six words.",
+        ),
+        (3, ""),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x in docs], pa.string()),
+        }
+    )
+    out = (
+        c4_line_filter(ray.data.from_arrow(t).repartition(2), min_lines=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    r0 = out.loc[0]
+    assert (
+        r0.n_lines,
+        r0.kept_lines,
+        r0.drop_banned,
+        r0.drop_short,
+        r0.drop_punct,
+        r0.doc_kept,
+    ) == (6, 3, 1, 1, 1, 1)
+    kept_lines = [
+        "one two three four five.",
+        "six seven eight nine ten!",
+        'eleven twelve thirteen fourteen fifteen"',
+    ]
+    assert r0.clean_chars == sum(len(x) for x in kept_lines) + 2
+    r1 = out.loc[1]
+    assert (r1.drop_banned, r1.drop_short, r1.kept_lines, r1.doc_kept) == (
+        1,
+        0,
+        1,
+        0,
+    )
+    r2 = out.loc[2]
+    assert (r2.kept_lines, r2.doc_kept) == (3, 0)  # curly kills it
+    r3 = out.loc[3]
+    assert (r3.n_lines, r3.kept_lines, r3.doc_kept) == (1, 0, 0)
+
+
+def test_badword_stats_edges(ray_session):
+    import ray.data
+
+    from engine.stages.webfilter import badword_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["bad  good   bad", "", None, "clean words only"], pa.string()
+            ),
+        }
+    )
+    out = (
+        badword_stats(
+            ray.data.from_arrow(t).repartition(2),
+            ("bad",),
+            max_bad_ppm=500_000,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.n_tokens) == [3, 0, 0, 3]
+    assert list(out.n_bad) == [2, 0, 0, 0]
+    assert out.loc[0, "bad_ppm"] == 666_666
+    assert list(out.flagged) == [1, 0, 0, 0]
+
+
+def test_mirror_detect_semantics(ray_session):
+    """Same hash on one host (self-duplicate) is NOT a mirror; the same
+    hash across hosts is, with exact host/page counts and min-id rep."""
+    import ray.data
+
+    from engine.stages.webfilter import mirror_detect
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 3, 9, 10, 11], pa.int64()),
+            "text": pa.array(["A", "A", "A", "B", "B"], pa.string()),
+            "host": pa.array(
+                ["h1", "h2", "h1", "h9", "h9"], pa.string()
+            ),
+        }
+    )
+    out = mirror_detect(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    assert len(out) == 1  # B is same-host only
+    assert (
+        int(out.n_hosts[0]),
+        int(out.n_pages[0]),
+        int(out.rep_doc[0]),
+    ) == (2, 3, 3)
+
+
+def test_soft404_gate(ray_session):
+    import ray.data
+
+    from engine.stages.webfilter import soft404_detect
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "title": pa.array(
+                ["Page Not Found", "Page Not Found", "Welcome"], pa.string()
+            ),
+            "n_chars": pa.array([100, 5000, 100], pa.int64()),
+        }
+    )
+    out = soft404_detect(ray.data.from_arrow(t)).to_pandas()
+    assert list(out.marker) == [1, 1, 0]
+    assert list(out.soft404) == [1, 0, 0]
+
+
+def test_stopword_list_threshold(ray_session):
+    import ray.data
+
+    from engine.stages.index_build import stopword_list
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["the cat", "the dog", "the fox", "a fox"], pa.string()
+            ),
+        }
+    )
+    out = (
+        stopword_list(ray.data.from_arrow(t).repartition(2), min_df_ppm=500_000)
+        .to_pandas()
+        .set_index("token")
+    )
+    assert set(out.index) == {"the", "fox"}
+    assert out.loc["the", "df"] == 3 and out.loc["the", "df_ppm"] == 750_000
+    assert out.loc["fox", "df_ppm"] == 500_000
+
+
+def test_session7_ops_empty_corpus(ray_session):
+    """Typed empties on a zero-row corpus for the session-7 batch."""
+    import ray.data
+
+    from engine.stages.c4 import c4_line_filter
+    from engine.stages.index_build import stopword_list
+    from engine.stages.segments import apply_deletes, segment_merge
+    from engine.stages.webfilter import (
+        badword_stats,
+        mirror_detect,
+        soft404_detect,
+    )
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "host": pa.array([], pa.string()),
+                "title": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+    )
+    assert segment_merge(empty).count() == 0
+    assert apply_deletes(empty, [1]).count() == 0
+    assert c4_line_filter(empty).count() == 0
+    assert badword_stats(empty, ("x",)).count() == 0
+    assert mirror_detect(empty).count() == 0
+    assert soft404_detect(empty).count() == 0
+    assert stopword_list(empty).count() == 0
