@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_detect": q.q_mirror_detect,
         "soft404": q.q_soft404,
         "stopword_gen": q.q_stopword_gen,
+        "terms_set": q.q_terms_set,
+        "composite_agg": q.q_composite_agg,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (float MMR scores; full-corpus numpy oracle test)
@@ -3469,6 +3471,43 @@ def oracle_sql() -> dict[str, str]:
                    '(?i)(not found|404|error|does not exist|no longer available)')
                    AND n_chars < 600 THEN 1 ELSE 0 END AS BIGINT) AS soft404
             FROM s
+        """,
+        # terms_set: exact-token membership with per-doc threshold
+        "terms_set": r"""
+            WITH s AS (
+              SELECT doc_id, 1 + doc_id % 4 AS required,
+                CAST(list_contains(tk, 'join') AS INT)
+                + CAST(list_contains(tk, 'merge') AS INT)
+                + CAST(list_contains(tk, 'scan') AS INT)
+                + CAST(list_contains(tk, 'window') AS INT) AS n_matched
+              FROM (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text,''),
+                                          '[^\t\n\x0b\x0c\r ]+') AS tk
+                FROM documents
+              )
+            )
+            SELECT doc_id, CAST(n_matched AS BIGINT) AS n_matched,
+                   CAST(required AS BIGINT) AS required
+            FROM s WHERE n_matched >= required
+        """,
+        # composite_agg: after-key cursor re-derived with a lexicographic
+        # WHERE + ORDER BY + LIMIT page
+        "composite_agg": """
+            WITH b AS (
+              SELECT event_type, user_id % 50 AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(min(event_id) AS BIGINT) AS min_id
+              FROM events GROUP BY 1, 2
+            ), f AS (
+              SELECT * FROM b
+              WHERE event_type > 'error'
+                 OR (event_type = 'error' AND bucket > 17)
+            )
+            SELECT event_type, bucket, n_rows, min_id,
+                   CAST(row_number() OVER (ORDER BY event_type, bucket)
+                        AS BIGINT) AS rank
+            FROM f ORDER BY event_type, bucket LIMIT 20
         """,
         # stopword_gen: df over distinct per-doc tokens, 40% threshold
         "stopword_gen": r"""

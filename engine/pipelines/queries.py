@@ -3898,3 +3898,59 @@ def q_stopword_gen(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return stopword_list(ds, min_df_ppm=400_000)
+
+
+_TERMS_SET = ("join", "merge", "scan", "window")
+
+
+def q_terms_set(sf_dir: str):
+    """ES terms_set query (search.terms_set_search): exact whole-token
+    membership with a PER-DOCUMENT threshold (minimum_should_match_field
+    = 1 + doc_id % 4, so all four thresholds execute) over four query
+    terms.  One split pass, one flattened equality + reduceat per term;
+    no shuffle.  SQL-verified (list_contains oracle)."""
+    from engine.stages.search import terms_set_search
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+
+    def add_req(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("req", pa.array(1 + d % 4, pa.int64()))
+
+    return terms_set_search(
+        ds.map_batches(add_req, batch_format="pyarrow", zero_copy_batch=True),
+        _TERMS_SET,
+        req_col="req",
+    )
+
+
+def q_composite_agg(sf_dir: str):
+    """ES composite aggregation with after_key pagination
+    (topk.composite_page): buckets = (event_type, user_id % 50) with doc
+    count and min event id, ordered by the composite key; the query asks
+    for the 20-bucket page strictly after ('error', 17) — the cursor ES
+    uses to paginate aggregations.  One groupby + stateless after-filter
+    + partial bottom-k page selection (no AllToAll sort).
+    SQL-verified."""
+    from engine.stages.topk import composite_page
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+                "bucket": pa.array(u % 50, pa.int64()),
+            }
+        )
+
+    return composite_page(
+        ds.map_batches(bucketed, batch_format="pyarrow", zero_copy_batch=True),
+        keys=("event_type", "bucket"),
+        after=("error", 17),
+        size=20,
+    )

@@ -1910,3 +1910,79 @@ def rank_eval(
             "mrr_fp": pa.array(rows["mrr_fp"], pa.int64()),
         }
     )
+
+
+def terms_set_search(
+    ds: ray.data.Dataset,
+    terms: Sequence[str],
+    *,
+    req_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """ES ``terms_set`` query: a doc matches when at least ``req_col``
+    (the per-document ``minimum_should_match_field``) of the DISTINCT
+    query ``terms`` appear in its token set — exact whole-token
+    membership, unlike bool_search's substring clauses.  Output
+    ``(id, n_matched, required)`` for matching docs.
+
+    One vectorized pass: the text splits once
+    (``split_pattern_regex``), then one flattened equality + reduceat
+    per query term (terms lists are user-query sized, single digits);
+    distinctness is structural — each term contributes 0/1 per doc.
+    No shuffle."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    uniq = sorted(set(terms))
+    out_schema = {
+        id_col: pa.int64(),
+        "n_matched": pa.int64(),
+        "required": pa.int64(),
+    }
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({k: pa.array([], v) for k, v in out_schema.items()})
+        text = pc.fill_null(t.column(text_col), "")
+        toks = pc.split_pattern_regex(text, pattern=r"[\t\n\x0b\x0c\r ]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        lens = (
+            pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        n_matched = np.zeros(len(lens), np.int64)
+        for term in uniq:
+            hit = (
+                pc.equal(flat, term)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            if len(hit):
+                per_doc = np.add.reduceat(hit, starts)
+                per_doc = np.where(lens > 0, per_doc, 0)
+            else:
+                per_doc = np.zeros(len(lens), np.int64)
+            n_matched += (per_doc > 0).astype(np.int64)
+        req = (
+            pc.fill_null(t.column(req_col), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = n_matched >= req
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()).filter(pa.array(keep)),
+                "n_matched": pa.array(n_matched[keep], pa.int64()),
+                "required": pa.array(req[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

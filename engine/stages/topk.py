@@ -201,3 +201,56 @@ def decay_topk(
     return global_topk(
         summed, order_cols=["score", key_col], descending=[True, False], k=k
     )
+
+
+def composite_page(
+    ds: ray.data.Dataset,
+    *,
+    keys: Sequence[str],
+    after: Sequence | None = None,
+    size: int = 20,
+) -> ray.data.Dataset:
+    """ES ``composite`` aggregation page: buckets = groupby(``keys``)
+    with doc count and min event id, ordered by the composite key
+    ascending; ``after`` (the previous page's last key tuple) returns
+    the page STRICTLY after it — ES's after_key cursor, the only way ES
+    paginates aggregations without re-ranking.
+
+    Shape: one groupby over the key columns, then the after-filter is a
+    stateless vectorized lexicographic compare and the page selection is
+    ``global_topk`` ascending (per-block bottom-``size`` candidates ->
+    one tiny driver merge) — no vocab-wide AllToAll sort (the
+    search.py:179 lesson).  Output (keys..., n_rows, min_id, rank).
+    """
+    from ray.data.aggregate import Count, Min
+
+    agg = ds.groupby(list(keys)).aggregate(
+        Count(alias_name="n_rows"), Min("event_id", alias_name="min_id")
+    )
+
+    def after_filter(t: pa.Table) -> pa.Table:
+        if after is None or t.num_rows == 0:
+            return t
+        import numpy as np
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        gt = np.zeros(n, bool)   # strictly greater so far
+        eq = np.ones(n, bool)    # equal on every key so far
+        for col, av in zip(keys, after):
+            c = t.column(col)
+            g = pc.greater(c, av).to_numpy(zero_copy_only=False).astype(bool)
+            e = pc.equal(c, av).to_numpy(zero_copy_only=False).astype(bool)
+            gt |= eq & g
+            eq &= e
+        return t.filter(pa.array(gt))
+
+    page = agg.map_batches(
+        after_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return global_topk(
+        page,
+        order_cols=list(keys),
+        descending=[False] * len(keys),
+        k=size,
+    )

@@ -93,7 +93,7 @@ SQL_NAMES = [
     "zone_prune", "bloom_route", "span_near", "rank_eval",
     "reshard_moves", "robots_wildcards", "canonical_groups", "cache_control", "charset_sniff",
     "segment_merge", "doc_deletes", "c4_line_filter", "badwords",
-    "mirror_detect", "soft404", "stopword_gen",
+    "mirror_detect", "soft404", "stopword_gen", "terms_set", "composite_agg",
 ]
 
 

@@ -5163,3 +5163,79 @@ def test_session7_ops_empty_corpus(ray_session):
     assert mirror_detect(empty).count() == 0
     assert soft404_detect(empty).count() == 0
     assert stopword_list(empty).count() == 0
+
+
+def test_terms_set_exact_token_threshold(ray_session):
+    """Whole-token membership (substring hits don't count) with the
+    per-doc minimum_should_match_field threshold."""
+    import ray.data
+
+    from engine.stages.search import terms_set_search
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "join merge scan",      # 3 distinct matches
+                    "joins merges scans",   # substrings only -> 0
+                    "join join join",       # distinct -> 1
+                    "",
+                ],
+                pa.string(),
+            ),
+            "req": pa.array([2, 1, 1, 1], pa.int64()),
+        }
+    )
+    out = (
+        terms_set_search(
+            ray.data.from_arrow(t).repartition(2),
+            ("join", "merge", "scan"),
+            req_col="req",
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert set(out.index) == {0, 2}
+    assert out.loc[0, "n_matched"] == 3
+    assert out.loc[2, "n_matched"] == 1
+
+
+def test_composite_page_cursor(ray_session):
+    """after_key pagination: page 1 (after=None), a mid cursor, and a
+    final page shorter than size."""
+    import ray.data
+
+    from engine.stages.topk import composite_page
+
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(8)), pa.int64()),
+            "event_type": pa.array(
+                ["a", "a", "b", "b", "b", "c", "c", "a"], pa.string()
+            ),
+            "bucket": pa.array([0, 1, 0, 0, 1, 0, 1, 0], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    p1 = composite_page(ds, keys=("event_type", "bucket"), size=3).to_pandas()
+    assert list(zip(p1.event_type, p1.bucket)) == [("a", 0), ("a", 1), ("b", 0)]
+    assert list(p1["rank"]) == [1, 2, 3]
+    assert p1.set_index(["event_type", "bucket"]).loc[("a", 0), "n_rows"] == 2
+    assert p1.set_index(["event_type", "bucket"]).loc[("b", 0), "min_id"] == 2
+    p2 = composite_page(
+        ds, keys=("event_type", "bucket"), after=("b", 0), size=3
+    ).to_pandas()
+    assert list(zip(p2.event_type, p2.bucket)) == [("b", 1), ("c", 0), ("c", 1)]
+    p3 = composite_page(
+        ds, keys=("event_type", "bucket"), after=("c", 0), size=3
+    ).to_pandas()
+    assert list(zip(p3.event_type, p3.bucket)) == [("c", 1)]
+    # empty page past the end
+    assert (
+        composite_page(
+            ds, keys=("event_type", "bucket"), after=("c", 1), size=3
+        ).count()
+        == 0
+    )
