@@ -133,6 +133,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (dHash has no SQL analog; brute-force oracle test)
         "image_phash": q.q_image_phash,
         "audio_phash": q.q_audio_phash,
+        # rows-only (y4m container parsing / box resize have no SQL
+        # analog; single-process decode + numpy oracle tests)
+        "video_frames": q.q_video_frames,
+        "image_resize": q.q_image_resize,
         # rows-only (gear rolling hash has no SQL analog; oracle tests)
         "cdc_stats": q.q_cdc_stats,
         "term_stats": q.q_term_stats,

@@ -3954,3 +3954,34 @@ def q_composite_agg(sf_dir: str):
         after=("error", 17),
         size=20,
     )
+
+
+def q_video_frames(sf_dir: str):
+    """Video frame sampling (multimodal.sample_video_frames) over a
+    deterministic YUV4MPEG2 corpus (REAL y4m container parsing — mono
+    and C420 streams, varying geometry/fps, one malformed payload for
+    the skip path): per video, 8 uniformly-sampled frames with exact
+    integer timestamps, luma sums/means and a per-frame dHash.
+    Rows-only (container parsing + dHash have no SQL analog);
+    single-process decode oracle test in tests/test_stages.py."""
+    from engine.stages.multimodal import sample_video_frames, synth_video_table
+
+    return sample_video_frames(
+        ray.data.from_arrow(synth_video_table(n=24)).repartition(4),
+        n_samples=8,
+    )
+
+
+def q_image_resize(sf_dir: str):
+    """Exact integer box resize (multimodal.resize_images) over the valid
+    BMP/PPM subset of the synthetic media corpus: decode -> floor-grid
+    box average (upscales degrade to nearest) -> PPM re-encode, with the
+    resized pixel sum as a cheap integrity check.  Rows-only; numpy
+    byte-level oracle test in tests/test_stages.py."""
+    from engine.stages.multimodal import resize_images, synth_real_media_table
+
+    return resize_images(
+        ray.data.from_arrow(synth_real_media_table(n=48)).repartition(4),
+        out_w=16,
+        out_h=12,
+    )

@@ -663,3 +663,308 @@ def audio_phash_pairs(
         hash_block, batch_format="pyarrow", zero_copy_batch=True
     )
     return _banded_pairs(hashed, bucket_pairs)
+
+
+# ---------------------------------------------------------------------------
+# video: YUV4MPEG2 (y4m) container + frame sampling; image: exact box resize
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(
+    luma_frames: np.ndarray,
+    *,
+    fps: Tuple[int, int] = (25, 1),
+    colorspace: str = "mono",
+) -> bytes:
+    """Encode luma frames (n, h, w uint8) as a valid YUV4MPEG2 stream
+    (public format: the mjpegtools/ffmpeg uncompressed interchange
+    container).  ``mono`` writes Cmono planes; ``420`` writes C420jpeg
+    with neutral (128) chroma."""
+    n, h, w = luma_frames.shape
+    cs = {"mono": b"Cmono", "420": b"C420jpeg"}[colorspace]
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n" % (
+        w, h, fps[0], fps[1], cs,
+    )
+    out = [head]
+    chroma = bytes([128]) * ((w // 2) * (h // 2)) if colorspace == "420" else b""
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(luma_frames[f].astype(np.uint8).tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> Tuple[np.ndarray, int, int, int, int]:
+    """Parse a YUV4MPEG2 stream; returns (luma [n, h, w] uint8, w, h,
+    fps_num, fps_den).  Supports C420*, C422, C444 and Cmono; chroma
+    planes are skipped (features below need luma only).  Raises
+    ValueError on malformed input — same contract as decode_bmp."""
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated y4m header")
+    w = h = 0
+    num, den = 25, 1
+    cs = "420"
+    for param in payload[len(_Y4M_MAGIC):nl].split(b" "):
+        if not param:
+            continue
+        tag, val = param[:1], param[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            a, b = val.split(b":")
+            num, den = int(a), int(b)
+        elif tag == b"C":
+            cs = val.decode("ascii", "replace")
+    if w <= 0 or h <= 0 or num <= 0 or den <= 0:
+        raise ValueError("bad y4m geometry")
+    if cs.startswith("420"):
+        chroma = 2 * ((w // 2) * (h // 2))
+    elif cs.startswith("422"):
+        chroma = 2 * ((w // 2) * h)
+    elif cs.startswith("444"):
+        chroma = 2 * (w * h)
+    elif cs.startswith("mono"):
+        chroma = 0
+    else:
+        raise ValueError(f"unsupported y4m colorspace {cs!r}")
+    luma_sz = w * h
+    frames = []
+    pos = nl + 1
+    n_bytes = len(payload)
+    while pos < n_bytes:
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad y4m FRAME marker")
+        pos = fnl + 1
+        if pos + luma_sz + chroma > n_bytes:
+            raise ValueError("truncated y4m frame")
+        frames.append(
+            np.frombuffer(payload, np.uint8, luma_sz, pos).reshape(h, w)
+        )
+        pos += luma_sz + chroma
+    if not frames:
+        raise ValueError("y4m stream has no frames")
+    return np.stack(frames), w, h, num, den
+
+
+def frame_sample_indices(n_frames: int, n_samples: int) -> List[int]:
+    """Uniform sampling grid ``(i * n_frames) // n_samples`` (the same
+    exact floor grid image_dhash/audio_envelope_hash use), deduplicated
+    in order — short clips yield fewer than ``n_samples`` frames."""
+    seen: List[int] = []
+    for i in range(n_samples):
+        k = (i * n_frames) // n_samples
+        if not seen or k != seen[-1]:
+            seen.append(k)
+    return seen
+
+
+def sample_video_frames(
+    ds: "ray.data.Dataset",
+    *,
+    n_samples: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> "ray.data.Dataset":
+    """Per video: decode the y4m container and emit one row per sampled
+    frame — (media_id, frame_idx, n_frames, ts_ms, luma_sum,
+    luma_mean_milli, frame_dhash).  Integer-exact: ``ts_ms = floor(1000
+    * idx * den / num)`` via integer arithmetic, ``luma_mean_milli =
+    floor(1000 * sum / (w*h))``, and the per-frame dHash reuses
+    image_dhash on the gray frame stacked to RGB (77+150+29 = 256, so
+    the luma weighting is a pure scale — bit-identical ordering).
+
+    Shape: stateless ``map_batches`` flat expansion, output rows ∝
+    videos × n_samples, payload bytes never leave the task.  Undecodable
+    payloads are skipped (n_frames = -1 rows), mirroring
+    decode_media_dataset's error policy."""
+    out_schema = {
+        id_col: pa.string(),
+        "frame_idx": pa.int64(),
+        "n_frames": pa.int64(),
+        "ts_ms": pa.int64(),
+        "luma_sum": pa.int64(),
+        "luma_mean_milli": pa.int64(),
+        "frame_dhash": pa.int64(),
+    }
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in out_schema}
+        for mid, payload in zip(
+            t.column(id_col).to_pylist(), t.column(payload_col).to_pylist()
+        ):
+            try:
+                luma, w, h, num, den = decode_y4m(payload or b"")
+            except ValueError:
+                cols[id_col].append(mid)
+                cols["frame_idx"].append(-1)
+                cols["n_frames"].append(-1)
+                cols["ts_ms"].append(-1)
+                cols["luma_sum"].append(0)
+                cols["luma_mean_milli"].append(0)
+                cols["frame_dhash"].append(0)
+                continue
+            nf = luma.shape[0]
+            area = w * h
+            for idx in frame_sample_indices(nf, n_samples):
+                fr = luma[idx]
+                s = int(fr.astype(np.int64).sum())
+                rgb = np.stack([fr, fr, fr], axis=-1)
+                dh = image_dhash(rgb)
+                cols[id_col].append(mid)
+                cols["frame_idx"].append(idx)
+                cols["n_frames"].append(nf)
+                cols["ts_ms"].append((1000 * idx * den) // num)
+                cols["luma_sum"].append(s)
+                cols["luma_mean_milli"].append((1000 * s) // area)
+                # mask to 63 bits: int64 keys stay on Arrow's native path
+                cols["frame_dhash"].append(dh & ((1 << 63) - 1))
+        return pa.table(
+            {k: pa.array(v, typ) for (k, typ), v in
+             zip(out_schema.items(), cols.values())}
+        )
+
+    return ds.map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def resize_image_box(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Exact integer box resize: output pixel (i, j) is the per-channel
+    ``sum // area`` over the source box ``[i*h//oh, max((i+1)*h//oh,
+    i*h//oh + 1))`` (and likewise for columns) — the floor grid forces
+    at least one source row/col per output pixel, so downscales are box
+    averages and upscales degrade to nearest-neighbor, with no floats
+    anywhere."""
+    h, w, ch = px.shape
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize target must be positive")
+    P = np.zeros((h + 1, w + 1, ch), np.int64)
+    np.cumsum(np.cumsum(px.astype(np.int64), axis=0), axis=1, out=P[1:, 1:])
+    r0 = np.array([(i * h) // out_h for i in range(out_h)], np.int64)
+    r1 = np.maximum(
+        np.array([((i + 1) * h) // out_h for i in range(out_h)], np.int64),
+        r0 + 1,
+    )
+    c0 = np.array([(j * w) // out_w for j in range(out_w)], np.int64)
+    c1 = np.maximum(
+        np.array([((j + 1) * w) // out_w for j in range(out_w)], np.int64),
+        c0 + 1,
+    )
+    sums = (
+        P[r1][:, c1]
+        - P[r0][:, c1]
+        - P[r1][:, c0]
+        + P[r0][:, c0]
+    )
+    areas = ((r1 - r0)[:, None] * (c1 - c0)[None, :])[:, :, None]
+    return (sums // areas).astype(np.uint8)
+
+
+def resize_images(
+    ds: "ray.data.Dataset",
+    *,
+    out_w: int,
+    out_h: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    mime_col: str = "mime",
+) -> "ray.data.Dataset":
+    """Decode BMP/PPM payloads, box-resize to (out_w, out_h), re-encode
+    as PPM.  Output (media_id, in_w, in_h, out_w, out_h, px_sum,
+    payload_out) — px_sum is the exact int64 pixel sum of the RESIZED
+    image, the cheap cross-check a downstream stage can verify without
+    re-decoding.  Stateless map_batches; bytes stay in the task;
+    undecodable/non-image rows are skipped (in_w = -1)."""
+    out_schema = {
+        id_col: pa.string(),
+        "in_w": pa.int64(),
+        "in_h": pa.int64(),
+        "out_w": pa.int64(),
+        "out_h": pa.int64(),
+        "px_sum": pa.int64(),
+        "payload_out": pa.binary(),
+    }
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in out_schema}
+        for mid, payload, mime in zip(
+            t.column(id_col).to_pylist(),
+            t.column(payload_col).to_pylist(),
+            t.column(mime_col).to_pylist(),
+        ):
+            px = None
+            try:
+                if mime == "image/bmp":
+                    px = decode_bmp(payload or b"")
+                elif mime in ("image/x-portable-pixmap", "image/ppm"):
+                    px = decode_ppm(payload or b"")
+            except ValueError:
+                px = None
+            if px is None:
+                cols[id_col].append(mid)
+                cols["in_w"].append(-1)
+                cols["in_h"].append(-1)
+                cols["out_w"].append(out_w)
+                cols["out_h"].append(out_h)
+                cols["px_sum"].append(0)
+                cols["payload_out"].append(b"")
+                continue
+            rz = resize_image_box(px, out_w, out_h)
+            cols[id_col].append(mid)
+            cols["in_w"].append(px.shape[1])
+            cols["in_h"].append(px.shape[0])
+            cols["out_w"].append(out_w)
+            cols["out_h"].append(out_h)
+            cols["px_sum"].append(int(rz.astype(np.int64).sum()))
+            cols["payload_out"].append(encode_ppm(rz))
+        return pa.table(
+            {k: pa.array(v, typ) for (k, typ), v in
+             zip(out_schema.items(), cols.values())}
+        )
+
+    return ds.map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def synth_video_table(n: int = 24, seed: int = 29) -> pa.Table:
+    """Deterministic y4m video corpus: mono and C420 streams with
+    varying geometry, frame counts and fps, plus one malformed payload
+    (the skip path)."""
+    rs = np.random.RandomState(seed)
+    ids, tys, payloads, mimes = [], [], [], []
+    for i in range(n):
+        if i == n - 1:
+            ids.append(f"v{i:04d}")
+            tys.append("video")
+            payloads.append(b"NOT A VIDEO")
+            mimes.append("video/x-yuv4mpeg")
+            continue
+        w = int(rs.randint(8, 33))
+        h = int(rs.randint(8, 33))
+        nf = int(rs.randint(1, 40))
+        fps = (int(rs.choice([24, 25, 30])), 1)
+        frames = rs.randint(0, 256, size=(nf, h, w)).astype(np.uint8)
+        cs = "mono" if i % 2 == 0 else "420"
+        ids.append(f"v{i:04d}")
+        tys.append("video")
+        payloads.append(encode_y4m(frames, fps=fps, colorspace=cs))
+        mimes.append("video/x-yuv4mpeg")
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "media_type": pa.array(tys, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+        },
+        schema=MEDIA_SCHEMA,
+    )

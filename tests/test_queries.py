@@ -131,6 +131,8 @@ ROWS_ONLY = [
     ("ann_pq", 1),
     ("extract_enriched", 1),
     ("media_features", 1),
+    ("video_frames", 24),
+    ("image_resize", 32),
     ("bpe_tokens", 1),
     ("bpe_merges", 10),
     ("dedup_clusters", 0),

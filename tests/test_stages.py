@@ -5239,3 +5239,117 @@ def test_composite_page_cursor(ray_session):
         ).count()
         == 0
     )
+
+
+def test_y4m_roundtrip_and_errors():
+    """encode_y4m/decode_y4m round-trip (mono and C420 with odd dims),
+    plus the malformed-input contract."""
+    import numpy as np
+
+    from engine.stages.multimodal import decode_y4m, encode_y4m
+
+    rs = np.random.RandomState(3)
+    fr = rs.randint(0, 256, (4, 9, 7)).astype(np.uint8)
+    for cs in ("mono", "420"):
+        lu, w, h, num, den = decode_y4m(
+            encode_y4m(fr, fps=(30, 1), colorspace=cs)
+        )
+        assert (lu == fr).all() and (w, h, num, den) == (7, 9, 30, 1)
+    ok = encode_y4m(fr, colorspace="mono")
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFFnot a video")
+    with pytest.raises(ValueError):
+        decode_y4m(ok[:-5])  # truncated final frame
+    with pytest.raises(ValueError):
+        decode_y4m(ok.replace(b"FRAME", b"FRAMX", 1))
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C999\nFRAME\n" + b"\0" * 16)
+
+
+def test_sample_video_frames_oracle(ray_session):
+    """Distributed frame sampling matches a single-process decode of the
+    same corpus exactly (timestamps, luma stats, per-frame dHash), and
+    the malformed payload takes the skip row."""
+    import numpy as np
+    import ray.data
+
+    from engine.stages.multimodal import (
+        decode_y4m,
+        frame_sample_indices,
+        image_dhash,
+        sample_video_frames,
+        synth_video_table,
+    )
+
+    t = synth_video_table(n=12)
+    got = sample_video_frames(
+        ray.data.from_arrow(t).repartition(3), n_samples=6
+    ).to_pandas()
+    exp = {}
+    for mid, payload in zip(
+        t.column("media_id").to_pylist(), t.column("payload").to_pylist()
+    ):
+        try:
+            luma, w, h, num, den = decode_y4m(payload)
+        except ValueError:
+            exp[(mid, -1)] = (-1, -1, 0, 0, 0)
+            continue
+        nf, area = luma.shape[0], w * h
+        for idx in frame_sample_indices(nf, 6):
+            fr = luma[idx]
+            s = int(fr.astype(np.int64).sum())
+            dh = image_dhash(np.stack([fr, fr, fr], axis=-1)) & ((1 << 63) - 1)
+            exp[(mid, idx)] = (nf, (1000 * idx * den) // num, s,
+                               (1000 * s) // area, dh)
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        assert (
+            r.n_frames, r.ts_ms, r.luma_sum, r.luma_mean_milli, r.frame_dhash
+        ) == exp[(r.media_id, r.frame_idx)]
+    assert (got.frame_idx == -1).sum() == 1  # the malformed payload
+
+
+def test_resize_images_oracle(ray_session):
+    """Distributed resize matches resize_image_box exactly and the PPM
+    re-encode round-trips; upscale degrades to nearest-neighbor."""
+    import numpy as np
+    import ray.data
+
+    from engine.stages.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        resize_image_box,
+        resize_images,
+        synth_real_media_table,
+    )
+
+    t = synth_real_media_table(n=12)
+    got = resize_images(
+        ray.data.from_arrow(t).repartition(2), out_w=16, out_h=12
+    ).to_pandas()
+    pay = dict(zip(t.column("media_id").to_pylist(), t.column("payload").to_pylist()))
+    mim = dict(zip(t.column("media_id").to_pylist(), t.column("mime").to_pylist()))
+    n_img = 0
+    for r in got.itertuples():
+        mime = mim[r.media_id]
+        if mime == "image/bmp":
+            px = decode_bmp(pay[r.media_id])
+        elif mime.startswith("image"):
+            px = decode_ppm(pay[r.media_id])
+        else:
+            assert r.in_w == -1 and r.payload_out == b""
+            continue
+        rz = resize_image_box(px, 16, 12)
+        assert r.px_sum == int(rz.astype(np.int64).sum())
+        back = decode_ppm(r.payload_out)
+        assert back.shape == (12, 16, 3) and (back == rz).all()
+        n_img += 1
+    assert n_img == 8
+    # upscale: each output pixel equals its floor-grid source pixel
+    px = (np.arange(2 * 3 * 3, dtype=np.uint8) * 3).reshape(2, 3, 3)
+    up = resize_image_box(px, 6, 4)
+    for i in range(4):
+        for j in range(6):
+            assert (up[i, j] == px[(i * 2) // 4, (j * 3) // 6]).all()
+    with pytest.raises(ValueError):
+        resize_image_box(px, 0, 4)
