@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_gen": q.q_stopword_gen,
         "terms_set": q.q_terms_set,
         "composite_agg": q.q_composite_agg,
+        "host_boilerplate": q.q_host_boilerplate,
+        "ltr_features": q.q_ltr_features,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (float MMR scores; full-corpus numpy oracle test)
@@ -3512,6 +3514,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY event_type, bucket)
                         AS BIGINT) AS rank
             FROM f ORDER BY event_type, bucket LIMIT 20
+        """,
+        # ltr_features: df/dl/corpus stats re-derived; bm25_nano uses the
+        # IDENTICAL folded-literal double expression (2.2/0.3/0.9) with
+        # the same evaluation grouping as the numpy kernel
+        "ltr_features": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text,''),
+                            '[^\t\n\x0b\x0c\r ]+')) AS token
+              FROM documents
+            ), dld AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(coalesce(text,''),
+                          '[^\t\n\x0b\x0c\r ]+')) AS BIGINT) AS dl
+              FROM documents
+            ), tfr AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM toks WHERE token IN ('join','merge','scan','window')
+              GROUP BY 1, 2
+            ), dfm AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tfr GROUP BY token
+            ), nm AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+              FROM tfr GROUP BY doc_id
+            ), st AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS total_tokens
+              FROM dld
+            )
+            SELECT t.doc_id, t.token, t.tf, d.dl, m.n_matched,
+              CAST(floor(1000000000.0
+                   * ln((s.n_docs - f.df + 0.5) / (f.df + 0.5)))
+                   AS BIGINT) AS idf_nano,
+              CAST(floor(1000000000.0
+                   * ln((s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + 0.3
+                      + 0.9 * (d.dl * s.n_docs / s.total_tokens)))
+                   AS BIGINT) AS bm25_nano
+            FROM tfr t
+            JOIN dld d USING (doc_id)
+            JOIN nm m USING (doc_id)
+            JOIN dfm f USING (token)
+            CROSS JOIN st s
+        """,
+        # host_boilerplate: lines re-synthesized per doc (banner + even
+        # footer + 8-token chunks); distinct-doc count per (host, line)
+        "host_boilerplate": r"""
+            WITH tkt AS (
+              SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                     regexp_extract_all(coalesce(text,''),
+                                        '[^\t\n\x0b\x0c\r ]+') AS tk
+              FROM documents
+            ), ln AS (
+              SELECT doc_id, host,
+                     'nav menu for h' || CAST(doc_id % 7 AS VARCHAR) AS line
+              FROM tkt
+              UNION ALL
+              SELECT doc_id, host,
+                     'footer contact h' || CAST(doc_id % 7 AS VARCHAR)
+              FROM tkt WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, host,
+                     array_to_string(tk[(i*8+1):(i*8+8)], ' ')
+              FROM tkt,
+                   UNNEST(range(0, greatest((len(tk)+7)//8, 1))) AS u(i)
+            )
+            SELECT host, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM ln GROUP BY host, line
+            HAVING count(DISTINCT doc_id) >= 3
         """,
         # stopword_gen: df over distinct per-doc tokens, 40% threshold
         "stopword_gen": r"""

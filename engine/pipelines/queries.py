@@ -3985,3 +3985,60 @@ def q_image_resize(sf_dir: str):
         out_w=16,
         out_h=12,
     )
+
+
+def q_host_boilerplate(sf_dir: str):
+    """Host-scoped boilerplate lines (webfilter.host_boilerplate): every
+    (host, line) occurring in >= 3 distinct documents of the same host —
+    site chrome that cross-corpus line dedup dilutes.  Docs are
+    synthesized multi-line (host banner on every doc, footer on even
+    doc_ids, then the real text in 8-token lines) so planted chrome AND
+    natural 8-token repeats both exercise the operator.  Coarse-bucket
+    map_groups reduce; only deduped (host, line, doc) rows shuffle.
+    SQL-verified."""
+    from engine.stages.text import _TOKEN
+    from engine.stages.webfilter import host_boilerplate
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_h, out_t = [], []
+        for d, txt in zip(ids, texts):
+            h = int(d) % 7
+            tk = _TOKEN.findall(txt or "")
+            lines = ["nav menu for h%d" % h]
+            if d % 2 == 0:
+                lines.append("footer contact h%d" % h)
+            for i in range(max((len(tk) + 7) // 8, 1)):
+                lines.append(" ".join(tk[8 * i : 8 * i + 8]))
+            out_h.append("h%d" % h)
+            out_t.append("\n".join(lines))
+        return pa.table(
+            {
+                "doc_id": pa.array([int(x) for x in ids], pa.int64()),
+                "host": pa.array(out_h, pa.string()),
+                "text": pa.array(out_t, pa.string()),
+            }
+        )
+
+    return host_boilerplate(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True),
+        min_docs=3,
+    )
+
+
+def q_ltr_features(sf_dir: str):
+    """Learning-to-rank feature extraction (search.ltr_features, the ES
+    LTR-plugin artifact): per (query term, matching doc) — tf, doc
+    length, matched-term count, fixed-point idf and BM25 (k1=1.2,
+    b=0.75 pre-folded to literals so both engines evaluate the identical
+    double expression).  One tokenize pass emits only matched rows; df
+    is a query-sized driver reduce over them; corpus stats come from a
+    vectorized regex-count scan.  SQL-verified including both nano
+    scores."""
+    from engine.stages.search import ltr_features
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return ltr_features(ds, _TERMS_SET)

@@ -1986,3 +1986,150 @@ def terms_set_search(
     return ds.map_batches(
         per_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def ltr_features(
+    ds: ray.data.Dataset,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Learning-to-rank feature extraction (the ES LTR-plugin artifact):
+    one row per (query term, matching doc) with the features a ranking
+    model trains on — tf, doc length, matched-term count, and
+    fixed-point idf / BM25 (k1=1.2, b=0.75; constants pre-folded to the
+    LITERALS 2.2 / 0.3 / 0.9 so both engines evaluate the identical
+    double expression — the unigram_nll/tfidf_nano reproducibility
+    device).  Output (id, token, tf, dl, n_matched, idf_nano,
+    bm25_nano).
+
+    Shape at scale: ONE tokenize pass emits only matched (id, token,
+    tf, dl, n_matched) rows (selectivity-sized — df per term is their
+    per-token row count, a query-sized driver reduce); corpus stats
+    (n_docs, total_tokens) come from a cheap vectorized
+    count_substring_regex scan, no second tokenize.  Scoring is a
+    stateless vectorized pass; nothing corpus-sized shuffles.
+    ``bm25_nano = floor(1e9 * ln((n_docs - df + 0.5) / (df + 0.5))
+    * (tf * 2.2) / (tf + 0.3 + 0.9 * dl * n_docs / total_tokens))``.
+    """
+    import pyarrow.compute as pc
+
+    from engine.stages.common import collect_arrow_blocks
+
+    term_set = sorted(set(terms))
+    mid_schema = {
+        id_col: pa.int64(),
+        "token": pa.string(),
+        "tf": pa.int64(),
+        "dl": pa.int64(),
+        "n_matched": pa.int64(),
+    }
+    out_schema = dict(mid_schema)
+    out_schema.update({"idf_nano": pa.int64(), "bm25_nano": pa.int64()})
+
+    def match_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({k: pa.array([], v) for k, v in mid_schema.items()})
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_pylist()
+        cols = {k: [] for k in mid_schema}
+        for i, txt in enumerate(texts):
+            toks = _TOKEN.findall(txt or "")
+            cnt = Counter(toks)
+            hits = [(tok, cnt[tok]) for tok in term_set if tok in cnt]
+            if not hits:
+                continue
+            for tok, c in hits:
+                cols[id_col].append(int(ids[i]))
+                cols["token"].append(tok)
+                cols["tf"].append(c)
+                cols["dl"].append(len(toks))
+                cols["n_matched"].append(len(hits))
+        return pa.table(
+            {k: pa.array(v, typ) for (k, typ), v in
+             zip(mid_schema.items(), cols.values())}
+        )
+
+    rows = ds.map_batches(
+        match_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # selectivity-sized; reused for df reduce + scoring
+
+    # query-sized df reduce: one row per (doc, term) -> df = rows per term
+    df_blocks = collect_arrow_blocks(
+        rows.map_batches(
+            lambda t: t.select(["token"]).group_by("token").aggregate([("token", "count")]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        required_col="token",
+    )
+    df: dict = {}
+    for blk in df_blocks:
+        for tok, c in zip(
+            blk.column("token").to_pylist(), blk.column("token_count").to_pylist()
+        ):
+            df[tok] = df.get(tok, 0) + int(c)
+
+    # corpus stats: vectorized token-count scan (no second tokenize)
+    def stats(t: pa.Table) -> pa.Table:
+        ntok = pc.count_substring_regex(
+            pc.fill_null(t.column(text_col), ""), pattern=_TOKEN.pattern
+        )
+        s = pc.sum(ntok).as_py() or 0
+        return pa.table(
+            {
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "total_tokens": pa.array([int(s)], pa.int64()),
+            }
+        )
+
+    st_blocks = collect_arrow_blocks(
+        ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True),
+        required_col="n_docs",
+    )
+    n_docs = sum(int(b.column("n_docs")[0].as_py()) for b in st_blocks)
+    total_tokens = sum(
+        int(b.column("total_tokens")[0].as_py()) for b in st_blocks
+    )
+    if n_docs == 0 or total_tokens == 0 or not df:
+        return ray.data.from_arrow(
+            pa.table({k: pa.array([], v) for k, v in out_schema.items()})
+        )
+    import math
+
+    idf_map = {
+        tok: math.log((n_docs - d + 0.5) / (d + 0.5)) for tok, d in df.items()
+    }
+    score_ref = ray.put((idf_map, n_docs, total_tokens))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({k: pa.array([], v) for k, v in out_schema.items()})
+        imap, nd, tt = ray.get(score_ref)
+        idf = np.array(
+            [imap[tok] for tok in t.column("token").to_pylist()], np.float64
+        )
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+        # (dl * n_docs) exact in int64 BEFORE the float division — mirrors
+        # DuckDB's BIGINT multiply + float '/' evaluation order
+        norm = (dl * nd).astype(np.float64) / float(tt)
+        bm25 = 1000000000.0 * idf * (tf * 2.2) / (tf + 0.3 + 0.9 * norm)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "token": t.column("token"),
+                "tf": t.column("tf"),
+                "dl": t.column("dl"),
+                "n_matched": t.column("n_matched"),
+                "idf_nano": pa.array(
+                    np.floor(1000000000.0 * idf).astype(np.int64), pa.int64()
+                ),
+                "bm25_nano": pa.array(
+                    np.floor(bm25).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return rows.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -247,3 +247,114 @@ def soft404_detect(
     return ds.map_batches(
         per_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def host_boilerplate(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    text_col: str = "text",
+    min_docs: int = 3,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Host-scoped boilerplate lines: every (host, line) pair that occurs
+    in at least ``min_docs`` DISTINCT documents of that host — site
+    chrome (nav bars, footers, cookie banners) that CCNet-style
+    cross-corpus line dedup (clean.line_dedup) would dilute across
+    hosts.  Output (host, line, n_docs, n_occurrences).
+
+    Shape: one split pass emits (bucket, host, line, doc) rows — the
+    per-batch pre-aggregation dedups (host, line, doc) triples and sums
+    occurrence counts, so repeated lines within one batch collapse
+    before the shuffle; the distinct-doc count then uses the
+    coarse-bucket map_groups reduce (PERF.md #31): bucket = md5 slice of
+    host||line, one vectorized pandas groupby per bucket.  Text leaves
+    its block only as (short) line strings that survive per-batch dedup.
+    """
+    import pyarrow.compute as pc
+
+    def keyed(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                host_col: pa.array([], pa.string()),
+                "line": pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+                "n_occurrences": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t.column(text_col), "")
+        lines = pc.split_pattern(text, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines).to_pylist()
+        lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        hosts = t.column(host_col).to_pylist()
+        ids = t.column(id_col).to_pylist()
+        agg: dict = {}
+        k = 0
+        for row, ln in enumerate(lens):
+            h, d = hosts[row], int(ids[row])
+            for _ in range(int(ln)):
+                key = (h, flat[k], d)
+                agg[key] = agg.get(key, 0) + 1
+                k += 1
+        if not agg:
+            return empty
+        keys = list(agg.keys())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [
+                        int(md5((h + "\x00" + s).encode()).hexdigest()[:8], 16)
+                        % n_buckets
+                        for h, s, _ in keys
+                    ],
+                    pa.int64(),
+                ),
+                host_col: pa.array([h for h, _, _ in keys], pa.string()),
+                "line": pa.array([s for _, s, _ in keys], pa.string()),
+                id_col: pa.array([d for _, _, d in keys], pa.int64()),
+                "n_occurrences": pa.array(
+                    [agg[key] for key in keys], pa.int64()
+                ),
+            }
+        )
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby([host_col, "line"], sort=False)
+            .agg(
+                n_docs=(id_col, "nunique"),
+                n_occurrences=("n_occurrences", "sum"),
+            )
+            .reset_index()
+        )
+        g = g[g["n_docs"] >= min_docs]
+        for c in ("n_docs", "n_occurrences"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    out = (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+    def strip(t: pa.Table) -> pa.Table:
+        cols = [host_col, "line", "n_docs", "n_occurrences"]
+        if t.num_rows == 0 or "line" not in t.column_names:
+            return pa.table(
+                {
+                    host_col: pa.array([], pa.string()),
+                    "line": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                }
+            )
+        return t.select(cols)
+
+    return out.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)

@@ -94,6 +94,7 @@ SQL_NAMES = [
     "reshard_moves", "robots_wildcards", "canonical_groups", "cache_control", "charset_sniff",
     "segment_merge", "doc_deletes", "c4_line_filter", "badwords",
     "mirror_detect", "soft404", "stopword_gen", "terms_set", "composite_agg",
+    "host_boilerplate", "ltr_features",
 ]
 
 

@@ -5353,3 +5353,86 @@ def test_resize_images_oracle(ray_session):
             assert (up[i, j] == px[(i * 2) // 4, (j * 3) // 6]).all()
     with pytest.raises(ValueError):
         resize_image_box(px, 0, 4)
+
+
+def test_host_boilerplate_scoping(ray_session):
+    """Boilerplate is HOST-scoped: the same line on two hosts with 2
+    docs each does not qualify at min_docs=3; within-doc repeats raise
+    n_occurrences but not n_docs."""
+    import ray.data
+
+    from engine.stages.webfilter import host_boilerplate
+
+    docs = [
+        (0, "a", "nav\nx y z"),
+        (1, "a", "nav\nnav\np q"),      # nav twice in one doc
+        (2, "a", "nav\nr s"),
+        (3, "b", "nav\nt u"),
+        (4, "b", "nav\nv w"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+            "host": pa.array([h for _, h, _ in docs], pa.string()),
+            "text": pa.array([x for _, _, x in docs], pa.string()),
+        }
+    )
+    out = host_boilerplate(
+        ray.data.from_arrow(t).repartition(2), min_docs=3
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.host, r.line, int(r.n_docs), int(r.n_occurrences)) == (
+        "a",
+        "nav",
+        3,
+        4,
+    )
+    assert host_boilerplate(
+        ray.data.from_arrow(t.slice(0, 0))
+    ).count() == 0
+
+
+def test_ltr_features_values(ray_session):
+    """Exact tf/dl/df bookkeeping and the fixed-point scores against a
+    direct recompute on a hand corpus."""
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from engine.stages.search import ltr_features
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["join join scan extra", "scan only here", "nothing else"],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        ltr_features(ray.data.from_arrow(t).repartition(2), ("join", "scan"))
+        .to_pandas()
+        .set_index(["doc_id", "token"])
+        .sort_index()
+    )
+    assert set(out.index) == {(0, "join"), (0, "scan"), (1, "scan")}
+    assert out.loc[(0, "join"), "tf"] == 2
+    assert out.loc[(0, "join"), "dl"] == 4
+    assert out.loc[(0, "join"), "n_matched"] == 2
+    assert out.loc[(1, "scan"), "n_matched"] == 1
+    n_docs, total = 3, 9  # dl: 4 + 3 + 2
+    for (d, tok), row in out.iterrows():
+        df = 1 if tok == "join" else 2
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5))
+        assert row["idf_nano"] == math.floor(1e9 * idf)
+        tf, dl = int(row["tf"]), int(row["dl"])
+        norm = float(dl * n_docs) / float(total)
+        bm = 1000000000.0 * idf * (tf * 2.2) / (tf + 0.3 + 0.9 * norm)
+        assert row["bm25_nano"] == np.floor(bm).astype(np.int64)
+    # empty corpus -> typed empty
+    assert ltr_features(
+        ray.data.from_arrow(t.slice(0, 0)), ("join",)
+    ).count() == 0
