@@ -128,6 +128,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_agg": q.q_composite_agg,
         "host_boilerplate": q.q_host_boilerplate,
         "ltr_features": q.q_ltr_features,
+        "meta_robots": q.q_meta_robots,
+        "hreflang_map": q.q_hreflang_map,
+        "hreflang_reciprocal": q.q_hreflang_reciprocal,
+        "extended_stats": q.q_extended_stats,
+        "dis_max": q.q_dis_max,
+        "change_rate": q.q_change_rate,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (float MMR scores; full-corpus numpy oracle test)
@@ -3700,5 +3706,143 @@ def oracle_sql() -> dict[str, str]:
               FROM ap JOIN bp USING (doc_id) GROUP BY ap.doc_id
             )
             SELECT doc_id, min_gap FROM g WHERE min_gap <= 4
+        """,
+        # meta_robots: flags re-derived from the doc_id % 6 page variant
+        # (queries._htmlmeta_page), independent of the HTML parser
+        "meta_robots": """
+            SELECT doc_id,
+              CAST(CASE WHEN doc_id % 6 IN (1, 2) THEN 1 ELSE 0
+                   END AS BIGINT) AS noindex,
+              CAST(CASE WHEN doc_id % 6 IN (2, 3, 5) THEN 1 ELSE 0
+                   END AS BIGINT) AS nofollow,
+              CAST(CASE WHEN doc_id % 6 = 3 THEN 1 ELSE 0
+                   END AS BIGINT) AS noarchive,
+              CAST(CASE WHEN doc_id % 6 = 5 THEN 1 ELSE 0
+                   END AS BIGINT) AS nosnippet
+            FROM documents
+        """,
+        # hreflang_map: alternates re-derived from doc_id % 4; hrefs
+        # follow https://alt.example.com/{lang}/{doc_id}
+        "hreflang_map": """
+            WITH m AS (
+              SELECT doc_id, 'en' AS hreflang FROM documents
+              WHERE doc_id % 4 = 0
+              UNION ALL SELECT doc_id, 'de' FROM documents
+              WHERE doc_id % 4 = 0
+              UNION ALL SELECT doc_id, 'x-default' FROM documents
+              WHERE doc_id % 4 = 0
+              UNION ALL SELECT doc_id, 'fr' FROM documents
+              WHERE doc_id % 4 = 2
+              UNION ALL SELECT doc_id, 'en-gb' FROM documents
+              WHERE doc_id % 4 = 3
+            )
+            SELECT doc_id, hreflang,
+                   'https://alt.example.com/' || hreflang || '/'
+                   || CAST(doc_id AS VARCHAR) AS href
+            FROM m
+        """,
+        # hreflang_reciprocal: edges from doc_id % 4 (0 -> d+1 de,
+        # 1 -> d-1 en, 2 -> d+1 fr dangling); the (0,1) pair is
+        # reciprocal only when the partner page EXISTS in the corpus
+        "hreflang_reciprocal": """
+            WITH e AS (
+              SELECT d.doc_id AS doc_id, 'de' AS hreflang,
+                     'https://ex.com/p/' || CAST(d.doc_id + 1 AS VARCHAR)
+                       AS href,
+                     CASE WHEN EXISTS (SELECT 1 FROM documents p
+                                       WHERE p.doc_id = d.doc_id + 1)
+                          THEN 1 ELSE 0 END AS reciprocal
+              FROM documents d WHERE d.doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id, 'en',
+                     'https://ex.com/p/' || CAST(doc_id - 1 AS VARCHAR), 1
+              FROM documents WHERE doc_id % 4 = 1
+              UNION ALL
+              SELECT doc_id, 'fr',
+                     'https://ex.com/p/' || CAST(doc_id + 1 AS VARCHAR), 0
+              FROM documents WHERE doc_id % 4 = 2
+            )
+            SELECT doc_id, hreflang, href,
+                   CAST(reciprocal AS BIGINT) AS reciprocal
+            FROM e
+        """,
+        # extended_stats: identical floor(v*1000+0.5) quantization, exact
+        # int64 moments, variance in HUGEINT floor division
+        "extended_stats": """
+            WITH q AS (
+              SELECT event_type,
+                     CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+              FROM events WHERE value IS NOT NULL
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vm) AS BIGINT) AS sum_m,
+                   CAST(min(vm) AS BIGINT) AS min_m,
+                   CAST(max(vm) AS BIGINT) AS max_m,
+                   CAST(sum(vm * vm) AS BIGINT) AS ssq_m,
+                   CAST((CAST(count(*) AS HUGEINT) * sum(vm * vm)
+                         - CAST(sum(vm) AS HUGEINT) * sum(vm))
+                        // (CAST(count(*) AS HUGEINT) * count(*))
+                        AS BIGINT) AS var_m2
+            FROM q GROUP BY event_type
+        """,
+        # dis_max: best-field max + tie_breaker*rest over the same
+        # whitespace tokenizer; terms = _TERMS_SET[:3], tie 300 milli
+        "dis_max": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(coalesce(text,''),
+                     '[^\t\n\x0b\x0c\r ]+') AS tk
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(tk, x -> x = 'join'))
+                          AS BIGINT) AS tf1,
+                     CAST(len(list_filter(tk, x -> x = 'merge'))
+                          AS BIGINT) AS tf2,
+                     CAST(len(list_filter(tk, x -> x = 'scan'))
+                          AS BIGINT) AS tf3
+              FROM t
+            ), sc AS (
+              SELECT doc_id,
+                     CAST(greatest(tf1, tf2, tf3) AS BIGINT) AS max_tf,
+                     CAST(tf1 + tf2 + tf3 AS BIGINT) AS sum_tf
+              FROM s WHERE tf1 + tf2 + tf3 > 0
+            )
+            SELECT doc_id, max_tf, sum_tf,
+                   CAST(1000 * max_tf + 300 * (sum_tf - max_tf)
+                        AS BIGINT) AS score_milli,
+                   CAST(row_number() OVER (
+                        ORDER BY 1000 * max_tf + 300 * (sum_tf - max_tf)
+                                 DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM sc
+            ORDER BY score_milli DESC, doc_id LIMIT 10
+        """,
+        # change_rate: the visit log regenerated with generate_series,
+        # aggregated independently; ladder thresholds 400k/350k ppm
+        "change_rate": """
+            WITH v AS (
+              SELECT d.doc_id AS url_id, j.j AS j,
+                     CASE WHEN (d.doc_id * 31 + j.j) % 3 = 0
+                          THEN 1 ELSE 0 END AS changed
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(
+                            0, 2 + d.doc_id % 5)) AS j) j
+            ), a AS (
+              SELECT url_id,
+                     CAST(count(*) AS BIGINT) AS visits,
+                     CAST(sum(changed) AS BIGINT) AS changes
+              FROM v GROUP BY url_id
+            )
+            SELECT url_id, visits, changes,
+                   CAST((1000000 * (changes + 1)) // (visits + 2)
+                        AS BIGINT) AS ratio_ppm,
+                   CAST(CASE
+                     WHEN (1000000 * (changes + 1)) // (visits + 2)
+                          >= 400000 THEN 3600
+                     WHEN (1000000 * (changes + 1)) // (visits + 2)
+                          >= 350000 THEN 86400
+                     ELSE 604800 END AS BIGINT) AS revisit_s
+            FROM a
         """,
     }

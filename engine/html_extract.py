@@ -650,6 +650,57 @@ def get_document_canonical(tree: HTMLTree) -> str:
     return ""
 
 
+_ROBOTS_DIRECTIVES = ("noindex", "nofollow", "noarchive", "nosnippet")
+
+
+def get_meta_robots(tree: HTMLTree) -> dict:
+    """Union of ``<meta name="robots">`` directives, most-restrictive
+    wins across MULTIPLE tags (the documented Google/Bing resolution when
+    a page carries several robots metas); ``none`` expands to
+    noindex+nofollow; ``all``/``index``/``follow`` grant nothing (flags
+    only restrict).  Directive tokens are comma-separated,
+    case-insensitive, whitespace-trimmed.  New: no reference analog —
+    the reference indexes every processed record unconditionally
+    (`/root/reference/warc_indexer/indexer/process.py`); a polite
+    indexer must honor these before the ES sink."""
+    flags = {d: False for d in _ROBOTS_DIRECTIVES}
+    if tree.head is None:
+        return flags
+    for n in tree.head.find_all(("meta",)):
+        if n.attrs.get("name", "").strip().lower() != "robots":
+            continue
+        toks = {
+            t.strip().lower() for t in n.attrs.get("content", "").split(",")
+        }
+        if "none" in toks:
+            flags["noindex"] = flags["nofollow"] = True
+        for d in _ROBOTS_DIRECTIVES:
+            if d in toks:
+                flags[d] = True
+    return flags
+
+
+def get_hreflang_alternates(tree: HTMLTree) -> List[tuple]:
+    """(hreflang, href) pairs from ``<link rel="alternate" hreflang=...>``
+    in document order — the multilingual-cluster signal (RFC 8288 link
+    relation + Google's hreflang annotation).  ``rel`` is token-matched
+    case-insensitively (``rel="alternate stylesheet"`` counts,
+    ``rel="stylesheet"`` never does); entries missing either attribute
+    drop; language codes lowercase (BCP 47 is case-insensitive), hrefs
+    raw-trimmed for the caller to resolve."""
+    if tree.head is None:
+        return []
+    out = []
+    for n in tree.head.find_all(("link",)):
+        if "alternate" not in n.attrs.get("rel", "").lower().split():
+            continue
+        lang = n.attrs.get("hreflang", "").strip().lower()
+        href = n.attrs.get("href", "").strip()
+        if lang and href:
+            out.append((lang, href))
+    return out
+
+
 def get_links(tree: HTMLTree) -> List[str]:
     """All <a href> values in document order (new: crawl link discovery).
 

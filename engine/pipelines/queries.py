@@ -4042,3 +4042,205 @@ def q_ltr_features(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return ltr_features(ds, _TERMS_SET)
+
+
+# ---------------------------------------------------------------------------
+# head-metadata directives (round-5 eighth session)
+# ---------------------------------------------------------------------------
+
+def _htmlmeta_page(d: int) -> str:
+    """Deterministic page for doc_id d: meta-robots variant d % 6,
+    hreflang variant d % 4 (both oracles re-derive from this arithmetic).
+    Hrefs follow https://alt.example.com/{lang}/{doc_id}."""
+    v = d % 6
+    robots = {
+        0: "",
+        1: '<meta name="robots" content="noindex, follow">',
+        2: '<meta name="ROBOTS" content="NONE">',
+        3: ('<meta name="robots" content="nofollow">'
+            '<meta name="robots" content="noarchive">'),
+        4: '<meta name="robots" content="all">',
+        5: '<meta name="robots" content="index, NOFOLLOW , nosnippet">',
+    }[v]
+    langs = {
+        0: ["en", "de", "x-default"],
+        1: [],
+        2: ["fr"],
+        3: ["en-gb"],
+    }[d % 4]
+    alts = "".join(
+        f'<link rel="alternate" hreflang="{lg.upper() if lg == "en-gb" else lg}"'
+        f' href="https://alt.example.com/{lg}/{d}">'
+        for lg in langs
+    )
+    decoys = (
+        '<link rel="stylesheet" hreflang="zz" href="/s.css">'
+        '<link rel="alternate" href="/no-lang">'
+        '<meta name="description" content="noindex">'
+    )
+    return (
+        f"<html><head>{robots}{alts}{decoys}</head>"
+        "<body><p>x</p></body></html>"
+    )
+
+
+def _htmlmeta_pages(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "html": pa.array(
+                    [_htmlmeta_page(int(i)) for i in d], pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_meta_robots(sf_dir: str):
+    """Meta-robots directive resolution (htmlmeta.meta_robots over the
+    real HTMLTree parser): multiple tags union most-restrictive, 'none'
+    expands to noindex+nofollow, grant tokens ('all', 'index', 'follow')
+    restrict nothing, name/content case- and whitespace-tolerant; a
+    name="description" decoy carrying 'noindex' must not trip it.  Six
+    page variants (doc_id % 6) cover each rule.  One stateless parse
+    pass, no shuffle.  SQL-verified (flags re-derived from doc_id
+    arithmetic)."""
+    from engine.stages.htmlmeta import meta_robots
+
+    return meta_robots(_htmlmeta_pages(sf_dir))
+
+
+def q_hreflang_map(sf_dir: str):
+    """Hreflang alternate extraction (htmlmeta.hreflang_map): flattened
+    (doc_id, hreflang, href) rows from <link rel=alternate hreflang=...>
+    — rel is token-matched, languages lowercase (BCP 47), entries
+    missing either attribute drop, stylesheet/no-lang decoys never
+    match.  Variants doc_id % 4 give 0-3 alternates per page with hrefs
+    reconstructible as https://alt.example.com/{lang}/{doc_id}.
+    SQL-verified."""
+    from engine.stages.htmlmeta import hreflang_map
+
+    return hreflang_map(_htmlmeta_pages(sf_dir))
+
+
+def q_extended_stats(sf_dir: str):
+    """ES extended_stats metrics aggregation (aggs.extended_stats) over
+    events.value per event_type in EXACT integers: values quantized once
+    with the identical IEEE expression floor(v*1000+0.5), moments as
+    int64 sums, variance derived driver-side in arbitrary-precision ints
+    as floor((n*ssq - s*s)/(n*n)) — DuckDB mirrors in HUGEINT.  Bucket
+    cardinality is driver-sized, so the reduce is per-batch partials +
+    driver merge (CLAUDE.md rule), no groupby shuffle.  SQL-verified."""
+    from engine.stages.aggs import extended_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return extended_stats(ds)
+
+
+def q_dis_max(sf_dir: str):
+    """ES dis_max best-field query (search.dis_max): three term
+    sub-queries scored as integer tf, document score = 1000*max_tf +
+    tie_milli*(sum_tf - max_tf) (tie_breaker 0.3 in milli-units), top-10
+    via the per-block-candidates merge — no all-to-all sort, text never
+    shuffles.  Complements multi_match's sum discipline.
+    SQL-verified including rank."""
+    from engine.stages.search import dis_max
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return dis_max(ds, _TERMS_SET[:3], tie_milli=300, k=10)
+
+
+def q_hreflang_reciprocal(sf_dir: str):
+    """Hreflang reciprocity validation (htmlmeta.hreflang_reciprocal):
+    an alternate only counts when the target annotates back.  Synthetic
+    cluster pages at url https://ex.com/p/{d}: d%4==0 declares de ->
+    d+1, d%4==1 declares en -> d-1 (so consecutive (0,1) pairs are
+    reciprocal), d%4==2 declares fr -> d+1 whose target declares nothing
+    (dangling), d%4==3 declares none.  Reciprocity resolves as a
+    union+groupby semi-join of the edge set against its own reverse
+    (coarse fnv1a pair buckets, vectorized in-bucket).  The oracle
+    re-derives edges from doc_id arithmetic with an EXISTS check for the
+    corpus-boundary partner.  SQL-verified."""
+    from engine.stages.htmlmeta import hreflang_reciprocal
+
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        urls, htmls = [], []
+        for i in d:
+            i = int(i)
+            urls.append(f"https://ex.com/p/{i}")
+            v = i % 4
+            if v == 0:
+                alt = ('<link rel="alternate" hreflang="de" '
+                       f'href="https://ex.com/p/{i + 1}">')
+            elif v == 1:
+                alt = ('<link rel="alternate" hreflang="en" '
+                       f'href="https://ex.com/p/{i - 1}">')
+            elif v == 2:
+                alt = ('<link rel="alternate" hreflang="fr" '
+                       f'href="https://ex.com/p/{i + 1}">')
+            else:
+                alt = ""
+            htmls.append(
+                f"<html><head>{alt}</head><body><p>x</p></body></html>"
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.string()),
+            }
+        )
+
+    return hreflang_reciprocal(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_change_rate(sf_dir: str):
+    """Adaptive recrawl scheduling from revisit history
+    (cachecontrol.change_rate_schedule; Cho & Garcia-Molina 2003).
+    Visit log synthesized per doc: n = 3 + d%5 visits, visit j changed
+    iff (d*31 + j) % 3 == 0; the engine aggregates (per-batch partials
+    -> ONE corpus-keyed groupby Sum) and assigns the hot/warm/cold
+    ladder from the exact-integer Laplace ratio
+    floor(1e6*(changes+1)/(visits+2)).  The oracle regenerates the same
+    log with generate_series and aggregates independently.
+    SQL-verified."""
+    from engine.stages.cachecontrol import change_rate_schedule
+
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = 3 + (d % 5)
+        url_id = np.repeat(d, n)
+        starts = np.zeros(len(n) + 1, np.int64)
+        np.cumsum(n, out=starts[1:])
+        j = np.arange(int(n.sum()), dtype=np.int64) - starts[
+            np.repeat(np.arange(len(n), dtype=np.int64), n)
+        ]
+        changed = ((url_id * 31 + j) % 3 == 0).astype(np.int64)
+        return pa.table(
+            {
+                "url_id": pa.array(url_id, pa.int64()),
+                "changed": pa.array(changed, pa.int64()),
+            }
+        )
+
+    # thresholds placed inside the synthetic ratio range (333k-500k ppm)
+    # so all three ladder branches are exercised
+    return change_rate_schedule(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True),
+        hot_ppm=400_000,
+        warm_ppm=350_000,
+    )

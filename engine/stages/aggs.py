@@ -1,0 +1,121 @@
+"""ES metrics-aggregation parity — ``extended_stats`` in exact integers.
+
+Elasticsearch's ``extended_stats`` aggregation returns count / min / max /
+sum / sum_of_squares / variance per bucket.  Floating-point sums are not
+bit-reproducible across engines (summation order), so this engine follows
+the repo's fixed-point discipline: values are quantized once to
+milli-units with the identical IEEE expression ``floor(v*1000 + 0.5)``
+on both sides, every moment is an exact int64 sum of int64s, and the
+variance is derived from the moments in EXACT arbitrary-precision
+integer arithmetic as ``floor((n*ssq - s*s) / (n*n))`` (milli-units
+squared) — DuckDB mirrors it in HUGEINT.  ``std`` is deliberately not
+emitted (sqrt is not reproducible); callers derive it.
+
+Scale shape: bucket cardinality here is the events table's
+``event_type`` — DRIVER-sized, so per CLAUDE.md the reduce happens on
+the driver over per-batch partials (one tiny row per (batch, group)),
+never through a groupby shuffle: ``map_batches`` emits (group, n, s,
+ssq, mn, mx) partials, the driver merges them with Python ints
+(overflow-free), and the output is one small Arrow table.  At 100 TB
+the partial rows total (blocks x groups) — still driver-trivial.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def extended_stats(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 1000,
+) -> pa.Table:
+    """(group, n, sum_m, min_m, max_m, ssq_m, var_m2) per bucket, all
+    exact int64 in milli-units (``scale``); see module docstring."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "ssq": pa.array([], pa.int64()),
+                "mn": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        g = t.column(group_col)
+        ok = ~np.isnan(v)
+        if not ok.any():
+            return empty
+        vm = np.floor(v[ok] * scale + 0.5).astype(np.int64)
+        gt = pa.table(
+            {
+                group_col: pc.cast(g.filter(pa.array(ok)), pa.string()),
+                "v": pa.array(vm, pa.int64()),
+                "v2": pa.array(vm * vm, pa.int64()),
+            }
+        )
+        agg = gt.group_by([group_col]).aggregate(
+            [("v", "count"), ("v", "sum"), ("v2", "sum"),
+             ("v", "min"), ("v", "max")]
+        )
+        # select by NAME (positional rename is pyarrow-version-fragile)
+        return pa.table(
+            {
+                group_col: agg.column(group_col),
+                "n": pa.compute.cast(agg.column("v_count"), pa.int64()),
+                "s": pa.compute.cast(agg.column("v_sum"), pa.int64()),
+                "ssq": pa.compute.cast(agg.column("v2_sum"), pa.int64()),
+                "mn": pa.compute.cast(agg.column("v_min"), pa.int64()),
+                "mx": pa.compute.cast(agg.column("v_max"), pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    part = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    for tab in ray.get(part.to_arrow_refs()):
+        # zero-row blocks bypass map_batches and can surface schemaless
+        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
+            continue
+        for grp, n, s, ssq, mn, mx in zip(
+            tab.column(group_col).to_pylist(), tab.column("n").to_pylist(),
+            tab.column("s").to_pylist(), tab.column("ssq").to_pylist(),
+            tab.column("mn").to_pylist(), tab.column("mx").to_pylist(),
+        ):
+            a = acc.get(grp)
+            if a is None:
+                acc[grp] = [n, s, ssq, mn, mx]
+            else:
+                a[0] += n
+                a[1] += s          # Python ints: overflow-free
+                a[2] += ssq
+                a[3] = min(a[3], mn)
+                a[4] = max(a[4], mx)
+    groups = sorted(acc)
+    var = [
+        (acc[g][0] * acc[g][2] - acc[g][1] * acc[g][1])
+        // (acc[g][0] * acc[g][0])
+        for g in groups
+    ]
+    return pa.table(
+        {
+            group_col: pa.array(groups, pa.string()),
+            "n": pa.array([acc[g][0] for g in groups], pa.int64()),
+            "sum_m": pa.array([acc[g][1] for g in groups], pa.int64()),
+            "min_m": pa.array([acc[g][3] for g in groups], pa.int64()),
+            "max_m": pa.array([acc[g][4] for g in groups], pa.int64()),
+            "ssq_m": pa.array([acc[g][2] for g in groups], pa.int64()),
+            "var_m2": pa.array(var, pa.int64()),
+        }
+    )

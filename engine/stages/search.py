@@ -2133,3 +2133,86 @@ def ltr_features(
         )
 
     return rows.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dis_max(
+    ds: ray.data.Dataset,
+    terms,
+    *,
+    tie_milli: int = 300,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> ray.data.Dataset:
+    """ES ``dis_max`` query — best-field discipline: each term is a
+    sub-query scored as its integer tf over the document; the document
+    score is ``max(tf)`` plus ``tie_breaker`` times the REST, here in
+    exact milli-units: ``score_milli = 1000*max_tf + tie_milli*(sum_tf -
+    max_tf)`` (ES's tie_breaker in [0,1] as an integer, so both engines
+    evaluate identical int64 algebra).  Complements ``multi_match``
+    (sum-discipline with field boosts) — together they cover ES's two
+    multi-query score disciplines.
+
+    Shape: ONE tokenize pass per batch, one Arrow ``equal`` + bincount
+    per term over the same flattened token stream (terms is
+    query-sized), then the global_topk candidate merge.  No shuffle of
+    text.
+    """
+    terms = list(terms)
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "max_tf": pa.array([], pa.int64()),
+            "sum_tf": pa.array([], pa.int64()),
+            "score_milli": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return empty
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_lists = [_TOKEN.findall(x or "") for x in texts]
+        lens = np.fromiter(
+            (len(tl) for tl in tok_lists), np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = pa.array([w for tl in tok_lists for w in tl], pa.string())
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        tf = np.zeros((len(lens), len(terms)), np.int64)
+        for j, term in enumerate(terms):
+            hit = np.asarray(
+                pc.equal(flat, term).to_numpy(zero_copy_only=False), bool
+            )
+            if hit.any():
+                tf[:, j] = np.bincount(doc_of[hit], minlength=len(lens))
+        sum_tf = tf.sum(axis=1)
+        keep = sum_tf > 0
+        if not keep.any():
+            return empty
+        max_tf = tf[keep].max(axis=1)
+        sum_k = sum_tf[keep]
+        score = 1000 * max_tf + tie_milli * (sum_k - max_tf)
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "max_tf": pa.array(max_tf, pa.int64()),
+                "sum_tf": pa.array(sum_k, pa.int64()),
+                "score_milli": pa.array(score, pa.int64()),
+            }
+        )
+
+    from engine.stages.topk import global_topk
+
+    scored = ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return global_topk(
+        scored,
+        order_cols=["score_milli", id_col],
+        descending=[True, False],
+        k=k,
+    )

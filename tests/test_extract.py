@@ -313,3 +313,51 @@ def test_get_document_canonical_edges():
         )
         == ""
     )
+
+
+def test_get_meta_robots_resolution():
+    """Multiple tags union (most-restrictive wins), 'none' expansion,
+    case/whitespace tolerance, grant tokens restrict nothing."""
+    from engine.html_extract import HTMLTree, get_meta_robots
+
+    t = HTMLTree.parse(
+        '<html><head><meta name="ROBOTS" content=" NoIndex , follow ">'
+        '<meta name="robots" content="noarchive">'
+        '<meta name="description" content="nofollow"></head><body></body></html>'
+    )
+    f = get_meta_robots(t)
+    assert f == {
+        "noindex": True, "nofollow": False, "noarchive": True,
+        "nosnippet": False,
+    }
+    f = get_meta_robots(
+        HTMLTree.parse('<head><meta name="robots" content="NONE"></head>')
+    )
+    assert f["noindex"] and f["nofollow"]
+    assert not f["noarchive"] and not f["nosnippet"]
+    f = get_meta_robots(
+        HTMLTree.parse(
+            '<head><meta name="robots" content="all, index, follow"></head>'
+        )
+    )
+    assert not any(f.values())
+    assert not any(get_meta_robots(HTMLTree.parse("<p>no head</p>")).values())
+
+
+def test_get_hreflang_alternates_edges():
+    """rel token matching, lang lowercasing, missing-attr drops, order."""
+    from engine.html_extract import HTMLTree, get_hreflang_alternates
+
+    t = HTMLTree.parse(
+        '<html><head>'
+        '<link rel="ALTERNATE stylesheet" hreflang="EN-GB" href=" /en ">'
+        '<link rel="alternate" hreflang="de" href="https://a.com/de">'
+        '<link rel="stylesheet" hreflang="fr" href="/decoy.css">'
+        '<link rel="alternate" href="/no-lang">'
+        '<link rel="alternate" hreflang="es">'
+        "</head><body></body></html>"
+    )
+    assert get_hreflang_alternates(t) == [
+        ("en-gb", "/en"), ("de", "https://a.com/de"),
+    ]
+    assert get_hreflang_alternates(HTMLTree.parse("<p>x</p>")) == []

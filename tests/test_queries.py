@@ -95,6 +95,8 @@ SQL_NAMES = [
     "segment_merge", "doc_deletes", "c4_line_filter", "badwords",
     "mirror_detect", "soft404", "stopword_gen", "terms_set", "composite_agg",
     "host_boilerplate", "ltr_features",
+    "meta_robots", "hreflang_map", "hreflang_reciprocal",
+    "extended_stats", "dis_max", "change_rate",
 ]
 
 

@@ -5436,3 +5436,207 @@ def test_ltr_features_values(ray_session):
     assert ltr_features(
         ray.data.from_arrow(t.slice(0, 0)), ("join",)
     ).count() == 0
+
+
+def test_htmlmeta_stages(ray_session):
+    """htmlmeta.meta_robots / hreflang_map vs the doc_id-arithmetic
+    oracle the SQL uses, plus typed zero-row output (empty corpus)."""
+    import ray.data
+
+    from engine.pipelines.queries import _htmlmeta_page
+    from engine.stages.htmlmeta import hreflang_map, meta_robots
+
+    ids = list(range(24))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "html": pa.array([_htmlmeta_page(d) for d in ids], pa.string()),
+            }
+        )
+    )
+    rb = meta_robots(ds).to_pandas().set_index("doc_id").sort_index()
+    exp_flags = {
+        0: (0, 0, 0, 0), 1: (1, 0, 0, 0), 2: (1, 1, 0, 0),
+        3: (0, 1, 1, 0), 4: (0, 0, 0, 0), 5: (0, 1, 0, 1),
+    }
+    for d in ids:
+        assert tuple(
+            rb.loc[d, ["noindex", "nofollow", "noarchive", "nosnippet"]]
+        ) == exp_flags[d % 6], d
+
+    hl = hreflang_map(ds).to_pandas()
+    got = {
+        d: sorted(g["hreflang"]) for d, g in hl.groupby("doc_id")
+    }
+    exp_langs = {0: ["de", "en", "x-default"], 2: ["fr"], 3: ["en-gb"]}
+    for d in ids:
+        assert got.get(d, []) == exp_langs.get(d % 4, []), d
+    assert (
+        hl["href"]
+        == "https://alt.example.com/" + hl["hreflang"] + "/"
+        + hl["doc_id"].astype(str)
+    ).all()
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "html": pa.array([], pa.string())}
+        )
+    )
+    for fn in (meta_robots, hreflang_map):
+        assert fn(empty).count() == 0
+
+
+def test_extended_stats_exact(ray_session):
+    """aggs.extended_stats vs a Python-int oracle (exact moments +
+    floor-division variance), NaN drop, empty corpus."""
+    import math
+
+    import ray.data
+
+    from engine.stages.aggs import extended_stats
+
+    vals = [1.2345, -2.5, 0.0, 7.77, 1.2345, 3.3, float("nan"), 9.1]
+    grps = ["a", "a", "b", "b", "a", "b", "a", "b"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(grps, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+    ).repartition(3)
+    got = extended_stats(ds).to_pandas().set_index("event_type")
+    for g in ("a", "b"):
+        vm = [
+            math.floor(v * 1000 + 0.5)
+            for v, gg in zip(vals, grps)
+            if gg == g and not math.isnan(v)
+        ]
+        n, s, ssq = len(vm), sum(vm), sum(x * x for x in vm)
+        assert got.loc[g, "n"] == n
+        assert got.loc[g, "sum_m"] == s
+        assert got.loc[g, "min_m"] == min(vm)
+        assert got.loc[g, "max_m"] == max(vm)
+        assert got.loc[g, "ssq_m"] == ssq
+        assert got.loc[g, "var_m2"] == (n * ssq - s * s) // (n * n)
+    empty = ray.data.from_arrow(
+        pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "value": pa.array([], pa.float64())}
+        )
+    )
+    assert extended_stats(empty).num_rows == 0
+
+
+def test_dis_max_scoring(ray_session):
+    """search.dis_max vs hand-computed best-field scores; tie_breaker
+    algebra; docs with zero hits drop; empty corpus."""
+    from engine.stages.search import dis_max
+
+    rows = [
+        (1, "join join merge"),        # tf (2,1,0): 2000 + 300*1 = 2300
+        (2, "scan scan scan"),         # tf (0,0,3): 3000
+        (3, "join merge scan"),        # tf (1,1,1): 1000 + 300*2 = 1600
+        (4, "nothing here"),           # drops
+    ]
+    ds = _docs_ds(rows)
+    got = (
+        dis_max(ds, ("join", "merge", "scan"), tie_milli=300, k=10)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [2, 1, 3]
+    assert list(got["score_milli"]) == [3000, 2300, 1600]
+    assert list(got["max_tf"]) == [3, 2, 1]
+    assert list(got["sum_tf"]) == [3, 3, 3]
+    assert dis_max(_docs_ds([]), ("a",)).count() == 0
+
+
+def test_hreflang_reciprocal_semijoin(ray_session):
+    """htmlmeta.hreflang_reciprocal: reciprocal pair, dangling edge,
+    one-sided double annotation (two langs same pair still needs the
+    REVERSE direction), self-link drop."""
+    import ray.data
+
+    from engine.stages.htmlmeta import hreflang_reciprocal
+
+    def page(url, alts):
+        links = "".join(
+            f'<link rel="alternate" hreflang="{lg}" href="{h}">'
+            for lg, h in alts
+        )
+        return f"<html><head>{links}</head><body></body></html>"
+
+    rows = [
+        (1, "https://e.com/a", [("de", "https://e.com/b")]),
+        (2, "https://e.com/b", [("en", "https://e.com/a")]),
+        (3, "https://e.com/c", [("fr", "https://e.com/d")]),   # dangling
+        (4, "https://e.com/d", []),
+        # one page annotating the same target twice (two langs) without
+        # a reverse edge must NOT count as reciprocal
+        (5, "https://e.com/e", [("es", "https://e.com/f"),
+                                ("pt", "https://e.com/f")]),
+        (6, "https://e.com/g", [("it", "https://e.com/g")]),   # self: drop
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "html": pa.array(
+                    [page(r[1], r[2]) for r in rows], pa.string()
+                ),
+            }
+        )
+    ).repartition(3)
+    got = (
+        hreflang_reciprocal(ds)
+        .to_pandas()
+        .sort_values(["doc_id", "hreflang"])
+        .reset_index(drop=True)
+    )
+    rec = dict(zip(zip(got["doc_id"], got["hreflang"]), got["reciprocal"]))
+    assert rec == {
+        (1, "de"): 1, (2, "en"): 1, (3, "fr"): 0,
+        (5, "es"): 0, (5, "pt"): 0,
+    }
+    assert 6 not in set(got["doc_id"])
+
+
+def test_change_rate_schedule_ladder(ray_session):
+    """cachecontrol.change_rate_schedule vs a Counter oracle: exact
+    Laplace ratio, ladder thresholds inclusive, cross-batch merge."""
+    import ray.data
+
+    from engine.stages.cachecontrol import change_rate_schedule
+
+    log = (
+        [(10, 1)] * 9 + [(10, 0)]          # 9/10 -> ratio 833333 hot
+        + [(20, 1)] * 1 + [(20, 0)] * 9    # 1/10 -> 166666  warm@100k
+        + [(30, 0)] * 18                   # 0/18 -> 50000   cold
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url_id": pa.array([u for u, _ in log], pa.int64()),
+                "changed": pa.array([c for _, c in log], pa.int64()),
+            }
+        )
+    ).repartition(4)
+    got = (
+        change_rate_schedule(ds)
+        .to_pandas()
+        .set_index("url_id")
+        .sort_index()
+    )
+    assert got.loc[10, "ratio_ppm"] == (1_000_000 * 10) // 12
+    assert got.loc[10, "revisit_s"] == 3600
+    assert got.loc[20, "ratio_ppm"] == (1_000_000 * 2) // 12
+    assert got.loc[20, "revisit_s"] == 86400
+    assert got.loc[30, "ratio_ppm"] == 1_000_000 // 20
+    assert got.loc[30, "revisit_s"] == 604800
+    assert (got["visits"] == [10, 10, 18]).all()
+    assert (got["changes"] == [9, 1, 0]).all()
