@@ -134,6 +134,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extended_stats": q.q_extended_stats,
         "dis_max": q.q_dis_max,
         "change_rate": q.q_change_rate,
+        "adjacency_matrix": q.q_adjacency_matrix,
+        "lexical_diversity": q.q_lexical_diversity,
+        "stale_pages": q.q_stale_pages,
+        "robots_directives": q.q_robots_directives,
+        "link_rel_stats": q.q_link_rel_stats,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (float MMR scores; full-corpus numpy oracle test)
@@ -3844,5 +3849,117 @@ def oracle_sql() -> dict[str, str]:
                           >= 350000 THEN 86400
                      ELSE 604800 END AS BIGINT) AS revisit_s
             FROM a
+        """,
+        # adjacency_matrix: pairwise term-presence intersections over
+        # the same whitespace tokenizer; zero pairs kept
+        "adjacency_matrix": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(coalesce(text,''),
+                     '[^\t\n\x0b\x0c\r ]+') AS tk
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     list_contains(tk, 'join') AS f1,
+                     list_contains(tk, 'merge') AS f2,
+                     list_contains(tk, 'scan') AS f3,
+                     list_contains(tk, 'window') AS f4
+              FROM t
+            )
+            SELECT 'join' AS filter_a, 'join' AS filter_b,
+                   CAST(count(*) FILTER (WHERE f1) AS BIGINT) AS doc_count
+            FROM b
+            UNION ALL SELECT 'join', 'merge',
+                   CAST(count(*) FILTER (WHERE f1 AND f2) AS BIGINT) FROM b
+            UNION ALL SELECT 'join', 'scan',
+                   CAST(count(*) FILTER (WHERE f1 AND f3) AS BIGINT) FROM b
+            UNION ALL SELECT 'join', 'window',
+                   CAST(count(*) FILTER (WHERE f1 AND f4) AS BIGINT) FROM b
+            UNION ALL SELECT 'merge', 'merge',
+                   CAST(count(*) FILTER (WHERE f2) AS BIGINT) FROM b
+            UNION ALL SELECT 'merge', 'scan',
+                   CAST(count(*) FILTER (WHERE f2 AND f3) AS BIGINT) FROM b
+            UNION ALL SELECT 'merge', 'window',
+                   CAST(count(*) FILTER (WHERE f2 AND f4) AS BIGINT) FROM b
+            UNION ALL SELECT 'scan', 'scan',
+                   CAST(count(*) FILTER (WHERE f3) AS BIGINT) FROM b
+            UNION ALL SELECT 'scan', 'window',
+                   CAST(count(*) FILTER (WHERE f3 AND f4) AS BIGINT) FROM b
+            UNION ALL SELECT 'window', 'window',
+                   CAST(count(*) FILTER (WHERE f4) AS BIGINT) FROM b
+        """,
+        # lexical_diversity: same tokenizer; DuckDB list_distinct
+        "lexical_diversity": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(coalesce(text,''),
+                     '[^\t\n\x0b\x0c\r ]+') AS tk
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+                   CAST(CASE WHEN len(tk) = 0 THEN -1
+                        ELSE (1000000 * len(list_distinct(tk))) // len(tk)
+                        END AS BIGINT) AS ttr_ppm
+            FROM t
+        """,
+        # stale_pages: days since epoch via date arithmetic (no magic
+        # constants); every 4th sitemap entry lacks lastmod, every 7th
+        # url was never captured
+        "stale_pages": """
+            WITH s AS (
+              SELECT doc_id,
+                     'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 4 = 0 THEN -1
+                          ELSE date_diff('day', DATE '1970-01-01',
+                                         DATE '2026-01-01') + doc_id % 28
+                     END AS lastmod_day
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     date_diff('day', DATE '1970-01-01', DATE '2026-01-01')
+                     + (doc_id * 3) % 28 AS capture_day
+              FROM documents WHERE doc_id % 7 <> 0
+            )
+            SELECT s.url,
+                   CAST(s.lastmod_day AS BIGINT) AS lastmod_day,
+                   CAST(coalesce(c.capture_day, -1) AS BIGINT) AS capture_day,
+                   CAST(CASE WHEN c.capture_day IS NULL
+                             OR s.lastmod_day > c.capture_day
+                        THEN 1 ELSE 0 END AS BIGINT) AS stale
+            FROM s LEFT JOIN c USING (doc_id)
+        """,
+        # robots_directives: meta variant doc_id%6 (_htmlmeta_page) OR
+        # header variant doc_id%5 (scoped group at %5=3 is ignored)
+        "robots_directives": """
+            SELECT doc_id,
+              CAST(CASE WHEN doc_id % 6 IN (1, 2) OR doc_id % 5 = 2
+                   THEN 1 ELSE 0 END AS BIGINT) AS noindex,
+              CAST(CASE WHEN doc_id % 6 IN (2, 3, 5)
+                        OR doc_id % 5 IN (2, 4)
+                   THEN 1 ELSE 0 END AS BIGINT) AS nofollow,
+              CAST(CASE WHEN doc_id % 6 = 3 OR doc_id % 5 = 1
+                   THEN 1 ELSE 0 END AS BIGINT) AS noarchive,
+              CAST(CASE WHEN doc_id % 6 = 5 OR doc_id % 5 = 4
+                   THEN 1 ELSE 0 END AS BIGINT) AS nosnippet,
+              CAST(CASE WHEN doc_id % 5 IN (1, 2, 4) THEN 1 ELSE 0
+                   END AS BIGINT) AS from_header,
+              CAST(CASE WHEN doc_id % 6 IN (1, 2, 3, 5) THEN 1 ELSE 0
+                   END AS BIGINT) AS from_meta
+            FROM documents
+        """,
+        # link_rel_stats: counts re-derived from the doc_id%4 page
+        # variant (2 internal + 1 external / relative + nofollow ext /
+        # nofollow int + decoy ext / none)
+        "link_rel_stats": """
+            SELECT doc_id,
+              CAST(CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 2
+                   WHEN 2 THEN 2 ELSE 0 END AS BIGINT) AS n_links,
+              CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 1
+                   WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS n_internal,
+              CAST(CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 1 ELSE 0
+                   END AS BIGINT) AS n_external,
+              CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 0
+                   END AS BIGINT) AS n_nofollow
+            FROM documents
         """,
     }

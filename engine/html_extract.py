@@ -701,6 +701,19 @@ def get_hreflang_alternates(tree: HTMLTree) -> List[tuple]:
     return out
 
 
+def get_anchor_rels(tree: HTMLTree) -> List[tuple]:
+    """All (href, rel) pairs for ``<a href>`` in document order — link
+    classification support (``rel`` lowercased raw token string, ""
+    when absent).  Every occurrence counts, like ``get_anchors``."""
+    if tree.body is None:
+        return []
+    return [
+        (a.attrs["href"].strip(), a.attrs.get("rel", "").strip().lower())
+        for a in tree.body.find_all(("a",))
+        if a.attrs.get("href", "").strip()
+    ]
+
+
 def get_links(tree: HTMLTree) -> List[str]:
     """All <a href> values in document order (new: crawl link discovery).
 

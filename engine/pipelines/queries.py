@@ -4244,3 +4244,176 @@ def q_change_rate(sf_dir: str):
         hot_ppm=400_000,
         warm_ppm=350_000,
     )
+
+
+def q_adjacency_matrix(sf_dir: str):
+    """ES adjacency_matrix aggregation (aggs.adjacency_matrix): doc
+    counts of every pairwise intersection of four term-presence filters
+    — per batch one tokenize pass, docs x k presence matrix, k x k
+    partial co-occurrence via one matmul, driver reduce (k is
+    query-sized).  Zero-count pairs kept for a deterministic contract.
+    SQL-verified."""
+    from engine.stages.aggs import adjacency_matrix
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return adjacency_matrix(ds, _TERMS_SET)
+
+
+def q_lexical_diversity(sf_dir: str):
+    """Type-token ratio quality signal (text.lexical_diversity) over the
+    REAL corpus text: (doc_id, n_tokens, n_types, ttr_ppm) with
+    ttr_ppm = floor(1e6*types/tokens) exact-integer; zero-token docs
+    emit -1.  Tokens flatten once; the distinct count is a vectorized
+    pandas groupby-nunique over (doc, token) — no per-doc set loop, no
+    shuffle.  SQL-verified (DuckDB list_distinct)."""
+    from engine.stages.text import lexical_diversity
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return lexical_diversity(ds)
+
+
+def q_stale_pages(sf_dir: str):
+    """Sitemap-driven recrawl prioritization (sitemaps.stale_pages): a
+    page is stale when its sitemap lastmod postdates our newest capture
+    or we never captured it.  Per-doc synthetic single-url sitemaps
+    (every 4th entry lacks lastmod -> -1) parsed by the REAL
+    parse_sitemap, joined against a capture log missing every 7th url,
+    via the union+groupby semi-join (coarse fnv1a url buckets,
+    vectorized in-bucket max per side).  Day arithmetic is exact
+    integers (days since epoch).  SQL-verified."""
+    from engine.stages.sitemaps import stale_pages
+
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+
+    def sm_synth(t: pa.Table) -> pa.Table:
+        hosts, xmls = [], []
+        for d in t.column("doc_id").to_pylist():
+            d = int(d)
+            hosts.append(f"h{d}.example.com")
+            lm = (
+                ""
+                if d % 4 == 0
+                else f"<lastmod>2026-01-{d % 28 + 1:02d}</lastmod>"
+            )
+            xmls.append(
+                "<urlset><url>"
+                f"<loc>https://ex.com/p/{d}</loc>{lm}"
+                "</url></urlset>"
+            )
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "xml": pa.array(xmls, pa.string()),
+            }
+        )
+
+    def cap_synth(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (d % 7) != 0
+        dk = d[keep]
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"https://ex.com/p/{int(i)}" for i in dk], pa.string()
+                ),
+                "capture_day": pa.array(20454 + (dk * 3) % 28, pa.int64()),
+            }
+        )
+
+    sm = ds.map_batches(sm_synth, batch_format="pyarrow", zero_copy_batch=True)
+    cap = ds.map_batches(cap_synth, batch_format="pyarrow", zero_copy_batch=True)
+    return stale_pages(sm, cap)
+
+
+def q_robots_directives(sf_dir: str):
+    """Effective robots directives (htmlmeta.robots_directives): union
+    of the X-Robots-Tag response header and all meta robots tags, most
+    restrictive wins; UA-scoped header groups ('googlebot: noindex')
+    are ignored by a generic crawler (documented unscoped subset).
+    Page variants reuse _htmlmeta_page (doc_id % 6); header variants
+    doc_id % 5: none / 'noarchive' / 'none' / scoped-ignored /
+    'NOSNIPPET , nofollow'.  SQL-verified including both provenance
+    flags."""
+    from engine.stages.htmlmeta import robots_directives
+
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+
+    _HDRS = [
+        None,
+        "noarchive",
+        "NONE",
+        "googlebot: noindex, nofollow",
+        "NOSNIPPET , nofollow",
+    ]
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "html": pa.array(
+                    [_htmlmeta_page(int(i)) for i in d], pa.string()
+                ),
+                "x_robots_tag": pa.array(
+                    [_HDRS[int(i) % 5] for i in d], pa.string()
+                ),
+            }
+        )
+
+    return robots_directives(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_link_rel_stats(sf_dir: str):
+    """Per-page outlink classification (htmlmeta.link_rel_stats):
+    internal = same registrable domain (eTLD+1), relative hrefs resolve
+    against the page url, rel="nofollow" token-matched (ugc/sponsored
+    compounds count).  Page variants (doc_id % 4) mix absolute
+    same-domain, subdomain (still internal), external, relative, and
+    nofollow links.  SQL-verified (counts re-derived from doc_id
+    arithmetic)."""
+    from engine.stages.htmlmeta import link_rel_stats
+
+    ds = _docs(sf_dir, ["doc_id"], num_blocks=_cpus())
+
+    def synth(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        urls, htmls = [], []
+        for i in d:
+            i = int(i)
+            urls.append(f"https://www.site{i % 9}.com/p/{i}")
+            v = i % 4
+            if v == 0:
+                # 2 internal (absolute + subdomain), 1 external
+                body = (
+                    f'<a href="https://www.site{i % 9}.com/q/1">a</a>'
+                    f'<a href="https://blog.site{i % 9}.com/r">b</a>'
+                    '<a href="https://other.org/x">c</a>'
+                )
+            elif v == 1:
+                # 1 relative internal, 1 external nofollow-compound
+                body = (
+                    '<a href="/local">a</a>'
+                    '<a rel="ugc nofollow" href="https://spam.net/z">b</a>'
+                )
+            elif v == 2:
+                # nofollow internal + rel token decoy ("nofollowx")
+                body = (
+                    '<a rel="nofollow" href="/self">a</a>'
+                    '<a rel="nofollowx" href="https://ext.com/y">b</a>'
+                )
+            else:
+                body = "<p>no links</p>"
+            htmls.append(f"<html><body>{body}</body></html>")
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.string()),
+            }
+        )
+
+    return link_rel_stats(
+        ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -119,3 +119,74 @@ def extended_stats(
             "var_m2": pa.array(var, pa.int64()),
         }
     )
+
+
+def adjacency_matrix(
+    ds: ray.data.Dataset,
+    terms,
+    *,
+    text_col: str = "text",
+) -> pa.Table:
+    """ES ``adjacency_matrix`` aggregation: given named filters (here:
+    term-presence filters over the text), the doc count of every filter
+    intersection — the co-occurrence matrix ES renders for graph
+    exploration.  Output one row per unordered pair (i <= j):
+    ``(filter_a, filter_b, doc_count)``, diagonal = single-filter counts,
+    zero-count pairs kept (ES emits empty buckets only when non-zero;
+    keeping zeros makes the contract deterministic — documented
+    deviation).
+
+    Shape: per batch ONE tokenize pass -> docs x k presence bool matrix
+    -> k x k partial co-occurrence via one matmul; k is query-sized so
+    the (k*(k+1)/2)-row partials reduce on the DRIVER (CLAUDE.md
+    driver-sized-key rule).  Text never shuffles.
+    """
+    terms = list(terms)
+    k = len(terms)
+
+    def partials(t: pa.Table) -> pa.Table:
+        from engine.stages.text import _TOKEN
+
+        empty = pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        texts = t.column(text_col).to_pylist()
+        tset = [set(_TOKEN.findall(x or "")) for x in texts]
+        m = np.zeros((len(texts), k), np.int64)
+        for j, term in enumerate(terms):
+            m[:, j] = [term in s for s in tset]
+        co = m.T @ m  # k x k int64
+        iu, ju = np.triu_indices(k)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64), pa.int64()),
+                "j": pa.array(ju.astype(np.int64), pa.int64()),
+                "n": pa.array(co[iu, ju], pa.int64()),
+            }
+        )
+
+    acc = np.zeros((k, k), dtype=object)  # Python ints: overflow-free
+    acc[:] = 0
+    part = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    for tab in ray.get(part.to_arrow_refs()):
+        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
+            continue
+        for i, j, n in zip(
+            tab.column("i").to_pylist(), tab.column("j").to_pylist(),
+            tab.column("n").to_pylist(),
+        ):
+            acc[i, j] += n
+    iu, ju = np.triu_indices(k)
+    return pa.table(
+        {
+            "filter_a": pa.array([terms[i] for i in iu], pa.string()),
+            "filter_b": pa.array([terms[j] for j in ju], pa.string()),
+            "doc_count": pa.array([int(acc[i, j]) for i, j in zip(iu, ju)], pa.int64()),
+        }
+    )

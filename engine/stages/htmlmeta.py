@@ -202,3 +202,147 @@ def hreflang_reciprocal(
 
     edge_ds = ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
     return edge_ds.groupby("bucket").map_groups(resolve, batch_format="pandas")
+
+
+def robots_directives(
+    ds: ray.data.Dataset,
+    *,
+    html_col: str = "html",
+    header_col: str = "x_robots_tag",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """EFFECTIVE robots directives: union of the ``X-Robots-Tag`` HTTP
+    response header and all in-page ``<meta name=robots>`` tags —
+    Google's documented resolution (both channels apply; most
+    restrictive wins; ``none`` expands).  Header grammar: directives
+    comma-separated; a ``ua:`` scope prefix restricts to that agent —
+    scoped groups are IGNORED here (unscoped subset, documented), so
+    ``googlebot: noindex`` does not bind a generic crawler while
+    ``noindex, nofollow`` does.
+
+    Output: (doc_id, noindex, nofollow, noarchive, nosnippet, from_header,
+    from_meta) — the two 0/1 provenance flags say which channel
+    contributed at least one restriction.  One stateless parse pass, no
+    shuffle."""
+    import re
+
+    scoped_rx = re.compile(r"^\s*[a-zA-Z0-9_-]+\s*:")
+
+    def header_flags(hdr: str) -> dict:
+        flags = {d: False for d in _ROBOTS_COLS}
+        if not hdr:
+            return flags
+        # multiple header values may be comma-joined; a scope prefix
+        # applies to the rest of ITS value — conservatively, a scoped
+        # prefix voids the remainder of the string (subset semantics)
+        if scoped_rx.match(hdr):
+            return flags
+        toks = {t.strip().lower() for t in hdr.split(",")}
+        if "none" in toks:
+            flags["noindex"] = flags["nofollow"] = True
+        for d in _ROBOTS_COLS:
+            if d in toks:
+                flags[d] = True
+        return flags
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        from engine.html_extract import get_meta_robots
+
+        n = t.num_rows
+        ids, out = [], {c: [] for c in _ROBOTS_COLS}
+        fh, fm = [], []
+        hdrs = (
+            t.column(header_col).to_pylist()
+            if header_col in t.column_names
+            else [None] * n
+        )
+        for d, html, hdr in zip(
+            t.column(id_col).to_pylist(), t.column(html_col).to_pylist(), hdrs
+        ):
+            tree = _parse(html or "")
+            meta = (
+                get_meta_robots(tree)
+                if tree is not None
+                else {c: False for c in _ROBOTS_COLS}
+            )
+            head = header_flags(hdr or "")
+            ids.append(int(d))
+            for c in _ROBOTS_COLS:
+                out[c].append(int(meta[c] or head[c]))
+            fh.append(int(any(head.values())))
+            fm.append(int(any(meta.values())))
+        cols = {id_col: pa.array(ids, pa.int64())}
+        cols.update({c: pa.array(out[c], pa.int64()) for c in _ROBOTS_COLS})
+        cols["from_header"] = pa.array(fh, pa.int64())
+        cols["from_meta"] = pa.array(fm, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def link_rel_stats(
+    ds: ray.data.Dataset,
+    *,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-page outlink classification — the SEO/spam link signals:
+    ``(doc_id, n_links, n_internal, n_external, n_nofollow)`` where
+    internal = same registrable domain as the page (eTLD+1 via
+    ``domains.registrable_domain``), nofollow = ``rel`` contains the
+    nofollow token (rel is token-matched: ``rel="ugc nofollow"``
+    counts).  Relative hrefs resolve against the page URL and count as
+    internal.  A high external+nofollow-free ratio is the classic link
+    -farm indicator; the crawl frontier also needs nofollow to stop
+    propagation (meta nofollow is page-wide, this is per-link).
+
+    One stateless parse pass (HTMLTree, like the extraction pipeline);
+    no shuffle."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        from urllib.parse import urljoin, urlsplit
+
+        from engine.html_extract import get_anchor_rels
+        from engine.stages.domains import registrable_domain
+
+        ids = []
+        n_links, n_int, n_ext, n_nof = [], [], [], []
+        for d, u, html in zip(
+            t.column(id_col).to_pylist(),
+            t.column(url_col).to_pylist(),
+            t.column(html_col).to_pylist(),
+        ):
+            tree = _parse(html or "")
+            pairs = get_anchor_rels(tree) if tree is not None else []
+            page_dom = registrable_domain(urlsplit(u or "").hostname or "")
+            nl = ni = ne = nn = 0
+            for href, rel in pairs:
+                try:
+                    tgt = urljoin(u or "", href)
+                    host = urlsplit(tgt).hostname or ""
+                except ValueError:
+                    continue
+                nl += 1
+                if registrable_domain(host) == page_dom:
+                    ni += 1
+                else:
+                    ne += 1
+                if "nofollow" in rel.split():
+                    nn += 1
+            ids.append(int(d))
+            n_links.append(nl)
+            n_int.append(ni)
+            n_ext.append(ne)
+            n_nof.append(nn)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_links": pa.array(n_links, pa.int64()),
+                "n_internal": pa.array(n_int, pa.int64()),
+                "n_external": pa.array(n_ext, pa.int64()),
+                "n_nofollow": pa.array(n_nof, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -104,3 +104,130 @@ def sitemap_urls(
         )
 
     return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_EPOCH_ORD = 719163  # datetime.date(1970, 1, 1).toordinal()
+
+
+def _iso_day(s: str) -> int:
+    """YYYY-MM-DD (or a prefix of W3C datetime) -> days since epoch;
+    -1 when absent/unparsable."""
+    import datetime as _dt
+
+    if not s:
+        return -1
+    try:
+        return _dt.date.fromisoformat(s[:10]).toordinal() - _EPOCH_ORD
+    except ValueError:
+        return -1
+
+
+def stale_pages(
+    sitemap_ds: "ray.data.Dataset",
+    captures_ds: "ray.data.Dataset",
+    *,
+    host_col: str = "host",
+    xml_col: str = "xml",
+    url_col: str = "url",
+    capture_col: str = "capture_day",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Recrawl prioritization: sitemap ``lastmod`` vs the crawler's last
+    capture — a page is STALE (fetch it again) when the origin declares
+    a modification after our newest capture, or we never captured it.
+    The classic sitemap-driven recrawl loop (sitemaps.org protocol;
+    the reference's resume cache answers "did we process it", this
+    answers "must we process it AGAIN").
+
+    Inputs: the sitemap corpus (host, xml) parsed with the REAL
+    ``parse_sitemap``; the capture log (url, capture_day).  Output one
+    row per sitemap URL entry (index members excluded):
+    ``(url, lastmod_day, capture_day, stale)`` — days since epoch,
+    -1 for absent, ``capture_day`` the NEWEST capture.
+
+    Shape: parse pass -> (url, lastmod_day) rows; union+groupby
+    semi-join with the capture log (CLAUDE.md device — both sides are
+    corpus-sized, so no broadcast): rows tagged by side, bucketed by a
+    coarse fnv1a(url) hash, resolved vectorized in-bucket (pandas
+    groupby max per side).  XML never shuffles.
+    """
+    import numpy as np
+
+    from engine.stages.text import fnv1a_batch
+
+    def _bucket(urls) -> np.ndarray:
+        return (
+            fnv1a_batch([u.encode() for u in urls]).astype(np.int64)
+            & ((1 << 63) - 1)
+        ) % n_buckets
+
+    def sm_rows(t: pa.Table) -> pa.Table:
+        urls, days = [], []
+        for xml in t.column(xml_col).to_pylist():
+            for row in parse_sitemap(xml or ""):
+                if row["from_index"]:
+                    continue
+                urls.append(row["url"])
+                days.append(_iso_day(row["lastmod"]))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "day": pa.array(days, pa.int64()),
+                "side": pa.array([0] * len(urls), pa.int64()),
+                "bucket": pa.array(_bucket(urls), pa.int64()),
+            }
+        )
+
+    def cap_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        urls = pc.cast(t.column(url_col), pa.string()).to_pylist()
+        days = t.column(capture_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "day": pa.array(days, pa.int64()),
+                "side": pa.array([1] * len(urls), pa.int64()),
+                "bucket": pa.array(_bucket(urls), pa.int64()),
+            }
+        )
+
+    def resolve(df):
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "url": pd.Series([], dtype="object"),
+                    "lastmod_day": pd.Series([], dtype="int64"),
+                    "capture_day": pd.Series([], dtype="int64"),
+                    "stale": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby(["url", "side"])["day"].max().unstack("side")
+        if 0 not in g.columns:
+            g[0] = np.nan
+        if 1 not in g.columns:
+            g[1] = np.nan
+        g = g[g[0].notna()]  # only urls the sitemap declares
+        lastmod = g[0].astype("int64")
+        captured = g[1].fillna(-1).astype("int64")
+        stale = ((captured < 0) | (lastmod > captured)).astype("int64")
+        return pd.DataFrame(
+            {
+                "url": g.index.to_numpy(),
+                "lastmod_day": lastmod.to_numpy(),
+                "capture_day": captured.to_numpy(),
+                "stale": stale.to_numpy(),
+            }
+        )
+
+    sm = sitemap_ds.map_batches(
+        sm_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cap = captures_ds.map_batches(
+        cap_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return sm.union(cap).groupby("bucket").map_groups(
+        resolve, batch_format="pandas"
+    )

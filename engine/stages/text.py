@@ -528,3 +528,62 @@ def oov_rate(
         )
 
     return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lexical_diversity(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Type-token ratio per document — the lexical-diversity quality
+    signal (low TTR = repetitive boilerplate/spam; used alongside the
+    Gopher repetition rules): ``(doc_id, n_tokens, n_types, ttr_ppm)``
+    with ``ttr_ppm = floor(1e6 * n_types / n_tokens)`` in exact
+    integers; zero-token docs emit ttr_ppm = -1.
+
+    Shape: one stateless pass; tokens flatten once and the per-doc
+    distinct count is a vectorized pandas groupby-nunique over the
+    (doc_of, token) frame — no per-doc Python set loop, no shuffle.
+    """
+    import pandas as pd
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_types": pa.array([], pa.int64()),
+                "ttr_ppm": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_lists = [_TOKEN.findall(x or "") for x in texts]
+        lens = np.fromiter(
+            (len(tl) for tl in tok_lists), np.int64, count=len(tok_lists)
+        )
+        types = np.zeros(len(lens), np.int64)
+        total = int(lens.sum())
+        if total:
+            doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            flat = [w for tl in tok_lists for w in tl]
+            nun = (
+                pd.DataFrame({"d": doc_of, "t": flat})
+                .groupby("d")["t"]
+                .nunique()
+            )
+            types[nun.index.to_numpy()] = nun.to_numpy()
+        ttr = np.where(lens > 0, (1_000_000 * types) // np.maximum(lens, 1), -1)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "n_types": pa.array(types, pa.int64()),
+                "ttr_ppm": pa.array(ttr.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)

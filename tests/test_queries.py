@@ -97,6 +97,8 @@ SQL_NAMES = [
     "host_boilerplate", "ltr_features",
     "meta_robots", "hreflang_map", "hreflang_reciprocal",
     "extended_stats", "dis_max", "change_rate",
+    "adjacency_matrix", "lexical_diversity", "stale_pages",
+    "robots_directives", "link_rel_stats",
 ]
 
 

@@ -5640,3 +5640,178 @@ def test_change_rate_schedule_ladder(ray_session):
     assert got.loc[30, "revisit_s"] == 604800
     assert (got["visits"] == [10, 10, 18]).all()
     assert (got["changes"] == [9, 1, 0]).all()
+
+
+def test_adjacency_matrix_counts(ray_session):
+    """aggs.adjacency_matrix vs hand-counted intersections; zero pairs
+    kept; empty corpus -> all-zero matrix (k*(k+1)/2 rows)."""
+    import ray.data
+
+    from engine.stages.aggs import adjacency_matrix
+
+    rows = [
+        (1, "a b"), (2, "a c"), (3, "b c a"), (4, "d"), (5, None),
+    ]
+    ds = _docs_ds(rows).repartition(2)
+    got = adjacency_matrix(ds, ("a", "b", "c")).to_pandas()
+    cnt = dict(zip(zip(got["filter_a"], got["filter_b"]), got["doc_count"]))
+    assert cnt == {
+        ("a", "a"): 3, ("a", "b"): 2, ("a", "c"): 2,
+        ("b", "b"): 2, ("b", "c"): 1, ("c", "c"): 2,
+    }
+    empty = adjacency_matrix(_docs_ds([]), ("a", "b")).to_pandas()
+    assert len(empty) == 3 and (empty["doc_count"] == 0).all()
+
+
+def test_lexical_diversity_exact(ray_session):
+    """text.lexical_diversity vs per-doc set oracle; zero-token -1;
+    repeat-heavy doc scores low."""
+    from engine.stages.text import _TOKEN, lexical_diversity
+
+    rows = [
+        (1, "spam spam spam spam"),
+        (2, "all distinct tokens here now"),
+        (3, ""),
+        (4, None),
+        (5, "x y x y z"),
+    ]
+    got = (
+        lexical_diversity(_docs_ds(rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for d, txt in rows:
+        toks = _TOKEN.findall(txt or "")
+        assert got.loc[d, "n_tokens"] == len(toks)
+        assert got.loc[d, "n_types"] == len(set(toks))
+        exp = (1_000_000 * len(set(toks))) // len(toks) if toks else -1
+        assert got.loc[d, "ttr_ppm"] == exp
+    assert got.loc[1, "ttr_ppm"] < got.loc[2, "ttr_ppm"]
+
+
+def test_stale_pages_join(ray_session):
+    """sitemaps.stale_pages: lastmod>capture stale, never-captured
+    stale, missing lastmod not stale when captured, newest capture
+    wins, sitemap-index members excluded."""
+    import ray.data
+
+    from engine.stages.sitemaps import stale_pages
+
+    sm = ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(["h1", "h1", "h2"], pa.string()),
+                "xml": pa.array(
+                    [
+                        "<urlset>"
+                        "<url><loc>u1</loc><lastmod>2026-01-10</lastmod></url>"
+                        "<url><loc>u2</loc><lastmod>2026-01-05</lastmod></url>"
+                        "</urlset>",
+                        "<urlset><url><loc>u3</loc></url>"
+                        "<url><loc>u4</loc><lastmod>2026-02-01</lastmod></url>"
+                        "</urlset>",
+                        "<sitemapindex><sitemap><loc>sub.xml</loc>"
+                        "</sitemap></sitemapindex>",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    day = lambda s: __import__("datetime").date.fromisoformat(s).toordinal() - 719163
+    cap = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["u1", "u1", "u2", "u3"], pa.string()),
+                "capture_day": pa.array(
+                    [day("2026-01-08"), day("2026-01-02"),
+                     day("2026-01-06"), day("2026-01-01")],
+                    pa.int64(),
+                ),
+            }
+        )
+    )
+    got = stale_pages(sm, cap).to_pandas().set_index("url").sort_index()
+    assert set(got.index) == {"u1", "u2", "u3", "u4"}  # no sub.xml
+    assert got.loc["u1", "stale"] == 1          # 01-10 > newest 01-08
+    assert got.loc["u1", "capture_day"] == day("2026-01-08")
+    assert got.loc["u2", "stale"] == 0          # 01-05 < 01-06
+    assert got.loc["u3", "stale"] == 0          # no lastmod, captured
+    assert got.loc["u3", "lastmod_day"] == -1
+    assert got.loc["u4", "stale"] == 1          # never captured
+    assert got.loc["u4", "capture_day"] == -1
+
+
+def test_robots_directives_header_merge(ray_session):
+    """htmlmeta.robots_directives: header+meta union, scoped header
+    groups ignored, missing header column tolerated."""
+    import ray.data
+
+    from engine.stages.htmlmeta import robots_directives
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "html": pa.array(
+                [
+                    '<head><meta name="robots" content="noindex"></head>',
+                    "<head></head>",
+                    "<head></head>",
+                ],
+                pa.string(),
+            ),
+            "x_robots_tag": pa.array(
+                ["noarchive", "googlebot: noindex", "none"], pa.string()
+            ),
+        }
+    )
+    got = (
+        robots_directives(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, ["noindex", "noarchive"]].tolist() == [1, 1]
+    assert got.loc[1, ["from_header", "from_meta"]].tolist() == [1, 1]
+    assert got.loc[2].tolist() == [0, 0, 0, 0, 0, 0]  # scoped ignored
+    assert got.loc[3, ["noindex", "nofollow", "from_header"]].tolist() == [1, 1, 1]
+    # header column absent: meta-only path
+    got2 = (
+        robots_directives(ray.data.from_arrow(t.drop_columns(["x_robots_tag"])))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert got2.loc[1, "noindex"] == 1 and got2.loc[1, "from_header"] == 0
+    assert got2.loc[3].sum() == 0
+
+
+def test_link_rel_stats_classification(ray_session):
+    """htmlmeta.link_rel_stats: subdomain internal via eTLD+1, relative
+    resolution, rel token matching (compound counts, superstring
+    doesn't), unparsable page -> zero row."""
+    import ray.data
+
+    from engine.stages.htmlmeta import link_rel_stats
+
+    rows = [
+        (1, "https://www.a.co.uk/p",
+         '<body><a href="https://shop.a.co.uk/x">s</a>'
+         '<a href="../up">r</a>'
+         '<a rel="sponsored nofollow" href="https://b.com/y">e</a>'
+         '<a rel="nofollower" href="https://c.com/z">d</a></body>'),
+        (2, "https://a.com/", "<body><p>none</p></body>"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "html": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    got = link_rel_stats(ds).to_pandas().set_index("doc_id").sort_index()
+    # shop.a.co.uk and ../up are internal to a.co.uk; b.com/c.com external
+    assert got.loc[1].tolist() == [4, 2, 2, 1]
+    assert got.loc[2].tolist() == [0, 0, 0, 0]
