@@ -14,7 +14,7 @@ guaranteed dependency here; the subcommand surface is preserved):
   parse-robots     robots.txt corpus -> politeness parquet
   cdx              .warc.gz shards -> sorted CDX parquet (random-access index)
   search           BM25 top-k over a docs table, with snippets and facets
-  query            run a JSON search-DSL clause (bool/phrase/fuzzy/regexp/match)
+  query            run a JSON search-DSL clause (bool/phrase/fuzzy/regexp/match/dis_max/multi_match/span_near)
 
 Run under a Ray job:  ray job submit -- python -m engine.cli index ...
 Owns its own Ray session (guarded init; the library never calls ray.init).

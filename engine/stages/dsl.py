@@ -11,6 +11,9 @@ One clause per query, dispatched to the already-verified operators:
     {"fuzzy":  {"term": "tble", "max_dist": 1}}
     {"regexp": "ta[bg]le"}
     {"match":  {"terms": ["merge", "batch"]}}        # AND + snippets
+    {"dis_max": {"queries": ["join", "scan"], "tie_breaker_milli": 300}}
+    {"multi_match": {"term": "merge", "k": 10}}       # title^3 + body
+    {"span_near": {"a": "value", "b": "table", "slop": 4}}
 
 Each returns the operator's own output schema (the DSL adds no new
 semantics — every clause type is individually SQL-verified or
@@ -53,4 +56,20 @@ def run_query_dsl(ds: ray.data.Dataset, dsl: Dict[str, Any]):
         return s.regex_search(ds, str(body))
     if kind == "match":
         return s.snippet_search(ds, list(body["terms"]))
+    if kind == "dis_max":
+        return s.dis_max(
+            ds,
+            list(body["queries"]),
+            tie_milli=int(body.get("tie_breaker_milli", 0)),
+            k=int(body.get("k", 10)),
+        )
+    if kind == "multi_match":
+        return s.multi_match(ds, str(body["term"]), k=int(body.get("k", 10)))
+    if kind == "span_near":
+        return s.span_near(
+            ds,
+            str(body["a"]),
+            str(body["b"]),
+            slop=int(body.get("slop", 3)),
+        )
     raise ValueError(f"unknown query DSL clause: {kind!r}")

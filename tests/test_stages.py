@@ -4350,6 +4350,24 @@ def test_query_dsl_dispatch(ray_session):
     assert pdf(
         run_query_dsl(_docs_ds(rows), {"match": {"terms": ["alpha", "beta"]}})
     ).equals(pdf(s.snippet_search(_docs_ds(rows), ["alpha", "beta"])))
+    assert pdf(
+        run_query_dsl(
+            _docs_ds(rows),
+            {"dis_max": {"queries": ["beta", "delta"],
+                         "tie_breaker_milli": 300}},
+        )
+    ).equals(
+        pdf(s.dis_max(_docs_ds(rows), ["beta", "delta"], tie_milli=300))
+    )
+    assert pdf(
+        run_query_dsl(_docs_ds(rows), {"multi_match": {"term": "beta"}})
+    ).equals(pdf(s.multi_match(_docs_ds(rows), "beta")))
+    assert pdf(
+        run_query_dsl(
+            _docs_ds(rows), {"span_near": {"a": "alpha", "b": "gamma",
+                                           "slop": 1}}
+        )
+    ).equals(pdf(s.span_near(_docs_ds(rows), "alpha", "gamma", slop=1)))
     with pytest.raises(ValueError):
         run_query_dsl(ds, {"nope": 1})
     with pytest.raises(ValueError):
