@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stale_pages": q.q_stale_pages,
         "robots_directives": q.q_robots_directives,
         "link_rel_stats": q.q_link_rel_stats,
+        "rare_terms": q.q_rare_terms,
+        "bucket_pipeline": q.q_bucket_pipeline,
+        "diversified_sample": q.q_diversified_sample,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (float MMR scores; full-corpus numpy oracle test)
@@ -3961,5 +3964,60 @@ def oracle_sql() -> dict[str, str]:
               CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 0
                    END AS BIGINT) AS n_nofollow
             FROM documents
+        """,
+        # ES rare_terms: long-tail buckets by doc frequency (corpus-relative
+        # cutoff n//10 -- documented deviation from ES's absolute
+        # max_doc_count), df asc head
+        "rare_terms": r"""
+            WITH tokd AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(coalesce(text,''),
+                            '[^\t\n\x0b\x0c\r ]+')) AS token
+              FROM documents
+            ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            df AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tokd GROUP BY token
+            )
+            SELECT token, df FROM df, n
+            WHERE df <= greatest(1, n.n // 10)
+            ORDER BY df, token LIMIT 50
+        """,
+        # ES bucket_script/selector/sort over a daily date_histogram:
+        # exact milli-mean, strictly-above-mean-size selector (integer
+        # cross-multiplication), avg_m desc head.  All operands positive
+        # so // is floor both sides.
+        "bucket_pipeline": """
+            WITH b AS (
+              SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(floor(value*1000 + 0.5) AS BIGINT))
+                          AS BIGINT) AS s_m
+              FROM events GROUP BY 1, 2
+            ), tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS tn,
+                     CAST(count(*) AS BIGINT) AS nb FROM b
+            )
+            SELECT CAST(day AS BIGINT) AS day, event_type, n, s_m,
+                   CAST(s_m // n AS BIGINT) AS avg_m
+            FROM b, tot WHERE n * nb > tn
+            ORDER BY avg_m DESC, day, event_type LIMIT 20
+        """,
+        # ES diversified_sampler: cap 3 docs per source (lowest ids =
+        # deterministic score order), sub-agg over the de-biased sample
+        "diversified_sample": """
+            WITH r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_sampled,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_value,
+                   CAST(min(doc_id) AS BIGINT) AS min_id,
+                   CAST(max(doc_id) AS BIGINT) AS max_id
+            FROM r WHERE rn <= 3
+            GROUP BY source ORDER BY source
         """,
     }

@@ -4417,3 +4417,39 @@ def q_link_rel_stats(sf_dir: str):
     return link_rel_stats(
         ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def q_rare_terms(sf_dir: str):
+    """ES rare_terms aggregation (index_build.rare_terms): long-tail
+    terms with df <= n_docs//10, (df asc, token asc) head — term_stats
+    shuffle shape + per-block partial heads, no vocab-wide sort.
+    SQL-verified."""
+    from engine.stages.index_build import rare_terms
+
+    ds = _docs(sf_dir, ["text"], num_blocks=_cpus())
+    return rare_terms(ds, rare_divisor=10, limit=50)
+
+
+def q_bucket_pipeline(sf_dir: str):
+    """ES bucket_script + bucket_selector + bucket_sort over a daily
+    date_histogram of events (aggs.bucket_pipeline): exact milli-mean per
+    bucket, strictly-above-mean-size selector (integer cross-multiplied),
+    (avg_m desc) head.  Driver-sized buckets -> per-batch partials +
+    driver reduce.  SQL-verified."""
+    from engine.stages.aggs import bucket_pipeline
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return bucket_pipeline(ds, limit=20)
+
+
+def q_diversified_sample(sf_dir: str):
+    """ES diversified_sampler aggregation (sample.diversified_sample):
+    per-source sample capped at 3 docs (lowest ids = deterministic score
+    order), sub-agg = count/sum(n_chars)/min/max id.  Per-block partial
+    bottom-k per key + driver merge, no shuffle.  SQL-verified."""
+    from engine.stages.sample import diversified_sample
+
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+    return diversified_sample(ds, max_per_key=3)

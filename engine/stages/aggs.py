@@ -190,3 +190,100 @@ def adjacency_matrix(
             "doc_count": pa.array([int(acc[i, j]) for i, j in zip(iu, ju)], pa.int64()),
         }
     )
+
+
+def bucket_pipeline(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    limit: int = 20,
+) -> pa.Table:
+    """ES pipeline-aggregation trio over a date_histogram: per
+    (day, group) bucket compute n and the exact milli-quantized sum, then
+
+    - ``bucket_script``: ``avg_m = s_m // n`` (exact integer milli-mean),
+    - ``bucket_selector``: keep buckets STRICTLY above the mean bucket
+      size (``n * n_buckets > total_n`` — integer cross-multiplication,
+      no division, scale-free), and
+    - ``bucket_sort``: order by (avg_m desc, day asc, group asc), first
+      ``limit``.
+
+    Like ES pipeline aggs — which operate on the response histogram, not
+    the corpus — the second stage runs on the driver over the collected
+    per-bucket partials: bucket cardinality is (days x groups),
+    driver-sized, so per CLAUDE.md the reduce is per-batch partials +
+    driver merge, never a groupby shuffle.  Values are quantized ONCE with
+    the repo-wide ``floor(v*1000 + 0.5)`` IEEE expression.
+    """
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                group_col: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "s_m": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        us = pc.cast(t.column(ts_col), pa.int64())
+        day = pc.divide(us, 86_400_000_000)  # int64 floor for positive epochs
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        vm = np.floor(v * 1000.0 + 0.5).astype(np.int64)
+        gt = pa.table(
+            {
+                "day": day,
+                group_col: pc.cast(t.column(group_col), pa.string()),
+                "v": pa.array(vm, pa.int64()),
+            }
+        )
+        agg = gt.group_by(["day", group_col]).aggregate(
+            [("v", "count"), ("v", "sum")]
+        )
+        return pa.table(
+            {
+                "day": pa.compute.cast(agg.column("day"), pa.int64()),
+                group_col: agg.column(group_col),
+                "n": pa.compute.cast(agg.column("v_count"), pa.int64()),
+                "s_m": pa.compute.cast(agg.column("v_sum"), pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    part = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    for tab in ray.get(part.to_arrow_refs()):
+        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
+            continue
+        for day, grp, n, s in zip(
+            tab.column("day").to_pylist(), tab.column(group_col).to_pylist(),
+            tab.column("n").to_pylist(), tab.column("s_m").to_pylist(),
+        ):
+            a = acc.get((day, grp))
+            if a is None:
+                acc[(day, grp)] = [n, s]
+            else:
+                a[0] += n
+                a[1] += s
+    total_n = sum(a[0] for a in acc.values())
+    n_buckets = len(acc)
+    rows = [
+        (day, grp, n, s, s // n)
+        for (day, grp), (n, s) in acc.items()
+        if n * n_buckets > total_n
+    ]
+    rows.sort(key=lambda r: (-r[4], r[0], r[1]))
+    rows = rows[:limit]
+    return pa.table(
+        {
+            "day": pa.array([r[0] for r in rows], pa.int64()),
+            group_col: pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "s_m": pa.array([r[3] for r in rows], pa.int64()),
+            "avg_m": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )

@@ -720,3 +720,83 @@ def stopword_list(
     return agg.map_batches(
         threshold, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def rare_terms(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    rare_divisor: int = 10,
+    limit: int = 50,
+) -> ray.data.Dataset:
+    """ES ``rare_terms`` bucket aggregation: the LONG-TAIL terms — those
+    whose document frequency is at most ``n_docs // rare_divisor`` —
+    ordered by (df asc, token asc), first ``limit`` buckets.
+
+    ES's rare_terms takes an absolute ``max_doc_count``; this engine makes
+    the cutoff corpus-relative (documented deviation) so the same query is
+    meaningful at every scale factor.  ES approximates with a CuckooFilter
+    to avoid materializing the tail; here the tail stays exact — the
+    shuffle moves only (token, df_partial) rows (same shape as
+    term_stats), the threshold filter runs post-aggregate inside each
+    groupby output block, and only per-block partial heads (<= limit rows
+    each, by the SAME total order as the final merge) reach the driver.
+    """
+    n_docs = ds.count()
+    max_df = max(1, n_docs // rare_divisor)
+
+    def partials(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        df: Counter = Counter()
+        for txt in texts:
+            df.update(set(_TOKEN.findall(txt or "")))
+        toks = list(df.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "df": pa.array([df[tok] for tok in toks], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    _KEYS = [("df", "ascending"), ("token", "ascending")]
+    _EMPTY = pa.table(
+        {"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+    )
+
+    def tail_partial(t: pa.Table) -> pa.Table:
+        # groupby puts each token in exactly one block, so per-block
+        # (df asc, token asc) heads of the filtered tail are a superset of
+        # the global head — no vocab-wide AllToAll sort (term_stats
+        # pattern).
+        if t.num_rows == 0 or "token" not in t.column_names:
+            return _EMPTY
+        import pyarrow.compute as pc
+
+        t = t.select(["token", "df"]).filter(
+            pc.less_equal(t.column("df"), max_df)
+        )
+        if t.num_rows <= limit:
+            return t
+        return t.take(pc.sort_indices(t, sort_keys=_KEYS)[:limit])
+
+    from engine.stages.common import collect_arrow_blocks
+
+    cand = collect_arrow_blocks(
+        agg.map_batches(
+            tail_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        required_col="token",
+    )
+    if not cand:
+        return ray.data.from_arrow(_EMPTY)
+    import pyarrow.compute as pc
+
+    allc = pa.concat_tables(cand, promote_options="default")
+    head = allc.take(pc.sort_indices(allc, sort_keys=_KEYS)[:limit])
+    return ray.data.from_arrow(head)

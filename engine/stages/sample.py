@@ -354,3 +354,95 @@ def weighted_sample(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def diversified_sample(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    value_col: str = "n_chars",
+    max_per_key: int = 3,
+) -> pa.Table:
+    """ES ``diversified_sampler`` aggregation: de-bias a sample by capping
+    it at ``max_per_key`` documents per key, then run the sub-aggregation
+    over the de-biased sample.  ES picks the first hits in score order;
+    this engine's deterministic analog picks the ``max_per_key`` LOWEST
+    ids per key (documented: id order stands in for score order, making
+    the sample reproducible).  Output per key: the sampled ids' count,
+    exact value sum, and min/max id — the sub-agg a "diversity report"
+    needs.
+
+    Scale shape: each block emits its own bottom-``max_per_key``-per-key
+    partial (a tiny (key, id, value) table), the driver re-collapses —
+    key cardinality is driver-sized (sources, hosts, langs), so per
+    CLAUDE.md no groupby shuffle; the corpus never leaves the map stage.
+    """
+    import heapq
+
+    import pyarrow.compute as pc
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sub = pa.table(
+            {
+                key_col: pc.cast(t.column(key_col), pa.string()),
+                id_col: pc.cast(t.column(id_col), pa.int64()),
+                "v": pc.cast(t.column(value_col), pa.int64()),
+            }
+        )
+        # bottom-max_per_key ids per key inside the block: one sort of the
+        # block (small) + per-key head via pandas-free grouped take
+        idx = pc.sort_indices(
+            sub, sort_keys=[(key_col, "ascending"), (id_col, "ascending")]
+        )
+        sub = sub.take(idx)
+        keys = sub.column(key_col).to_pylist()
+        keep = []
+        run_key, run_n = None, 0
+        for i, k in enumerate(keys):
+            if k != run_key:
+                run_key, run_n = k, 0
+            if run_n < max_per_key:
+                keep.append(i)
+                run_n += 1
+        return sub.take(pa.array(keep, pa.int64()))
+
+    best: dict = {}  # key -> heap of (-id, v) keeping the max_per_key LOWEST ids
+    part = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    for tab in ray.get(part.to_arrow_refs()):
+        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
+            continue
+        for k, i, v in zip(
+            tab.column(key_col).to_pylist(), tab.column(id_col).to_pylist(),
+            tab.column("v").to_pylist(),
+        ):
+            h = best.setdefault(k, [])
+            heapq.heappush(h, (-i, v))
+            if len(h) > max_per_key:
+                heapq.heappop(h)  # drops the LARGEST id
+    keys = sorted(best)
+    n_s, s_v, mn, mx = [], [], [], []
+    for k in keys:
+        ids = sorted((-ni, v) for ni, v in best[k])
+        n_s.append(len(ids))
+        s_v.append(sum(v for _, v in ids))
+        mn.append(ids[0][0])
+        mx.append(ids[-1][0])
+    return pa.table(
+        {
+            key_col: pa.array(keys, pa.string()),
+            "n_sampled": pa.array(n_s, pa.int64()),
+            "sum_value": pa.array(s_v, pa.int64()),
+            "min_id": pa.array(mn, pa.int64()),
+            "max_id": pa.array(mx, pa.int64()),
+        }
+    )
