@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_directives": q.q_robots_directives,
         "link_rel_stats": q.q_link_rel_stats,
         "rare_terms": q.q_rare_terms,
+        "ann_filtered": q.q_ann_filtered,
         "bucket_pipeline": q.q_bucket_pipeline,
         "diversified_sample": q.q_diversified_sample,
         # rows-only (float loadings; eigen-residual unit test)
@@ -3964,6 +3965,27 @@ def oracle_sql() -> dict[str, str]:
               CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 0
                    END AS BIGINT) AS n_nofollow
             FROM documents
+        """,
+        # filtered kNN: same rank-only contract as ann_topk, candidates
+        # restricted by the metadata predicate (pushed to the scan in Ray)
+        "ann_filtered": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qv,
+                        CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM q CROSS JOIN embeddings e WHERE e.label <= 2
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
         """,
         # ES rare_terms: long-tail buckets by doc frequency (corpus-relative
         # cutoff n//10 -- documented deviation from ES's absolute

@@ -4453,3 +4453,27 @@ def q_diversified_sample(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
     return diversified_sample(ds, max_per_key=3)
+
+
+def q_ann_filtered(sf_dir: str):
+    """Filtered kNN (ES knn-with-filter analog): exact cosine top-k over
+    only the candidates passing a metadata predicate (label <= 2).  The
+    predicate is pushed into the parquet SCAN (pyarrow dataset filter —
+    row groups that can't match never leave storage), then the standard
+    per-block partial-top-k merge runs over the surviving rows; the query
+    matrix broadcasts once.  Rank-only output, same tie discipline and
+    fp-gap argument as ann_topk.  SQL-verified."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=(pads.field("label") <= 2),
+    )
+    qids, qm = _query_vectors(sf_dir)
+    topk = brute_force_topk(ds, qids, qm, k=10).sort(["query_id", "rank"])
+    return topk.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -99,7 +99,7 @@ SQL_NAMES = [
     "extended_stats", "dis_max", "change_rate",
     "adjacency_matrix", "lexical_diversity", "stale_pages",
     "robots_directives", "link_rel_stats",
-    "rare_terms", "bucket_pipeline", "diversified_sample",
+    "rare_terms", "bucket_pipeline", "diversified_sample", "ann_filtered",
 ]
 
 
