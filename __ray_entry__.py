@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_rel_stats": q.q_link_rel_stats,
         "rare_terms": q.q_rare_terms,
         "ann_filtered": q.q_ann_filtered,
+        "prf_expansion": q.q_prf_expansion,
         "bucket_pipeline": q.q_bucket_pipeline,
         "diversified_sample": q.q_diversified_sample,
         # rows-only (float loadings; eigen-residual unit test)
@@ -456,6 +457,32 @@ def _bm25_sql() -> str:
         FROM (SELECT doc_id, {score} AS score FROM tf, stats, df)
         WHERE score > 0
         ORDER BY score DESC, doc_id LIMIT 50
+    """
+
+
+def _prf_sql() -> str:
+    """Rocchio PRF expansion oracle: nests the generated bm25 SQL (LIMIT
+    rewritten to the feedback depth) as the feedback-doc CTE, then ranks
+    feedback terms by exact integer tf_sum with the query terms excluded
+    — constants from engine.stages.search (single source of truth)."""
+    from engine.stages.search import BM25_TERMS, PRF_K_FB, PRF_N_TERMS
+
+    base = _bm25_sql().replace("LIMIT 50", f"LIMIT {PRF_K_FB}")
+    not_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return rf"""
+        WITH topdocs AS ({base}),
+        fbtok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(coalesce(text,''),
+                        '[^\t\n\v\f\r ]+')) AS term
+          FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM topdocs)
+        )
+        SELECT term,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS fb_df,
+               CAST(count(*) AS BIGINT) AS tf_sum
+        FROM fbtok WHERE term NOT IN ({not_in})
+        GROUP BY term ORDER BY tf_sum DESC, term LIMIT {PRF_N_TERMS}
     """
 
 
@@ -1255,6 +1282,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN fin f USING (node)
         """,
         "bm25_topk": _bm25_sql(),
+        "prf_expansion": _prf_sql(),
         "more_like_this": _mlt_sql(),
         # positional phrase query: DuckDB list lambdas over the same
         # tokenizer char class; overlapping counts, 1-based token index

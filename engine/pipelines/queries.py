@@ -4477,3 +4477,15 @@ def q_ann_filtered(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def q_prf_expansion(sf_dir: str):
+    """Pseudo-relevance-feedback expansion terms (search.prf_expansion):
+    BM25 top-10 feedback docs -> per-term (fb_df, tf_sum) -> top-10 by
+    summed tf, query terms excluded.  Broadcast feedback set, one
+    shuffle-free tokenize pass.  SQL-verified (the oracle nests the
+    generated bm25 SQL as the feedback CTE)."""
+    from engine.stages.search import prf_expansion
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return prf_expansion(ds)

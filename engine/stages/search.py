@@ -2216,3 +2216,97 @@ def dis_max(
         descending=[True, False],
         k=k,
     )
+
+
+PRF_K_FB = 10
+PRF_N_TERMS = 10
+
+
+def prf_expansion(
+    ds: ray.data.Dataset,
+    terms: Sequence[str] = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_fb: int = PRF_K_FB,
+    n_terms: int = PRF_N_TERMS,
+) -> pa.Table:
+    """Pseudo-relevance-feedback query expansion (Rocchio / RM1 with
+    integer tf weights — Lucene's MoreLikeThis-style feedback loop on the
+    ES side): retrieve the top ``k_fb`` docs for ``terms`` by BM25, then
+    rank every term occurring in that feedback set by its summed term
+    frequency (tf_sum desc, term asc), excluding the original query
+    terms, and return the first ``n_terms`` as (term, fb_df, tf_sum).
+
+    Scale shape: the feedback id set is k-sized (driver-trivial) and
+    broadcasts via ray.put; the expansion pass is ONE tokenize
+    map_batches over the corpus that Counter-aggregates ONLY rows whose
+    id is in the set (a task FUNCTION, not an actor — the setup is just a
+    broadcast get), so the shuffle-free partials total (feedback vocab x
+    blocks) tiny rows merged on the driver.  Integer-only output — fully
+    hash-verifiable."""
+    from collections import Counter as _Counter
+
+    if terms is None:
+        terms = BM25_TERMS
+    terms = list(terms)
+    top = bm25_topk(ds, terms, id_col=id_col, text_col=text_col, k=k_fb)
+    fb_ids = frozenset(top.column(id_col).to_pylist())
+    if not fb_ids:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "fb_df": pa.array([], pa.int64()),
+                "tf_sum": pa.array([], pa.int64()),
+            }
+        )
+    fbref = ray.put(fb_ids)
+    qset = frozenset(terms)
+
+    def partials(t: pa.Table) -> pa.Table:
+        fb = ray.get(fbref)
+        tf: _Counter = _Counter()
+        df: _Counter = _Counter()
+        for i, txt in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            if i not in fb:
+                continue
+            cnt = _Counter(_TOKEN.findall(txt or ""))
+            tf.update(cnt)
+            df.update(cnt.keys())
+        toks = [tok for tok in tf if tok not in qset]
+        return pa.table(
+            {
+                "term": pa.array(toks, pa.string()),
+                "fb_df": pa.array([df[tok] for tok in toks], pa.int64()),
+                "tf_sum": pa.array([tf[tok] for tok in toks], pa.int64()),
+            }
+        )
+
+    from engine.stages.common import collect_arrow_blocks
+
+    blocks = collect_arrow_blocks(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True),
+        required_col="term",
+    )
+    tf_acc: dict = {}
+    for tab in blocks:
+        for term, fdf, ts in zip(
+            tab.column("term").to_pylist(), tab.column("fb_df").to_pylist(),
+            tab.column("tf_sum").to_pylist(),
+        ):
+            a = tf_acc.get(term)
+            if a is None:
+                tf_acc[term] = [fdf, ts]
+            else:
+                a[0] += fdf
+                a[1] += ts
+    ordered = sorted(tf_acc.items(), key=lambda kv: (-kv[1][1], kv[0]))[:n_terms]
+    return pa.table(
+        {
+            "term": pa.array([t_ for t_, _ in ordered], pa.string()),
+            "fb_df": pa.array([v[0] for _, v in ordered], pa.int64()),
+            "tf_sum": pa.array([v[1] for _, v in ordered], pa.int64()),
+        }
+    )
