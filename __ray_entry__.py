@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_terms": q.q_rare_terms,
         "ann_filtered": q.q_ann_filtered,
         "prf_expansion": q.q_prf_expansion,
+        "wand_topk": q.q_wand_topk,
         "bucket_pipeline": q.q_bucket_pipeline,
         "diversified_sample": q.q_diversified_sample,
         # rows-only (float loadings; eigen-residual unit test)
@@ -1283,6 +1284,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(),
         "prf_expansion": _prf_sql(),
+        # pruned WAND evaluation is an OPTIMIZATION with a pinned-identical
+        # contract: the oracle is the exact BM25 ranking itself
+        "wand_topk": _bm25_sql(),
         "more_like_this": _mlt_sql(),
         # positional phrase query: DuckDB list lambdas over the same
         # tokenizer char class; overlapping counts, 1-based token index

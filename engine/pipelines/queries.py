@@ -4489,3 +4489,15 @@ def q_prf_expansion(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return prf_expansion(ds)
+
+
+def q_wand_topk(sf_dir: str):
+    """Block-max WAND pruned BM25 top-50 (search.wand_topk): identical
+    output contract to bm25_topk — the oracle IS the bm25 SQL — but each
+    block scores candidates in upper-bound order and skips the tail
+    (tests pin result equality and that pruning really skips docs).
+    SQL-verified."""
+    from engine.stages.search import BM25_TERMS, wand_topk
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return wand_topk(ds, BM25_TERMS, id_col="doc_id", text_col="text", k=50)

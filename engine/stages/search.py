@@ -2310,3 +2310,151 @@ def prf_expansion(
             "tf_sum": pa.array([v[1] for _, v in ordered], pa.int64()),
         }
     )
+
+
+def wand_topk(
+    ds: ray.data.Dataset,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    chunk: int = 256,
+    return_stats: bool = False,
+):
+    """Block-max WAND / MaxScore-style PRUNED BM25 top-k — identical
+    output to ``bm25_topk`` (same sparse pass, same exact per-doc
+    accumulation, same merge order), but each block scores its candidate
+    docs in UPPER-BOUND order and stops as soon as the remaining bound
+    cannot beat the running k-th best, so the expensive exact-order
+    accumulation runs on a fraction of the candidates (the essential skip
+    of Broder et al.'s WAND / Ding & Suel's block-max variant).
+
+    The per-doc bound is the fast vectorized sum of the per-hit BM25
+    components inflated by a rounding cover (components are nonnegative,
+    so any summation order is within ``n*eps`` relative error of the
+    exact left-to-right sum — the inflation makes the bound sound), and
+    pruning compares STRICTLY below the k-th best score, so score ties
+    (which the merge breaks by id) are never pruned.  With
+    ``return_stats=True`` also returns {'n_candidates', 'n_scored'}.
+    """
+    import heapq
+
+    terms = list(terms)
+    m = len(terms)
+    tf_ds, N, sum_dl, dfs = _sparse_tf_pass(ds, terms, id_col, text_col)
+    empty = pa.table(
+        {"rank": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())}
+    )
+    if N == 0:
+        return (empty, {"n_candidates": 0, "n_scored": 0}) if return_stats else empty
+    avgdl = float(sum_dl) / N
+    idfs = np.array(
+        [math.log(1 + (N - int(dfs[j]) + 0.5) / (int(dfs[j]) + 0.5)) for j in range(m)],
+        dtype=np.float64,
+    )
+
+    def wscore(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.compute.equal(t.column("kind"), 0))
+        blk_empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+                "n_cand": pa.array([], pa.int64()),
+                "n_scored": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return blk_empty
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        counts = (
+            pa.compute.list_value_length(t.column("tids"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        tid = pa.compute.list_flatten(t.column("tids")).to_numpy(zero_copy_only=False)
+        tf = (
+            pa.compute.list_flatten(t.column("tfs"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        offs = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        dl_rep = np.repeat(dl, counts)
+        comp = (idfs[tid] * tf * (k1 + 1.0)) / (
+            tf + k1 * (1 - b + b * (dl_rep / avgdl))
+        )
+        # sound upper bound of the exact left-to-right sum: fast sum of
+        # NONNEGATIVE addends x rounding cover (rel err <= n*eps any order)
+        ub = np.add.reduceat(comp, offs[:-1])
+        ub *= 1.0 + 1e-12 * float(counts.max() + 2)
+        order = np.argsort(-ub, kind="stable")
+        heap: list = []  # min-heap of exact scores, size <= k
+        out_ids, out_s = [], []
+        n_scored = 0
+        pos = 0
+        n = len(ids)
+        while pos < n:
+            # all remaining bounds are <= ub[order[pos]]; STRICT compare so
+            # score ties (id-broken in the merge) are never pruned
+            if len(heap) >= k and ub[order[pos]] < heap[0]:
+                break
+            hi = min(pos + chunk, n)
+            for oi in order[pos:hi]:
+                if len(heap) >= k and ub[oi] < heap[0]:
+                    continue  # within-chunk tail already under threshold
+                acc = 0.0
+                for v in comp[offs[oi] : offs[oi + 1]]:
+                    acc += v
+                n_scored += 1
+                if acc <= 0:
+                    continue
+                out_ids.append(int(ids[oi]))
+                out_s.append(acc)
+                if len(heap) < k:
+                    heapq.heappush(heap, acc)
+                elif acc > heap[0]:
+                    heapq.heapreplace(heap, acc)
+            pos = hi
+        ids_k = np.asarray(out_ids, dtype=np.int64)
+        s_k = np.asarray(out_s, dtype=np.float64)
+        if len(ids_k) > k:
+            sel = np.lexsort((ids_k, -s_k))[:k]
+            ids_k = ids_k[sel]
+            s_k = s_k[sel]
+        nr = len(ids_k)
+        return pa.table(
+            {
+                id_col: pa.array(ids_k, pa.int64()),
+                "score": pa.array(s_k, pa.float64()),
+                "n_cand": pa.array(np.full(nr, n, dtype=np.int64), pa.int64()),
+                "n_scored": pa.array(
+                    np.full(nr, n_scored, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    scored = tf_ds.map_batches(wscore, batch_format="pyarrow", zero_copy_batch=True)
+    from engine.stages.common import collect_arrow_blocks
+
+    cand = collect_arrow_blocks(scored, required_col="score")
+    if not cand:
+        return (empty, {"n_candidates": 0, "n_scored": 0}) if return_stats else empty
+    stats = {
+        "n_candidates": sum(int(c.column("n_cand")[0].as_py()) for c in cand),
+        "n_scored": sum(int(c.column("n_scored")[0].as_py()) for c in cand),
+    }
+    allc = pa.concat_tables(cand, promote_options="default")
+    a_ids = allc.column(id_col).to_numpy(zero_copy_only=False)
+    a_s = allc.column("score").to_numpy(zero_copy_only=False)
+    order = np.lexsort((a_ids, -a_s))[:k]
+    res = pa.table(
+        {
+            "rank": pa.array(range(1, len(order) + 1), pa.int64()),
+            id_col: pa.array(a_ids[order], pa.int64()),
+        }
+    )
+    return (res, stats) if return_stats else res

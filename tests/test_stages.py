@@ -5833,3 +5833,42 @@ def test_link_rel_stats_classification(ray_session):
     # shop.a.co.uk and ../up are internal to a.co.uk; b.com/c.com external
     assert got.loc[1].tolist() == [4, 2, 2, 1]
     assert got.loc[2].tolist() == [0, 0, 0, 0]
+
+
+def test_wand_topk_identical_to_exact_and_actually_prunes(ray_session):
+    """search.wand_topk must return EXACTLY bm25_topk's (rank, id) table
+    under any partitioning, and the upper-bound skip must really skip:
+    with k << candidates in one block, n_scored < n_candidates."""
+    import ray.data
+
+    from engine.stages.search import bm25_topk, wand_topk
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(120)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(5, 80))))
+        for _ in range(400)
+    ]
+    terms = ["w1", "w2", "w3"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        exact = bm25_topk(ds, terms, k=25)
+        got, stats = wand_topk(ds, terms, k=25, return_stats=True)
+        assert got.column("doc_id").to_pylist() == exact.column("doc_id").to_pylist()
+        assert got.column("rank").to_pylist() == exact.column("rank").to_pylist()
+        assert stats["n_scored"] <= stats["n_candidates"]
+    # single block, tiny k, small chunk: the bound must cut the tail
+    ds1 = ray.data.from_arrow(tbl).repartition(1)
+    got, stats = wand_topk(ds1, terms, k=5, chunk=16, return_stats=True)
+    exact = bm25_topk(ds1, terms, k=5)
+    assert got.column("doc_id").to_pylist() == exact.column("doc_id").to_pylist()
+    assert stats["n_scored"] < stats["n_candidates"], stats
+    # zero-match query: typed empty, no crash
+    none_t, none_s = wand_topk(ds1, ["zzzz_absent"], k=5, return_stats=True)
+    assert none_t.num_rows == 0 and none_s["n_scored"] == 0
