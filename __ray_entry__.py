@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q.q_chunk_docs,
         "url_filter": q.q_url_filter,
         "url_templates": q.q_url_templates,
+        "pagination_chains": q.q_pagination_chains,
         "normalize_text": q.q_normalize_text,
         "novelty": q.q_novelty,
         "containment": q.q_containment,
@@ -3211,6 +3212,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT template, n_urls, n_hosts FROM agg
             ORDER BY n_urls DESC, template LIMIT 20
+        """,
+        "pagination_chains": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       CASE
+                           WHEN doc_id % 8 = 5 THEN
+                               'https://h' || CAST((doc_id // 8) % 50 AS VARCHAR)
+                               || '.example.com/a/' || CAST(doc_id AS VARCHAR)
+                           ELSE
+                               'https://h' || CAST((doc_id // 8) % 50 AS VARCHAR)
+                               || '.example.com/s/'
+                               || CAST(doc_id // 8 AS VARCHAR) || '/page/'
+                               || CAST(CASE WHEN doc_id % 8 = 6 THEN 4
+                                            ELSE doc_id % 8 + 1 END AS VARCHAR)
+                       END AS url
+                FROM documents
+            ),
+            m AS (
+                SELECT regexp_extract(url, '^(.*/page/)[0-9]+$', 1) AS chain,
+                       CAST(regexp_extract(url, '/page/([0-9]+)$', 1)
+                            AS BIGINT) AS page
+                FROM u WHERE regexp_matches(url, '/page/[0-9]+$')
+            ),
+            d AS (SELECT DISTINCT chain, page FROM m),
+            agg AS (
+                SELECT chain,
+                       CAST(count(*) AS BIGINT) AS n_pages,
+                       min(page) AS min_page,
+                       max(page) AS max_page
+                FROM d GROUP BY chain
+            )
+            SELECT chain, n_pages, min_page, max_page,
+                   max_page - min_page + 1 - n_pages AS n_gaps
+            FROM agg WHERE n_pages >= 2
         """,
         "robots_sitemaps": r"""
             WITH e AS (

@@ -1977,6 +1977,58 @@ def _synth_urls(t: pa.Table) -> pa.Table:
     return pa.table({"doc_id": d, "url": url})
 
 
+def q_pagination_chains(sf_dir: str):
+    """Paginated URL-chain detection (urlfilter.pagination_chains):
+    ``<prefix>/page/<N>`` URLs group into chains with distinct-page
+    count, span and gap count.  The deterministic fixture packs 8 docs
+    per chain with slot 5 a NON-paginated article URL (must be excluded
+    by the regex), slot 6 a DUPLICATE of page 4 (must collapse in the
+    distinct count) — so every chain exercises the filter, the dedup and
+    the gap arithmetic (pages {1,2,3,4,5,4,8} -> n=6, span 1..8, 2 gaps).
+    SQL-verified including chain strings and all four stats."""
+    from engine.stages.urlfilter import pagination_chains
+
+    ds = _docs(sf_dir, ["doc_id"])
+    urls = ds.map_batches(
+        _synth_pag_urls, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pagination_chains(urls, min_len=2)
+
+
+def _synth_pag_urls(t: pa.Table) -> pa.Table:
+    """Deterministic pagination-URL fixture for q_pagination_chains
+    (the SQL oracle reconstructs the same expressions).  The host derives
+    from the CHAIN id (not ``source``, which cycles per doc_id and would
+    make every chain a singleton)."""
+    d = t.column("doc_id")
+    if d.num_chunks != 1:
+        d = d.combine_chunks()
+    dn = d.to_numpy(zero_copy_only=False)
+    ds_str = pc.cast(d, pa.string())
+    slot = dn % 8
+    chain_id = pa.array(dn // 8, pa.int64())
+    base = pc.binary_join_element_wise(
+        pa.array(["https://h"] * len(dn), pa.string()),
+        pc.cast(pa.array((dn // 8) % 50, pa.int64()), pa.string()),
+        pa.array([".example.com"] * len(dn), pa.string()),
+        "",
+    )
+    page = pa.array(np.where(slot == 6, 4, slot + 1), pa.int64())
+    paged = pc.binary_join_element_wise(
+        base,
+        pa.array(["/s/"] * len(dn), pa.string()),
+        pc.cast(chain_id, pa.string()),
+        pa.array(["/page/"] * len(dn), pa.string()),
+        pc.cast(page, pa.string()),
+        "",
+    )
+    article = pc.binary_join_element_wise(
+        base, pa.array(["/a/"] * len(dn), pa.string()), ds_str, ""
+    )
+    url = pc.if_else(pa.array(slot == 5), article, paged)
+    return pa.table({"doc_id": d, "url": url})
+
+
 def q_normalize_text(sf_dir: str):
     """Unicode + whitespace normalization (clean.normalize_text): NFC,
     control-char strip, whitespace collapse, trim — one stateless

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Iterable, Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -164,4 +165,86 @@ def url_templates(
         lambda t: t.select(["template", "n_urls", "n_hosts"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def pagination_chains(
+    ds: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    min_len: int = 2,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Detect paginated URL chains: URLs of the form ``<prefix>/page/<N>``
+    group into one chain per prefix, ordered by the page number — the
+    standard crawl-scheduling signal for list/archive sections (a chain is
+    fetched breadth-limited, its gaps hint at deleted pages, and its
+    length separates paginators from article URLs).  The reference has no
+    URL-structure analytics at all (its scheduler only urlparse-s,
+    process.py:254); this is a first-class frontier analytic.
+
+    Returns one row per chain with >= ``min_len`` DISTINCT page numbers:
+    (chain, n_pages, min_page, max_page, n_gaps) where
+    ``n_gaps = max - min + 1 - n_pages`` (missing numbers inside the
+    observed span; duplicates of a (chain, page) pair count once).
+
+    Shuffle shape: a vectorized RE2 pass extracts (chain, page) and
+    dedups per batch; ONE groupby over a coarse fnv1a(chain) bucket
+    (CLAUDE.md #37: chains are corpus-sized at ~n_urls/chain_len, so a
+    per-key Aggregate pays Ray's per-group overhead per chain — the
+    in-bucket reduce is a single vectorized pyarrow group_by instead);
+    the chain text shuffles once, pages ship as int64.
+    """
+
+    def extract(t: pa.Table) -> pa.Table:
+        from engine.stages.text import fnv1a_batch
+
+        u = t.column(url_col)
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        u = pc.cast(u, pa.string())
+        m = pc.extract_regex(u, r"^(?P<chain>.*/page/)(?P<num>[0-9]+)$")
+        ok = pc.is_valid(m)
+        m = m.filter(ok)
+        chain = pc.struct_field(m, "chain")
+        page = pc.cast(pc.struct_field(m, "num"), pa.int64())
+        # per-batch dedup: repeated (chain, page) captures collapse here
+        # so only unique pairs shuffle
+        pairs = (
+            pa.table({"chain": chain, "page": page})
+            .group_by(["chain", "page"])
+            .aggregate([])
+        )
+        kb = (
+            fnv1a_batch([c.encode() for c in pairs.column("chain").to_pylist()])
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pairs.append_column("kb", pa.array(kb, pa.int64()))
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        # in-bucket: global dedup of (chain, page), then per-chain stats —
+        # all chains of this bucket resolve in two vectorized group_bys
+        uniq = t.group_by(["chain", "page"]).aggregate([])
+        g = uniq.group_by("chain").aggregate(
+            [("page", "count"), ("page", "min"), ("page", "max")]
+        )
+        n = pc.cast(g.column("page_count"), pa.int64())
+        mn = g.column("page_min")
+        mx = g.column("page_max")
+        out = pa.table(
+            {
+                "chain": g.column("chain"),
+                "n_pages": n,
+                "min_page": mn,
+                "max_page": mx,
+                "n_gaps": pc.subtract(
+                    pc.add(pc.subtract(mx, mn), pa.scalar(1, pa.int64())), n
+                ),
+            }
+        )
+        return out.filter(pc.greater_equal(out.column("n_pages"), min_len))
+
+    pairs = ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+    return pairs.groupby("kb").map_groups(
+        reduce_bucket, batch_format="pyarrow"
     )

@@ -100,7 +100,7 @@ SQL_NAMES = [
     "adjacency_matrix", "lexical_diversity", "stale_pages",
     "robots_directives", "link_rel_stats",
     "rare_terms", "bucket_pipeline", "diversified_sample", "ann_filtered",
-    "prf_expansion", "wand_topk",
+    "prf_expansion", "wand_topk", "pagination_chains",
 ]
 
 
