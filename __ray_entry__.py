@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wand_topk": q.q_wand_topk,
         "bucket_pipeline": q.q_bucket_pipeline,
         "diversified_sample": q.q_diversified_sample,
+        "dispersion": q.q_dispersion,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (float MMR scores; full-corpus numpy oracle test)
@@ -4108,5 +4109,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        # ES boxplot + median_absolute_deviation: percentile_disc IS the
+        # engine's discrete rule sorted[floor(q*(n-1))]; MAD = disc-median
+        # of |v - median|
+        "dispersion": """
+            WITH q AS (SELECT l_returnflag,
+                              CAST(l_quantity AS BIGINT) AS v
+                       FROM lineitem),
+            med AS (SELECT l_returnflag,
+                           percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+                               AS m
+                    FROM q GROUP BY l_returnflag),
+            base AS (SELECT l_returnflag,
+                            CAST(count(*) AS BIGINT) AS n,
+                            min(v) AS min_v, max(v) AS max_v,
+                            percentile_disc(0.25) WITHIN GROUP (ORDER BY v)
+                                AS q1,
+                            percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+                                AS median,
+                            percentile_disc(0.75) WITHIN GROUP (ORDER BY v)
+                                AS q3
+                     FROM q GROUP BY l_returnflag),
+            madt AS (SELECT q.l_returnflag,
+                            percentile_disc(0.5)
+                                WITHIN GROUP (ORDER BY abs(q.v - med.m))
+                                AS mad
+                     FROM q JOIN med ON med.l_returnflag = q.l_returnflag
+                     GROUP BY q.l_returnflag)
+            SELECT b.l_returnflag, b.n, b.min_v, b.max_v,
+                   b.q1, b.median, b.q3, b.q3 - b.q1 AS iqr, madt.mad
+            FROM base b JOIN madt ON madt.l_returnflag = b.l_returnflag
+            ORDER BY b.l_returnflag
         """,
     }

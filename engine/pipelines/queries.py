@@ -4553,3 +4553,20 @@ def q_wand_topk(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
     return wand_topk(ds, BM25_TERMS, id_col="doc_id", text_col="text", k=50)
+
+
+def q_dispersion(sf_dir: str):
+    """ES boxplot + median_absolute_deviation aggs (aggs.dispersion_stats)
+    over lineitem quantity per returnflag, all exact integers: discrete
+    quantiles sorted[floor(q*(n-1))] (DuckDB percentile_disc's rule) and
+    MAD read EXACTLY off per-batch value-histogram partials merged on the
+    driver — the bounded-domain trade (quantity 1..50) that makes the
+    quantile exact with zero shuffle.  SQL-verified including MAD."""
+    from engine.stages.aggs import dispersion_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return dispersion_stats(
+        ds, group_col="l_returnflag", value_col="l_quantity"
+    )
