@@ -146,6 +146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_pipeline": q.q_bucket_pipeline,
         "diversified_sample": q.q_diversified_sample,
         "dispersion": q.q_dispersion,
+        "bfs_hops": q.q_bfs_hops,
+        # rows-only (iterative peel fixpoint has no SQL analog; peel
+        # oracle + clique fixture tests)
+        "kcore": q.q_kcore,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (float MMR scores; full-corpus numpy oracle test)
@@ -4109,6 +4113,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        # bounded recursive-CTE reachability: same edge derivation as
+        # graph_components, directed, min(hop) per node within 6 hops
+        "bfs_hops": """
+            WITH RECURSIVE m AS (SELECT doc_id, source,
+                    CAST(row_number() OVER (
+                        PARTITION BY source ORDER BY doc_id) - 1
+                        AS BIGINT) AS pos,
+                    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+                FROM documents),
+            offs(d) AS (VALUES (1), (2), (3)),
+            ring AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                     FROM m a JOIN m b ON a.source = b.source
+                     CROSS JOIN offs
+                     WHERE b.pos = (a.pos + offs.d) % a.n
+                       AND b.doc_id != a.doc_id),
+            ord AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1
+                                   AS BIGINT) AS idx FROM documents),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+            crosse AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                       FROM documents a CROSS JOIN nn
+                       JOIN ord b ON b.idx = (a.doc_id * 7 + 3) % nn.c
+                       WHERE b.doc_id != a.doc_id),
+            edges AS (SELECT DISTINCT src, dst
+                      FROM (SELECT * FROM ring UNION ALL SELECT * FROM crosse)
+                      WHERE (src + dst) % 3 != 0),
+            seeds AS (SELECT doc_id AS node FROM documents
+                      WHERE doc_id % 97 = 0),
+            hops(node, hop) AS (
+              SELECT node, CAST(0 AS BIGINT) FROM seeds
+              UNION
+              SELECT e.dst, h.hop + 1
+              FROM hops h JOIN edges e ON e.src = h.node
+              WHERE h.hop < 6
+            )
+            SELECT node, CAST(min(hop) AS BIGINT) AS hop
+            FROM hops GROUP BY node
         """,
         # ES boxplot + median_absolute_deviation: percentile_disc IS the
         # engine's discrete rule sorted[floor(q*(n-1))]; MAD = disc-median

@@ -4570,3 +4570,35 @@ def q_dispersion(sf_dir: str):
     return dispersion_stats(
         ds, group_col="l_returnflag", value_col="l_quantity"
     )
+
+
+def q_bfs_hops(sf_dir: str):
+    """Seed-distance BFS over the derived link graph (graph.bfs_hops):
+    minimal DIRECTED hop count from the deterministic seed set
+    (doc_id % 97 == 0) within 6 hops — the crawl-depth / TrustRank
+    link-distance audit.  Per round one edges-x-frontier join + groupby
+    Min; driver numpy BFS under the size gate (both paths pinned equal in
+    tests).  SQL-verified against a bounded recursive-CTE reachability
+    oracle."""
+    from engine.stages.graph import bfs_hops
+
+    def _seed_rows(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(d[d % 97 == 0], pa.int64())})
+
+    docs = _docs(sf_dir, ["doc_id"])
+    seeds = docs.map_batches(
+        _seed_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bfs_hops(_derived_edges(sf_dir), seeds, max_hops=6)
+
+
+def q_kcore(sf_dir: str):
+    """k-core decomposition of the derived link graph (graph.kcore):
+    coreness per node via the distributed h-index fixpoint (Lu et al.
+    2016), driver O(m) bucket peel under the size gate.  Rows-only: the
+    peel has no SQL analog (iterative deletion fixpoint); both paths are
+    pinned identical in tests plus a hand-computed clique+tail fixture."""
+    from engine.stages.graph import kcore
+
+    return kcore(_derived_edges(sf_dir))

@@ -892,3 +892,382 @@ def textrank_keywords(
             }
         )
     )
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 8,
+    num_partitions: Optional[int] = None,
+    driver_max_edges: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Minimal DIRECTED hop distance from a seed set: ``(node, hop)`` for
+    every node reachable within ``max_hops`` clicks (seeds at hop 0, even
+    when isolated) — the crawl-depth audit (how deep does the frontier
+    reach from the seed list?) and the link-distance feature
+    spam-analysis pipelines use (distance-from-trusted-seeds, the
+    TrustRank neighborhood).
+
+    Distributed shape: classic frontier expansion — per round ONE native
+    hash join (static edges x current frontier on src; partitions capped
+    by the FRONTIER size so no hash partition is empty on the small
+    side), then union with the standing distances and a groupby
+    ``Min(hop)``; the new frontier is exactly the rows whose min hop
+    equals this round's (a node first reached now cannot hold a smaller
+    hop).  Early exit on an empty frontier.  Per-round volume is
+    O(edges-out-of-frontier), never all-pairs; ``hop`` stays int64.
+
+    Size-gated driver fast path below ``driver_max_edges`` (PERF.md #24):
+    numpy/dict BFS, pinned to the same output as the distributed rounds
+    in tests (each forced explicitly).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    edges = edges.map_batches(
+        lambda t: pa.table({"src": t.column(src_col), "dst": t.column(dst_col)}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    seed_tbl = seeds.map_batches(
+        lambda t: pa.table({"node": t.column(seed_col).cast(pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    if edges.count() <= driver_max_edges:
+        return _bfs_driver(edges, seed_tbl, max_hops=max_hops)
+
+    dist = (
+        seed_tbl.groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "hop": pa.array([0] * t.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        npart = num_partitions or max(1, min(_join_partitions(), n_frontier))
+        cand = edges.join(
+            frontier,
+            join_type="inner",
+            num_partitions=npart,
+            on=("src",),
+            right_on=("node",),
+        ).map_batches(
+            lambda t, _h=h: pa.table(
+                {
+                    "node": t.column("dst"),
+                    "hop": pa.array([_h] * t.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        dist = (
+            dist.union(cand)
+            .groupby("node")
+            .aggregate(Min("hop", alias_name="hop"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "hop": t.column("hop").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+        frontier = dist.map_batches(
+            lambda t, _h=h: t.filter(pc.equal(t.column("hop"), _h)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+    return dist
+
+
+def _bfs_driver(
+    edges: ray.data.Dataset, seed_tbl: ray.data.Dataset, *, max_hops: int
+) -> ray.data.Dataset:
+    """Driver-side BFS (gated small-graph path); identical contract to
+    the distributed rounds."""
+    from engine.stages.common import collect_arrow_blocks
+
+    seed_blocks = collect_arrow_blocks(seed_tbl)
+    seeds = set()
+    for b in seed_blocks:
+        seeds.update(b.column("node").to_pylist())
+    blocks = collect_arrow_blocks(edges)
+    adj: dict = {}
+    if blocks:
+        tbl = pa.concat_tables(blocks, promote_options="default")
+        src = tbl.column("src").to_numpy(zero_copy_only=False)
+        dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        uniq = np.unique(src)
+        starts = np.searchsorted(src, uniq, side="left")
+        ends = np.searchsorted(src, uniq, side="right")
+        for u, a, b in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+            adj[u] = dst[a:b]
+    hop = {s: 0 for s in sorted(seeds)}
+    frontier = sorted(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):  # numpy slice iterates int64 scalars
+                v = int(v)
+                if v not in hop:
+                    hop[v] = h
+                    nxt.append(v)
+        if not nxt:
+            break
+        frontier = nxt
+    nodes = sorted(hop)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "hop": pa.array([hop[n] for n in nodes], pa.int64()),
+            }
+        )
+    )
+
+
+def kcore(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: Optional[int] = None,
+    driver_max_edges: int = 2_000_000,
+    max_rounds: int = 100,
+) -> ray.data.Dataset:
+    """k-core decomposition over the UNDIRECTED graph induced by the edge
+    list: ``(node, coreness)`` — the largest k such that the node survives
+    in the k-core (every member has >= k neighbors in the subgraph).
+    Coreness separates link-farm cores / dense mirror clusters from
+    genuinely sparse link neighborhoods (degree is spoofable by pointing
+    anywhere; coreness requires the NEIGHBORS to be dense too).
+
+    Distributed algorithm: the h-index fixpoint (Lu, Chen, Ren et al.,
+    Nature Physics 2016) — start from c(v) = degree(v) and repeatedly set
+    c(v) to the H-INDEX of its neighbors' current values (the largest h
+    with >= h neighbors valued >= h); the sequence is monotonically
+    non-increasing and converges exactly to coreness.  Per round: ONE
+    native hash join (directed-both-ways edges x current values on the
+    neighbor end), then a COARSE node-bucket ``map_groups`` (PERF.md #31
+    — per-node h-index resolves VECTORIZED inside each bucket: sort by
+    (node, value desc), 1-based cumcount, h = per-node sum of
+    value >= rank), and convergence detection is one tiny Sum aggregate
+    (monotonicity makes sum(c) a complete change detector).
+
+    Size-gated driver fast path below ``driver_max_edges``: the classic
+    O(m) peel (Batagelj & Zaversnik 2003) — pinned identical to the
+    distributed fixpoint in tests (each forced explicitly).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from engine.stages.common import as_arrow
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t.column(src_col), t.column(dst_col)
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table(
+            {"lo": pc.min_element_wise(s, d), "hi": pc.max_element_wise(s, d)}
+        )
+
+    und = (
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: t.select(["lo", "hi"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "coreness": pa.array([], pa.int64())}
+    )
+    m = und.count()
+    if m == 0:
+        return ray.data.from_arrow(empty)
+    if m <= driver_max_edges:
+        return _kcore_driver(und)
+
+    # both directions: one row per (node, neighbor)
+    ndir = und.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.chunked_array(
+                    [t.column("lo").combine_chunks(), t.column("hi").combine_chunks()]
+                ),
+                "nbr": pa.chunked_array(
+                    [t.column("hi").combine_chunks(), t.column("lo").combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    cvals = (
+        ndir.groupby("node")
+        .aggregate(Count(alias_name="c"))
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "c": t.column("c").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    n_nodes = cvals.count()
+    npart = num_partitions or max(1, min(_join_partitions(), n_nodes))
+    # power of two so bucketing is one Arrow bit_wise_and (pyarrow 16 has
+    # no arithmetic mod kernel)
+    n_buckets = 1 << max(0, min(256, n_nodes // 64).bit_length() - 1)
+
+    def hindex_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["node", "cu"], ascending=[True, False], kind="mergesort")
+        rank = df.groupby("node").cumcount() + 1
+        ok = (df["cu"].to_numpy() >= rank.to_numpy()).astype(np.int64)
+        out = (
+            pd.DataFrame({"node": df["node"].to_numpy(), "h": ok})
+            .groupby("node", as_index=False)["h"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {
+                "node": out["node"].to_numpy(np.int64),
+                "c": out["h"].to_numpy(np.int64),
+            }
+        )
+
+    prev_total = None
+    for _ in range(max_rounds):
+        nb = (
+            ndir.join(
+                cvals,
+                join_type="inner",
+                num_partitions=npart,
+                on=("nbr",),
+                right_on=("node",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "cu": t.column("c"),
+                        "kb": pc.cast(
+                            pc.bit_wise_and(
+                                t.column("node"),
+                                pa.scalar(n_buckets - 1, pa.int64()),
+                            ),
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+        cvals = as_arrow(
+            nb.groupby("kb").map_groups(
+                lambda df: hindex_bucket(df.drop(columns=["kb"])),
+                batch_format="pandas",
+            )
+        ).materialize()
+        total = cvals.sum("c") or 0
+        if total == prev_total:
+            break
+        prev_total = total
+    return cvals.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "coreness": t.column("c").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _kcore_driver(und: ray.data.Dataset) -> ray.data.Dataset:
+    """Driver-side O(m) bucket peel (Batagelj & Zaversnik 2003) over the
+    deduped undirected edge table; identical contract to the distributed
+    h-index fixpoint."""
+    from engine.stages.common import collect_arrow_blocks
+
+    blocks = collect_arrow_blocks(und)
+    tbl = pa.concat_tables(blocks, promote_options="default")
+    lo = tbl.column("lo").to_numpy(zero_copy_only=False)
+    hi = tbl.column("hi").to_numpy(zero_copy_only=False)
+    nodes, codes = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    li, hj = codes[: len(lo)], codes[len(lo) :]
+    n = len(nodes)
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, li, 1)
+    np.add.at(deg, hj, 1)
+    # adjacency as CSR
+    adj_idx = np.concatenate([li, hj])
+    adj_val = np.concatenate([hj, li])
+    order = np.argsort(adj_idx, kind="stable")
+    adj_val = adj_val[order]
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(adj_idx, minlength=n), out=starts[1:])
+    # bucket peel
+    core = deg.copy()
+    md = int(deg.max())
+    bins = np.zeros(md + 2, np.int64)
+    np.cumsum(np.bincount(deg, minlength=md + 1), out=bins[1:])
+    pos_of = np.argsort(deg, kind="stable")
+    vert_pos = np.empty(n, np.int64)
+    vert_pos[pos_of] = np.arange(n)
+    bin_start = bins[:-1].copy()
+    d = deg.copy()
+    for i in range(n):
+        v = pos_of[i]
+        core[v] = d[v]
+        for u in adj_val[starts[v] : starts[v + 1]]:
+            if d[u] > d[v]:
+                # swap u to the front of its degree bucket, decrement
+                du = d[u]
+                pu, pw = vert_pos[u], bin_start[du]
+                w = pos_of[pw]
+                if u != w:
+                    pos_of[pu], pos_of[pw] = w, u
+                    vert_pos[u], vert_pos[w] = pw, pu
+                bin_start[du] += 1
+                d[u] -= 1
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes.tolist(), pa.int64()),
+                "coreness": pa.array(core.tolist(), pa.int64()),
+            }
+        )
+    )

@@ -101,7 +101,7 @@ SQL_NAMES = [
     "robots_directives", "link_rel_stats",
     "rare_terms", "bucket_pipeline", "diversified_sample", "ann_filtered",
     "prf_expansion", "wand_topk", "pagination_chains",
-    "dispersion",
+    "dispersion", "bfs_hops",
 ]
 
 
@@ -164,6 +164,7 @@ ROWS_ONLY = [
     ("audio_phash", 1),
     ("cdc_stats", 1),
     ("mmr_rerank", 10),
+    ("kcore", 1),
 ]
 
 

@@ -5872,3 +5872,110 @@ def test_wand_topk_identical_to_exact_and_actually_prunes(ray_session):
     # zero-match query: typed empty, no crash
     none_t, none_s = wand_topk(ds1, ["zzzz_absent"], k=5, return_stats=True)
     assert none_t.num_rows == 0 and none_s["n_scored"] == 0
+
+
+@pytest.mark.parametrize(
+    "gate", [2_000_000, 0], ids=["driver-path", "distributed-path"]
+)
+def test_bfs_hops_matches_reference(ray_session, gate):
+    """Both bfs_hops paths (gated driver BFS, distributed join rounds) ==
+    a single-process reference BFS, on a graph with an unreachable
+    island, an isolated seed, a cycle back into the seed, and a node
+    reachable two ways at different depths (min must win)."""
+    import ray.data
+
+    from engine.stages.graph import bfs_hops
+
+    E = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (4, 3), (7, 8), (8, 7),
+         (2, 5), (5, 6)]
+    seeds = [0, 9]  # 9 is isolated (not in the edge list at all)
+    t = pa.table({
+        "src": pa.array([a for a, _ in E], pa.int64()),
+        "dst": pa.array([b for _, b in E], pa.int64()),
+    })
+    st = pa.table({"node": pa.array(seeds, pa.int64())})
+    got = (
+        bfs_hops(
+            ray.data.from_arrow(t).repartition(3),
+            ray.data.from_arrow(st),
+            max_hops=4,
+            driver_max_edges=gate,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # reference BFS
+    from collections import deque
+
+    adj = {}
+    for a, b in E:
+        adj.setdefault(a, []).append(b)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= 4:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    exp = sorted(dist.items())
+    assert list(zip(got["node"], got["hop"])) == exp
+    # island 7/8 unreachable; node 3 min(3 via ring, 2 via 0->4->3) == 2
+    assert 7 not in got["node"].tolist()
+    assert dict(exp)[3] == 2
+
+
+@pytest.mark.parametrize(
+    "gate", [2_000_000, 0], ids=["driver-path", "distributed-path"]
+)
+def test_kcore_matches_peel(ray_session, gate):
+    """Both kcore paths (driver bucket peel, distributed h-index
+    fixpoint) == a reference iterative peel, on a 4-clique with a tail
+    and a separate triangle: clique coreness 3, triangle 2, tail 1.
+    Direction and duplicate edges must not matter (undirected dedup)."""
+    import ray.data
+
+    from engine.stages.graph import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    E = clique + [(3, 10), (10, 11), (20, 21), (21, 22), (22, 20),
+                  (1, 0)]  # duplicate of (0,1), reversed
+    t = pa.table({
+        "src": pa.array([a for a, _ in E], pa.int64()),
+        "dst": pa.array([b for _, b in E], pa.int64()),
+    })
+    got = (
+        kcore(ray.data.from_arrow(t).repartition(3), driver_max_edges=gate)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # reference peel
+    und = {tuple(sorted(e)) for e in E}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    # standard peel along the degeneracy ordering: coreness = running max
+    # of the remaining degree at removal time
+    core2 = {}
+    live = dict(deg)
+    kmax = 0
+    while live:
+        u = min(live, key=lambda x: (live[x], x))
+        kmax = max(kmax, live[u])
+        core2[u] = kmax
+        del live[u]
+        for v in adj[u]:
+            if v in live:
+                live[v] -= 1
+    exp = sorted(core2.items())
+    assert list(zip(got["node"], got["coreness"])) == exp
+    by_node = dict(exp)
+    assert all(by_node[n] == 3 for n in range(4))
+    assert by_node[20] == by_node[21] == by_node[22] == 2
+    assert by_node[10] == by_node[11] == 1
