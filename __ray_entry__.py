@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversified_sample": q.q_diversified_sample,
         "dispersion": q.q_dispersion,
         "bfs_hops": q.q_bfs_hops,
+        "phrase_prefix": q.q_phrase_prefix,
+        "boosting": q.q_boosting,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
         # oracle + clique fixture tests)
         "kcore": q.q_kcore,
@@ -4113,6 +4115,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        # match_phrase_prefix: phrase oracle with the final position
+        # prefix-matched (starts_with)
+        "phrase_prefix": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^\t\n\x0b\x0c\r ]+') AS tk
+              FROM documents
+            ), hits AS (
+              SELECT doc_id,
+                     list_min(list_transform(range(1, len(tk)), i ->
+                       CASE WHEN tk[i] = 'the'
+                                 AND starts_with(tk[i+1], 's')
+                            THEN i ELSE NULL END)) AS fp,
+                     CAST(coalesce(list_sum(list_transform(range(1, len(tk)), i ->
+                       CASE WHEN tk[i] = 'the'
+                                 AND starts_with(tk[i+1], 's')
+                            THEN 1 ELSE 0 END)), 0) AS BIGINT) AS phrase_count
+              FROM toks
+            )
+            SELECT doc_id, CAST(fp AS BIGINT) AS first_pos, phrase_count
+            FROM hits WHERE phrase_count > 0
+        """,
+        # ES boosting: positive tf x1000, negative presence demotes by
+        # floor(x*300/1000); demotion not exclusion
+        "boosting": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^\t\n\x0b\x0c\r ]+') AS tk
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(tk, x -> x = 'merge'))
+                        + len(list_filter(tk, x -> x = 'batch'))
+                        AS BIGINT) AS pos_tf,
+                     CAST(len(list_filter(tk, x -> x = 'slow')) > 0
+                        AS BIGINT) AS demoted
+              FROM toks
+            ), s AS (
+              SELECT doc_id, pos_tf, demoted,
+                     CASE WHEN demoted = 1
+                          THEN CAST((1000 * pos_tf * 300) // 1000 AS BIGINT)
+                          ELSE CAST(1000 * pos_tf AS BIGINT)
+                     END AS score_milli
+              FROM f WHERE pos_tf > 0
+            ), r AS (
+              SELECT *, CAST(row_number() OVER (
+                            ORDER BY score_milli DESC, doc_id)
+                        AS BIGINT) AS rank
+              FROM s
+            )
+            SELECT doc_id, pos_tf, demoted, score_milli, rank
+            FROM r WHERE rank <= 50
         """,
         # bounded recursive-CTE reachability: same edge derivation as
         # graph_components, directed, min(hop) per node within 6 hops

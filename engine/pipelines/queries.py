@@ -4602,3 +4602,29 @@ def q_kcore(sf_dir: str):
     from engine.stages.graph import kcore
 
     return kcore(_derived_edges(sf_dir))
+
+
+def q_phrase_prefix(sf_dir: str):
+    """ES match_phrase_prefix (search.phrase_search with last_prefix):
+    docs where 'the' is immediately followed by ANY token starting with
+    's' (6 vocab expansions: scan/slow/small/sort/spark/stream) — the
+    as-you-type phrase query.  Same flattened-token kernel as
+    phrase_search, final position via starts_with.  SQL-verified."""
+    from engine.stages.search import phrase_search
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return phrase_search(ds, "the s", last_prefix=True)
+
+
+def q_boosting(sf_dir: str):
+    """ES boosting query (search.boosting_search): positive terms
+    merge/batch scored by summed tf x1000, docs also containing 'slow'
+    demoted to floor(score*300/1000) — demotion, not exclusion.  One
+    tokenize pass + global_topk candidate merge.  SQL-verified including
+    the demoted flag and rank."""
+    from engine.stages.search import boosting_search
+
+    ds = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    return boosting_search(
+        ds, ["merge", "batch"], ["slow"], neg_milli=300, k=50
+    )

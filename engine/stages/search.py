@@ -443,6 +443,7 @@ def phrase_search(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    last_prefix: bool = False,
 ) -> ray.data.Dataset:
     """Positional phrase query — ES/Lucene ``match_phrase`` analog over the
     reference's tokenizer (the ChatNoir frontend's quoted-phrase search;
@@ -492,7 +493,16 @@ def phrase_search(
         )
         hit: np.ndarray | None = None
         for j, w in enumerate(words):
-            mj = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+            if last_prefix and j == k - 1:
+                # ES match_phrase_prefix: the FINAL position matches any
+                # token with this prefix (no expansion cap — equivalent
+                # to max_expansions=inf; the direct scan needs no
+                # dictionary rewrite, documented deviation)
+                mj = pc.starts_with(flat, pattern=w).to_numpy(
+                    zero_copy_only=False
+                )
+            else:
+                mj = pc.equal(flat, w).to_numpy(zero_copy_only=False)
             mj = mj[j : j + n_pos]
             hit = mj if hit is None else (hit & mj)
         starts = np.zeros(len(lens) + 1, np.int64)
@@ -2458,3 +2468,96 @@ def wand_topk(
         }
     )
     return (res, stats) if return_stats else res
+
+
+def boosting_search(
+    ds: ray.data.Dataset,
+    positive,
+    negative,
+    *,
+    neg_milli: int = 300,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> ray.data.Dataset:
+    """ES ``boosting`` query — positive matches scored normally, documents
+    that ALSO match the negative sub-query are demoted (not excluded) by
+    ``negative_boost``: here in exact milli-units, ``base_milli =
+    1000 * sum(tf over positive terms)``; if any negative term occurs the
+    score becomes ``floor(base_milli * neg_milli / 1000)`` (ES's
+    negative_boost in [0,1] as an integer — identical int64 algebra both
+    engines).  Emits ``(id, pos_tf, demoted, score_milli, rank)`` for the
+    top ``k``; docs with no positive hit do not match (ES semantics).
+
+    Shape: ONE tokenize pass per batch, one Arrow ``equal`` + bincount
+    per positive term and one ``is_in`` over the negative set, then the
+    ``global_topk`` candidate merge — no shuffle of text.
+    """
+    positive = list(positive)
+    negative = list(negative)
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "pos_tf": pa.array([], pa.int64()),
+            "demoted": pa.array([], pa.int64()),
+            "score_milli": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return empty
+        texts = t.column(text_col).to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_lists = [_TOKEN.findall(x or "") for x in texts]
+        lens = np.fromiter(
+            (len(tl) for tl in tok_lists), np.int64, count=len(tok_lists)
+        )
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = pa.array([w for tl in tok_lists for w in tl], pa.string())
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pos_tf = np.zeros(len(lens), np.int64)
+        for term in positive:
+            hit = np.asarray(
+                pc.equal(flat, term).to_numpy(zero_copy_only=False), bool
+            )
+            if hit.any():
+                pos_tf += np.bincount(doc_of[hit], minlength=len(lens))
+        nhit = np.asarray(
+            pc.is_in(flat, value_set=pa.array(negative, pa.string())).to_numpy(
+                zero_copy_only=False
+            ),
+            bool,
+        )
+        demoted = np.zeros(len(lens), bool)
+        if nhit.any():
+            demoted = np.bincount(doc_of[nhit], minlength=len(lens)) > 0
+        keep = pos_tf > 0
+        if not keep.any():
+            return empty
+        base = 1000 * pos_tf[keep]
+        dem = demoted[keep]
+        score = np.where(dem, base * neg_milli // 1000, base)
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "pos_tf": pa.array(pos_tf[keep], pa.int64()),
+                "demoted": pa.array(dem.astype(np.int64), pa.int64()),
+                "score_milli": pa.array(score, pa.int64()),
+            }
+        )
+
+    from engine.stages.topk import global_topk
+
+    scored = ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return global_topk(
+        scored,
+        order_cols=["score_milli", id_col],
+        descending=[True, False],
+        k=k,
+        rank_col="rank",
+    )

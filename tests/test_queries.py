@@ -101,7 +101,7 @@ SQL_NAMES = [
     "robots_directives", "link_rel_stats",
     "rare_terms", "bucket_pipeline", "diversified_sample", "ann_filtered",
     "prf_expansion", "wand_topk", "pagination_chains",
-    "dispersion", "bfs_hops",
+    "dispersion", "bfs_hops", "phrase_prefix", "boosting",
 ]
 
 

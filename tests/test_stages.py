@@ -5979,3 +5979,69 @@ def test_kcore_matches_peel(ray_session, gate):
     assert all(by_node[n] == 3 for n in range(4))
     assert by_node[20] == by_node[21] == by_node[22] == 2
     assert by_node[10] == by_node[11] == 1
+
+
+def test_phrase_prefix_semantics(ray_session):
+    """match_phrase_prefix: final-position prefix expansion (multiple
+    vocab expansions), exact-word positions unaffected, a doc matching
+    only the non-prefix phrase does NOT match, and a bare prefix equal to
+    a full word still matches that word."""
+    import ray.data
+
+    from engine.stages.search import phrase_search
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(
+            [
+                "the scan runs the sort",   # two expansions -> count 2
+                "the table",                # 's' prefix miss
+                "a the s end",              # exact token 's' matches prefix 's'
+                "the",                      # phrase crosses doc end -> miss
+            ],
+            pa.string(),
+        ),
+    })
+    got = (
+        phrase_search(ray.data.from_arrow(t), "the s", last_prefix=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [1, 3]
+    assert got["phrase_count"].tolist() == [2, 1]
+    assert got["first_pos"].tolist() == [1, 2]
+
+
+def test_boosting_search_semantics(ray_session):
+    """ES boosting: negative term DEMOTES (never excludes), docs with
+    only the negative term do not match, demotion is exact integer
+    floor(base*neg/1000)."""
+    import ray.data
+
+    from engine.stages.search import boosting_search
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(
+            [
+                "merge merge batch",      # pos_tf 3, clean -> 3000
+                "merge slow",             # pos_tf 1, demoted -> 300
+                "slow slow",              # no positive -> excluded
+                "batch",                  # pos_tf 1 -> 1000
+            ],
+            pa.string(),
+        ),
+    })
+    got = (
+        boosting_search(
+            ray.data.from_arrow(t), ["merge", "batch"], ["slow"],
+            neg_milli=300, k=10,
+        )
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [1, 4, 2]
+    assert got["score_milli"].tolist() == [3000, 1000, 300]
+    assert got["demoted"].tolist() == [0, 0, 1]
