@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": q.q_bfs_hops,
         "phrase_prefix": q.q_phrase_prefix,
         "boosting": q.q_boosting,
+        "sentences": q.q_sentences,
+        "fold_accents": q.q_fold_accents,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
         # oracle + clique fixture tests)
         "kcore": q.q_kcore,
@@ -4115,6 +4117,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        # sentinel-insert + split (RE2 has no lookbehind on either side);
+        # zip-unnest gives the 1-based index
+        "sentences": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     string_split(
+                       regexp_replace(
+                         regexp_replace(text, '(slow|fast)', '\1.', 'g'),
+                         '([.!?])[\t\n\x0b\x0c\r ]+', '\1' || chr(1), 'g'),
+                       chr(1)) AS s
+              FROM documents
+            ), u AS (
+              SELECT doc_id,
+                     CAST(unnest(generate_series(1, len(s))) AS BIGINT)
+                         AS sent_idx,
+                     unnest(s) AS sentence
+              FROM p
+            )
+            SELECT doc_id, sent_idx, sentence,
+                   CAST(length(sentence) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(sentence,
+                        '[^\t\n\x0b\x0c\r ]+')) AS BIGINT) AS n_tokens
+            FROM u
+        """,
+        # asciifolding+lowercase analyzer: strip_accents(lower()) ==
+        # NFKD-strip-marks(lower()) for the fixture's accent set
+        # (probe-verified: ø/ß pass through identically on both)
+        "fold_accents": """
+            WITH f AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'Ée ' || replace(text, 'a', 'ä')
+                          ELSE 'THE ' || text END AS t
+              FROM documents
+            )
+            SELECT doc_id, strip_accents(lower(t)) AS folded,
+                   CAST(strip_accents(lower(t)) != t AS BIGINT) AS changed
+            FROM f
         """,
         # match_phrase_prefix: phrase oracle with the final position
         # prefix-matched (starts_with)

@@ -4628,3 +4628,69 @@ def q_boosting(sf_dir: str):
     return boosting_search(
         ds, ["merge", "batch"], ["slow"], neg_milli=300, k=50
     )
+
+
+def q_sentences(sf_dir: str):
+    """Sentence segmentation (text.sentence_stats): one row per sentence
+    with 1-based index, text, char and token counts — fully Arrow
+    (sentinel-insert + split_pattern + list offset arithmetic; RE2 has no
+    lookbehind on either engine).  Punctuation is injected
+    deterministically ('slow'/'fast' -> 'slow.'/'fast.') so the splitter
+    provably fires mid-document; trailing punctuation without following
+    space must NOT split (end-of-doc case).  SQL-verified including every
+    sentence string."""
+    from engine.stages.text import sentence_stats
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("text"),
+            "text",
+            pc.replace_substring_regex(
+                t.column("text"), pattern="(slow|fast)", replacement="\\1."
+            ),
+        )
+
+    return sentence_stats(
+        ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_fold_accents(sf_dir: str):
+    """Case + diacritic folding (text.fold_accents): the ES
+    asciifolding+lowercase analyzer analog — NFKD strip-marks after
+    lowercase, ASCII rows on the vectorized ascii_lower fast path,
+    non-ASCII spliced per row.  The fixture mixes uppercase accents
+    ('Ée '), lowercase umlauts (a -> ä) and pure-ASCII uppercase
+    ('THE ') so BOTH paths and the mark-stripping provably fire.
+    SQL-verified against strip_accents(lower(...)) including the full
+    folded text."""
+    from engine.stages.text import fold_accents
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        if d.num_chunks != 1:
+            d = d.combine_chunks()
+        even = pc.equal(
+            pc.bit_wise_and(d, pa.scalar(1, pa.int64())), pa.scalar(0, pa.int64())
+        )
+        txt = t.column("text")
+        n = t.num_rows
+        acc = pc.binary_join_element_wise(
+            pa.array(["Ée "] * n, pa.string()),
+            pc.replace_substring(txt, pattern="a", replacement="ä"),
+            "",
+        )
+        plain = pc.binary_join_element_wise(
+            pa.array(["THE "] * n, pa.string()), txt, ""
+        )
+        return pa.table(
+            {"doc_id": d, "text": pc.if_else(even, acc, plain)}
+        )
+
+    return fold_accents(
+        ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -587,3 +587,133 @@ def lexical_diversity(
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sentence_stats(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Rule-based sentence segmentation — the unit-of-work producer for
+    sentence-level pipelines (per-sentence dedup a la CCNet, bitext
+    alignment, sentence-boundary token packing).  A sentence ends at
+    ``[.!?]`` followed by whitespace; emits one row per sentence:
+    ``(id, sent_idx 1-based, sentence, n_chars, n_tokens)``.
+
+    FULLY Arrow-vectorized — no per-row Python: one RE2
+    ``replace_substring_regex`` rewrites each boundary to ``<punct>\\x01``
+    (RE2 has no lookbehind, so the sentinel-insert + split device
+    replaces the classic split-after-group regex on BOTH engines; DuckDB
+    mirrors with ``regexp_replace(..., '\\1' || chr(1), 'g')`` +
+    ``string_split``), then ``split_pattern`` -> ``list_flatten`` +
+    ``list_parent_indices`` explode rows, in-list positions come from the
+    repeat/cumsum offset arithmetic, and the per-sentence stats are
+    ``utf8_length`` / ``split_whitespace`` kernels on the flat array.
+    Stateless flat expansion inside ``map_batches`` — no shuffle.
+    """
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "sent_idx": pa.array([], pa.int64()),
+            "sentence": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        txt = pc.fill_null(t.column(text_col), "")
+        rep = pc.replace_substring_regex(
+            txt, pattern=r"([.!?])[\t\n\x0b\x0c\r ]+", replacement="\\1\x01"
+        )
+        lists = pc.split_pattern(rep, pattern="\x01")
+        flat = pc.list_flatten(lists)
+        if len(flat) == 0:
+            return empty
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        sent_idx = np.arange(len(flat), dtype=np.int64) - starts[parent] + 1
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = pc.list_value_length(pc.utf8_split_whitespace(flat))
+        return pa.table(
+            {
+                id_col: pa.array(ids[parent], pa.int64()),
+                "sent_idx": pa.array(sent_idx, pa.int64()),
+                "sentence": flat,
+                "n_chars": pc.cast(pc.utf8_length(flat), pa.int64()),
+                "n_tokens": pc.cast(n_tok, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fold_accents(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Case + diacritic folding — the match-normalization step search
+    analyzers (ES ``asciifolding`` + ``lowercase``) and dedup keys apply
+    before hashing: lowercase, then canonical-compatibility decompose
+    (NFKD) and strip combining marks, so ``Ée`` == ``ee`` and ``WÖRLD``
+    == ``world``.  Characters with no mark decomposition (ø, ß) pass
+    through — exactly DuckDB's ``strip_accents(lower(x))``, which the
+    oracle uses, and the probe-verified parity this query pins.
+
+    ASCII fast path: rows where ``binary_length == utf8_length`` take one
+    vectorized ``ascii_lower``; only genuinely non-ASCII rows pay the
+    per-row ``unicodedata`` call, spliced back with ``replace_with_mask``
+    (the ``clean.normalize_text`` device).  Emits ``(id, folded,
+    changed)``.  One stateless pass, no shuffle.
+    """
+    import pyarrow.compute as pc
+
+    def fold(t: pa.Table) -> pa.Table:
+        import unicodedata
+
+        txt = t.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+            if isinstance(txt, pa.ChunkedArray):
+                txt = (
+                    txt.chunk(0) if txt.num_chunks else pa.array([], pa.string())
+                )
+        txt = pc.fill_null(txt, "")
+        nonascii = pc.not_equal(pc.binary_length(txt), pc.utf8_length(txt))
+        out = pc.ascii_lower(txt)
+        if pc.any(nonascii).as_py():
+            idx = np.flatnonzero(nonascii.to_numpy(zero_copy_only=False))
+            repl = pa.array(
+                [
+                    "".join(
+                        c
+                        for c in unicodedata.normalize(
+                            "NFKD", txt[int(i)].as_py().lower()
+                        )
+                        if not unicodedata.combining(c)
+                    )
+                    for i in idx
+                ],
+                pa.string(),
+            )
+            out = pc.replace_with_mask(out, nonascii, repl)
+        changed = pc.cast(pc.invert(pc.equal(out, txt)), pa.int64())
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "folded": out,
+                "changed": changed,
+            }
+        )
+
+    return ds.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)

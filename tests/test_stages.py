@@ -6045,3 +6045,63 @@ def test_boosting_search_semantics(ray_session):
     assert got["doc_id"].tolist() == [1, 4, 2]
     assert got["score_milli"].tolist() == [3000, 1000, 300]
     assert got["demoted"].tolist() == [0, 0, 1]
+
+
+def test_sentence_stats_edges(ray_session):
+    """Sentence splitter edge cases: boundary needs TRAILING whitespace
+    (end-of-doc punct stays in the last sentence), multi-space boundaries
+    collapse, '!' and '?' split, empty text yields one empty sentence,
+    null text treated as empty."""
+    import ray.data
+
+    from engine.stages.text import sentence_stats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(
+            ["one two. three! four? five.", "a.  b", "", None], pa.string()
+        ),
+    })
+    got = (
+        sentence_stats(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values(["doc_id", "sent_idx"])
+        .reset_index(drop=True)
+    )
+    by_doc = {
+        d: g["sentence"].tolist() for d, g in got.groupby("doc_id")
+    }
+    assert by_doc[1] == ["one two.", "three!", "four?", "five."]
+    assert by_doc[2] == ["a.", "b"]
+    assert by_doc[3] == [""]
+    assert by_doc[4] == [""]
+    r1 = got[(got["doc_id"] == 1) & (got["sent_idx"] == 1)].iloc[0]
+    assert r1["n_chars"] == 8 and r1["n_tokens"] == 2
+
+
+def test_fold_accents_edges(ray_session):
+    """Folding: uppercase accents fold through lowercase+NFKD, ligatures
+    decompose (NFKD), ø/ß have no mark decomposition and pass through
+    (DuckDB strip_accents parity), pure-ASCII rows use the fast path and
+    set changed only when case changes."""
+    import ray.data
+
+    from engine.stages.text import fold_accents
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(
+            ["Héllo WÖRLD", "naïve ﬁle", "søren ß", "plain ascii"],
+            pa.string(),
+        ),
+    })
+    got = (
+        fold_accents(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["folded"].tolist() == [
+        "hello world", "naive file", "søren ß", "plain ascii"
+    ]
+    assert got["changed"].tolist() == [1, 1, 0, 0]
