@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosting": q.q_boosting,
         "sentences": q.q_sentences,
         "fold_accents": q.q_fold_accents,
+        "outer_join": q.q_outer_join,
+        "terms_shards": q.q_terms_shards,
+        "auto_histogram": q.q_auto_histogram,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
         # oracle + clique fixture tests)
         "kcore": q.q_kcore,
@@ -4117,6 +4120,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        # real FULL OUTER JOIN + aggregate vs the union+groupby device
+        "outer_join": """
+            WITH c AS (SELECT c_custkey AS custkey FROM customer
+                       WHERE c_custkey % 3 != 0),
+            o AS (SELECT o_custkey AS custkey,
+                         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             AS cents
+                  FROM orders WHERE o_custkey % 5 != 0),
+            oa AS (SELECT custkey, CAST(count(*) AS BIGINT) AS n_right,
+                          CAST(sum(cents) AS BIGINT) AS sum_value
+                   FROM o GROUP BY custkey)
+            SELECT coalesce(c.custkey, oa.custkey) AS custkey,
+                   CAST(c.custkey IS NOT NULL AS BIGINT) AS left_present,
+                   coalesce(oa.n_right, 0) AS n_right,
+                   coalesce(oa.sum_value, 0) AS sum_value
+            FROM c FULL OUTER JOIN oa ON oa.custkey = c.custkey
+        """,
+        # window-function replay of the ES shard protocol: per-shard
+        # top-5, last returned count, coordinator merge + error bounds
+        "terms_shards": r"""
+            WITH tok AS (
+              SELECT doc_id % 4 AS shard,
+                     unnest(list_distinct(regexp_extract_all(text,
+                         '[^\t\n\x0b\x0c\r ]+'))) AS term
+              FROM documents),
+            cnts AS (SELECT shard, term, CAST(count(*) AS BIGINT) AS cnt
+                     FROM tok GROUP BY shard, term),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY shard
+                       ORDER BY cnt DESC, term) AS r FROM cnts),
+            kept AS (SELECT * FROM rk WHERE r <= 5),
+            lastc AS (SELECT shard, min(cnt) AS last_cnt
+                      FROM kept GROUP BY shard),
+            merged AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS doc_count
+                       FROM kept GROUP BY term),
+            err AS (SELECT m.term, m.doc_count,
+                      CAST(coalesce((SELECT sum(l.last_cnt) FROM lastc l
+                        WHERE NOT EXISTS (SELECT 1 FROM kept k
+                          WHERE k.shard = l.shard AND k.term = m.term)), 0)
+                        AS BIGINT) AS doc_count_error
+                    FROM merged m),
+            top AS (SELECT *, CAST(row_number() OVER (
+                        ORDER BY doc_count DESC, term) AS BIGINT) AS rank
+                    FROM err)
+            SELECT term, doc_count, doc_count_error, rank
+            FROM top WHERE rank <= 10
+        """,
+        # ladder decision replayed from min/max epoch micros; // is
+        # integer floor division on BIGINT
+        "auto_histogram": """
+            WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+            mm AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+            iv AS (SELECT CAST(CASE
+                WHEN (mx // 60000000) - (mn // 60000000) + 1 <= 50
+                    THEN 60
+                WHEN (mx // 3600000000) - (mn // 3600000000) + 1 <= 50
+                    THEN 3600
+                WHEN (mx // 86400000000) - (mn // 86400000000) + 1 <= 50
+                    THEN 86400
+                ELSE 2592000 END AS BIGINT) AS interval_s FROM mm)
+            SELECT CAST((us // (interval_s * 1000000)) * interval_s
+                        AS BIGINT) AS bucket_s,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(interval_s AS BIGINT) AS interval_s
+            FROM e, iv GROUP BY 1, 3 ORDER BY 1
         """,
         # sentinel-insert + split (RE2 has no lookbehind on either side);
         # zip-unnest gives the 1-based index

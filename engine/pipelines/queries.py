@@ -4694,3 +4694,91 @@ def q_fold_accents(sf_dir: str):
     return fold_accents(
         ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def q_outer_join(sf_dir: str):
+    """FULL OUTER join discipline (join.outer_groupjoin): the schema-safe
+    union+groupby device (acero outer joins lose schema on empty hash
+    partitions — CLAUDE.md) joining filtered customers against filtered
+    orders so BOTH sides contribute unmatched keys; per key emits
+    left-presence, order count and exact integer total cents
+    (floor(p*100+0.5), the IEEE expression DuckDB evaluates).  ONE
+    shuffle, both sides corpus-scale, nothing broadcast.  SQL-verified
+    against a real FULL OUTER JOIN + aggregate."""
+    from engine.stages.join import outer_groupjoin
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda t: (
+            lambda k: pa.table(
+                {"custkey": k.filter(
+                    pc.not_equal(
+                        pc.subtract(
+                            k, pc.multiply(pc.divide(k, 3), 3)
+                        ),
+                        0,
+                    )
+                )}
+            )
+        )(t.column("c_custkey")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: (
+            lambda k, p: (
+                lambda keep: pa.table(
+                    {
+                        "custkey": k.filter(keep),
+                        "cents": pc.cast(
+                            pc.floor(
+                                pc.add(
+                                    pc.multiply(p.filter(keep), 100.0), 0.5
+                                )
+                            ),
+                            pa.int64(),
+                        ),
+                    }
+                )
+            )(
+                pc.not_equal(
+                    pc.subtract(k, pc.multiply(pc.divide(k, 5), 5)), 0
+                )
+            )
+        )(t.column("o_custkey"), t.column("o_totalprice")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return outer_groupjoin(
+        cust, orders, key_col="custkey", right_value_col="cents"
+    )
+
+
+def q_terms_shards(sf_dir: str):
+    """ES terms aggregation with distributed error accounting
+    (aggs.terms_error_bounds): shard-local top-5 term doc counts
+    (shard = doc_id % 4), coordinator merge, per-term
+    doc_count_error = sum of non-reporting shards' last returned counts
+    (show_term_doc_count_error).  SQL-verified including the error
+    bounds — the window-function oracle replays the whole shard
+    protocol."""
+    from engine.stages.aggs import terms_error_bounds
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return terms_error_bounds(ds, n_shards=4, shard_size=5, size=10)
+
+
+def q_auto_histogram(sf_dir: str):
+    """ES auto_date_histogram (aggs.auto_date_histogram): smallest
+    ladder interval (minute/hour/day/30-day) that fits the events span
+    into <= 50 buckets, then epoch-aligned int64 bucketing — the chosen
+    interval is emitted per row so the oracle pins the LADDER DECISION.
+    Two passes (min/max partials, then bucket partials), driver-merged.
+    SQL-verified."""
+    from engine.stages.aggs import auto_date_histogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return auto_date_histogram(ds, target_buckets=50)

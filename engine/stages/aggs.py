@@ -407,3 +407,212 @@ def dispersion_stats(
             "mad": pa.array([r[8] for r in rows], pa.int64()),
         }
     )
+
+
+def terms_error_bounds(
+    ds: ray.data.Dataset,
+    *,
+    n_shards: int = 4,
+    shard_size: int = 5,
+    size: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """ES ``terms`` aggregation WITH its distributed error accounting —
+    the part of ES most engines gloss over: each shard returns only its
+    own top ``shard_size`` terms by doc count, the coordinator sums what
+    was reported, and every merged term carries
+    ``doc_count_error`` = the sum, over shards that did NOT report it, of
+    that shard's LAST returned count (the worst case it could have missed)
+    — ES's ``show_term_doc_count_error``.  Output: the top ``size`` terms
+    by merged count, ``(term, doc_count, doc_count_error, rank)``; ties
+    break by term asc everywhere (deterministic where ES is not).
+
+    Shapes: doc counts are per-batch partials keyed ``(shard, term)``
+    (one tokenize pass, DISTINCT terms per doc — ES counts documents, not
+    occurrences; shard = id % n_shards, the fixed routing ES uses) merged
+    on the driver — partial volume is blocks x shards x vocab, fine for
+    the keyword-cardinality fields terms aggs target (an unbounded-vocab
+    field needs the groupby exchange instead; same downstream math).
+    The shard top-k / error reconstruction is coordinator work in ES too.
+    """
+    from engine.stages.text import _TOKEN
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "shard": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        shards = ids % n_shards
+        acc: dict = {}
+        for sh, txt in zip(shards.tolist(), t.column(text_col).to_pylist()):
+            for term in set(_TOKEN.findall(txt or "")):
+                k = (sh, term)
+                acc[k] = acc.get(k, 0) + 1
+        if not acc:
+            return empty
+        keys = sorted(acc)
+        return pa.table(
+            {
+                "shard": pa.array([k[0] for k in keys], pa.int64()),
+                "term": pa.array([k[1] for k in keys], pa.string()),
+                "cnt": pa.array([acc[k] for k in keys], pa.int64()),
+            }
+        )
+
+    counts: dict = {}
+    part = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    for tab in ray.get(part.to_arrow_refs()):
+        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
+            continue
+        for sh, term, c in zip(
+            tab.column("shard").to_pylist(),
+            tab.column("term").to_pylist(),
+            tab.column("cnt").to_pylist(),
+        ):
+            counts[(sh, term)] = counts.get((sh, term), 0) + c
+
+    # coordinator phase: per-shard top shard_size, last count, merge
+    by_shard: dict = {}
+    for (sh, term), c in counts.items():
+        by_shard.setdefault(sh, []).append((term, c))
+    kept: dict = {}
+    last_cnt: dict = {}
+    for sh, items in by_shard.items():
+        items.sort(key=lambda tc: (-tc[1], tc[0]))
+        top = items[:shard_size]
+        last_cnt[sh] = top[-1][1] if top else 0
+        for term, c in top:
+            kept.setdefault(term, {})[sh] = c
+    merged = sorted(
+        ((term, sum(per.values())) for term, per in kept.items()),
+        key=lambda tc: (-tc[1], tc[0]),
+    )[:size]
+    terms_out, dc_out, err_out = [], [], []
+    for term, dc in merged:
+        per = kept[term]
+        err = sum(lc for sh, lc in last_cnt.items() if sh not in per)
+        terms_out.append(term)
+        dc_out.append(dc)
+        err_out.append(err)
+    return pa.table(
+        {
+            "term": pa.array(terms_out, pa.string()),
+            "doc_count": pa.array(dc_out, pa.int64()),
+            "doc_count_error": pa.array(err_out, pa.int64()),
+            "rank": pa.array(range(1, len(terms_out) + 1), pa.int64()),
+        }
+    )
+
+
+# fixed-width interval ladder (seconds): minute, hour, day, 30-day month
+# — the calendar-month ES rung is deliberately replaced by a fixed 30-day
+# width so bucket starts stay integer-exact on both engines
+AUTO_HISTO_LADDER = (60, 3600, 86400, 2_592_000)
+
+
+def auto_date_histogram(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    target_buckets: int = 50,
+) -> pa.Table:
+    """ES ``auto_date_histogram``: pick the smallest interval from a
+    fixed ladder such that the data's span produces at most
+    ``target_buckets`` buckets, then histogram timestamps into
+    epoch-aligned buckets of that width.  Output ``(bucket_s, n,
+    interval_s)`` — the chosen interval rides along so the parity check
+    pins the LADDER DECISION, not just the counts.
+
+    Two streaming passes (exactly ES's own shape — the reduce phase picks
+    the final interval): pass 1 is a per-batch min/max partial merged on
+    the driver; pass 2 buckets each batch vectorized (int64 micros
+    floor-divided by the interval) into per-batch count partials, driver
+    merged (bucket cardinality <= target_buckets by construction).
+    All arithmetic is int64 epoch-microseconds — no float time math.
+    """
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"mn": pa.array([], pa.int64()), "mx": pa.array([], pa.int64())}
+            )
+        v = t.column(ts_col).cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").view(np.int64)
+        return pa.table(
+            {
+                "mn": pa.array([int(v.min())], pa.int64()),
+                "mx": pa.array([int(v.max())], pa.int64()),
+            }
+        )
+
+    mn, mx = None, None
+    ds = ds.materialize()
+    for tab in ray.get(
+        ds.map_batches(minmax, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ):
+        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
+            continue
+        for a, b in zip(tab.column("mn").to_pylist(), tab.column("mx").to_pylist()):
+            mn = a if mn is None else min(mn, a)
+            mx = b if mx is None else max(mx, b)
+    if mn is None:
+        return pa.table(
+            {
+                "bucket_s": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "interval_s": pa.array([], pa.int64()),
+            }
+        )
+    interval_s = AUTO_HISTO_LADDER[-1]
+    for cand in AUTO_HISTO_LADDER:
+        iu = cand * 1_000_000
+        if (mx // iu) - (mn // iu) + 1 <= target_buckets:
+            interval_s = cand
+            break
+    iu = interval_s * 1_000_000
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"bucket_s": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        v = t.column(ts_col).cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").view(np.int64)
+        b = (v // iu) * interval_s  # epoch seconds of the bucket start
+        ub, cn = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket_s": pa.array(ub, pa.int64()),
+                "n": pa.array(cn.astype(np.int64), pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    for tab in ray.get(
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ):
+        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
+            continue
+        for b, n in zip(
+            tab.column("bucket_s").to_pylist(), tab.column("n").to_pylist()
+        ):
+            acc[b] = acc.get(b, 0) + n
+    buckets = sorted(acc)
+    return pa.table(
+        {
+            "bucket_s": pa.array(buckets, pa.int64()),
+            "n": pa.array([acc[b] for b in buckets], pa.int64()),
+            "interval_s": pa.array([interval_s] * len(buckets), pa.int64()),
+        }
+    )

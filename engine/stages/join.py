@@ -269,3 +269,74 @@ def range_join(
         return out[out_cols]
 
     return l.union(r).groupby(by).map_groups(join_group, batch_format="pandas")
+
+
+def outer_groupjoin(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    key_col: str,
+    right_value_col: str,
+) -> ray.data.Dataset:
+    """FULL OUTER join + per-key aggregate in one exchange — the
+    schema-safe outer-join device this repo standardizes on: acero's
+    native outer join loses schema when a hash partition is empty on one
+    side (CLAUDE.md), so both sides are UNIONED as tagged partial rows
+    and ONE ``groupby(key)`` aggregates them.  Emits per key:
+    ``(key, left_present, n_right, sum_value)`` — keys present on either
+    side survive, missing sides show 0 (the relational outer-join NULL,
+    kept as int64 0/absent-count so the schema never widens to nullable
+    floats — pandas promotes int64+null to float64).
+
+    Left is assumed key-unique (a dimension); right is the fact side.
+    One shuffle total; nothing is broadcast, so it holds when BOTH sides
+    are corpus-sized.  Any richer outer join (row-level payloads) should
+    hang the payload columns on the partial rows the same way.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    lp = left.map_batches(
+        lambda t: pa.table(
+            {
+                key_col: t.column(key_col).cast(pa.int64()),
+                "left_present": pa.array([1] * t.num_rows, pa.int64()),
+                "n_right": pa.array([0] * t.num_rows, pa.int64()),
+                "sum_value": pa.array([0] * t.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rp = right.map_batches(
+        lambda t: pa.table(
+            {
+                key_col: t.column(key_col).cast(pa.int64()),
+                "left_present": pa.array([0] * t.num_rows, pa.int64()),
+                "n_right": pa.array([1] * t.num_rows, pa.int64()),
+                "sum_value": t.column(right_value_col).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        lp.union(rp)
+        .groupby(key_col)
+        .aggregate(
+            Max("left_present", alias_name="left_present"),
+            Sum("n_right", alias_name="n_right"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    key_col: t.column(key_col),
+                    "left_present": t.column("left_present").cast(pa.int64()),
+                    "n_right": t.column("n_right").cast(pa.int64()),
+                    "sum_value": t.column("sum_value").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )

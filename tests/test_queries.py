@@ -102,7 +102,8 @@ SQL_NAMES = [
     "rare_terms", "bucket_pipeline", "diversified_sample", "ann_filtered",
     "prf_expansion", "wand_topk", "pagination_chains",
     "dispersion", "bfs_hops", "phrase_prefix", "boosting",
-    "sentences", "fold_accents",
+    "sentences", "fold_accents", "outer_join", "terms_shards",
+    "auto_histogram",
 ]
 
 

@@ -6105,3 +6105,80 @@ def test_fold_accents_edges(ray_session):
         "hello world", "naive file", "søren ß", "plain ascii"
     ]
     assert got["changed"].tolist() == [1, 1, 0, 0]
+
+
+def test_terms_error_bounds_protocol(ray_session):
+    """Hand-computed ES shard protocol: 2 shards, shard_size 2.  Terms
+    seen per shard: s0 {a:3, b:2, c:1}, s1 {c:3, d:2, a:1}.  Kept: s0
+    (a,b), s1 (c,d); last counts 2 and 2.  Merged: a=3 (missing s1 ->
+    err 2), b=2 (err 2), c=3 (err 2), d=2 (err 2); order a,c,b,d by
+    (count desc, term)."""
+    import ray.data
+
+    from engine.stages.aggs import terms_error_bounds
+
+    # shard = doc_id % 2; craft docs so per-(shard,term) doc counts match
+    rows = []
+    did = 0
+
+    def add(shard, terms):
+        nonlocal did
+        while did % 2 != shard:
+            did += 1
+        rows.append((did, " ".join(terms)))
+        did += 1
+
+    for _ in range(3):
+        add(0, ["a"])
+    for _ in range(2):
+        add(0, ["b"])
+    add(0, ["c"])
+    for _ in range(3):
+        add(1, ["c"])
+    for _ in range(2):
+        add(1, ["d"])
+    add(1, ["a"])
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    got = terms_error_bounds(
+        ray.data.from_arrow(t).repartition(3),
+        n_shards=2, shard_size=2, size=10,
+    ).to_pandas()
+    assert got["term"].tolist() == ["a", "c", "b", "d"]
+    assert got["doc_count"].tolist() == [3, 3, 2, 2]
+    assert got["doc_count_error"].tolist() == [2, 2, 2, 2]
+    assert got["rank"].tolist() == [1, 2, 3, 4]
+
+
+def test_auto_date_histogram_ladder(ray_session):
+    """Ladder decision: a 10-minute span fits 50 minute buckets ->
+    interval 60; a 2-year span overflows every rung -> 30-day fallback.
+    Bucket starts are epoch-aligned (multiples of the interval)."""
+    import ray.data
+
+    from engine.stages.aggs import auto_date_histogram
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    tight = pa.table({
+        "ts": pa.array(
+            (base + np.arange(0, 600, 13).astype("timedelta64[s]")).astype(
+                "datetime64[us]"
+            )
+        )
+    })
+    got = auto_date_histogram(ray.data.from_arrow(tight), target_buckets=50)
+    assert got.column("interval_s").to_pylist()[0] == 60
+    assert all(b % 60 == 0 for b in got.column("bucket_s").to_pylist())
+    assert sum(got.column("n").to_pylist()) == tight.num_rows
+
+    wide = pa.table({
+        "ts": pa.array(
+            (base + np.arange(0, 730, 7).astype("timedelta64[D]")).astype(
+                "datetime64[us]"
+            )
+        )
+    })
+    got2 = auto_date_histogram(ray.data.from_arrow(wide), target_buckets=20)
+    assert got2.column("interval_s").to_pylist()[0] == 2_592_000
