@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outer_join": q.q_outer_join,
         "terms_shards": q.q_terms_shards,
         "auto_histogram": q.q_auto_histogram,
+        "rollover": q.q_rollover,
+        "ip_prefix": q.q_ip_prefix,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
         # oracle + clique fixture tests)
         "kcore": q.q_kcore,
@@ -4120,6 +4122,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        # window cumsum vs the distributed segmented prefix scan
+        "rollover": """
+            WITH w AS (SELECT doc_id, n_chars,
+                CAST(sum(n_chars) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM documents)
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes,
+                   cum AS cum_bytes,
+                   CAST((cum - n_chars) // 8000 AS BIGINT) AS index_gen
+            FROM w
+        """,
+        # same Knuth multiplicative IP derivation; ES dotted bucket keys
+        "ip_prefix": """
+            WITH ip AS (SELECT (doc_id * 2654435761) % 4294967296 AS a
+                        FROM documents),
+            b AS (SELECT a // 65536 AS pfx, a // 256 AS s24 FROM ip),
+            agg AS (SELECT pfx, CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(count(DISTINCT s24) AS BIGINT) AS n_subnets
+                    FROM b GROUP BY pfx)
+            SELECT CAST((pfx * 65536) // 16777216 % 256 AS VARCHAR) || '.'
+                   || CAST((pfx * 65536) // 65536 % 256 AS VARCHAR)
+                   || '.0.0/16' AS prefix,
+                   n_docs, n_subnets
+            FROM agg ORDER BY pfx
         """,
         # real FULL OUTER JOIN + aggregate vs the union+groupby device
         "outer_join": """

@@ -4782,3 +4782,32 @@ def q_auto_histogram(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
     return auto_date_histogram(ds, target_buckets=50)
+
+
+def q_rollover(sf_dir: str):
+    """ES index rollover via distributed segmented prefix scan
+    (scan.rollover_assign): exact global cumulative bytes in doc_id
+    order — per-batch coarse-bucket partials, driver exclusive scan over
+    bucket sums, ONE uniform groupby resolving in-bucket order
+    vectorized — then generation = exclusive_cum // budget.  The one
+    aggregation shape Ray Data has no operator for, done without
+    sorting the corpus.  SQL-verified against a window cumsum."""
+    from engine.stages.scan import rollover_assign
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    return rollover_assign(
+        ds, key_col="doc_id", size_col="n_chars", budget=8000, bucket_span=64
+    )
+
+
+def q_ip_prefix(sf_dir: str):
+    """ES ip_prefix aggregation (aggs.ip_prefix_agg): /16 network
+    buckets of the deterministic synthetic server IPs (Knuth
+    multiplicative hash of doc_id — same expression in SQL) with per
+    network doc count and distinct-/24 count (the link-farm IP-locality
+    signal).  Per-batch partials + driver merge.  SQL-verified including
+    the ES dotted bucket labels."""
+    from engine.stages.aggs import ip_prefix_agg
+
+    ds = _docs(sf_dir, ["doc_id"])
+    return ip_prefix_agg(ds, prefix_len=16)

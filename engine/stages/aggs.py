@@ -616,3 +616,82 @@ def auto_date_histogram(
             "interval_s": pa.array([interval_s] * len(buckets), pa.int64()),
         }
     )
+
+
+def ip_prefix_agg(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    prefix_len: int = 16,
+) -> pa.Table:
+    """ES ``ip_prefix`` aggregation over the crawl's (synthetic) server
+    IPs: bucket documents by the /``prefix_len`` IPv4 network and report
+    per network the doc count and the number of distinct /24 subnets
+    inside it — the IP-locality signal hosting-level politeness and
+    link-farm detection use (thousands of "domains" collapsing into one
+    /24 is a farm).
+
+    The IP derives deterministically from the id (Knuth multiplicative
+    hash mod 2^32) — reproducible in SQL, no external data.  Shapes:
+    per-batch partials keyed (prefix, subnet24) — bounded at 2^24 keys
+    but in practice blocks x live-subnets — merged on the driver into
+    (prefix, n_docs, n_subnets).  Output prefix rendered dotted
+    ("a.b.0.0/16") exactly as ES renders the bucket key.
+    """
+    span = 32 - prefix_len
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pfx": pa.array([], pa.int64()),
+                "s24": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        ip = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        pfx = (ip >> np.uint64(span)).astype(np.int64)
+        s24 = (ip >> np.uint64(8)).astype(np.int64)
+        key = pfx * (1 << 24) + s24  # composite for one unique() pass
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "pfx": pa.array(uk // (1 << 24), pa.int64()),
+                "s24": pa.array(uk % (1 << 24), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    acc: dict = {}
+    for tab in ray.get(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    ):
+        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
+            continue
+        for p, s, n in zip(
+            tab.column("pfx").to_pylist(),
+            tab.column("s24").to_pylist(),
+            tab.column("n").to_pylist(),
+        ):
+            d = acc.setdefault(p, {})
+            d[s] = d.get(s, 0) + n
+    prefixes = sorted(acc)
+    labels = []
+    for p in prefixes:
+        ip_base = p << span
+        labels.append(
+            f"{(ip_base >> 24) & 255}.{(ip_base >> 16) & 255}."
+            f"{(ip_base >> 8) & 255}.{ip_base & 255}/{prefix_len}"
+        )
+    return pa.table(
+        {
+            "prefix": pa.array(labels, pa.string()),
+            "n_docs": pa.array(
+                [sum(acc[p].values()) for p in prefixes], pa.int64()
+            ),
+            "n_subnets": pa.array([len(acc[p]) for p in prefixes], pa.int64()),
+        }
+    )

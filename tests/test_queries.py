@@ -103,7 +103,7 @@ SQL_NAMES = [
     "prf_expansion", "wand_topk", "pagination_chains",
     "dispersion", "bfs_hops", "phrase_prefix", "boosting",
     "sentences", "fold_accents", "outer_join", "terms_shards",
-    "auto_histogram",
+    "auto_histogram", "rollover", "ip_prefix",
 ]
 
 

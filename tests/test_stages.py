@@ -6182,3 +6182,33 @@ def test_auto_date_histogram_ladder(ray_session):
     })
     got2 = auto_date_histogram(ray.data.from_arrow(wide), target_buckets=20)
     assert got2.column("interval_s").to_pylist()[0] == 2_592_000
+
+
+def test_prefix_sum_segmented_scan(ray_session):
+    """Distributed segmented prefix scan == numpy cumsum in key order,
+    with keys deliberately shuffled across blocks, non-contiguous
+    (gaps), and bucket boundaries crossing block boundaries
+    (bucket_span=4 over interleaved keys)."""
+    import ray.data
+
+    from engine.stages.scan import prefix_sum
+
+    rng = np.random.RandomState(7)
+    keys = np.unique(rng.randint(0, 1000, 300)).astype(np.int64)
+    rng.shuffle(keys)
+    vals = rng.randint(1, 50, len(keys)).astype(np.int64)
+    t = pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    got = (
+        prefix_sum(
+            ray.data.from_arrow(t).repartition(7),
+            key_col="k", value_col="v", out_col="cum", bucket_span=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    order = np.argsort(keys, kind="mergesort")
+    exp = np.cumsum(vals[order])
+    assert got["k"].tolist() == keys[order].tolist()
+    assert got["cum"].tolist() == exp.tolist()
+    assert got["v"].tolist() == vals[order].tolist()
