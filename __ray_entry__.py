@@ -156,9 +156,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auto_histogram": q.q_auto_histogram,
         "rollover": q.q_rollover,
         "ip_prefix": q.q_ip_prefix,
+        "cohort_retention": q.q_cohort_retention,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
         # oracle + clique fixture tests)
         "kcore": q.q_kcore,
+        # rows-only (float ranks; numpy-oracle test, both paths)
+        "trustrank": q.q_trustrank,
         # rows-only (float loadings; eigen-residual unit test)
         "emb_pca": q.q_emb_pca,
         # rows-only (float MMR scores; full-corpus numpy oracle test)
@@ -4122,6 +4125,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        "cohort_retention": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                            CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                                AS day
+                        FROM events),
+            c AS (SELECT user_id, min(day) AS cohort
+                  FROM ud GROUP BY user_id)
+            SELECT c.cohort AS cohort_day,
+                   ud.day - c.cohort AS offset_day,
+                   CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
+            FROM ud JOIN c ON c.user_id = ud.user_id
+            GROUP BY 1, 2
         """,
         # window cumsum vs the distributed segmented prefix scan
         "rollover": """

@@ -4811,3 +4811,47 @@ def q_ip_prefix(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id"])
     return ip_prefix_agg(ds, prefix_len=16)
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (aggs.cohort_retention): users cohorted by
+    first active epoch-day, per (cohort, offset) distinct active users.
+    Join-free: coarse user-bucket groupby resolves per-user first-day
+    vectorized, one final (cohort, offset) Count — no driver-sized
+    assumption on users.  SQL-verified."""
+    from engine.stages.aggs import cohort_retention
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return cohort_retention(ds)
+
+
+def q_trustrank(sf_dir: str):
+    """TrustRank (graph.trustrank): personalized PageRank with teleport
+    over the trusted seed set (doc_id % 97 == 0, shared with bfs_hops) —
+    the VLDB 2004 web-spam demotion signal.  Rows-only (float ranks);
+    both paths pinned to a numpy oracle in
+    tests/test_stages.py::test_trustrank_matches_oracle."""
+    from engine.stages.graph import trustrank
+
+    def _seed_rows(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(d[d % 97 == 0], pa.int64())})
+
+    seeds = _docs(sf_dir, ["doc_id"]).map_batches(
+        _seed_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ranks = trustrank(_derived_edges(sf_dir), seeds, damping=0.85, iters=5)
+
+    def to_ppb(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "rank_ppb": pc.cast(
+                    pc.floor(pc.multiply(t.column("rank"), 1e9)), pa.int64()
+                ),
+            }
+        )
+
+    return ranks.map_batches(to_ppb, batch_format="pyarrow", zero_copy_batch=True)

@@ -695,3 +695,104 @@ def ip_prefix_agg(
             "n_subnets": pa.array([len(acc[p]) for p in prefixes], pa.int64()),
         }
     )
+
+
+def cohort_retention(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by their FIRST active day; for every (cohort_day,
+    offset_day) cell, how many of that cohort were active offset days
+    later.  Output ``(cohort_day, offset_day, n_users)``, days as exact
+    epoch-day int64.
+
+    Join-free two-shuffle shape: per batch, DISTINCT (user, day) pairs
+    (vectorized composite-key unique); ONE groupby on a COARSE uniform
+    user bucket (PERF.md #31 — distinct users are corpus-sized, so the
+    per-user min-day resolves VECTORIZED inside each bucket with a
+    pandas transform, never per-group Python), emitting one
+    (cohort, offset) row per distinct (user, day); ONE final
+    groupby((cohort, offset)) Count.  No join, nothing driver-sized
+    assumed anywhere — cohort matrices stay small but users never do.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc  # noqa: F401
+
+    from engine.stages.common import as_arrow
+    from ray.data.aggregate import Count
+
+    nb = 1 << max(0, n_buckets.bit_length() - 1)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "u": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+                "ub": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column(ts_col).cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").view(np.int64)
+        day = ts // 86_400_000_000
+        key = u * np.int64(1 << 20) + day  # composite (day fits 20 bits
+        # for any epoch-day horizon: 2^20 days ~ 2870 years)
+        uk = np.unique(key)
+        uu, dd = uk // (1 << 20), uk % (1 << 20)
+        return pa.table(
+            {
+                "u": pa.array(uu, pa.int64()),
+                "day": pa.array(dd, pa.int64()),
+                "ub": pa.array(uu & (nb - 1), pa.int64()),
+            }
+        )
+
+    def cohortize(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "cohort_day": np.asarray([], np.int64),
+                    "offset_day": np.asarray([], np.int64),
+                }
+            )
+        # rows inside a bucket may repeat (u, day) across input blocks —
+        # the per-batch unique is only per batch
+        df = df.drop_duplicates(["u", "day"])
+        cohort = df.groupby("u")["day"].transform("min")
+        return pd.DataFrame(
+            {
+                "cohort_day": cohort.to_numpy(np.int64),
+                "offset_day": (df["day"] - cohort).to_numpy(np.int64),
+            }
+        )
+
+    cells = as_arrow(
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ub")
+        .map_groups(
+            lambda df: cohortize(df.drop(columns=["ub"])),
+            batch_format="pandas",
+        )
+    )
+    return (
+        cells.groupby(["cohort_day", "offset_day"])
+        .aggregate(Count(alias_name="n_users"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "cohort_day": t.column("cohort_day"),
+                    "offset_day": t.column("offset_day"),
+                    "n_users": t.column("n_users").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )

@@ -103,7 +103,7 @@ SQL_NAMES = [
     "prf_expansion", "wand_topk", "pagination_chains",
     "dispersion", "bfs_hops", "phrase_prefix", "boosting",
     "sentences", "fold_accents", "outer_join", "terms_shards",
-    "auto_histogram", "rollover", "ip_prefix",
+    "auto_histogram", "rollover", "ip_prefix", "cohort_retention",
 ]
 
 
@@ -167,6 +167,7 @@ ROWS_ONLY = [
     ("cdc_stats", 1),
     ("mmr_rerank", 10),
     ("kcore", 1),
+    ("trustrank", 1),
 ]
 
 

@@ -6212,3 +6212,60 @@ def test_prefix_sum_segmented_scan(ray_session):
     assert got["k"].tolist() == keys[order].tolist()
     assert got["cum"].tolist() == exp.tolist()
     assert got["v"].tolist() == vals[order].tolist()
+
+
+@pytest.mark.parametrize(
+    "gate", [2_000_000, 0], ids=["driver-path", "distributed-path"]
+)
+def test_trustrank_matches_oracle(ray_session, gate):
+    """Both TrustRank paths == numpy oracle (teleport over seeds only,
+    dangling mass redistributed to seeds), on a graph with a dangling
+    node, an isolated seed, and a spam clique far from the seeds whose
+    rank must stay ~0."""
+    import ray.data
+
+    from engine.stages.graph import trustrank
+
+    E = [(0, 1), (1, 2), (2, 0), (2, 3), (4, 5), (5, 4),
+         (6, 7)]  # 4-5 spam pair; 3 dangling; 6->7 chain off-seed
+    seeds = [0, 9]  # 9 isolated
+    t = pa.table({
+        "src": pa.array([a for a, _ in E], pa.int64()),
+        "dst": pa.array([b for _, b in E], pa.int64()),
+    })
+    st = pa.table({"node": pa.array(seeds, pa.int64())})
+    got = (
+        trustrank(
+            ray.data.from_arrow(t).repartition(3),
+            ray.data.from_arrow(st),
+            damping=0.85, iters=12, driver_max_edges=gate,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    nodes = sorted({x for e in E for x in e} | set(seeds))
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    tele = np.zeros(N)
+    for s in seeds:
+        tele[idx[s]] = 1.0 / len(seeds)
+    outdeg = np.zeros(N)
+    for a, _ in E:
+        outdeg[idx[a]] += 1
+    r = tele.copy()
+    d = 0.85
+    for _ in range(12):
+        contrib = np.zeros(N)
+        for a, b in E:
+            contrib[idx[b]] += r[idx[a]] / outdeg[idx[a]]
+        dangling = r[outdeg == 0].sum()
+        r = (1 - d) * tele + d * (contrib + dangling * tele)
+    # distributed path emits rows only for nodes reachable by mass or in
+    # the carrier (all nodes + seeds) — same universe as the oracle
+    assert got["node"].tolist() == nodes
+    assert np.allclose(got["rank"].to_numpy(), r, atol=1e-12)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+    # spam pair 4<->5 and off-seed chain hold ~zero trust
+    for spam in (4, 5, 6, 7):
+        assert got.set_index("node").loc[spam, "rank"] < 1e-9
