@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollover": q.q_rollover,
         "ip_prefix": q.q_ip_prefix,
         "cohort_retention": q.q_cohort_retention,
+        "ivm": q.q_ivm,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
         # oracle + clique fixture tests)
         "kcore": q.q_kcore,
@@ -4125,6 +4126,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        "ivm": """
+            WITH fin AS (
+              SELECT lang, n_chars FROM documents
+              WHERE doc_id % 10 = 0
+                 OR (doc_id % 10 != 0 AND doc_id % 7 != 0)
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_value
+            FROM fin GROUP BY lang ORDER BY lang
         """,
         "cohort_retention": """
             WITH ud AS (SELECT DISTINCT user_id,

@@ -4855,3 +4855,34 @@ def q_trustrank(sf_dir: str):
         )
 
     return ranks.map_batches(to_ppb, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ivm(sf_dir: str):
+    """Incremental view maintenance (diff.ivm_maintain): the per-lang
+    (count, sum_chars) view refreshed from snapshot DELTAS only —
+    agg(base) + agg(inserts) - agg(deletes), never touching the base
+    rows again.  Base = doc_id % 10 != 0, inserts = the rest, deletes =
+    base rows with doc_id % 7 == 0; the oracle recomputes the FINAL
+    state from scratch, pinning the incremental algebra.  SQL-verified."""
+    from engine.stages.diff import ivm_maintain
+
+    def part(keep):
+        def f(t: pa.Table) -> pa.Table:
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(keep(d)))
+
+        return f
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    base = docs.map_batches(
+        part(lambda d: d % 10 != 0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    inserts = docs.map_batches(
+        part(lambda d: d % 10 == 0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    deletes = docs.map_batches(
+        part(lambda d: (d % 10 != 0) & (d % 7 == 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ivm_maintain(base, inserts, deletes, group_col="lang", value_col="n_chars")

@@ -413,3 +413,93 @@ def recrawl_schedule(
         )
 
     return diff.map_batches(plan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ivm_maintain(
+    base: "ray.data.Dataset",
+    inserts: "ray.data.Dataset",
+    deletes: "ray.data.Dataset",
+    *,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+) -> pa.Table:
+    """Incremental materialized-view maintenance for a distributive
+    aggregate (count + sum per group): given the standing view's BASE
+    rows plus an insert and a delete delta, produce the refreshed view by
+    touching ONLY the delta — agg' = agg(base) + agg(inserts) -
+    agg(deletes).  This is the recompute-avoidance contract every
+    snapshot-diff consumer wants (``snapshot_diff`` produces exactly such
+    deltas): at 100 TB the base aggregate is a stored artifact and each
+    refresh costs O(delta), not O(corpus).
+
+    Shapes: three per-batch partial passes (group cardinality is
+    driver-sized here, so partials merge on the driver — CLAUDE.md rule;
+    a corpus-keyed view would use one union+groupby with signed
+    weights instead, same algebra).  Groups whose refreshed count
+    reaches zero drop out of the view (relational semantics).  Output
+    ``(group, n_rows, sum_value)``, int64 exact.
+    """
+    import ray as _ray
+
+    def partial_of(ds, sign: int) -> dict:
+        def partials(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+            if t.num_rows == 0:
+                return empty
+            gt = pa.table(
+                {
+                    group_col: t.column(group_col).cast(pa.string()),
+                    "v": t.column(value_col).cast(pa.int64()),
+                }
+            )
+            agg = gt.group_by([group_col]).aggregate(
+                [("v", "count"), ("v", "sum")]
+            )
+            return pa.table(
+                {
+                    group_col: agg.column(group_col),
+                    "n": pa.compute.cast(agg.column("v_count"), pa.int64()),
+                    "s": pa.compute.cast(agg.column("v_sum"), pa.int64()),
+                }
+            )
+
+        acc: dict = {}
+        out = ds.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for tab in _ray.get(out.to_arrow_refs()):
+            if not isinstance(tab, pa.Table) or tab.num_rows == 0:
+                continue
+            for g, n, s in zip(
+                tab.column(group_col).to_pylist(),
+                tab.column("n").to_pylist(),
+                tab.column("s").to_pylist(),
+            ):
+                a = acc.setdefault(g, [0, 0])
+                a[0] += sign * n
+                a[1] += sign * s
+        return acc
+
+    view = partial_of(base, 1)
+    for g, (n, s) in partial_of(inserts, 1).items():
+        a = view.setdefault(g, [0, 0])
+        a[0] += n
+        a[1] += s
+    for g, (n, s) in partial_of(deletes, -1).items():
+        a = view.setdefault(g, [0, 0])
+        a[0] += n
+        a[1] += s
+    groups = sorted(g for g, (n, _) in view.items() if n > 0)
+    return pa.table(
+        {
+            group_col: pa.array(groups, pa.string()),
+            "n_rows": pa.array([view[g][0] for g in groups], pa.int64()),
+            "sum_value": pa.array([view[g][1] for g in groups], pa.int64()),
+        }
+    )
