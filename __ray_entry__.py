@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ip_prefix": q.q_ip_prefix,
         "cohort_retention": q.q_cohort_retention,
         "ivm": q.q_ivm,
+        "fuzzy_join": q.q_fuzzy_join,
+        "event_bigrams": q.q_event_bigrams,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
         # oracle + clique fixture tests)
         "kcore": q.q_kcore,
@@ -4126,6 +4128,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        "fuzzy_join": """
+            WITH ti AS (SELECT DISTINCT source || '-t' ||
+                            CAST(doc_id % 40 AS VARCHAR) AS title
+                        FROM documents)
+            SELECT a.title AS title_a, b.title AS title_b
+            FROM ti a JOIN ti b ON a.title < b.title
+            WHERE levenshtein(a.title, b.title) = 1
+        """,
+        "event_bigrams": """
+            WITH o AS (SELECT user_id, event_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT prev AS e_from, event_type AS e_to,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE prev IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "ivm": """
             WITH fin AS (

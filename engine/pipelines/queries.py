@@ -4886,3 +4886,51 @@ def q_ivm(sf_dir: str):
         zero_copy_batch=True,
     )
     return ivm_maintain(base, inserts, deletes, group_col="lang", value_col="n_chars")
+
+
+def q_fuzzy_join(sf_dir: str):
+    """Edit-distance-1 self-join (join.fuzzy_join, FastSS deletion
+    neighborhood): every pair of distinct synthetic titles
+    (source-t<doc_id%40>) at Levenshtein distance exactly 1 — linear
+    variant generation + coarse-bucket vectorized candidate merge +
+    exact O(n) verify, vs the oracle's quadratic cross join over
+    DuckDB's levenshtein().  SQL-verified."""
+    from engine.stages.join import fuzzy_join
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def mk_title(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        if d.num_chunks != 1:
+            d = d.combine_chunks()
+        dn = d.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "title": pc.binary_join_element_wise(
+                    t.column("source").cast(pa.string()),
+                    pa.array(["-t"] * t.num_rows, pa.string()),
+                    pc.cast(pa.array(dn % 40, pa.int64()), pa.string()),
+                    "",
+                )
+            }
+        )
+
+    return fuzzy_join(
+        ds.map_batches(mk_title, batch_format="pyarrow", zero_copy_batch=True),
+        text_col="title",
+    )
+
+
+def q_event_bigrams(sf_dir: str):
+    """Event-transition mining (aggs.event_bigrams): consecutive
+    event-type pairs per user stream (ts, event_id order) counted into
+    the Markov transition matrix — one coarse user-bucket groupby with
+    vectorized in-bucket shift, one final pair groupby.  SQL-verified
+    against a lag() window oracle."""
+    from engine.stages.aggs import event_bigrams
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return event_bigrams(ds)

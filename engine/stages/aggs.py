@@ -796,3 +796,97 @@ def cohort_retention(
             zero_copy_batch=True,
         )
     )
+
+
+def event_bigrams(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Sequential pattern mining, order 2: counts of CONSECUTIVE event
+    transitions per user stream — the Markov transition matrix behind
+    next-action prediction and funnel discovery (which pairs actually
+    happen, vs ``funnel``'s fixed hypothesis).  Output ``(e_from, e_to,
+    n)``; within-user order is (ts, order_col) with the id tiebreak so
+    simultaneous events are deterministic.
+
+    Shapes: ONE coarse user-bucket groupby co-locates each user's events
+    (PERF.md #31 — users are corpus-sized, buckets uniform); inside the
+    bucket one vectorized pandas sort + shift builds adjacent pairs with
+    a same-user mask (no per-user Python); per-bucket partial counts
+    feed ONE final (e_from, e_to) groupby Sum.
+    """
+    import pandas as pd
+
+    from engine.stages.common import as_arrow
+    from ray.data.aggregate import Sum
+
+    nb = 1 << max(0, n_buckets.bit_length() - 1)
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column(ts_col).cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").view(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "tsu": pa.array(ts, pa.int64()),
+                "oid": t.column(order_col).cast(pa.int64()),
+                "et": t.column(type_col).cast(pa.string()),
+                "ub": pa.array(u & np.int64(nb - 1), pa.int64()),
+            }
+        )
+
+    def bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame(
+                {
+                    "e_from": pd.Series([], dtype="string"),
+                    "e_to": pd.Series([], dtype="string"),
+                    "n": np.asarray([], np.int64),
+                }
+            )
+        df = df.sort_values(["u", "tsu", "oid"], kind="mergesort")
+        same = df["u"].to_numpy()[1:] == df["u"].to_numpy()[:-1]
+        ef = df["et"].to_numpy()[:-1][same]
+        et = df["et"].to_numpy()[1:][same]
+        out = (
+            pd.DataFrame({"e_from": ef, "e_to": et})
+            .groupby(["e_from", "e_to"], as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "e_from": out["e_from"].astype("string"),
+                "e_to": out["e_to"].astype("string"),
+                "n": out["size"].to_numpy(np.int64),
+            }
+        )
+
+    partial = as_arrow(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ub")
+        .map_groups(
+            lambda df: bigrams(df.drop(columns=["ub"])), batch_format="pandas"
+        )
+    )
+    return (
+        partial.groupby(["e_from", "e_to"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "e_from": t.column("e_from"),
+                    "e_to": t.column("e_to"),
+                    "n": t.column("n").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )

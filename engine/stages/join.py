@@ -340,3 +340,134 @@ def outer_groupjoin(
             zero_copy_batch=True,
         )
     )
+
+
+def _edit_distance_leq1(a: str, b: str) -> bool:
+    """Exact Levenshtein <= 1 in O(n): length gate, then one scan
+    (substitution for equal lengths, single skip for off-by-one)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # lb == la + 1: b must equal a with one char inserted
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def fuzzy_join(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "title",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Edit-distance-1 string similarity SELF-join (FastSS: Bocek,
+    Hunt & Stiller 2007): all pairs of DISTINCT strings with Levenshtein
+    distance exactly 1 — the near-identical-title / query-typo clustering
+    join (fuzzy_search answers one query; this finds every pair).
+
+    Candidate generation is the deletion neighborhood: two strings with
+    ED <= 1 necessarily share a member of {s} ∪ {s minus one char}
+    (substitution: delete the differing position from both; indel: the
+    shorter string IS a deletion variant of the longer).  Complete, no
+    misses; candidates then verify with the exact O(n) <= 1 check.
+
+    Shapes: distinct strings via ONE groupby; per batch each string
+    emits its <= len+1 variants keyed by a 63-bit FNV bucket; ONE
+    coarse-bucket groupby resolves candidate pairs VECTORIZED inside the
+    bucket (pandas merge on the variant hash, not per-variant Python
+    groups — PERF.md #31); pair dedup is a final groupby.  Variant
+    volume is O(total string chars) — linear, never the quadratic cross
+    join the oracle runs at test scale."""
+    import pandas as pd
+    import pyarrow.compute as pc  # noqa: F401
+
+    from engine.stages.common import as_arrow
+    from engine.stages.text import fnv1a_batch
+    from ray.data.aggregate import Count
+
+    nb = 1 << max(0, n_buckets.bit_length() - 1)
+    MASK = np.uint64((1 << 63) - 1)
+
+    distinct = (
+        ds.map_batches(
+            lambda t: pa.table({"s": t.column(text_col).cast(pa.string())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("s")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: t.select(["s"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    def variants(t: pa.Table) -> pa.Table:
+        strs, keys = [], []
+        for s in t.column("s").to_pylist():
+            vs = {s}
+            for i in range(len(s)):
+                vs.add(s[:i] + s[i + 1 :])
+            for v in vs:
+                strs.append(s)
+                keys.append(v.encode("utf-8"))
+        if not strs:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.string()),
+                    "vh": pa.array([], pa.int64()),
+                    "vb": pa.array([], pa.int64()),
+                }
+            )
+        vh = (fnv1a_batch(keys) & MASK).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array(strs, pa.string()),
+                "vh": pa.array(vh, pa.int64()),
+                "vb": pa.array(vh & np.int64(nb - 1), pa.int64()),
+            }
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"title_a": pd.Series([], dtype="string"),
+                                 "title_b": pd.Series([], dtype="string")})
+        m = df.merge(df, on="vh")
+        m = m[m["s_x"] < m["s_y"]].drop_duplicates(["s_x", "s_y"])
+        keep = [
+            _edit_distance_leq1(a, b) and a != b
+            for a, b in zip(m["s_x"], m["s_y"])
+        ]
+        m = m[np.asarray(keep, bool)] if len(m) else m
+        return pd.DataFrame(
+            {
+                "title_a": m["s_x"].astype("string"),
+                "title_b": m["s_y"].astype("string"),
+            }
+        )
+
+    cand = as_arrow(
+        distinct.map_batches(
+            variants, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("vb")
+        .map_groups(
+            lambda df: pairs(df.drop(columns=["vb"])), batch_format="pandas"
+        )
+    )
+    # a pair can surface from several shared variants across buckets
+    return (
+        cand.groupby(["title_a", "title_b"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: t.select(["title_a", "title_b"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )

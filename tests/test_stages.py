@@ -6269,3 +6269,51 @@ def test_trustrank_matches_oracle(ray_session, gate):
     # spam pair 4<->5 and off-seed chain hold ~zero trust
     for spam in (4, 5, 6, 7):
         assert got.set_index("node").loc[spam, "rank"] < 1e-9
+
+
+def test_fuzzy_join_completeness(ray_session):
+    """FastSS deletion-neighborhood join finds EVERY ED==1 pair class
+    (substitution, insertion at each end, middle deletion), excludes
+    ED==2 and equal strings, and the O(n) verifier matches a full DP."""
+    import itertools
+
+    import ray.data
+
+    from engine.stages.join import _edit_distance_leq1, fuzzy_join
+
+    strs = ["cat", "cut", "cart", "at", "dog", "dig", "dogs", "scat",
+            "banana", "bananas", "zebra"]
+    t = pa.table({"title": pa.array(strs * 2, pa.string())})  # dups collapse
+    got = (
+        fuzzy_join(ray.data.from_arrow(t).repartition(3), text_col="title")
+        .to_pandas()
+    )
+    got_pairs = {tuple(r) for r in got[["title_a", "title_b"]].itertuples(index=False)}
+
+    def dp(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                cur = min(d[j] + 1, d[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev, d[j] = d[j], cur
+        return d[lb]
+
+    exp = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(set(strs)), 2)
+        if dp(a, b) == 1
+    }
+    assert got_pairs == exp
+    # classes present: substitution, prefix-insert, suffix-insert
+    assert ("cat", "cut") in exp and ("cat", "scat") in exp
+    assert ("dog", "dogs") in exp and ("at", "cat") in exp
+    # verifier == DP on random strings
+    rng = np.random.RandomState(5)
+    pool = ["".join(rng.choice(list("abc"), rng.randint(0, 5)))
+            for _ in range(40)]
+    for a in pool:
+        for b in pool:
+            assert _edit_distance_leq1(a, b) == (dp(a, b) <= 1), (a, b)
