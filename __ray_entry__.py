@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q.q_cohort_retention,
         "ivm": q.q_ivm,
         "fuzzy_join": q.q_fuzzy_join,
+        "fair_share": q.q_fair_share,
         "event_bigrams": q.q_event_bigrams,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
         # oracle + clique fixture tests)
@@ -4128,6 +4129,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        "fair_share": """
+            WITH d AS (SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS host,
+                              CAST(count(*) AS BIGINT) AS dem
+                       FROM documents GROUP BY 1),
+            -- water level via per-segment candidates: every candidate
+            -- least(v, (B - below)//above) is feasible and the optimum
+            -- is its own segment's candidate, so max() solves it
+            dd AS (SELECT dem AS v, CAST(count(*) AS BIGINT) AS c
+                   FROM d GROUP BY dem),
+            w AS (SELECT v, c,
+                     CAST(coalesce(sum(v * c) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS below,
+                     CAST((SELECT count(*) FROM d)
+                        - coalesce(sum(c) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS above
+                  FROM dd),
+            lv AS (SELECT CASE WHEN (SELECT sum(dem) FROM d) <= 300
+                        THEN (SELECT max(dem) FROM d)
+                        ELSE (SELECT max(least(v, (300 - below) // above))
+                              FROM w) END AS level),
+            lo AS (SELECT level,
+                          CASE WHEN (SELECT sum(dem) FROM d) <= 300
+                               THEN 0
+                               ELSE 300 - (SELECT sum(least(dem, level))
+                                           FROM d) END AS leftover
+                   FROM lv),
+            rk AS (SELECT host, dem, level, leftover,
+                          CASE WHEN dem > level THEN
+                              row_number() OVER (PARTITION BY dem > level
+                                                 ORDER BY host)
+                          ELSE NULL END AS rn
+                   FROM d, lo)
+            SELECT host, dem AS demand,
+                   CAST(least(dem, level)
+                        + CASE WHEN dem > level AND rn <= leftover
+                               THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM rk
         """,
         "fuzzy_join": """
             WITH ti AS (SELECT DISTINCT source || '-t' ||

@@ -4934,3 +4934,39 @@ def q_event_bigrams(sf_dir: str):
         columns=["user_id", "ts", "event_type", "event_id"],
     )
     return event_bigrams(ds)
+
+
+def q_fair_share(sf_dir: str):
+    """Max-min fair crawl-budget allocation (aggs.fair_share): a global
+    300-URL wave budget water-filled across hosts (host = h<doc_id%37>,
+    demand = pending URLs per host) — every host gets min(demand, level),
+    leftover units to the lexicographically first capped hosts
+    (deterministic).  Level solved exactly on the demand-value histogram;
+    the bonus set resolves via partial top-k, never a full collect.
+    SQL-verified against a candidate-level scan oracle."""
+    from engine.stages.aggs import fair_share
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        if d.num_chunks != 1:
+            d = d.combine_chunks()
+        dn = d.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "host": pc.binary_join_element_wise(
+                    pa.array(["h"] * t.num_rows, pa.string()),
+                    pc.cast(pa.array(dn % 37, pa.int64()), pa.string()),
+                    "",
+                ),
+                "demand": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    return fair_share(
+        ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="host",
+        demand_col="demand",
+        budget=300,
+    )

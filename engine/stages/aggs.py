@@ -890,3 +890,163 @@ def event_bigrams(
             zero_copy_batch=True,
         )
     )
+
+
+def fair_share(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "host",
+    demand_col: str = "demand",
+    budget: int = 1000,
+) -> ray.data.Dataset:
+    """Max-min fair (water-filling) allocation of a global crawl budget
+    across competing hosts: every host gets min(demand, level) where the
+    water level is the largest integer making the total fit the budget —
+    the standard fair scheduler (progressive filling), here for per-wave
+    fetch quotas so mega-hosts cannot starve the long tail (the
+    politeness groupby bounds per-host RATE; this bounds per-host
+    SHARE).
+
+    Exact integer algorithm, fully distributed: per-batch partials
+    reduce demands per host (ONE groupby Sum); the driver solves the
+    level on the demand HISTOGRAM (distinct demand values — bounded,
+    like dispersion_stats' value-domain trade), never on per-host rows:
+    level = max L with sum(min(d_i, L)) <= budget, found by scanning the
+    sorted unique demands with cumulative sums, then the leftover
+    ``budget - sum(min(d_i, L))`` goes one unit each to the
+    lexicographically first hosts capped at L (deterministic where
+    max-min fairness is tie-agnostic).  Allocation attaches in one final
+    vectorized map_batches against the broadcast (level, leftover
+    boundary) — per-host rows never reach the driver.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    demands = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    key_col: t.column(key_col).cast(pa.string()),
+                    "d": t.column(demand_col).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(key_col)
+        .aggregate(Sum("d", alias_name="d"))
+        .map_batches(
+            lambda t: pa.table(
+                {key_col: t.column(key_col), "d": t.column("d").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+
+    # demand-value histogram partials -> driver level solve
+    hist: dict = {}
+    for tab in ray.get(
+        demands.map_batches(
+            lambda t: (
+                lambda v: (
+                    lambda ub, cn: pa.table(
+                        {
+                            "v": pa.array(ub, pa.int64()),
+                            "c": pa.array(cn.astype(np.int64), pa.int64()),
+                        }
+                    )
+                )(*np.unique(v, return_counts=True))
+            )(t.column("d").to_numpy(zero_copy_only=False).astype(np.int64)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_arrow_refs()
+    ):
+        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
+            continue
+        for v, c in zip(tab.column("v").to_pylist(), tab.column("c").to_pylist()):
+            hist[v] = hist.get(v, 0) + c
+    if not hist:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "demand": pa.array([], pa.int64()),
+                    "alloc": pa.array([], pa.int64()),
+                }
+            )
+        )
+    vals = np.array(sorted(hist), np.int64)
+    cnts = np.array([hist[int(v)] for v in vals], np.int64)
+    n = int(cnts.sum())
+    total = int((vals * cnts).sum())
+    if total <= budget:
+        level = int(vals[-1])
+        leftover = 0
+    else:
+        # sum(min(d, L)) = sum_{v <= L} v*c + L * count(v > L)
+        cum_v = np.cumsum(vals * cnts)
+        cum_c = np.cumsum(cnts)
+        level, used = 0, 0
+        for i in range(len(vals)):
+            below = int(cum_v[i - 1]) if i else 0
+            above = n - (int(cum_c[i - 1]) if i else 0)
+            # largest L in (vals[i-1], vals[i]] keeping below + L*above
+            # within budget
+            cap = (budget - below) // max(1, above)
+            lv = min(int(vals[i]), cap)
+            if lv > level:
+                level, used = lv, below + lv * above
+            if cap < int(vals[i]):
+                break
+        leftover = budget - used
+    level_ref = ray.put((level, leftover))
+
+    # leftover units go to the lexicographically first capped hosts —
+    # a per-block partial top-k (never a full collect: capped hosts can
+    # be corpus-sized; the bonus set is leftover-sized by definition)
+    bonus: set = set()
+    if leftover > 0:
+        from engine.stages.topk import global_topk
+
+        capped = demands.map_batches(
+            lambda t, _l=level: pa.table(
+                {key_col: t.column(key_col).filter(pc.greater(t.column("d"), _l))}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        top = global_topk(
+            capped,
+            order_cols=[key_col],
+            descending=[False],
+            k=leftover,
+            rank_col="_r",
+        ).materialize()
+        bonus = set(
+            k
+            for tab in ray.get(top.to_arrow_refs())
+            if isinstance(tab, pa.Table) and tab.num_rows > 0
+            for k in tab.column(key_col).to_pylist()
+        )
+    bonus_ref = ray.put(bonus)
+
+    def alloc(t: pa.Table) -> pa.Table:
+        lv, _ = ray.get(level_ref)
+        bs = ray.get(bonus_ref)
+        d = t.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = t.column(key_col).to_pylist()
+        a = np.minimum(d, lv)
+        extra = np.fromiter((k in bs for k in keys), bool, count=len(keys))
+        a = a + extra.astype(np.int64)
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "demand": pa.array(d, pa.int64()),
+                "alloc": pa.array(a, pa.int64()),
+            }
+        )
+
+    return demands.map_batches(alloc, batch_format="pyarrow", zero_copy_batch=True)

@@ -6317,3 +6317,48 @@ def test_fuzzy_join_completeness(ray_session):
     for a in pool:
         for b in pool:
             assert _edit_distance_leq1(a, b) == (dp(a, b) <= 1), (a, b)
+
+
+def test_fair_share_waterfilling(ray_session):
+    """Max-min fair allocation vs a brute-force level scan: scarce
+    budget (level solve + leftover bonuses to first capped hosts),
+    abundant budget (everyone gets full demand, no bonus), and
+    budget < n_hosts (level 0, pure bonuses)."""
+    import ray.data
+
+    from engine.stages.aggs import fair_share
+
+    demands = {"a": 10, "b": 3, "c": 7, "d": 10, "e": 1}
+
+    def brute(budget):
+        maxd = max(demands.values())
+        level = max(
+            L for L in range(0, maxd + 1)
+            if sum(min(d, L) for d in demands.values()) <= budget
+        ) if sum(demands.values()) > budget else maxd
+        used = sum(min(d, level) for d in demands.values())
+        leftover = budget - used if sum(demands.values()) > budget else 0
+        capped = sorted(k for k, d in demands.items() if d > level)
+        bonus = set(capped[:leftover])
+        return {
+            k: min(d, level) + (1 if k in bonus else 0)
+            for k, d in demands.items()
+        }
+
+    t = pa.table({
+        "host": pa.array(list(demands), pa.string()),
+        "demand": pa.array(list(demands.values()), pa.int64()),
+    })
+    for budget in (20, 100, 3):
+        got = (
+            fair_share(
+                ray.data.from_arrow(t).repartition(2),
+                key_col="host", demand_col="demand", budget=budget,
+            )
+            .to_pandas()
+            .set_index("host")["alloc"]
+            .to_dict()
+        )
+        exp = brute(budget)
+        assert got == exp, (budget, got, exp)
+        assert sum(got.values()) == min(budget, sum(demands.values()))
