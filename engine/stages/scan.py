@@ -30,6 +30,21 @@ import pyarrow as pa
 import ray
 import ray.data
 
+# offsets deserialize once per worker process, not once per group (the
+# dedup._PLANES_CACHE device): map_groups calls the fn per group, and a
+# fine bucket_span means many groups per task
+_OFFSETS_CACHE: dict = {}
+
+
+def _cached_offsets(ref) -> dict:
+    key = ref.hex()
+    offs = _OFFSETS_CACHE.get(key)
+    if offs is None:
+        _OFFSETS_CACHE.clear()  # one live scan per worker is the norm
+        offs = ray.get(ref)
+        _OFFSETS_CACHE[key] = offs
+    return offs
+
 
 def prefix_sum(
     ds: ray.data.Dataset,
@@ -81,7 +96,7 @@ def prefix_sum(
                     out_col: np.asarray([], np.int64),
                 }
             )
-        offs = ray.get(off_ref)
+        offs = _cached_offsets(off_ref)
         df = df.sort_values(key_col, kind="mergesort")
         k = df[key_col].to_numpy(np.int64)
         v = df[value_col].to_numpy(np.int64)
