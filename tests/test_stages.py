@@ -6362,3 +6362,104 @@ def test_fair_share_waterfilling(ray_session):
         exp = brute(budget)
         assert got == exp, (budget, got, exp)
         assert sum(got.values()) == min(budget, sum(demands.values()))
+
+
+def test_round5_session7_ops_empty_corpus(ray_session):
+    """Zero-row hardening for the seventh-session operator batch: every
+    new operator returns its TYPED empty (or correctly-empty) output on
+    an empty input (zero-row blocks bypass map_batches; empty
+    materialized datasets lose schemas — CLAUDE.md)."""
+    import ray.data
+
+    from engine.stages.aggs import (
+        auto_date_histogram,
+        cohort_retention,
+        dispersion_stats,
+        event_bigrams,
+        fair_share,
+        ip_prefix_agg,
+        terms_error_bounds,
+    )
+    from engine.stages.diff import ivm_maintain
+    from engine.stages.graph import bfs_hops, kcore, trustrank
+    from engine.stages.join import fuzzy_join, outer_groupjoin
+    from engine.stages.scan import prefix_sum, rollover_assign
+    from engine.stages.search import boosting_search
+    from engine.stages.text import fold_accents, sentence_stats
+
+    empty_docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+                "title": pa.array([], pa.string()),
+                "host": pa.array([], pa.string()),
+                "demand": pa.array([], pa.int64()),
+            }
+        )
+    )
+    empty_events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "event_type": pa.array([], pa.string()),
+                "event_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    )
+    empty_edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+            }
+        )
+    )
+    empty_seeds = ray.data.from_arrow(
+        pa.table({"node": pa.array([], pa.int64())})
+    )
+    one_seed = ray.data.from_arrow(
+        pa.table({"node": pa.array([5], pa.int64())})
+    )
+
+    def rows(x):
+        import pyarrow as _pa
+
+        if isinstance(x, _pa.Table):
+            return x.num_rows
+        return x.count()
+
+    assert rows(dispersion_stats(empty_docs, group_col="lang",
+                                 value_col="n_chars")) == 0
+    assert rows(terms_error_bounds(empty_docs)) == 0
+    assert rows(auto_date_histogram(empty_events)) == 0
+    assert rows(cohort_retention(empty_events)) == 0
+    assert rows(event_bigrams(empty_events)) == 0
+    assert rows(ip_prefix_agg(empty_docs)) == 0
+    assert rows(fair_share(empty_docs, key_col="host",
+                           demand_col="demand", budget=10)) == 0
+    assert rows(ivm_maintain(empty_docs, empty_docs, empty_docs,
+                             group_col="lang", value_col="n_chars")) == 0
+    for gate in (2_000_000, 0):
+        assert rows(kcore(empty_edges, driver_max_edges=gate)) == 0
+        # seeds survive with hop 0 even on an empty graph
+        bh = bfs_hops(empty_edges, one_seed, driver_max_edges=gate).to_pandas()
+        assert bh["node"].tolist() == [5] and bh["hop"].tolist() == [0]
+        assert rows(bfs_hops(empty_edges, empty_seeds,
+                             driver_max_edges=gate)) == 0
+    assert rows(trustrank(empty_edges, empty_seeds)) == 0
+    tr = trustrank(empty_edges, one_seed).to_pandas()
+    assert tr["node"].tolist() == [5] and abs(tr["rank"].sum() - 1.0) < 1e-12
+    assert rows(fuzzy_join(empty_docs, text_col="title")) == 0
+    assert rows(outer_groupjoin(empty_docs, empty_docs, key_col="doc_id",
+                                right_value_col="n_chars")) == 0
+    assert rows(prefix_sum(empty_docs, key_col="doc_id",
+                           value_col="n_chars")) == 0
+    assert rows(rollover_assign(empty_docs)) == 0
+    assert rows(boosting_search(empty_docs, ["a"], ["b"])) == 0
+    assert rows(sentence_stats(empty_docs)) == 0
+    assert rows(fold_accents(empty_docs)) == 0
