@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm": q.q_ivm,
         "fuzzy_join": q.q_fuzzy_join,
         "fair_share": q.q_fair_share,
+        "jsonld": q.q_jsonld,
         "event_bigrams": q.q_event_bigrams,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
         # oracle + clique fixture tests)
@@ -4129,6 +4130,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        "jsonld": """
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'Article'
+                        WHEN 1 THEN 'Product' ELSE 'FAQPage' END AS ld_type,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END
+                        AS BIGINT) AS n_keys,
+                   CAST(doc_id % 7 AS BIGINT) AS position
+            FROM documents
+            WHERE doc_id % 11 != 0 AND doc_id % 13 != 0
         """,
         "fair_share": """
             WITH d AS (SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS host,

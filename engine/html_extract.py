@@ -742,3 +742,23 @@ def get_anchors(tree: HTMLTree) -> List[tuple]:
         for a in tree.body.find_all(("a",))
         if a.attrs.get("href", "").strip()
     ]
+
+
+def get_jsonld_blocks(tree: HTMLTree) -> List[str]:
+    """Raw text of every ``<script type="application/ld+json">`` block
+    (head or body; the parser keeps script bodies as #text children via
+    raw-text mode) — the schema.org structured-data payload.  Type
+    attribute matched case-insensitively and trimmed; other script types
+    (javascript, importmap) are never returned.  New: no reference
+    analog (the reference extracts no structured data)."""
+    out: List[str] = []
+    for root in (tree.head, tree.body):
+        if root is None:
+            continue
+        for n in root.find_all(("script",)):
+            if n.attrs.get("type", "").strip().lower() != "application/ld+json":
+                continue
+            txt = n.text_content().strip()
+            if txt:
+                out.append(txt)
+    return out

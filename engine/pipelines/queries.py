@@ -4970,3 +4970,54 @@ def q_fair_share(sf_dir: str):
         demand_col="demand",
         budget=300,
     )
+
+
+def q_jsonld(sf_dir: str):
+    """schema.org JSON-LD extraction (htmlmeta.jsonld_types over
+    html_extract.get_jsonld_blocks): per doc, the @type / key count /
+    position value of every VALID application/ld+json block, parsed
+    through the real HTML parser (raw-text script mode) and json.loads.
+    The fixture plants malformed JSON (doc_id % 11 == 0) and a
+    wrong-type script (doc_id % 13 == 0) that MUST be dropped, plus a
+    text/javascript decoy on every page.  SQL-verified (the oracle
+    reconstructs the synthesis directly)."""
+    from engine.stages.htmlmeta import jsonld_types
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def mk_html(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        if d.num_chunks != 1:
+            d = d.combine_chunks()
+        dn = d.to_numpy(zero_copy_only=False)
+        types = np.where(
+            dn % 3 == 0, "Article", np.where(dn % 3 == 1, "Product", "FAQPage")
+        )
+        htmls = []
+        for did, ty, txt in zip(
+            dn.tolist(), types.tolist(), t.column("text").to_pylist()
+        ):
+            if did % 11 == 0:
+                block = '{"@type":'  # malformed: must be dropped
+            elif did % 2 == 0:
+                block = (
+                    '{"@type":"%s","position":%d,"name":"x"}' % (ty, did % 7)
+                )
+            else:
+                block = '{"@type":"%s","position":%d}' % (ty, did % 7)
+            ld_attr = (
+                "text/javascript" if did % 13 == 0 else "application/ld+json"
+            )
+            htmls.append(
+                "<html><head><title>t</title>"
+                '<script type="%s">%s</script>' % (ld_attr, block)
+                + '<script type="text/javascript">var a=1;</script>'
+                + "</head><body><p>%s</p></body></html>" % (txt or "")
+            )
+        return pa.table(
+            {"doc_id": d, "html": pa.array(htmls, pa.string())}
+        )
+
+    return jsonld_types(
+        ds.map_batches(mk_html, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -6463,3 +6463,41 @@ def test_round5_session7_ops_empty_corpus(ray_session):
     assert rows(boosting_search(empty_docs, ["a"], ["b"])) == 0
     assert rows(sentence_stats(empty_docs)) == 0
     assert rows(fold_accents(empty_docs)) == 0
+
+
+def test_jsonld_blocks_edges(ray_session):
+    """JSON-LD extraction edges: block in BODY, type attr case/space
+    tolerant, @type list takes the first element, non-dict JSON and
+    array-wrapped payloads dropped, javascript decoys never returned."""
+    import ray.data
+
+    from engine.html_extract import HTMLTree, get_jsonld_blocks
+    from engine.stages.htmlmeta import jsonld_types
+
+    html = (
+        "<html><head>"
+        '<script type=" Application/LD+JSON ">{"@type":["Movie","x"],'
+        '"position":4}</script>'
+        '<script type="text/javascript">{"@type":"Fake"}</script>'
+        "</head><body>"
+        '<script type="application/ld+json">[1,2,3]</script>'
+        '<script type="application/ld+json">{"@type":"Book","position":1,'
+        '"isbn":"0"}</script>'
+        "</body></html>"
+    )
+    blocks = get_jsonld_blocks(HTMLTree.parse(html))
+    assert len(blocks) == 3  # decoy excluded; array block still a BLOCK
+    t = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "html": pa.array([html], pa.string()),
+    })
+    got = (
+        jsonld_types(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("ld_type")
+        .reset_index(drop=True)
+    )
+    # array payload dropped (not a dict); Movie list-@type takes first
+    assert got["ld_type"].tolist() == ["Book", "Movie"]
+    assert got["n_keys"].tolist() == [3, 2]
+    assert got["position"].tolist() == [1, 4]
