@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join": q.q_fuzzy_join,
         "fair_share": q.q_fair_share,
         "jsonld": q.q_jsonld,
+        "img_srcset": q.q_img_srcset,
+        "feed_urls": q.q_feed_urls,
         "event_bigrams": q.q_event_bigrams,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
         # oracle + clique fixture tests)
@@ -4130,6 +4132,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        "feed_urls": """
+            WITH b AS (SELECT doc_id,
+                'https://blog.example.com/' || CAST(doc_id AS VARCHAR)
+                    AS u,
+                printf('%02d', doc_id % 28 + 1) AS dd
+              FROM documents),
+            rows_ AS (
+              SELECT doc_id AS feed_id, u || '/a1' AS url,
+                     '2024-01-' || dd AS published, 1 AS is_atom
+              FROM b WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, u || '/a2', '', 1 FROM b WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id, u || '/r1', 'Mon, ' || dd || ' Jan 2024', 0
+              FROM b WHERE doc_id % 3 != 0
+              UNION ALL
+              SELECT doc_id, u || '/r2', '', 0 FROM b WHERE doc_id % 3 != 0
+            )
+            SELECT feed_id, url, published, CAST(is_atom AS BIGINT) AS is_atom
+            FROM rows_
+        """,
+        "img_srcset": """
+            WITH b AS (SELECT doc_id,
+                'https://img.example.com/' || CAST(doc_id AS VARCHAR)
+                    AS base
+              FROM documents),
+            rows_ AS (
+              SELECT doc_id, base || '.jpg' AS img_url,
+                     CASE WHEN doc_id % 4 = 0 THEN 640 ELSE -1 END
+                         AS width
+              FROM b
+              UNION ALL
+              SELECT doc_id, base || '-small.jpg', 320 FROM b
+              UNION ALL
+              SELECT doc_id, base || '-big.jpg', 1280 FROM b
+              UNION ALL
+              SELECT doc_id, base || '-hd.jpg', -1 FROM b
+            )
+            SELECT doc_id, img_url, CAST(width AS BIGINT) AS width
+            FROM rows_
         """,
         "jsonld": """
             SELECT doc_id,

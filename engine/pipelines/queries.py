@@ -5021,3 +5021,81 @@ def q_jsonld(sf_dir: str):
     return jsonld_types(
         ds.map_batches(mk_html, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def q_img_srcset(sf_dir: str):
+    """Multimodal media-URL discovery (htmlmeta.image_srcset): <img> src
+    + full srcset variant parsing (url [Nw] descriptors) through the
+    real HTML parser — the fetch-list producer for the decode/resize
+    actor stages.  The fixture plants per doc: a bare src, a 2-variant
+    srcset with widths, an x-density variant (width -1), and repeats the
+    src inside srcset WITH a width on doc_id % 4 == 0 (the
+    keep-the-descriptor dedup case).  SQL-verified."""
+    from engine.stages.htmlmeta import image_srcset
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def mk_html(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        if d.num_chunks != 1:
+            d = d.combine_chunks()
+        htmls = []
+        for did in d.to_numpy(zero_copy_only=False).tolist():
+            base = "https://img.example.com/%d" % did
+            srcset = "%s-small.jpg 320w, %s-big.jpg 1280w, %s-hd.jpg 2x" % (
+                base, base, base,
+            )
+            if did % 4 == 0:
+                srcset += ", %s.jpg 640w" % base  # src repeated, with width
+            htmls.append(
+                '<html><body><p>x</p><img src="%s.jpg" srcset="%s">'
+                "</body></html>" % (base, srcset)
+            )
+        return pa.table({"doc_id": d, "html": pa.array(htmls, pa.string())})
+
+    return image_srcset(
+        ds.map_batches(mk_html, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_feed_urls(sf_dir: str):
+    """Feed-based URL discovery (sitemaps.parse_feed / feed_urls): RSS
+    items (<link>text</link> + pubDate) and Atom entries (<link href>
+    + updated) flattened to seed rows.  Every third doc is an Atom feed;
+    each feed carries one linkless item that MUST drop and one item
+    without a date (empty published).  SQL-verified including the raw
+    date strings."""
+    from engine.stages.sitemaps import feed_urls
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def mk_xml(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        if d.num_chunks != 1:
+            d = d.combine_chunks()
+        xmls = []
+        for did in d.to_numpy(zero_copy_only=False).tolist():
+            u = "https://blog.example.com/%d" % did
+            if did % 3 == 0:
+                xmls.append(
+                    '<feed xmlns="http://www.w3.org/2005/Atom">'
+                    '<entry><link href="%s/a1"/>'
+                    "<updated>2024-01-%02d</updated></entry>"
+                    "<entry><title>no link</title></entry>"
+                    '<entry><link href="%s/a2"/></entry>'
+                    "</feed>" % (u, did % 28 + 1, u)
+                )
+            else:
+                xmls.append(
+                    "<rss><channel>"
+                    "<item><link>%s/r1</link>"
+                    "<pubDate>Mon, %02d Jan 2024</pubDate></item>"
+                    "<item><title>no link</title></item>"
+                    "<item><link>%s/r2</link></item>"
+                    "</channel></rss>" % (u, did % 28 + 1, u)
+                )
+        return pa.table({"doc_id": d, "xml": pa.array(xmls, pa.string())})
+
+    return feed_urls(
+        ds.map_batches(mk_xml, batch_format="pyarrow", zero_copy_batch=True)
+    )

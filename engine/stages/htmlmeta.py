@@ -416,3 +416,76 @@ def jsonld_types(
         )
 
     return ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def image_srcset(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> "ray.data.Dataset":
+    """Media-URL discovery for the multimodal crawl: per document, every
+    image candidate from ``<img>`` ``src`` plus all ``srcset`` variants
+    (HTML spec srcset syntax: comma-separated ``url [wN|xN]``
+    descriptors), emitting ``(id, img_url, width)`` — width from the
+    ``NNNw`` descriptor, -1 when absent (x-density and bare candidates).
+    This is the discovery stage feeding ``multimodal``'s decode/resize
+    actors; crawlers fetch the largest-width variant per image.
+
+    Real parser (find_all img), one stateless map_batches, no shuffle.
+    Duplicate candidates per page dedup (src repeated in srcset is one
+    row, keeping the descriptor's width when both appear)."""
+    import pyarrow as pa
+
+    from engine.html_extract import HTMLTree
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "img_url": pa.array([], pa.string()),
+            "width": pa.array([], pa.int64()),
+        }
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        ids, urls, widths = [], [], []
+        for d, html in zip(
+            t.column(id_col).to_pylist(), t.column(html_col).to_pylist()
+        ):
+            tree = HTMLTree.parse(html or "")
+            if tree.body is None:
+                continue
+            cand: dict = {}
+            for img in tree.body.find_all(("img",)):
+                src = img.attrs.get("src", "").strip()
+                if src and src not in cand:
+                    cand[src] = -1
+                for part in img.attrs.get("srcset", "").split(","):
+                    part = part.strip()
+                    if not part:
+                        continue
+                    bits = part.split()
+                    url = bits[0]
+                    w = -1
+                    if len(bits) > 1 and bits[1].endswith("w"):
+                        try:
+                            w = int(bits[1][:-1])
+                        except ValueError:
+                            w = -1
+                    if url not in cand or w > cand[url]:
+                        cand[url] = w
+            for url in sorted(cand):
+                ids.append(d)
+                urls.append(url)
+                widths.append(cand[url])
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "img_url": pa.array(urls, pa.string()),
+                "width": pa.array(widths, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)

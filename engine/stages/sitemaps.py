@@ -231,3 +231,93 @@ def stale_pages(
     return sm.union(cap).groupby("bucket").map_groups(
         resolve, batch_format="pandas"
     )
+
+
+_RSS_ITEM = re.compile(r"<item\b[^>]*>(.*?)</item>", re.S | re.I)
+_ATOM_ENTRY = re.compile(r"<entry\b[^>]*>(.*?)</entry>", re.S | re.I)
+_RSS_LINK = re.compile(r"<link[^>]*>\s*([^<\s][^<]*?)\s*</link>", re.S | re.I)
+_ATOM_LINK = re.compile(r'<link\b[^>]*\bhref="([^"]+)"', re.I)
+_PUBDATE = re.compile(
+    r"<(?:pubDate|updated|published)[^>]*>\s*([^<]+?)\s*</", re.S | re.I
+)
+
+
+def parse_feed(xml: str) -> List[dict]:
+    """RSS 2.0 / Atom feed -> seed rows {url, published, is_atom} — the
+    feed-based URL discovery channel next to sitemaps (blogs/news expose
+    feeds long before sitemaps).  RSS items carry ``<link>text</link>``;
+    Atom entries carry ``<link href="..."/>`` — both regex-extracted the
+    sitemap way (the feeds in the wild are too broken for strict XML).
+    ``published`` is the raw date string of the first
+    pubDate/updated/published element (normalization is the caller's
+    ``clip_warc_date`` problem); entries without a link are dropped."""
+    out: List[dict] = []
+    for block in _RSS_ITEM.findall(xml or ""):
+        m = _RSS_LINK.search(block)
+        if not m:
+            continue
+        d = _PUBDATE.search(block)
+        out.append(
+            {
+                "url": m.group(1).strip(),
+                "published": d.group(1).strip() if d else "",
+                "is_atom": 0,
+            }
+        )
+    for block in _ATOM_ENTRY.findall(xml or ""):
+        m = _ATOM_LINK.search(block)
+        if not m:
+            continue
+        d = _PUBDATE.search(block)
+        out.append(
+            {
+                "url": m.group(1).strip(),
+                "published": d.group(1).strip() if d else "",
+                "is_atom": 1,
+            }
+        )
+    return out
+
+
+def feed_urls(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    xml_col: str = "xml",
+) -> "ray.data.Dataset":
+    """Flatten feed documents into ``(feed_id, url, published, is_atom)``
+    seed rows via ``parse_feed`` — one stateless map_batches, no
+    shuffle; plugs into the crawl's seed ingestion like sitemap_urls."""
+    import pyarrow as pa
+
+    empty = pa.table(
+        {
+            "feed_id": pa.array([], pa.int64()),
+            "url": pa.array([], pa.string()),
+            "published": pa.array([], pa.string()),
+            "is_atom": pa.array([], pa.int64()),
+        }
+    )
+
+    def flat(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        fid, url, pub, atom = [], [], [], []
+        for d, xml in zip(
+            t.column(id_col).to_pylist(), t.column(xml_col).to_pylist()
+        ):
+            for row in parse_feed(xml):
+                fid.append(d)
+                url.append(row["url"])
+                pub.append(row["published"])
+                atom.append(row["is_atom"])
+        return pa.table(
+            {
+                "feed_id": pa.array(fid, pa.int64()),
+                "url": pa.array(url, pa.string()),
+                "published": pa.array(pub, pa.string()),
+                "is_atom": pa.array(atom, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flat, batch_format="pyarrow", zero_copy_batch=True)

@@ -6501,3 +6501,43 @@ def test_jsonld_blocks_edges(ray_session):
     assert got["ld_type"].tolist() == ["Book", "Movie"]
     assert got["n_keys"].tolist() == [3, 2]
     assert got["position"].tolist() == [1, 4]
+
+
+def test_feed_and_srcset_edges(ray_session):
+    """parse_feed: Atom self/alternate link attr order tolerance, CDATA-
+    free broken feeds, linkless entries dropped; image_srcset: width
+    descriptor beats bare src on dedup, malformed width falls back to
+    -1, empty srcset tolerated."""
+    from engine.stages.sitemaps import parse_feed
+
+    rss = (
+        "<rss><channel><item><link> https://a/1 </link>"
+        "<pubDate>X</pubDate></item>"
+        "<item><guid>g</guid></item></channel></rss>"
+    )
+    rows = parse_feed(rss)
+    assert rows == [{"url": "https://a/1", "published": "X", "is_atom": 0}]
+    atom = (
+        '<feed><entry><link rel="alternate" href="https://a/2"/>'
+        "<published>P</published></entry></feed>"
+    )
+    assert parse_feed(atom) == [
+        {"url": "https://a/2", "published": "P", "is_atom": 1}
+    ]
+    assert parse_feed("") == [] and parse_feed("<rss>junk") == []
+
+    import ray.data
+
+    from engine.stages.htmlmeta import image_srcset
+
+    html = (
+        '<html><body><img src="a.jpg" srcset="a.jpg 640w, b.jpg bogus,'
+        ' c.jpg 2x"><img src=""></body></html>'
+    )
+    t = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "html": pa.array([html], pa.string()),
+    })
+    got = image_srcset(ray.data.from_arrow(t)).to_pandas()
+    m = dict(zip(got["img_url"], got["width"]))
+    assert m == {"a.jpg": 640, "b.jpg": -1, "c.jpg": -1}
