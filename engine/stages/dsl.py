@@ -14,6 +14,9 @@ One clause per query, dispatched to the already-verified operators:
     {"dis_max": {"queries": ["join", "scan"], "tie_breaker_milli": 300}}
     {"multi_match": {"term": "merge", "k": 10}}       # title^3 + body
     {"span_near": {"a": "value", "b": "table", "slop": 4}}
+    {"phrase_prefix": "the s"}                        # last term a prefix
+    {"boosting": {"positive": ["merge"], "negative": ["slow"],
+                  "negative_boost_milli": 300}}
 
 Each returns the operator's own output schema (the DSL adds no new
 semantics — every clause type is individually SQL-verified or
@@ -71,5 +74,15 @@ def run_query_dsl(ds: ray.data.Dataset, dsl: Dict[str, Any]):
             str(body["a"]),
             str(body["b"]),
             slop=int(body.get("slop", 3)),
+        )
+    if kind == "phrase_prefix":
+        return s.phrase_search(ds, str(body), last_prefix=True)
+    if kind == "boosting":
+        return s.boosting_search(
+            ds,
+            list(body["positive"]),
+            list(body["negative"]),
+            neg_milli=int(body.get("negative_boost_milli", 300)),
+            k=int(body.get("k", 50)),
         )
     raise ValueError(f"unknown query DSL clause: {kind!r}")

@@ -4368,6 +4368,19 @@ def test_query_dsl_dispatch(ray_session):
                                            "slop": 1}}
         )
     ).equals(pdf(s.span_near(_docs_ds(rows), "alpha", "gamma", slop=1)))
+    assert pdf(
+        run_query_dsl(_docs_ds(rows), {"phrase_prefix": "alpha b"})
+    ).equals(pdf(s.phrase_search(_docs_ds(rows), "alpha b", last_prefix=True)))
+    assert pdf(
+        run_query_dsl(
+            _docs_ds(rows),
+            {"boosting": {"positive": ["beta"], "negative": ["delta"],
+                          "negative_boost_milli": 200}},
+        )
+    ).equals(
+        pdf(s.boosting_search(_docs_ds(rows), ["beta"], ["delta"],
+                              neg_milli=200))
+    )
     with pytest.raises(ValueError):
         run_query_dsl(ds, {"nope": 1})
     with pytest.raises(ValueError):
