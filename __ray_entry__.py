@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonld": q.q_jsonld,
         "img_srcset": q.q_img_srcset,
         "feed_urls": q.q_feed_urls,
+        "setsim_join": q.q_setsim_join,
         "event_bigrams": q.q_event_bigrams,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
         # oracle + clique fixture tests)
@@ -4132,6 +4133,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        "setsim_join": """
+            WITH s AS (SELECT doc_id,
+                list_distinct(list_slice(regexp_extract_all(text,
+                    '[^\t\n\x0b\x0c\r ]+'), 1, 5)) AS tk
+              FROM documents),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT)
+                             AS inter,
+                         CAST(len(a.tk) + len(b.tk)
+                              - len(list_intersect(a.tk, b.tk)) AS BIGINT)
+                             AS uni
+                  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, inter, uni
+            FROM p WHERE 10 * inter >= 6 * uni
         """,
         "feed_urls": """
             WITH b AS (SELECT doc_id,

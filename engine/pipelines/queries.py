@@ -5099,3 +5099,39 @@ def q_feed_urls(sf_dir: str):
     return feed_urls(
         ds.map_batches(mk_xml, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def q_setsim_join(sf_dir: str):
+    """Exact set-similarity self-join with prefix filtering
+    (join.setsim_join, PPJoin family): all doc pairs whose first-5-token
+    SETS have Jaccard >= 0.6, threshold compared in exact integer
+    cross-multiplication, candidates only from shared GLOBAL-ordered
+    prefix tokens (sum-of-prefixes volume) — the exact counterpart to
+    minhash banding.  The oracle runs the quadratic cross join with
+    list_intersect at test scale.  SQL-verified including inter/uni."""
+    from engine.stages.join import setsim_join
+    from engine.stages.text import _TOKEN
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for d, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            ids.append(d)
+            toks.append(_TOKEN.findall(txt or "")[:5])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "tk": pa.array(toks, pa.list_(pa.string())),
+            }
+        )
+
+    return setsim_join(
+        ds.map_batches(tok, batch_format="pyarrow", zero_copy_batch=True),
+        id_col="doc_id",
+        tokens_col="tk",
+        tau_num=6,
+        tau_den=10,
+    )

@@ -6554,3 +6554,48 @@ def test_feed_and_srcset_edges(ray_session):
     got = image_srcset(ray.data.from_arrow(t)).to_pandas()
     m = dict(zip(got["img_url"], got["width"]))
     assert m == {"a.jpg": 640, "b.jpg": -1, "c.jpg": -1}
+
+
+def test_setsim_join_complete_vs_bruteforce(ray_session):
+    """PPJoin prefix filter is COMPLETE: distributed result == the
+    quadratic brute force on random small token sets at tau 0.5 and
+    0.8 (prefix lengths differ per tau), including duplicate token
+    lists, singletons, and empty sets (dropped)."""
+    import itertools
+
+    import ray.data
+
+    from engine.stages.join import setsim_join
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(60):
+        k = rng.randint(0, 6)
+        rows.append((i, sorted(rng.choice(vocab, k, replace=False).tolist())))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "tk": pa.array([r[1] for r in rows], pa.list_(pa.string())),
+    })
+    for tn, td in ((1, 2), (4, 5)):
+        got = (
+            setsim_join(
+                ray.data.from_arrow(t).repartition(4),
+                id_col="doc_id", tokens_col="tk",
+                tau_num=tn, tau_den=td,
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        exp = []
+        for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+            A, B = set(sa), set(sb)
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            uni = len(A | B)
+            if td * inter >= tn * uni:
+                exp.append((ia, ib, inter, uni))
+        exp.sort()
+        assert [tuple(r) for r in got.itertuples(index=False)] == exp, (tn, td)
