@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_srcset": q.q_img_srcset,
         "feed_urls": q.q_feed_urls,
         "setsim_join": q.q_setsim_join,
+        "homoglyphs": q.q_homoglyphs,
         "event_bigrams": q.q_event_bigrams,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
         # oracle + clique fixture tests)
@@ -4133,6 +4134,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        "homoglyphs": """
+            WITH h AS (SELECT DISTINCT
+                CASE WHEN doc_id % 9 = 0 THEN
+                    'h' || CAST(doc_id % 50 AS VARCHAR) || '.examplе.com'
+                WHEN doc_id % 9 = 1 THEN
+                    'only-' || CAST(doc_id AS VARCHAR) || '.example.org'
+                ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+                END AS host
+              FROM documents),
+            s AS (SELECT host,
+                         translate(host,
+                             'аеорсхуіѕԁɡոοαντ',
+                             'aeopcxyisdgnoavt') AS skeleton,
+                         CAST(strlen(host) = length(host) AS BIGINT)
+                             AS is_ascii
+                  FROM h),
+            g AS (SELECT skeleton, CAST(count(*) AS BIGINT) AS n_hosts
+                  FROM s GROUP BY skeleton)
+            SELECT s.skeleton, s.host, g.n_hosts, s.is_ascii
+            FROM s JOIN g ON g.skeleton = s.skeleton
+            WHERE g.n_hosts >= 2
         """,
         "setsim_join": """
             WITH s AS (SELECT doc_id,

@@ -5135,3 +5135,34 @@ def q_setsim_join(sf_dir: str):
         tau_num=6,
         tau_den=10,
     )
+
+
+def q_homoglyphs(sf_dir: str):
+    """IDN-spoof detection (urlfilter.homoglyph_hosts): UTS #39
+    confusable skeletons over hosts — the fixture plants, for every
+    host family h<doc_id%50>.example.com, a Cyrillic-о spoof on
+    doc_id % 9 == 0 and the clean ASCII host otherwise, plus an
+    unrelated never-spoofed host on doc_id % 9 == 1 that must NOT
+    surface (singleton skeleton).  SQL-verified via translate()."""
+    from engine.stages.urlfilter import homoglyph_hosts
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        if d.num_chunks != 1:
+            d = d.combine_chunks()
+        hosts = []
+        for did in d.to_numpy(zero_copy_only=False).tolist():
+            fam = did % 50
+            if did % 9 == 0:
+                hosts.append("h%d.examplе.com" % fam)  # Cyrillic е
+            elif did % 9 == 1:
+                hosts.append("only-%d.example.org" % did)
+            else:
+                hosts.append("h%d.example.com" % fam)
+        return pa.table({"host": pa.array(hosts, pa.string())})
+
+    return homoglyph_hosts(
+        ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+    )

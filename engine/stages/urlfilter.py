@@ -248,3 +248,127 @@ def pagination_chains(
     return pairs.groupby("kb").map_groups(
         reduce_bucket, batch_format="pyarrow"
     )
+
+
+# Cyrillic/Greek -> Latin homoglyph skeleton map (UTS #39 confusables,
+# the high-frequency subset that covers practical IDN host spoofing; a
+# production deployment loads the full confusables.txt table the same way)
+_HOMOGLYPHS = {
+    "а": "a", "е": "e", "о": "o", "р": "p", "с": "c", "х": "x",
+    "у": "y", "і": "i", "ѕ": "s", "ԁ": "d", "ɡ": "g", "ո": "n",
+    "ο": "o", "α": "a", "ν": "v", "τ": "t",
+}
+_HG_FROM = "".join(_HOMOGLYPHS)
+_HG_TO = "".join(_HOMOGLYPHS.values())
+_HG_TABLE = str.maketrans(_HOMOGLYPHS)
+
+
+def homoglyph_hosts(
+    ds: "ray.data.Dataset",
+    *,
+    host_col: str = "host",
+) -> "ray.data.Dataset":
+    """IDN-spoofing detection (Unicode UTS #39 confusable skeletons):
+    hosts that LOOK identical after mapping non-Latin homoglyphs to
+    their Latin skeletons but differ as raw strings — the phishing /
+    crawl-poisoning signal (``раypal.com`` with a Cyrillic ``р`` vs the
+    real ``paypal.com``).  Output one row per host in a confusable
+    group: ``(skeleton, host, n_hosts, is_ascii)`` with ``n_hosts`` the
+    group's distinct-host count (> 1 = spoof cluster) and ``is_ascii``
+    marking the presumed-legitimate member.
+
+    Shapes: skeleton map-side (ASCII fast path via binary_length ==
+    utf8_length, non-ASCII rows through one C-level str.translate —
+    the masked-splice device); ONE groupby(skeleton, host) dedup + ONE
+    groupby(skeleton) count, reassembled with a union+groupby (no
+    join).  SQL mirrors with translate()."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    def skel(t: pa.Table) -> pa.Table:
+        h = t.column(host_col)
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+            if isinstance(h, pa.ChunkedArray):
+                h = h.chunk(0) if h.num_chunks else pa.array([], pa.string())
+        h = pc.fill_null(h, "")
+        nonascii = pc.not_equal(pc.binary_length(h), pc.utf8_length(h))
+        out = h
+        if pc.any(nonascii).as_py():
+            idx = np.flatnonzero(nonascii.to_numpy(zero_copy_only=False))
+            repl = pa.array(
+                [h[int(i)].as_py().translate(_HG_TABLE) for i in idx],
+                pa.string(),
+            )
+            out = pc.replace_with_mask(h, nonascii, repl)
+        return pa.table(
+            {
+                "skeleton": out,
+                "host": h,
+                "is_ascii": pc.cast(pc.invert(nonascii), pa.int64()),
+            }
+        )
+
+    distinct = (
+        ds.map_batches(skel, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["skeleton", "host"])
+        .aggregate(Max("is_ascii", alias_name="is_ascii"))
+    )
+    # group sizes via a COARSE skeleton-hash bucket (PERF.md #31 —
+    # skeletons are host-cardinality; per-group Python would pay ~1 ms
+    # per host), resolved vectorized with a pandas transform
+    import pandas as pd
+
+    from engine.stages.common import as_arrow
+    from engine.stages.text import fnv1a_batch
+
+    NB = 256
+    MASK = np.uint64((1 << 63) - 1)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        sk = t.column("skeleton").to_pylist()
+        h = (fnv1a_batch([s.encode("utf-8") for s in sk]) & MASK).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "skeleton": t.column("skeleton"),
+                "host": t.column("host"),
+                "is_ascii": t.column("is_ascii").cast(pa.int64()),
+                "sb": pa.array(h & np.int64(NB - 1), pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "skeleton": pd.Series([], dtype="string"),
+                    "host": pd.Series([], dtype="string"),
+                    "n_hosts": np.asarray([], np.int64),
+                    "is_ascii": np.asarray([], np.int64),
+                }
+            )
+        sizes = df.groupby("skeleton")["host"].transform("size")
+        keep = sizes.to_numpy() >= 2  # singletons are not confusable
+        df = df[keep]
+        return pd.DataFrame(
+            {
+                "skeleton": df["skeleton"].astype("string"),
+                "host": df["host"].astype("string"),
+                "n_hosts": sizes.to_numpy(np.int64)[keep],
+                "is_ascii": df["is_ascii"].to_numpy(np.int64),
+            }
+        )
+
+    return as_arrow(
+        distinct.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("sb")
+        .map_groups(
+            lambda df: per_bucket(df.drop(columns=["sb"])),
+            batch_format="pandas",
+        )
+    )

@@ -6599,3 +6599,36 @@ def test_setsim_join_complete_vs_bruteforce(ray_session):
                 exp.append((ia, ib, inter, uni))
         exp.sort()
         assert [tuple(r) for r in got.itertuples(index=False)] == exp, (tn, td)
+
+
+def test_homoglyph_hosts_edges(ray_session):
+    """Skeleton detection: mixed Cyrillic/Greek spoofs cluster with the
+    ASCII original, pure-ASCII distinct hosts never cluster, a spoof
+    WITHOUT its ASCII original still clusters when two spoof variants
+    collide, and is_ascii flags the legitimate member."""
+    import ray.data
+
+    from engine.stages.urlfilter import homoglyph_hosts
+
+    hosts = [
+        "paypal.com", "раypal.com",          # Cyrillic р,а spoof
+        "google.com",                          # singleton -> dropped
+        "bank.example", "bаnk.example", "bαnk.example",  # two spoof variants
+        "nеtflix.io", "netflix.io",
+    ]
+    t = pa.table({"host": pa.array(hosts, pa.string())})
+    got = (
+        homoglyph_hosts(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values(["skeleton", "host"])
+        .reset_index(drop=True)
+    )
+    assert "google.com" not in got["host"].tolist()
+    grp = got[got["skeleton"] == "bank.example"]
+    assert len(grp) == 3 and grp["n_hosts"].tolist() == [3, 3, 3]
+    assert grp.set_index("host")["is_ascii"].to_dict() == {
+        "bank.example": 1, "bаnk.example": 0, "bαnk.example": 0
+    }
+    assert set(got[got["skeleton"] == "paypal.com"]["host"]) == {
+        "paypal.com", "раypal.com"
+    }
