@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_srcset": q.q_img_srcset,
         "feed_urls": q.q_feed_urls,
         "setsim_join": q.q_setsim_join,
+        "rrf_hybrid": q.q_rrf_hybrid,
         "homoglyphs": q.q_homoglyphs,
         "event_bigrams": q.q_event_bigrams,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
@@ -485,6 +486,32 @@ def _bm25_sql() -> str:
         FROM (SELECT doc_id, {score} AS score FROM tf, stats, df)
         WHERE score > 0
         ORDER BY score DESC, doc_id LIMIT 50
+    """
+
+
+def _rrf_sql() -> str:
+    """Generate the rrf_hybrid oracle: the bm25 ranking (nested, single
+    source of truth) fused with the doc-length-prior ranking at
+    rank_const 60 — contributions 1000000 // (60 + rank), candidates
+    only (no corpus default), top-20 by (fused desc, doc_id)."""
+    return f"""
+        WITH bm AS ({_bm25_sql()}),
+        lp AS (SELECT doc_id,
+                      CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                           AS BIGINT) AS rank
+               FROM documents),
+        u AS (
+            SELECT doc_id, 1000000 // (60 + rank) AS m FROM bm
+            UNION ALL
+            SELECT doc_id, 1000000 // (60 + rank) FROM lp WHERE rank <= 50
+        ),
+        f AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS rrf_micro,
+                     CAST(count(*) AS BIGINT) AS n_lists
+              FROM u GROUP BY doc_id),
+        r AS (SELECT *, CAST(row_number() OVER (
+                  ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+              FROM f)
+        SELECT doc_id, rrf_micro, n_lists, rank FROM r WHERE rank <= 20
     """
 
 
@@ -1311,6 +1338,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(),
         "prf_expansion": _prf_sql(),
+        "rrf_hybrid": _rrf_sql(),
         # pruned WAND evaluation is an OPTIMIZATION with a pinned-identical
         # contract: the oracle is the exact BM25 ranking itself
         "wand_topk": _bm25_sql(),

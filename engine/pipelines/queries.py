@@ -5166,3 +5166,27 @@ def q_homoglyphs(sf_dir: str):
     return homoglyph_hosts(
         ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def q_rrf_hybrid(sf_dir: str):
+    """Hybrid retrieval via Reciprocal Rank Fusion (search.rrf_fuse; ES
+    rrf retriever, Cormack et al. 2009): BM25 top-50 fused with a
+    doc-length-prior top-50 (row_number by n_chars desc) at
+    rank_const 60 in exact micro-units 1e6 // (60 + rank) — only
+    retrieved candidates contribute, top-20 by fused score.
+    SQL-verified (the oracle nests the generated bm25 SQL)."""
+    from engine.stages.search import BM25_TERMS, bm25_topk, rrf_fuse
+    from engine.stages.topk import global_topk
+
+    docs = _docs(sf_dir, ["doc_id", "text"], num_blocks=_cpus())
+    bm = ray.data.from_arrow(
+        bm25_topk(docs, BM25_TERMS, id_col="doc_id", text_col="text", k=50)
+    )
+    lenprior = global_topk(
+        _docs(sf_dir, ["doc_id", "n_chars"]),
+        order_cols=["n_chars", "doc_id"],
+        descending=[True, False],
+        k=50,
+        rank_col="rank",
+    )
+    return rrf_fuse([bm, lenprior], id_col="doc_id", rank_const=60, k=20)

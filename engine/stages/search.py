@@ -2561,3 +2561,78 @@ def boosting_search(
         k=k,
         rank_col="rank",
     )
+
+
+def rrf_fuse(
+    rankings,
+    *,
+    id_col: str = "doc_id",
+    rank_const: int = 60,
+    k: int = 20,
+) -> ray.data.Dataset:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009;
+    ES's ``rrf`` retriever): combine N ranked candidate lists into one
+    ranking by ``score(d) = sum over lists of 1/(rank_const + rank_d)``
+    — the standard hybrid-search merge (BM25 x vector, relevance x
+    prior) that needs no score calibration, only ranks.  Exact integers:
+    each contribution is ``1_000_000 // (rank_const + rank)`` micro-units
+    (identical int64 algebra in the oracle).  Output ``(id, rrf_micro,
+    n_lists, rank)`` for the top ``k``; only retrieved candidates
+    contribute (ES semantics — no corpus-wide default).
+
+    Shape: each input list is already top-k-sized; one union + ONE
+    groupby Sum/Count + the global_topk candidate merge.  Nothing
+    corpus-sized moves.
+    """
+    from engine.stages.topk import global_topk
+    from ray.data.aggregate import Sum
+
+    parts = []
+    for r in rankings:
+        parts.append(
+            r.map_batches(
+                lambda t: pa.table(
+                    {
+                        id_col: t.column(id_col).cast(pa.int64()),
+                        "m": pa.compute.cast(
+                            pa.compute.divide(
+                                pa.scalar(1_000_000, pa.int64()),
+                                pa.compute.add(
+                                    t.column("rank").cast(pa.int64()),
+                                    pa.scalar(rank_const, pa.int64()),
+                                ),
+                            ),
+                            pa.int64(),
+                        ),
+                        "one": pa.array([1] * t.num_rows, pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    fused = (
+        u.groupby(id_col)
+        .aggregate(Sum("m", alias_name="rrf_micro"), Sum("one", alias_name="n_lists"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "rrf_micro": t.column("rrf_micro").cast(pa.int64()),
+                    "n_lists": t.column("n_lists").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    return global_topk(
+        fused,
+        order_cols=["rrf_micro", id_col],
+        descending=[True, False],
+        k=k,
+        rank_col="rank",
+    )
