@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feed_urls": q.q_feed_urls,
         "setsim_join": q.q_setsim_join,
         "rrf_hybrid": q.q_rrf_hybrid,
+        "meta_counts": q.q_meta_counts,
         "homoglyphs": q.q_homoglyphs,
         "event_bigrams": q.q_event_bigrams,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
@@ -4162,6 +4163,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        "meta_counts": """
+            SELECT 'documents' AS tbl, CAST(count(*) AS BIGINT) AS n_rows
+            FROM documents
+            UNION ALL SELECT 'events', count(*) FROM events
+            UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+            UNION ALL SELECT 'orders', count(*) FROM orders
+            UNION ALL SELECT 'customer', count(*) FROM customer
         """,
         "homoglyphs": """
             WITH h AS (SELECT DISTINCT

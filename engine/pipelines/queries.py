@@ -5190,3 +5190,29 @@ def q_rrf_hybrid(sf_dir: str):
         rank_col="rank",
     )
     return rrf_fuse([bm, lenprior], id_col="doc_id", rank_const=60, k=20)
+
+
+def q_meta_counts(sf_dir: str):
+    """Scan-free table row counts (export.parquet_meta_counts): Parquet
+    footer metadata only, zero data pages read — the count(*) that stays
+    O(files) at 100 TB.  One row per table file with row/row-group/
+    column counts.  SQL-verified (the oracle counts the actual rows —
+    parity proves the metadata path exact)."""
+    import os
+
+    from engine.stages.export import parquet_meta_counts
+
+    tables = ["documents", "events", "lineitem", "orders", "customer"]
+    paths = [os.path.join(sf_dir, f"{t}.parquet") for t in tables]
+    ds = parquet_meta_counts(paths)
+
+    def basename(t: pa.Table) -> pa.Table:
+        names = [p.rsplit("/", 1)[-1].split(".")[0] for p in t.column("path").to_pylist()]
+        return pa.table(
+            {
+                "tbl": pa.array(names, pa.string()),
+                "n_rows": t.column("n_rows"),
+            }
+        )
+
+    return ds.map_batches(basename, batch_format="pyarrow", zero_copy_batch=True)

@@ -848,3 +848,33 @@ def balanced_shards(
     return s.map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def parquet_meta_counts(paths) -> "ray.data.Dataset":
+    """Row counts from Parquet FOOTER METADATA only — zero data pages
+    read (the row count lives in the file metadata; at 100 TB a
+    count(*) that scans is wrong by construction).  One tiny Ray task
+    per file via ``from_items``; emits ``(path, n_rows, n_row_groups,
+    n_columns)`` per file.  The same device extends to per-row-group
+    min/max pruning audits (``zonemap`` consumes those)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    def meta(batch):
+        rows = []
+        for p in batch["item"]:
+            md = pq.ParquetFile(p).metadata
+            rows.append((p, md.num_rows, md.num_row_groups, md.num_columns))
+        return pa.table(
+            {
+                "path": pa.array([r[0] for r in rows], pa.string()),
+                "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+                "n_row_groups": pa.array([r[2] for r in rows], pa.int64()),
+                "n_columns": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    return ray.data.from_items(list(paths)).map_batches(
+        meta, batch_format="numpy"
+    )
