@@ -1204,6 +1204,15 @@ def kcore(
         if total == prev_total:
             break
         prev_total = total
+    else:
+        import logging
+
+        # h-index convergence is O(graph-dependent rounds); an unconverged
+        # exit returns UPPER BOUNDS on coreness — callers must not treat
+        # it as exact (never hit in tests; belt for pathological graphs)
+        logging.getLogger("engine.graph").warning(
+            "kcore: h-index fixpoint not converged after %d rounds", max_rounds
+        )
     return cvals.map_batches(
         lambda t: pa.table(
             {
