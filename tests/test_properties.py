@@ -147,3 +147,58 @@ def test_compress_ratio_matches_zlib(text):
     want = (1_000_000 * len(zlib.compress(raw, 6))) // len(raw) if raw else 0
     assert int(out.column("zlib_ratio_ppm")[0].as_py()) == want
     assert int(out.column("n_bytes")[0].as_py()) == len(raw)
+
+
+_senttext = st.text(
+    alphabet=string.ascii_lowercase + ".!? \t\n", max_size=120
+)
+
+
+@given(_senttext)
+@settings(max_examples=200, deadline=None)
+def test_sentence_split_kernel_matches_python(s):
+    """The Arrow sentinel-insert + split device (text.sentence_stats'
+    kernel) == the straightforward Python re formulation, for arbitrary
+    punctuation/whitespace layouts — the regex-semantics contract the
+    SQL oracle relies on."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rep = pc.replace_substring_regex(
+        pa.array([s], pa.string()),
+        pattern=r"([.!?])[\t\n\x0b\x0c\r ]+",
+        replacement="\\1\x01",
+    )
+    got = pc.split_pattern(rep, pattern="\x01")[0].as_py()
+    exp = re.sub(r"([.!?])[\t\n\x0b\x0c\r ]+", "\\1\x01", s).split("\x01")
+    assert got == exp
+
+
+_accents = "áéíóúäëïöüñçàèìòùâêîôûÁÉÍÖÜÑÇ"
+_foldtext = st.text(
+    alphabet=string.ascii_letters + _accents + " .'-", max_size=60
+)
+
+
+@given(_foldtext)
+@settings(max_examples=150, deadline=None)
+def test_fold_accents_matches_duckdb(s):
+    """Python lowercase+NFKD-strip-marks == DuckDB strip_accents(lower())
+    over the full Latin-accent alphabet — the cross-engine parity
+    assumption behind the fold_accents oracle, tested well beyond the
+    fixture's accent set."""
+    import unicodedata
+
+    import duckdb
+
+    py = "".join(
+        c
+        for c in unicodedata.normalize("NFKD", s.lower())
+        if not unicodedata.combining(c)
+    )
+    (dk,) = duckdb.sql(
+        "select strip_accents(lower(?))", params=[s]
+    ).fetchone()
+    assert py == dk
