@@ -742,10 +742,19 @@ def cohort_retention(
             zero_copy_only=False
         ).astype("datetime64[us]").view(np.int64)
         day = ts // 86_400_000_000
-        key = u * np.int64(1 << 20) + day  # composite (day fits 20 bits
-        # for any epoch-day horizon: 2^20 days ~ 2870 years)
-        uk = np.unique(key)
-        uu, dd = uk // (1 << 20), uk % (1 << 20)
+        if u.size and int(u.max()) < (1 << 43) and int(u.min()) >= 0:
+            # composite int64 key: day fits 20 bits (2^20 days ~ 2870
+            # years), so ids below 2^43 pack losslessly
+            key = u * np.int64(1 << 20) + day
+            uk = np.unique(key)
+            uu, dd = uk // (1 << 20), uk % (1 << 20)
+        else:
+            # huge/negative id space: 2-column unique via lexsort
+            order = np.lexsort((day, u))
+            us, ds_ = u[order], day[order]
+            keep = np.ones(len(us), bool)
+            keep[1:] = (us[1:] != us[:-1]) | (ds_[1:] != ds_[:-1])
+            uu, dd = us[keep], ds_[keep]
         return pa.table(
             {
                 "u": pa.array(uu, pa.int64()),

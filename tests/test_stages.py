@@ -6632,3 +6632,33 @@ def test_homoglyph_hosts_edges(ray_session):
     assert set(got[got["skeleton"] == "paypal.com"]["host"]) == {
         "paypal.com", "раypal.com"
     }
+
+
+def test_cohort_retention_huge_ids(ray_session):
+    """The 2-column-unique fallback (user ids >= 2^43) produces the same
+    retention cells as the packed-key fast path on equivalent data."""
+    import ray.data
+
+    from engine.stages.aggs import cohort_retention
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    days = np.array([0, 0, 1, 3, 0, 1, 1], np.int64)
+    users_small = np.array([1, 1, 1, 1, 2, 2, 2], np.int64)
+    HUGE = np.int64(1 << 50)
+    for users in (users_small, users_small + HUGE):
+        t = pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(
+                (base + (days * 86_400_000_000).astype("timedelta64[us]"))
+            ),
+        })
+        got = (
+            cohort_retention(ray.data.from_arrow(t).repartition(2))
+            .to_pandas()
+            .sort_values(["cohort_day", "offset_day"])
+            .reset_index(drop=True)
+        )
+        # both users cohort at day 19723 (2024-01-01); user1 active at
+        # +0,+1,+3; user2 at +0,+1 -> cells (0,2),(1,2),(3,1)
+        assert got["offset_day"].tolist() == [0, 1, 3]
+        assert got["n_users"].tolist() == [2, 2, 1]
