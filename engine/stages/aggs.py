@@ -350,11 +350,11 @@ def dispersion_stats(
             }
         )
 
+    from engine.stages.common import collect_arrow_blocks
+
     hist: dict = {}
     part = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-    for tab in ray.get(part.to_arrow_refs()):
-        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
-            continue
+    for tab in collect_arrow_blocks(part):
         for grp, v, c in zip(
             tab.column(group_col).to_pylist(),
             tab.column("v").to_pylist(),
@@ -466,11 +466,11 @@ def terms_error_bounds(
             }
         )
 
+    from engine.stages.common import collect_arrow_blocks
+
     counts: dict = {}
     part = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-    for tab in ray.get(part.to_arrow_refs()):
-        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
-            continue
+    for tab in collect_arrow_blocks(part):
         for sh, term, c in zip(
             tab.column("shard").to_pylist(),
             tab.column("term").to_pylist(),
@@ -553,14 +553,13 @@ def auto_date_histogram(
             }
         )
 
+    from engine.stages.common import collect_arrow_blocks
+
     mn, mx = None, None
     ds = ds.materialize()
-    for tab in ray.get(
+    for tab in collect_arrow_blocks(
         ds.map_batches(minmax, batch_format="pyarrow", zero_copy_batch=True)
-        .to_arrow_refs()
     ):
-        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
-            continue
         for a, b in zip(tab.column("mn").to_pylist(), tab.column("mx").to_pylist()):
             mn = a if mn is None else min(mn, a)
             mx = b if mx is None else max(mx, b)
@@ -598,12 +597,9 @@ def auto_date_histogram(
         )
 
     acc: dict = {}
-    for tab in ray.get(
+    for tab in collect_arrow_blocks(
         ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .to_arrow_refs()
     ):
-        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
-            continue
         for b, n in zip(
             tab.column("bucket_s").to_pylist(), tab.column("n").to_pylist()
         ):
@@ -664,13 +660,12 @@ def ip_prefix_agg(
             }
         )
 
+    from engine.stages.common import collect_arrow_blocks
+
     acc: dict = {}
-    for tab in ray.get(
+    for tab in collect_arrow_blocks(
         ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .to_arrow_refs()
     ):
-        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
-            continue
         for p, s, n in zip(
             tab.column("pfx").to_pylist(),
             tab.column("s24").to_pylist(),
@@ -956,8 +951,10 @@ def fair_share(
     )
 
     # demand-value histogram partials -> driver level solve
+    from engine.stages.common import collect_arrow_blocks
+
     hist: dict = {}
-    for tab in ray.get(
+    for tab in collect_arrow_blocks(
         demands.map_batches(
             lambda t: (
                 lambda v: (
@@ -971,10 +968,8 @@ def fair_share(
             )(t.column("d").to_numpy(zero_copy_only=False).astype(np.int64)),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        ).to_arrow_refs()
+        )
     ):
-        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
-            continue
         for v, c in zip(tab.column("v").to_pylist(), tab.column("c").to_pylist()):
             hist[v] = hist.get(v, 0) + c
     if not hist:
@@ -1036,8 +1031,7 @@ def fair_share(
         ).materialize()
         bonus = set(
             k
-            for tab in ray.get(top.to_arrow_refs())
-            if isinstance(tab, pa.Table) and tab.num_rows > 0
+            for tab in collect_arrow_blocks(top)
             for k in tab.column(key_col).to_pylist()
         )
     bonus_ref = ray.put(bonus)

@@ -469,13 +469,13 @@ def ivm_maintain(
                 }
             )
 
+        from engine.stages.common import collect_arrow_blocks
+
         acc: dict = {}
         out = ds.map_batches(
             partials, batch_format="pyarrow", zero_copy_batch=True
         )
-        for tab in _ray.get(out.to_arrow_refs()):
-            if not isinstance(tab, pa.Table) or tab.num_rows == 0:
-                continue
+        for tab in collect_arrow_blocks(out):
             for g, n, s in zip(
                 tab.column(group_col).to_pylist(),
                 tab.column("n").to_pylist(),

@@ -71,13 +71,12 @@ def prefix_sum(
         np.add.at(s, inv, v)
         return pa.table({"b": pa.array(ub, pa.int64()), "s": pa.array(s, pa.int64())})
 
+    from engine.stages.common import collect_arrow_blocks
+
     sums: dict = {}
-    for tab in ray.get(
+    for tab in collect_arrow_blocks(
         ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .to_arrow_refs()
     ):
-        if not isinstance(tab, pa.Table) or tab.num_rows == 0:
-            continue
         for b, s in zip(tab.column("b").to_pylist(), tab.column("s").to_pylist()):
             sums[b] = sums.get(b, 0) + s
     offsets: dict = {}
