@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import glob
 import json
+import logging
 import os
 import time
 from hashlib import blake2b
@@ -27,6 +28,22 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+_log = logging.getLogger("engine.checkpoint")
+
+
+def _read_manifest_file(path: str) -> Optional[pa.Table]:
+    """Read one manifest part, treating an unreadable/truncated file as
+    ABSENT (the partition simply re-runs and the next record_partition
+    atomically overwrites it) — resume must never crash on a corrupt
+    manifest: the writes are atomic (tmp + os.replace), so corruption
+    means external interference, and redoing one partition is the safe
+    answer."""
+    try:
+        return pq.read_table(path)
+    except Exception as exc:  # ArrowInvalid / OSError
+        _log.warning("ignoring unreadable manifest %s: %s", path, exc)
+        return None
 
 MANIFEST_DIR = "_manifest"
 
@@ -63,7 +80,9 @@ def completed_partitions(out_dir: str) -> Dict[str, str]:
     if not os.path.isdir(mdir):
         return done
     for f in sorted(glob.glob(os.path.join(mdir, "*.parquet"))):
-        t = pq.read_table(f)
+        t = _read_manifest_file(f)
+        if t is None:
+            continue
         for pid, fp in zip(
             t.column("partition_id").to_pylist(), t.column("input_fingerprint").to_pylist()
         ):
@@ -100,9 +119,10 @@ def record_partition(
 def load_manifest(out_dir: str) -> Optional[pa.Table]:
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     files = sorted(glob.glob(os.path.join(mdir, "*.parquet")))
-    if not files:
+    parts = [t for f in files if (t := _read_manifest_file(f)) is not None]
+    if not parts:
         return None
-    return pa.concat_tables([pq.read_table(f) for f in files])
+    return pa.concat_tables(parts)
 
 
 def pending_partitions(

@@ -87,3 +87,43 @@ def test_manifest_skip_counts(ray_session, sharded_pages, tmp_path):
             merged[k] = merged.get(k, 0) + v
     assert merged.get("kept", 0) > 500
     assert "too_short" in merged
+
+
+def test_corrupt_manifest_rerun_not_crash(tmp_path):
+    """A truncated/corrupt manifest part must NOT crash resume — the
+    partition reads as not-done and re-runs (atomic writes mean
+    corruption is external; redo is the safe answer)."""
+    from engine.state.checkpoint import (
+        completed_partitions,
+        load_manifest,
+        partition_id_for,
+        pending_partitions,
+        record_partition,
+    )
+
+    out = str(tmp_path / "out")
+    f1 = tmp_path / "a.parquet"
+    f2 = tmp_path / "b.parquet"
+    f1.write_bytes(b"x" * 64)
+    f2.write_bytes(b"y" * 64)
+    parts = [[str(f1)], [str(f2)]]
+    # mark both done
+    for files in parts:
+        pid = partition_id_for(files)
+        from engine.state.checkpoint import fingerprint_files
+
+        record_partition(out, pid, fingerprint_files(files), 1, 1, {}, 5)
+    assert pending_partitions(out, parts) == []
+    # corrupt ONE manifest part
+    import glob
+    import os
+
+    from engine.state.checkpoint import MANIFEST_DIR
+
+    mfiles = sorted(glob.glob(os.path.join(out, MANIFEST_DIR, "*.parquet")))
+    with open(mfiles[0], "wb") as fh:
+        fh.write(b"not parquet")
+    pend = pending_partitions(out, parts)
+    assert len(pend) == 1  # only the corrupt partition re-runs
+    m = load_manifest(out)
+    assert m is not None and m.num_rows == 1  # the intact part survives
