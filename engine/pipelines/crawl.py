@@ -591,7 +591,8 @@ class CrawlRun:
         state_path = os.path.join(self.workdir, "state.json")
         if not os.path.exists(state_path):
             return False
-        state = json.load(open(state_path))
+        with open(state_path) as fh:
+            state = json.load(fh)
         wave = state["wave"]
         self.seq = state["seq"]
         self.fetched_count = dict(state["fetched_count"])
@@ -1093,7 +1094,9 @@ class CrawlRun:
         meta_path = os.path.join(part_dir, "_chunk.json")
         if os.path.isdir(part_dir):
             try:
-                if _json.load(open(meta_path))["fp"] == fp:
+                with open(meta_path) as _fh:
+                    _meta = _json.load(_fh)
+                if _meta["fp"] == fp:
                     return  # resume: chunk already extracted, same URL set
             except (OSError, ValueError, KeyError):
                 pass

@@ -102,11 +102,13 @@ def is_bucketed(path: str) -> bool:
 
 
 def n_buckets_of(path: str) -> int:
-    return json.load(open(os.path.join(path, LAYOUT_FILE)))["n_buckets"]
+    with open(os.path.join(path, LAYOUT_FILE)) as fh:
+        return json.load(fh)["n_buckets"]
 
 
 def layout_kind(path: str) -> str:
-    return json.load(open(os.path.join(path, LAYOUT_FILE))).get("kind", "pages")
+    with open(os.path.join(path, LAYOUT_FILE)) as fh:
+        return json.load(fh).get("kind", "pages")
 
 
 def read_buckets_for(
