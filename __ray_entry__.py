@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setsim_join": q.q_setsim_join,
         "rrf_hybrid": q.q_rrf_hybrid,
         "meta_counts": q.q_meta_counts,
+        "geo_distance": q.q_geo_distance,
         "homoglyphs": q.q_homoglyphs,
         "event_bigrams": q.q_event_bigrams,
         # rows-only (iterative peel fixpoint has no SQL analog; peel
@@ -4163,6 +4164,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(doc_id) AS BIGINT) AS max_id
             FROM r WHERE rn <= 3
             GROUP BY source ORDER BY source
+        """,
+        "geo_distance": """
+            WITH c AS (SELECT doc_id,
+                (doc_id * 2654435761) % 180000000 - 90000000 AS lat_u,
+                (doc_id * 2246822519) % 360000000 - 180000000 AS lon_u
+              FROM documents),
+            d AS (SELECT doc_id,
+                    (lat_u - 10000000) * (lat_u - 10000000)
+                  + (lon_u - (-20000000)) * (lon_u - (-20000000)) AS d2
+                  FROM c),
+            f AS (SELECT doc_id, CAST(d2 AS BIGINT) AS d2 FROM d
+                  WHERE d2 <= CAST(60000000 AS BIGINT) * 60000000),
+            r AS (SELECT *, CAST(row_number() OVER (
+                      ORDER BY d2, doc_id) AS BIGINT) AS rank FROM f)
+            SELECT doc_id, d2, rank FROM r WHERE rank <= 50
         """,
         "meta_counts": """
             SELECT 'documents' AS tbl, CAST(count(*) AS BIGINT) AS n_rows

@@ -5216,3 +5216,42 @@ def q_meta_counts(sf_dir: str):
         )
 
     return ds.map_batches(basename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_geo_distance(sf_dir: str):
+    """ES geo_distance query (search.geo_distance): nearest-first
+    within-radius search over deterministic integer-microdegree
+    coordinates (lat/lon from Knuth-style multiplicative hashes mod the
+    degree span, spread at any id scale) — a vectorized bbox prefilter
+    then the exact int64
+    equirectangular d2 circle test, partial top-k merge.  Documented
+    deviation: flat-earth metric (haversine floats are not
+    bit-reproducible).  SQL-verified including d2 and rank."""
+    from engine.stages.search import geo_distance
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id")
+        if d.num_chunks != 1:
+            d = d.combine_chunks()
+        dn = d.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": d,
+                "lat_u": pa.array(
+                    (dn * 2654435761) % 180_000_000 - 90_000_000, pa.int64()
+                ),
+                "lon_u": pa.array(
+                    (dn * 2246822519) % 360_000_000 - 180_000_000, pa.int64()
+                ),
+            }
+        )
+
+    return geo_distance(
+        ds.map_batches(coords, batch_format="pyarrow", zero_copy_batch=True),
+        center_lat_u=10_000_000,
+        center_lon_u=-20_000_000,
+        radius_u=60_000_000,
+        k=50,
+    )

@@ -104,7 +104,7 @@ SQL_NAMES = [
     "dispersion", "bfs_hops", "phrase_prefix", "boosting",
     "sentences", "fold_accents", "outer_join", "terms_shards",
     "auto_histogram", "rollover", "ip_prefix", "cohort_retention",
-    "ivm", "fuzzy_join", "event_bigrams", "fair_share", "jsonld", "img_srcset", "feed_urls", "setsim_join", "homoglyphs", "rrf_hybrid", "meta_counts",
+    "ivm", "fuzzy_join", "event_bigrams", "fair_share", "jsonld", "img_srcset", "feed_urls", "setsim_join", "homoglyphs", "rrf_hybrid", "meta_counts", "geo_distance",
 ]
 
 

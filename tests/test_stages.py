@@ -6662,3 +6662,31 @@ def test_cohort_retention_huge_ids(ray_session):
         # +0,+1,+3; user2 at +0,+1 -> cells (0,2),(1,2),(3,1)
         assert got["offset_day"].tolist() == [0, 1, 3]
         assert got["n_users"].tolist() == [2, 2, 1]
+
+
+def test_geo_distance_bbox_and_circle(ray_session):
+    """bbox survivors outside the circle (the corner cases) are cut by
+    the exact d2 test; nearest-first ordering with doc_id tiebreak;
+    empty result keeps the typed schema."""
+    import ray.data
+
+    from engine.stages.search import geo_distance
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lat_u": pa.array([0, 9, 10, 100], pa.int64()),
+        "lon_u": pa.array([0, 9, 0, 100], pa.int64()),
+    })
+    got = geo_distance(
+        ray.data.from_arrow(t), center_lat_u=0, center_lon_u=0,
+        radius_u=10, k=10,
+    ).to_pandas()
+    # doc 2 is inside the bbox (|9|<=10 both axes) but d2=162 > 100
+    assert got["doc_id"].tolist() == [1, 3]
+    assert got["d2"].tolist() == [0, 100]
+    assert got["rank"].tolist() == [1, 2]
+    empty = geo_distance(
+        ray.data.from_arrow(t), center_lat_u=10**9, center_lon_u=10**9,
+        radius_u=1, k=10,
+    ).to_pandas()
+    assert len(empty) == 0
